@@ -1,0 +1,6 @@
+"""Import all query modules so the registry is fully populated."""
+
+from flink_ci_flink_spark.queries.registry import QUERIES, QuerySpec, query  # noqa: F401
+
+# Each import registers its queries as a side effect.
+from flink_ci_flink_spark.queries import tpch  # noqa: F401,E402
