@@ -1,0 +1,174 @@
+"""Scalar function surface: the reference's SQL builtin library on Spark.
+
+Reference: `flink-table-common/.../functions/BuiltInFunctionDefinitions.java`
+(portable set), `flink-table-planner-blink/.../functions/sql/
+FlinkSqlOperatorTable.java` (Blink extras), runtime impls
+`flink-table-runtime-blink/.../runtime/functions/SqlFunctionUtils.java`,
+`SqlDateTimeUtils.java`.
+
+Nearly the whole surface maps 1:1 onto `pyspark.sql.functions` (JVM-side,
+codegen'd — listed in FLINK_TO_SPARK below as parity evidence). The handful
+with no Spark builtin are implemented here as thin Column expressions (still
+JVM-side — no Python UDFs) and registered as SQL functions by
+`register_all(spark)`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+#: Flink builtin -> Spark builtin (same semantics; aliases noted).
+#: Functions implemented in this module are marked "custom:<name>".
+FLINK_TO_SPARK = {
+    # comparison / logic
+    "=": "=", "<>": "<>", ">": ">", ">=": ">=", "<": "<", "<=": "<=",
+    "AND": "and", "OR": "or", "NOT": "not",
+    "IS NULL": "isNull", "IS NOT NULL": "isNotNull",
+    "IS TRUE": "= true", "IS FALSE": "= false",
+    "IS DISTINCT FROM": "is distinct from",
+    "BETWEEN": "between", "IN": "isin", "LIKE": "like", "SIMILAR": "rlike",
+    "IF": "when/otherwise", "CASE": "when", "COALESCE": "coalesce",
+    "NULLIF": "nullif", "GREATEST": "greatest", "LEAST": "least",
+    # string
+    "CHAR_LENGTH": "length", "CHARACTER_LENGTH": "length",
+    "INIT_CAP": "initcap", "UPPER": "upper", "LOWER": "lower",
+    "SUBSTRING": "substring", "SUBSTR": "substr", "POSITION": "instr",
+    "OVERLAY": "overlay", "CONCAT": "concat", "CONCAT_WS": "concat_ws",
+    "LPAD": "lpad", "RPAD": "rpad", "LTRIM": "ltrim", "RTRIM": "rtrim",
+    "TRIM": "trim", "REPEAT": "repeat", "REPLACE": "replace",
+    "REGEXP": "rlike", "REGEXP_EXTRACT": "regexp_extract",
+    "REGEXP_REPLACE": "regexp_replace",
+    "FROM_BASE64": "unbase64", "TO_BASE64": "base64",
+    "UUID": "uuid", "ASCII": "ascii", "CHR": "char",
+    "DECODE": "decode", "ENCODE": "encode",
+    "INSTR": "instr", "LEFT": "left", "RIGHT": "right", "LOCATE": "locate",
+    "PARSE_URL": "parse_url", "REVERSE": "reverse",
+    "SPLIT_INDEX": "custom:split_index",
+    "STR_TO_MAP": "str_to_map",
+    "IS_ALPHA": "custom:is_alpha", "IS_DECIMAL": "custom:is_decimal",
+    "IS_DIGIT": "custom:is_digit",
+    "MD5": "md5", "SHA1": "sha1", "SHA2": "sha2", "SHA224": "sha2(224)",
+    "SHA256": "sha2(256)", "SHA384": "sha2(384)", "SHA512": "sha2(512)",
+    "HASH_CODE": "custom:hash_code",
+    # math
+    "+": "+", "-": "-", "*": "*", "/": "/", "%": "pmod",
+    "ABS": "abs", "CEIL": "ceil", "FLOOR": "floor", "EXP": "exp",
+    "LN": "ln", "LOG": "log", "LOG2": "log2", "LOG10": "log10",
+    "POWER": "power", "SQRT": "sqrt", "MOD": "mod",
+    "SIN": "sin", "COS": "cos", "TAN": "tan", "COT": "cot",
+    "ASIN": "asin", "ACOS": "acos", "ATAN": "atan", "ATAN2": "atan2",
+    "SINH": "sinh", "COSH": "cosh", "TANH": "tanh",
+    "DEGREES": "degrees", "RADIANS": "radians", "SIGN": "signum",
+    "ROUND": "round", "PI": "lit(math.pi)", "E": "lit(math.e)",
+    "RAND": "rand", "RAND_INTEGER": "floor(rand()*n)",
+    "BIN": "bin", "HEX": "hex", "TRUNCATE": "custom:truncate",
+    # temporal
+    "EXTRACT": "extract", "CURRENT_DATE": "current_date",
+    "CURRENT_TIME": "current_timestamp", "CURRENT_TIMESTAMP": "current_timestamp",
+    "LOCALTIME": "localtimestamp", "LOCALTIMESTAMP": "localtimestamp",
+    "NOW": "now", "TEMPORAL_OVERLAPS": "custom:temporal_overlaps",
+    "TIMESTAMPDIFF": "timestampdiff", "DATE_FORMAT": "date_format",
+    "CONVERT_TZ": "convert_timezone", "FROM_UNIXTIME": "from_unixtime",
+    "UNIX_TIMESTAMP": "unix_timestamp", "TO_DATE": "to_date",
+    "TO_TIMESTAMP": "to_timestamp", "QUARTER": "quarter",
+    "FLOOR(ts TO unit)": "date_trunc", "CEIL(ts TO unit)": "custom:ceil_ts",
+    # collections / constructors
+    "ARRAY": "array", "MAP": "map", "ROW": "struct",
+    "CARDINALITY": "size", "ELEMENT": "element_at(_, 1)", "AT": "element_at",
+    "FLATTEN": "flatten", "GET": "getField",
+    # casts
+    "CAST": "cast", "REINTERPRET_CAST": "cast",
+    # aggregate-adjacent scalar helpers (SUM0 = null-as-zero sum)
+    "SUM0": "custom:sum0", "INCR_SUM": "custom:sum0",
+}
+
+
+def split_index(col, delim: str, idx: int) -> Column:
+    """Flink SPLIT_INDEX(str, delim, idx) — 0-based; NULL when out of range.
+
+    Ref: `SqlFunctionUtils.java` splitIndex. Spark: element_at over split
+    (1-based, hence idx+1); literal delimiter is regex-escaped.
+    """
+    import re as _re
+
+    parts = F.split(col, _re.escape(delim))
+    return F.when(F.size(parts) > idx, F.element_at(parts, idx + 1))
+
+
+def is_alpha(col) -> Column:
+    """Flink IS_ALPHA: every char alphabetic, non-empty. Ref: SqlFunctionUtils.isAlpha."""
+    return F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit("")).rlike(
+        r"\A[A-Za-z]+\Z"
+    )
+
+
+def is_digit(col) -> Column:
+    """Flink IS_DIGIT: every char a digit, non-empty."""
+    return F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit("")).rlike(
+        r"\A[0-9]+\Z"
+    )
+
+
+def is_decimal(col) -> Column:
+    """Flink IS_DECIMAL: string parses as a decimal number."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c, F.lit("")).rlike(r"\A[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)\Z")
+
+
+def hash_code(col) -> Column:
+    """Flink HASH_CODE(str) → 32-bit hash. Spark's murmur3 `hash` (different
+    constants than the JVM String.hashCode the reference uses — documented
+    divergence; stable within this engine)."""
+    return F.hash(col)
+
+
+def sum0(col) -> Column:
+    """SUM0: sum that returns 0 (not NULL) on empty/all-null input.
+    Ref: aggfunctions `Sum0AggFunction.java`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(F.sum(c), F.lit(0).cast("double"))
+
+
+def truncate(col, scale: int = 0) -> Column:
+    """Flink TRUNCATE(x, d): toward zero at d decimals (Spark has no builtin)."""
+    c = F.col(col) if isinstance(col, str) else col
+    factor = 10.0**scale
+    return (
+        F.when(c >= 0, F.floor(c * factor) / factor).otherwise(F.ceil(c * factor) / factor)
+    )
+
+
+def temporal_overlaps(s1, e1, s2, e2) -> Column:
+    """(s1,e1) OVERLAPS (s2,e2) — half-open interval intersection test."""
+    return (s1 <= e2) & (s2 <= e1)
+
+
+def ceil_ts(col, unit: str) -> Column:
+    """CEIL(ts TO unit): round a timestamp up to the unit boundary."""
+    c = F.col(col) if isinstance(col, str) else col
+    floored = F.date_trunc(unit, c)
+    return F.when(c == floored, c).otherwise(
+        floored + F.expr(f"INTERVAL 1 {unit}")
+    )
+
+
+def register_all(spark: SparkSession) -> None:
+    """Expose the custom functions to SQL text via small expression rewrites.
+
+    These register as SQL-callable names so `spark.sql` queries can use the
+    Flink spellings. All remain JVM expressions (no Python execution).
+    """
+    dual = [
+        ("split_index", "(str STRING, delim STRING, idx INT)",
+         "CASE WHEN size(split(str, delim)) > idx THEN split(str, delim)[idx] END"),
+        ("is_alpha", "(s STRING)", r"coalesce(s, '') rlike '\\A[A-Za-z]+\\Z'"),
+        ("is_digit", "(s STRING)", r"coalesce(s, '') rlike '\\A[0-9]+\\Z'"),
+        ("is_decimal", "(s STRING)",
+         r"coalesce(s, '') rlike '\\A[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)\\Z'"),
+        ("hash_code", "(s STRING)", "hash(s)"),
+    ]
+    for name, args, body in dual:
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{args} RETURNS "
+                  f"{'BOOLEAN' if name.startswith('is_') else ('INT' if name == 'hash_code' else 'STRING')} "
+                  f"RETURN {body}")
