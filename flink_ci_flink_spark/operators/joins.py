@@ -57,7 +57,7 @@ def asof_join(
     # Tag and align the two sides on a common schema:
     # (keys..., __t, __is_left, left payload (null on right rows),
     #  right_values (null on left rows))
-    left_payload = [c for c in left.columns if c not in keys]
+    left_payload = [c for c in left.columns if c not in keys and c != left_time]
     lt = left.select(
         *keys,
         F.col(left_time).alias("__t"),
@@ -130,7 +130,11 @@ def interval_join(
         & (right[right_time] >= left[left_time] + lo)
         & (right[right_time] <= left[left_time] + hi)
     )
-    return left.join(right, cond, how)
+    out = left.join(right, cond, how)
+    # Equi-keys appear on both sides post-join; keep the left copy only.
+    for k in keys:
+        out = out.drop(right[k])
+    return out
 
 
 def lookup_join(

@@ -6,3 +6,4 @@ from flink_ci_flink_spark.queries.registry import QUERIES, QuerySpec, query  # n
 from flink_ci_flink_spark.queries import tpch  # noqa: F401,E402
 from flink_ci_flink_spark.queries import relational  # noqa: F401,E402
 from flink_ci_flink_spark.queries import functions_q  # noqa: F401,E402
+from flink_ci_flink_spark.queries import events_q  # noqa: F401,E402

@@ -1,0 +1,311 @@
+"""Event-stream operator queries (batch semantics of the streaming surface).
+
+Covers SURVEY.md §2.5 (group windows: TUMBLE/HOP/SESSION), §2.3 streaming
+joins (as-of/temporal, interval, per-window join, lookup), and JSON payload
+decoding. Each runs here as a bounded DataFrame (identical bucketing to the
+Structured Streaming path — `F.window`/`F.session_window` behave the same in
+both modes); the streaming execution of the same operators is exercised in
+`tests/test_streaming.py`.
+
+Window starts are emitted as epoch seconds (`ws_s`) where buckets aren't
+calendar-aligned, sidestepping engine-specific timestamp-construction quirks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_ci_flink_spark.catalog import load_tables
+from flink_ci_flink_spark.operators import asof_join, interval_join, lookup_join, sessionize
+from flink_ci_flink_spark.queries.registry import query
+
+
+@query(
+    "window_tumble",
+    oracle="""
+    SELECT CAST(FLOOR(EPOCH(ts) / 21600) * 21600 AS BIGINT) AS ws_s,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+    group="window",
+)
+def window_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUMBLE(ts, 6h) group-window aggregate.
+    Ref: `WindowOperator.java:98`, `TumblingWindowAssigner`,
+    `StreamExecGroupWindowAggregate.scala:33`, Table API `Tumble.java:47`.
+    Spark windows are epoch-aligned; oracle reproduces via epoch floor."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("ws_s"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "window_hop",
+    oracle="""
+    SELECT ws_s, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM (
+      SELECT (CAST(FLOOR((EPOCH(ts) - 43200) / 21600) AS BIGINT) + 1 + u.i) * 21600 AS ws_s,
+             value
+      FROM events
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 1)) AS i) u
+      WHERE (CAST(FLOOR((EPOCH(ts) - 43200) / 21600) AS BIGINT) + 1 + u.i)
+            <= CAST(FLOOR(EPOCH(ts) / 21600) AS BIGINT)
+    )
+    GROUP BY ws_s
+    """,
+    group="window",
+)
+def window_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOP(ts, slide 6h, size 12h) sliding-window aggregate — each event lands
+    in 2 windows. Ref: `SlidingWindowAssigner`, `Slide.java`. The oracle
+    expands the window set arithmetically (start ∈ (floor((t-size)/slide),
+    floor(t/slide)] × slide)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "12 hours", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("ws_s"), "n", "total")
+    )
+
+
+@query(
+    "window_session_native",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start_s,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    group="window",
+)
+def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION(ts, gap 30m) windows via the native `session_window`.
+    Ref: `SessionWindowAssigner`, `Session.java`, merging-window state in
+    `WindowOperator.java`. Oracle reproduces gap-merge with lag+cumsum
+    (identical session boundaries; session start = min(ts))."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_s"),
+            "n_events",
+            "total",
+        )
+    )
+
+
+@query(
+    "sessionize_ordinal",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 3600 THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id, event_id,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+    FROM flagged
+    """,
+    group="window",
+)
+def sessionize_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session ordinals (gap 1h) via the sessionize operator —
+    the per-row view a ProcessFunction would emit. Ref: `DynamicGapSession`
+    windows / merging assigner."""
+    t = load_tables(spark, sf_dir)
+    out = sessionize(t.events.select("user_id", "event_id", "ts"), "ts", 3600, ["user_id"])
+    return out.select("user_id", "event_id", "session_id")
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+    SELECT c.event_id, c.user_id,
+           CAST(FLOOR(EPOCH(c.ts)) AS BIGINT) AS ts_s,
+           ROUND(p.value, 3) AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+    group="temporal_join",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal/as-of join: each click enriched with the latest purchase
+    at-or-before it, per user. Ref: `TemporalRowTimeJoinOperator.java:71`
+    (semantics at :50-69), rule `LogicalCorrelateToJoinFromTemporalTableRule`.
+    Spark impl: union + forward-fill window (operators/joins.py), one sort per
+    key — no pandas, no cross product. DuckDB's native ASOF JOIN is the oracle."""
+    t = load_tables(spark, sf_dir)
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.round("value", 3).alias("last_purchase_value"),
+    )
+
+
+@query(
+    "interval_join_events",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id,
+           CAST(FLOOR(EPOCH(p.ts)) - FLOOR(EPOCH(c.ts)) AS BIGINT) AS lag_s
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+    """,
+    group="temporal_join",
+)
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (time-bounded) join: purchases within 2h after each click.
+    Ref: `TimeBoundedStreamJoin.java:46`, `KeyedStream.intervalJoin`
+    (KeyedStream.java:425), `StreamExecWindowJoin.scala`."""
+    t = load_tables(spark, sf_dir)
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    out = interval_join(
+        clicks.withColumnRenamed("user_id", "u"),
+        purchases.withColumnRenamed("p_user", "u"),
+        on="u",
+        left_time="c_ts",
+        right_time="p_ts",
+        lower="INTERVAL 0 SECOND",
+        upper="INTERVAL 2 HOUR",
+    )
+    return out.select(
+        "click_id",
+        "purchase_id",
+        F.col("u").alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("lag_s"),
+    )
+
+
+@query(
+    "windowed_stream_join",
+    oracle="""
+    WITH c AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)/3600)*3600 AS BIGINT) AS ws_s
+               FROM events WHERE event_type = 'click'),
+         v AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)/3600)*3600 AS BIGINT) AS ws_s
+               FROM events WHERE event_type = 'view')
+    SELECT c.user_id, c.ws_s, COUNT(*) AS n_pairs
+    FROM c JOIN v ON c.user_id = v.user_id AND c.ws_s = v.ws_s
+    GROUP BY c.user_id, c.ws_s
+    """,
+    group="temporal_join",
+)
+def windowed_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window equi-join of two streams (DataStream join/coGroup on a
+    tumbling window). Ref: `JoinedStreams.java`, `CoGroupedStreams.java`,
+    `DataStream.join` (DataStream.java:769)."""
+    t = load_tables(spark, sf_dir)
+    def bucketed(et: str, alias: str) -> DataFrame:
+        return (
+            t.events.filter(F.col("event_type") == et)
+            .select(
+                "user_id",
+                F.unix_timestamp(F.window("ts", "1 hour").getField("start")).alias("ws_s"),
+            )
+        )
+
+    c = bucketed("click", "c")
+    v = bucketed("view", "v")
+    return (
+        c.join(v, ["user_id", "ws_s"])
+        .groupBy("user_id", "ws_s")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "lookup_join_dim",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+    FROM (SELECT * FROM events WHERE event_type = 'signup') e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    group="temporal_join",
+)
+def lookup_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup join against a dimension snapshot (broadcast hash join).
+    Ref: `LookupJoinRunner.java:36`, `StreamExecLookupJoin.scala`."""
+    t = load_tables(spark, sf_dir)
+    signups = t.events.filter(F.col("event_type") == "signup").select("event_id", "user_id")
+    dim = t.customer.select("c_custkey", "c_name", "c_mktsegment")
+    out = lookup_join(
+        signups.withColumn("c_custkey", F.col("user_id")), dim, on="c_custkey", how="left"
+    )
+    return out.select("event_id", "user_id", "c_name", "c_mktsegment")
+
+
+@query(
+    "json_payload_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k,
+           JSON_EXTRACT_STRING(props, '$.k') AS k_str
+    FROM events WHERE event_type = 'error'
+    """,
+    group="format",
+)
+def json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload decoding (format layer).
+    Ref: `flink-json/.../JsonRowDeserializationSchema.java`."""
+    t = load_tables(spark, sf_dir)
+    e = t.events.filter(F.col("event_type") == "error")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+    )
