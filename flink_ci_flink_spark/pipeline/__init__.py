@@ -1,0 +1,21 @@
+"""LLM-training-data pipeline operators (dedup / similarity / text / multimodal)."""
+
+from flink_ci_flink_spark.pipeline.dedup import (  # noqa: F401
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+)
+from flink_ci_flink_spark.pipeline.similarity import cosine_topk, lsh_ann_topk  # noqa: F401
+from flink_ci_flink_spark.pipeline.text import (  # noqa: F401
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    with_text_features,
+)
+from flink_ci_flink_spark.pipeline.multimodal import (  # noqa: F401
+    attach_binary_payload,
+    decode_stub_features,
+)

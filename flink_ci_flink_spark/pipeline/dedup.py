@@ -1,0 +1,221 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+North-star extension (training-data pipeline). Design targets 100 TB:
+
+- **Exact**: hash-groupBy on a normalized-content digest — one shuffle on the
+  digest; survivors picked deterministically (min doc_id).
+- **N-gram Jaccard**: inverted-index self-join — explode distinct shingles,
+  join on shingle, count shared shingles per pair. Never forms the full
+  O(n²) cross product; cost is Σ (postings-list length²) per shingle, the
+  standard scalable formulation. Frequent-shingle postings can be capped
+  (`max_postings`) to bound skew — the same trick as prefix filtering.
+- **MinHash+LSH**: k permutation-hashes over shingle hashes (arithmetic on a
+  md5-derived 60-bit token hash → engine-portable, oracle-checkable), banded
+  into b bands; candidate pairs share a band key. One explode (b rows/doc)
+  + one groupBy-join on the band key: fully shuffle-bounded, no pandas.
+- **SimHash**: bitwise majority over token hashes via explode + groupBy on
+  (doc, bit) — relational formulation, scales as rows × bits.
+
+All hashes are md5-hex-derived so the DuckDB oracles can reproduce results
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_ci_flink_spark.pipeline.text import token_hash, tokens
+
+# Deterministic LCG-style coefficient tables for MinHash permutations.
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne)
+
+
+def _coeffs(k: int) -> list[tuple[int, int]]:
+    """k deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p."""
+    out = []
+    a, b = 1_103_515_245, 12_345
+    x = 42
+    for _ in range(k):
+        x = (a * x + b) % MINHASH_PRIME
+        ai = x or 1
+        x = (a * x + b) % MINHASH_PRIME
+        bi = x
+        out.append((ai, bi))
+    return out
+
+
+def normalize_text(col) -> Column:
+    """Lowercase + collapse whitespace — the canonical form for exact dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate removal on normalized content; keeps min id per digest.
+    Adds `content_hash` and `dup_count`."""
+    h = F.md5(normalize_text(text_col)).alias("content_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def shingles(text_col, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), as strings."""
+    t = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])
+    )
+    return F.array_distinct(grams)
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) inverted-index rows, distinct per document."""
+    return df.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
+
+    Inverted-index self-join: |A∩B| via groupBy on the shared shingle join,
+    |A∪B| = |A|+|B|-|A∩B|. Output: (id_a, id_b, jaccard), id_a < id_b.
+    """
+    st = shingle_table(df, text_col, id_col, n)
+    sizes = st.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = st.select(F.col(id_col).alias("id_a"), "shingle")
+    b = st.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature as array<long> (length num_hashes).
+
+    Signature element i = min over shingles of (a_i*h + b_i) mod p, h = the
+    portable md5-derived shingle hash. Computed array-side in one projection —
+    no explode, no shuffle."""
+    sh = shingles(text_col, shingle_n)
+    hashes = F.transform(sh, lambda s: token_hash(s) % MINHASH_PRIME)
+
+    def _perm(a: int, b: int):
+        return lambda h: (h * a + b) % MINHASH_PRIME
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(hashes, _perm(a, b)))
+            for a, b in _coeffs(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing ≥1 LSH band.
+
+    Bands the signature into `bands` groups of num_hashes/bands values; the
+    band key is md5 of the joined values. Explode → self-join per band key →
+    distinct pairs. Output (id_a, id_b, n_bands_shared)."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = []
+    for bi in range(bands):
+        seg = F.slice(F.col("signature"), bi * rows + 1, rows)
+        band_cols.append(
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(F.concat_ws(",", F.transform(seg, lambda x: x.cast("string")))).alias(
+                    "key"
+                ),
+            )
+        )
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands_shared"))
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash signature per document (bitwise majority of token hashes).
+
+    Relational formulation: explode distinct tokens → per-(doc, bit) majority
+    vote → fold bits. Scales as n_tokens × bits with ordinary shuffles."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    ).withColumn("h", token_hash(F.col("tok")))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    votes = (
+        toks.select(id_col, "h", bit)
+        # shiftright/shiftleft need F.expr for a column shift amount
+        .withColumn(
+            "vote", F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1)
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )

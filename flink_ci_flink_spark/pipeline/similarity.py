@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+North-star extension. Two paths:
+
+- **Brute-force cosine top-k** — the exactness baseline. Cross join of the
+  (small) query set against the corpus; dot products computed JVM-side with
+  `F.zip_with`/`F.aggregate` in double precision. At 100 TB the query set is
+  broadcast and the corpus streams through — cost is one scan per query
+  batch, the right baseline shape.
+- **LSH-bucketed ANN** — the scale path: sign-random-projection bucket key
+  (deterministic hyperplanes derived from md5, engine-portable), equi-join
+  on bucket then local top-k + global top-k merge. Trades recall for a
+  join instead of a full scan per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _to_double(arr) -> Column:
+    c = F.col(arr) if isinstance(arr, str) else arr
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (brute force).
+
+    Ties broken by corpus id → deterministic. Output:
+    (query_id, vec_id, cos_sim, rank)."""
+    q = queries.select(
+        F.col(query_id_col), _to_double(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col), _to_double(vec_col).alias("__cv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 bytes."""
+    import hashlib
+
+    vals: list[float] = []
+    i = 0
+    while len(vals) < dim:
+        h = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        for off in range(0, 16, 4):
+            if len(vals) >= dim:
+                break
+            u = int.from_bytes(h[off : off + 4], "big")
+            vals.append((u / 2**31) - 1.0)  # [-1, 1)
+        i += 1
+    return vals
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Sign-random-projection bucket id (0..2^n_planes-1)."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(p, dim)])
+        bit = F.when(dot(_to_double(vec), plane) >= 0, 1).otherwise(0)
+        bucket = bucket * 2 + bit
+    return bucket
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    At scale the corpus is pre-bucketed (one pass, then partitioned by
+    bucket); each query probes one bucket → equi-join instead of full scan.
+    Recall is tested against `cosine_topk` in tests/test_pipeline.py."""
+    c = corpus.select(
+        F.col(id_col),
+        _to_double(vec_col).alias("__cv"),
+    ).withColumn("bucket", lsh_bucket(F.col("__cv"), dim, n_planes))
+    q = queries.select(
+        F.col(query_id_col), _to_double(vec_col).alias("__qv")
+    ).withColumn("bucket", lsh_bucket(F.col("__qv"), dim, n_planes))
+    scored = c.join(F.broadcast(q), "bucket").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,146 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's own surface (north-star extension): tokenization,
+token statistics, quality scoring, language ID (n-gram/stopword heuristic),
+and document fingerprinting. All pure `pyspark.sql.functions` expressions —
+JVM-side, codegen'd, no Python in the hot path — so they scale linearly with
+the corpus and never shuffle except where an aggregate requires it.
+
+Cross-engine determinism: numeric token hashes derive from md5 hex (identical
+in any engine), not from engine-specific hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "los"],
+}
+
+MOD_PRIME = 1_000_000_007
+
+
+def _roundn(c: Column, digits: int) -> Column:
+    """Engine-portable rounding: floor(x*10^d + 0.5)/10^d — plain double
+    arithmetic, so DuckDB oracles reproduce it bit-for-bit (SQL ROUND
+    differs between engines on representation edges)."""
+    f = float(10 ** digits)
+    return F.floor(c * f + 0.5) / f
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization, empty tokens dropped."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda x: x != "")
+
+
+def token_hash(tok: Column) -> Column:
+    """Deterministic 60-bit positive int hash of a token (md5-hex based;
+    reproducible in any engine — the DuckDB oracles compute the same)."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(arr, F.lower(x))))
+
+
+def quality_columns(text_col: str = "text") -> dict[str, Column]:
+    """Quality-scoring feature set: length, token stats, punctuation /
+    digit / uppercase ratios, stopword density."""
+    t = tokens(text_col)
+    n_chars = F.length(text_col)
+    n_tok = F.size(t)
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "avg_token_len": _roundn(
+            F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(F.lit(0.0)), 4
+        ),
+        "punct_ratio": _roundn(
+            F.length(F.regexp_replace(text_col, r"[^.,;:!?'\"()-]", ""))
+            / F.greatest(n_chars, F.lit(1)),
+            6,
+        ),
+        "digit_ratio": _roundn(
+            F.length(F.regexp_replace(text_col, r"[^0-9]", ""))
+            / F.greatest(n_chars, F.lit(1)),
+            6,
+        ),
+        "upper_ratio": _roundn(
+            F.length(F.regexp_replace(text_col, r"[^A-Z]", ""))
+            / F.greatest(n_chars, F.lit(1)),
+            6,
+        ),
+        "stopword_ratio": _roundn(
+            stopword_hits(t, "en") / F.greatest(n_tok, F.lit(1)), 6
+        ),
+    }
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Composite [0,1] quality score (length band + stopword density -
+    punctuation excess). Deterministic, arithmetic-only."""
+    cols = quality_columns(text_col)
+    length_band = F.when(
+        (cols["n_tokens"] >= 10) & (cols["n_tokens"] <= 1000), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    return _roundn(
+        F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.lit(1.0),
+                0.5 * length_band
+                + 0.5 * F.least(F.lit(1.0), cols["stopword_ratio"] * 5)
+                - cols["punct_ratio"],
+            ),
+        ),
+        6,
+    )
+
+
+def lang_id(text_col: str = "text") -> Column:
+    """Heuristic language ID: CJK-character density → 'zh'; else the larger
+    of en/es stopword hit counts (ties → 'en'); no hits → 'und'."""
+    t = tokens(text_col)
+    cjk = F.length(F.regexp_replace(text_col, r"[^\x{4e00}-\x{9fff}]", ""))
+    en = stopword_hits(t, "en")
+    es = stopword_hits(t, "es")
+    return (
+        F.when(cjk * 10 >= F.greatest(F.length(text_col), F.lit(1)), "zh")
+        .when((en == 0) & (es == 0), "und")
+        .when(en >= es, "en")
+        .otherwise("es")
+    )
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """Order-sensitive rolling document fingerprint:
+    fold(tokens, acc -> (acc*31 + token_hash) mod p). Engine-portable."""
+    hashes = F.transform(tokens(text_col), lambda t: token_hash(t) % MOD_PRIME)
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % MOD_PRIME,
+    )
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis feature set."""
+    out = df
+    for name, col in quality_columns(text_col).items():
+        out = out.withColumn(name, col)
+    return (
+        out.withColumn("quality", quality_score(text_col))
+        .withColumn("lang_pred", lang_id(text_col))
+        .withColumn("fingerprint", fingerprint(text_col))
+    )

@@ -1,0 +1,300 @@
+"""LLM-data-pipeline queries: dedup / similarity / text analysis / multimodal.
+
+Every operator here is engine-portable by construction (hashes derive from
+md5 hex, not engine-specific hash functions), so even MinHash signatures and
+LSH candidate pairs have EXACT DuckDB oracles — the oracle SQL is generated
+from the same coefficient tables the Spark operators use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_ci_flink_spark.catalog import load_tables
+from flink_ci_flink_spark.pipeline import (
+    attach_binary_payload,
+    cosine_topk,
+    decode_stub_features,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_ann_topk,
+    minhash_lsh_pairs,
+    simhash,
+    with_text_features,
+)
+from flink_ci_flink_spark.pipeline.dedup import MINHASH_PRIME, _coeffs
+from flink_ci_flink_spark.queries.registry import query
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments for the oracles (exact mirrors of pipeline.text/dedup)
+# ---------------------------------------------------------------------------
+
+_TOKS = r"list_filter(str_split_regex(text, '\s+'), x -> x != '')"
+_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(t) - 2), "
+    "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"
+)
+_TOKHASH = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+_STOP_EN = "['the','a','of','and','to','in','is','it','that','for']"
+_STOP_ES = "['el','la','de','y','que','en','un','una','es','los']"
+
+
+def _minhash_sig_sql() -> str:
+    """Signature array SQL identical to pipeline.dedup.minhash_signatures."""
+    terms = []
+    for a, b in _coeffs(32):
+        terms.append(
+            f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_PRIME}))"
+        )
+    return "[" + ", ".join(terms) + "]"
+
+
+_MINHASH_BASE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SHINGLES} AS s FROM toks
+    ), hashes AS (
+      SELECT doc_id,
+             list_transform(s, g -> {_TOKHASH.format(x='g')} % {MINHASH_PRIME}) AS hs
+      FROM sh
+    ), sig AS (
+      SELECT doc_id, {_minhash_sig_sql()} AS sg FROM hashes
+    )
+"""
+
+_BANDS_SQL = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS key FROM sig".format(
+        b=b,
+        cols=", ".join(f"CAST(sg[{b * 4 + r + 1}] AS VARCHAR)" for r in range(4)),
+    )
+    for b in range(8)
+)
+
+
+@query(
+    "pipe_text_features",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, {_TOKS} AS t, LENGTH(text) AS n_chars FROM documents
+    ), feat AS (
+      SELECT doc_id, text, n_chars, len(t) AS n_tokens,
+             len(list_filter(t, x -> list_contains({_STOP_EN}, lower(x)))) AS en_hits,
+             len(list_filter(t, x -> list_contains({_STOP_ES}, lower(x)))) AS es_hits,
+             LENGTH(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS n_punct,
+             LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             LENGTH(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+             LENGTH(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS n_cjk,
+             list_reduce(
+               list_transform(t, tk -> {_TOKHASH.format(x='tk')} % 1000000007),
+               (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           FLOOR((CASE WHEN n_tokens > 0
+                 THEN (n_chars - (n_tokens - 1)) * 1.0 / n_tokens ELSE 0.0 END) * 10000 + 0.5) / 10000 AS avg_token_len,
+           FLOOR(n_punct * 1.0 / GREATEST(n_chars, 1) * 1000000 + 0.5) / 1000000 AS punct_ratio,
+           FLOOR(n_digit * 1.0 / GREATEST(n_chars, 1) * 1000000 + 0.5) / 1000000 AS digit_ratio,
+           FLOOR(n_upper * 1.0 / GREATEST(n_chars, 1) * 1000000 + 0.5) / 1000000 AS upper_ratio,
+           FLOOR(en_hits * 1.0 / GREATEST(n_tokens, 1) * 1000000 + 0.5) / 1000000 AS stopword_ratio,
+           FLOOR(GREATEST(0.0, LEAST(1.0,
+              0.5 * (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END)
+              + 0.5 * LEAST(1.0, (FLOOR(en_hits * 1.0 / GREATEST(n_tokens, 1) * 1000000 + 0.5) / 1000000) * 5)
+              - FLOOR(n_punct * 1.0 / GREATEST(n_chars, 1) * 1000000 + 0.5) / 1000000)) * 1000000 + 0.5) / 1000000 AS quality,
+           CASE WHEN n_cjk * 10 >= GREATEST(n_chars, 1) THEN 'zh'
+                WHEN en_hits = 0 AND es_hits = 0 THEN 'und'
+                WHEN en_hits >= es_hits THEN 'en' ELSE 'es' END AS lang_pred,
+           fingerprint
+    FROM feat
+    """,
+    group="pipeline",
+)
+def pipe_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token stats, quality scoring, language-ID heuristic,
+    rolling-hash fingerprint — all JVM-side expressions (pipeline/text.py)."""
+    t = load_tables(spark, sf_dir)
+    return with_text_features(t.documents.select("doc_id", "text")).drop("text")
+
+
+@query(
+    "pipe_exact_dedup",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+    group="pipeline",
+)
+def pipe_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-content digest (hash groupBy — one shuffle)."""
+    t = load_tables(spark, sf_dir)
+    return exact_dedup(t.documents)
+
+
+@query(
+    "pipe_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, UNNEST({_SHINGLES}) AS s FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5
+    """,
+    group="pipeline",
+)
+def pipe_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5 (inverted-index join —
+    no O(n²) cross product)."""
+    t = load_tables(spark, sf_dir)
+    return jaccard_pairs(t.documents, threshold=0.5)
+
+
+@query(
+    "pipe_minhash_lsh",
+    oracle=_MINHASH_BASE
+    + f""", banded AS ({_BANDS_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands_shared
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    group="pipeline",
+)
+def pipe_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands × 4 rows) candidate pairs. Portable-hash
+    construction → the oracle reproduces signatures exactly."""
+    t = load_tables(spark, sf_dir)
+    return minhash_lsh_pairs(t.documents, num_hashes=32, bands=8)
+
+
+@query(
+    "pipe_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_distinct({_TOKS})) AS tok FROM documents
+    ), th AS (
+      SELECT doc_id, {_TOKHASH.format(x='tok')} AS h FROM toks
+    ), votes AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS bit)
+      GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    group="pipeline",
+)
+def pipe_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32) signatures via relational bitwise-majority."""
+    t = load_tables(spark, sf_dir)
+    return simhash(t.documents)
+
+
+@query(
+    "pipe_token_count_by_source",
+    oracle=f"""
+    SELECT source,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+    group="pipeline",
+)
+def pipe_token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token accounting per source."""
+    t = load_tables(spark, sf_dir)
+    from flink_ci_flink_spark.pipeline.text import token_count
+
+    return t.documents.groupBy("source").agg(
+        F.sum(token_count("text")).cast("long").alias("total_tokens"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
+    "pipe_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
+      FROM embeddings WHERE vec_id < 8
+    ), c AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS cv FROM embeddings
+    ), scored AS (
+      SELECT query_id, vec_id,
+             ROUND(list_dot_product(qv, cv) /
+                   (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(cv, cv))),
+                   6) AS cos_sim
+      FROM q CROSS JOIN c
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+    group="pipeline",
+)
+def pipe_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 8 query vectors (exact ANN baseline;
+    query side broadcast, corpus streamed)."""
+    t = load_tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(t.embeddings, queries, k=5)
+
+
+@query("pipe_lsh_ann_topk", oracle=None, group="pipeline")
+def pipe_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (sign-random-projection buckets; the
+    100 TB path — equi-join on bucket instead of full scan). Recall vs the
+    exact baseline is asserted in tests/test_pipeline.py; rows-only check
+    here (hyperplane constants impractical to mirror in SQL)."""
+    t = load_tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_ann_topk(t.embeddings, queries, dim=64, k=5, n_planes=4)
+
+
+@query(
+    "pipe_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
+           CAST(list_sum(list_transform(split(text, ''), c -> ord(c))) AS BIGINT) AS byte_sum,
+           'blob' AS kind
+    FROM documents
+    """,
+    group="pipeline",
+)
+def pipe_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: synthesize opaque payload + metadata, extract
+    features via Arrow-batched mapInPandas (decode stub — see
+    pipeline/multimodal.py). Corpus is ASCII so byte_sum == codepoint sum,
+    letting the oracle verify the pandas path exactly."""
+    t = load_tables(spark, sf_dir)
+    return decode_stub_features(attach_binary_payload(t.documents))
