@@ -276,7 +276,7 @@ def pipe_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = t.embeddings.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_ann_topk(t.embeddings, queries, dim=64, k=5, n_planes=4)
+    return lsh_ann_topk(t.embeddings, queries, dim=64, k=5)
 
 
 @query(

@@ -8,8 +8,8 @@ from pyspark.sql import functions as F
 def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     """LSH ANN must recover most of the exact top-5 (same-bucket recall).
 
-    With 4 hyperplanes on clustered synthetic embeddings recall should be
-    well above chance; assert a conservative floor."""
+    Multi-table LSH (10 tables x 5 planes) measured ~0.8 recall on this
+    corpus; assert a conservative floor."""
     from flink_ci_flink_spark.catalog import load_tables
     from flink_ci_flink_spark.pipeline import cosine_topk, lsh_ann_topk
 
@@ -23,7 +23,7 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     }
     approx = {
         (r.query_id, r.vec_id)
-        for r in lsh_ann_topk(t.embeddings, queries, dim=64, k=5, n_planes=4).collect()
+        for r in lsh_ann_topk(t.embeddings, queries, dim=64, k=5).collect()
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
