@@ -1,0 +1,15 @@
+"""Structured Streaming surface: sources, watermark, stateful operator kit."""
+
+from flink_ci_flink_spark.streaming.core import (  # noqa: F401
+    file_stream,
+    foreach_batch_upsert,
+    rate_stream,
+    run_to_completion,
+    socket_stream,
+    with_watermark,
+)
+from flink_ci_flink_spark.streaming.process import (  # noqa: F401
+    keyed_process,
+    streaming_dedup_keep_last,
+    streaming_top_n,
+)

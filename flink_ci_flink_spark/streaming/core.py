@@ -1,0 +1,95 @@
+"""Structured Streaming core: sources, watermarks, windows, sinks.
+
+Reference parity (SURVEY.md §2.1, §2.5, §2.10):
+- `WATERMARK FOR c AS c - INTERVAL ...` DDL (`SqlWatermark`,
+  `WatermarkGeneratorCodeGenerator.scala:38`, bounded-out-of-orderness
+  assigner `BoundedOutOfOrdernessTimestampExtractor.java:32`)
+  → `with_watermark` (delay = the out-of-orderness bound).
+- File/monitored-directory source (`ContinuousFileMonitoringFunction.java`)
+  → `file_stream` (`readStream` on a directory; `maxFilesPerTrigger` is the
+  micro-batch dial).
+- Rate/sequence source (`StatefulSequenceSource.java`) → `rate_stream`.
+- Group window aggs (`WindowOperator.java:98`) → the same `F.window` /
+  `F.session_window` expressions as the batch operators — one code path,
+  two execution modes.
+- Sinks: memory/console/foreachBatch (`PrintSinkFunction.java`,
+  `StreamingFileSink.java:98` — Spark's file sink is manifest-transactional,
+  the 2PC equivalent).
+
+Streaming semantics notes vs the reference (documented limitations):
+- Watermarks are per-query global min, not per-key; punctuated watermark
+  generation is not expressible.
+- Late rows beyond the watermark are dropped (no allowedLateness re-fire,
+  no side output); approximate by widening the delay.
+- Changelog (retract) emission: Spark update/complete modes emit latest
+  state, not UPDATE_BEFORE/AFTER pairs; final states match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Attach an event-time watermark (WATERMARK FOR ts AS ts - delay)."""
+    return df.withWatermark(ts_col, delay)
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Monitored-directory streaming source."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Monotonic (timestamp, value) generator source."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
+def socket_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """Line-by-line TCP source (SocketTextStreamFunction analog)."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+
+
+def run_to_completion(df: DataFrame, query_name: str, output_mode: str = "append"):
+    """Drive a bounded streaming query to completion against a memory sink;
+    returns the owning SparkSession for `spark.table(query_name)`."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+def foreach_batch_upsert(df: DataFrame, merge_fn, checkpoint: str):
+    """CDC-style sink: per-micro-batch exactly-once-ish merge via
+    foreachBatch (the TwoPhaseCommitSinkFunction analog — Spark's epoch id +
+    idempotent merge gives the same guarantee)."""
+    return (
+        df.writeStream.foreachBatch(merge_fn)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

