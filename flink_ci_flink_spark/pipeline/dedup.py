@@ -65,22 +65,37 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingles(text_col, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct), as strings."""
-    t = tokens(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct) from a token-array column.
+
+    IMPORTANT: pass an *attribute* (a projected token array), not the raw
+    tokenize expression — each gram references the array n+1 times, and
+    inlining the tokenizer would cost O(shingles × tokenize) per row
+    (measured 10x slowdown)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
     )
     return F.array_distinct(grams)
+
+
+def shingles(text_col, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct) straight from text. Prefer the
+    tokens-attribute form (see shingles_from_tokens) inside operators."""
+    return shingles_from_tokens(tokens(text_col), n)
+
+
+def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Projection boundary materializing the token array once per row."""
+    return df.select(F.col(id_col), tokens(text_col).alias("__toks"))
 
 
 def shingle_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """(id, shingle) inverted-index rows, distinct per document."""
-    return df.select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
+    return _tokenized(df, text_col, id_col).select(
+        F.col(id_col), F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("shingle")
     )
 
 
@@ -96,7 +111,10 @@ def jaccard_pairs(
     Inverted-index self-join: |A∩B| via groupBy on the shared shingle join,
     |A∪B| = |A|+|B|-|A∩B|. Output: (id_a, id_b, jaccard), id_a < id_b.
     """
-    st = shingle_table(df, text_col, id_col, n)
+    # Partition the inverted index by shingle once: the a/b self-join then
+    # needs no further shuffle, and both sides (plus the sizes branch) hang
+    # off the same exchange → computed once (ReusedExchange), not three times.
+    st = shingle_table(df, text_col, id_col, n).repartition("shingle")
     sizes = st.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = st.select(F.col(id_col).alias("id_a"), "shingle")
     b = st.select(F.col(id_col).alias("id_b"), "shingle")
@@ -134,19 +152,25 @@ def minhash_signatures(
     Signature element i = min over shingles of (a_i*h + b_i) mod p, h = the
     portable md5-derived shingle hash. Computed array-side in one projection —
     no explode, no shuffle."""
-    sh = shingles(text_col, shingle_n)
+    sh = shingles_from_tokens(F.col("__toks"), shingle_n)
     hashes = F.transform(sh, lambda s: token_hash(s) % MINHASH_PRIME)
 
     def _perm(a: int, b: int):
         return lambda h: (h * a + b) % MINHASH_PRIME
 
+    # Two projection boundaries: tokens, then shingle hashes. The signature
+    # references __hs num_hashes times and each shingle references __toks
+    # n+1 times; inlining either recomputes tokenize/md5 per reference
+    # (measured 10-30x slowdown). CollapseProject keeps both boundaries
+    # because the aliased expressions are non-cheap and multiply-referenced.
+    base = _tokenized(df, text_col, id_col).select(F.col(id_col), hashes.alias("__hs"))
     sig = F.array(
         *[
-            F.array_min(F.transform(hashes, _perm(a, b)))
+            F.array_min(F.transform(F.col("__hs"), _perm(a, b)))
             for a, b in _coeffs(num_hashes)
         ]
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
+    return base.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -178,11 +202,30 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    # Pairs via groupBy + in-bucket combination generation, NOT a self-join:
+    # a self-join would run the whole signature pipeline twice (broadcast
+    # exchange isn't reusable). One shuffle on the band key; bucket sizes are
+    # bounded by LSH design (hot buckets = near-identical docs).
+    groups = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = groups.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_bands_shared"))
     )

@@ -1,0 +1,160 @@
+"""Graph-algorithm queries (Gelly parity, SURVEY.md §2.13).
+
+The near-dup graph (3-gram Jaccard ≥ 0.5 pairs over `documents`) doubles as
+a real dedup workflow: connected components of the similarity graph =
+duplicate clusters → pick the canonical doc per cluster. Oracles use
+recursive CTEs (tiny, sparse graph → bounded recursion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_ci_flink_spark.catalog import load_tables
+from flink_ci_flink_spark.graph import connected_components, degrees, sssp, triangle_count
+from flink_ci_flink_spark.pipeline import jaccard_pairs
+from flink_ci_flink_spark.queries.registry import query
+
+#: Shared SQL for the near-dup edge list (mirror of pipe_jaccard_pairs).
+_EDGES_SQL = r"""
+    toks AS (
+      SELECT doc_id, list_filter(str_split_regex(text, '\s+'), x -> x != '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(generate_series(1, len(t) - 2),
+            i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS ni
+      FROM sh a JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT src, dst FROM inter
+      JOIN sizes sa ON sa.doc_id = src
+      JOIN sizes sb ON sb.doc_id = dst
+      WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.5
+    )
+"""
+
+
+@query(
+    "graph_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    undirected AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), verts AS (
+      SELECT DISTINCT src AS id FROM undirected
+    ), reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT u.dst, reach.r FROM reach JOIN undirected u ON u.src = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS component
+    FROM reach GROUP BY id
+    """,
+    group="graph",
+)
+def graph_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup similarity graph = duplicate
+    clusters. Ref: `graph/library/ConnectedComponents.java` (min-id
+    scatter-gather); the full Gelly-style driver-loop implementation is
+    flink_ci_flink_spark/graph/algorithms.py. Only docs appearing in ≥1
+    near-dup pair are returned (the interesting ones)."""
+    t = load_tables(spark, sf_dir)
+    edges = jaccard_pairs(t.documents, threshold=0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return connected_components(verts, edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+@query(
+    "graph_degrees_triangles",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    undirected AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), deg AS (
+      SELECT src AS id, COUNT(*) AS degree FROM undirected GROUP BY src
+    ), tri AS (
+      SELECT COUNT(*) AS n_triangles FROM
+        (SELECT src AS a, dst AS b FROM undirected WHERE src < dst) e1
+        JOIN (SELECT src AS b, dst AS c FROM undirected WHERE src < dst) e2 USING (b)
+        JOIN (SELECT src AS a, dst AS c FROM undirected WHERE src < dst) e3 USING (a, c)
+      WHERE e1.a < e1.b
+    )
+    SELECT id, degree, (SELECT n_triangles FROM tri) AS n_triangles
+    FROM deg
+    """,
+    group="graph",
+)
+def graph_degrees_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex degrees + global triangle count on the near-dup graph.
+    Ref: `Graph.getDegrees:974`, `graph/library/TriangleEnumerator`."""
+    t = load_tables(spark, sf_dir)
+    edges = jaccard_pairs(t.documents, threshold=0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    deg = degrees(edges).select(
+        "id", F.col("degree").cast("long").alias("degree")
+    )
+    tri = triangle_count(edges)
+    return deg.crossJoin(F.broadcast(tri))
+
+
+@query(
+    "graph_sssp_nations",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT a.n_nationkey AS src, b.n_nationkey AS dst,
+             CAST(ABS(a.n_nationkey - b.n_nationkey) AS DOUBLE) AS weight
+      FROM nation a JOIN nation b
+        ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+      UNION ALL
+      SELECT a.n_nationkey, b.n_nationkey, 10.0
+      FROM nation a JOIN nation b
+        ON b.n_nationkey = a.n_nationkey + 1
+    ), walk(id, dist, hops) AS (
+      SELECT 0, CAST(0.0 AS DOUBLE), 0
+      UNION
+      SELECT e.dst, walk.dist + e.weight, walk.hops + 1
+      FROM walk JOIN edges e ON e.src = walk.id
+      WHERE walk.hops < 8
+    )
+    SELECT id, MIN(dist) AS dist FROM walk GROUP BY id
+    """,
+    group="graph",
+)
+def graph_sssp_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths (≤8 hops) over a deterministic weighted
+    nation graph (intra-region cliques + successor chain links).
+    Ref: `graph/library/SingleSourceShortestPaths.java`."""
+    t = load_tables(spark, sf_dir)
+    n = t.nation.select("n_nationkey", "n_regionkey")
+    a, b = n.alias("a"), n.alias("b")
+    intra = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") != F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_nationkey").alias("src"),
+        F.col("b.n_nationkey").alias("dst"),
+        F.abs(F.col("a.n_nationkey") - F.col("b.n_nationkey")).cast("double").alias("weight"),
+    )
+    chain = a.join(b, F.col("b.n_nationkey") == F.col("a.n_nationkey") + 1).select(
+        F.col("a.n_nationkey").alias("src"),
+        F.col("b.n_nationkey").alias("dst"),
+        F.lit(10.0).alias("weight"),
+    )
+    edges = intra.unionByName(chain)
+    return sssp(edges, source=0, max_iter=8)
