@@ -1,0 +1,115 @@
+"""CEP queries (MATCH_RECOGNIZE-class workloads) with window-function oracles.
+
+Patterns simple enough for a LEAD()-based SQL formulation serve as the
+correctness gate for the NFA machinery; richer combinators (quantifiers,
+optional, within + skip strategies) are covered in tests/test_cep.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_ci_flink_spark.catalog import load_tables
+from flink_ci_flink_spark.cep import NO_SKIP, Pattern, cep
+from flink_ci_flink_spark.queries.registry import query
+
+
+@query(
+    "cep_click_click_purchase",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(event_type, 2) OVER w AS t2,
+             LEAD(event_id, 2)   OVER w AS end_id,
+             LEAD(ts, 2)         OVER w AS end_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id, event_id AS start_id, end_id,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS start_ts_s
+    FROM seq
+    WHERE event_type = 'click' AND t1 = 'click' AND t2 = 'purchase'
+      AND EPOCH(end_ts) - EPOCH(ts) <= 259200
+    """,
+    group="cep",
+)
+def cep_click_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern: click →(strict) click →(strict) purchase within 72h,
+    NO_SKIP (every anchor tested — the LEAD() formulation's semantics).
+    Ref: `Pattern.java` begin/next/within, `CepOperator.java:83`,
+    `MATCH_RECOGNIZE` → `StreamExecMatch.scala:68`."""
+    t = load_tables(spark, sf_dir)
+    pat = (
+        Pattern.begin("a", where=lambda e: e["event_type"] == "click")
+        .next("b", where=lambda e: e["event_type"] == "click")
+        .next("c", where=lambda e: e["event_type"] == "purchase")
+        .within(259200)
+        .after_match_skip(NO_SKIP)
+    )
+
+    def select(key, m, events):
+        return {
+            "user_id": int(key[0]),
+            "start_id": int(events[m.groups["a"][0]]["event_id"]),
+            "end_id": int(events[m.groups["c"][0]]["event_id"]),
+            "start_ts_s": int(events[m.groups["a"][0]]["__ts"]),
+        }
+
+    return cep(
+        t.events,
+        pat,
+        keys=["user_id"],
+        ts_col="ts",
+        select=select,
+        output_schema="user_id long, start_id long, end_id long, start_ts_s long",
+    )
+
+
+@query(
+    "cep_error_burst",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts, 2) OVER (PARTITION BY user_id ORDER BY ts) AS ts_2back,
+             LAG(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts) AS id_2back,
+             event_type,
+             LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts) AS t1,
+             LAG(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts) AS t2
+      FROM events
+    )
+    SELECT user_id, id_2back AS first_error_id, event_id AS third_error_id
+    FROM seq
+    WHERE event_type = 'error' AND t1 = 'error' AND t2 = 'error'
+      AND EPOCH(ts) - EPOCH(ts_2back) <= 259200
+    """,
+    group="cep",
+)
+def cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern: error.times(3) strictly consecutive within 72h (burst
+    detection) — quantifier path through the matcher, NO_SKIP anchoring
+    (LEAD/LAG-equivalent). Ref: `Pattern.times:382`, `consecutive:480`."""
+    t = load_tables(spark, sf_dir)
+    pat = (
+        Pattern.begin("e", where=lambda ev: ev["event_type"] == "error")
+        .next("e2", where=lambda ev: ev["event_type"] == "error")
+        .next("e3", where=lambda ev: ev["event_type"] == "error")
+        .within(259200)
+        .after_match_skip(NO_SKIP)
+    )
+
+    def select(key, m, events):
+        return {
+            "user_id": int(key[0]),
+            "first_error_id": int(events[m.groups["e"][0]]["event_id"]),
+            "third_error_id": int(events[m.groups["e3"][0]]["event_id"]),
+        }
+
+    return cep(
+        t.events,
+        pat,
+        keys=["user_id"],
+        ts_col="ts",
+        select=select,
+        output_schema="user_id long, first_error_id long, third_error_id long",
+    )
