@@ -1,0 +1,54 @@
+"""Plan introspection: verify that queries compile to the physical plans a
+100 TB deployment needs (pushdown, pruning, broadcast, whole-stage codegen).
+
+Reference analog: the Blink planner's plan tests (golden-file plan-equality
+resources under `flink-table-planner-blink/src/test/resources/.../plan/`).
+Here the optimizer is Catalyst; instead of asserting exact plan text we
+assert *properties* of the plan, which is robust across Spark versions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+def plan_text(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+@dataclass
+class PlanFacts:
+    text: str
+
+    @property
+    def has_pushed_filters(self) -> bool:
+        return "PushedFilters: [" in self.text and "PushedFilters: []" not in self.text
+
+    @property
+    def has_broadcast_join(self) -> bool:
+        return "BroadcastHashJoin" in self.text or "BroadcastNestedLoopJoin" in self.text
+
+    @property
+    def has_wholestage_codegen(self) -> bool:
+        # simple mode prints "WholeStageCodegen"; formatted mode tags nodes
+        # with "[codegen id : N]"
+        return "WholeStageCodegen" in self.text or "codegen id :" in self.text
+
+    def scan_schema(self) -> list[str]:
+        out = []
+        for line in self.text.splitlines():
+            if "ReadSchema:" in line:
+                out.append(line.split("ReadSchema:", 1)[1].strip())
+        return out
+
+    @property
+    def n_exchanges(self) -> int:
+        return self.text.count("Exchange")
+
+
+def facts(df: DataFrame) -> PlanFacts:
+    return PlanFacts(plan_text(df))
