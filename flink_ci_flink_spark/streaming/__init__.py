@@ -13,3 +13,7 @@ from flink_ci_flink_spark.streaming.process import (  # noqa: F401
     streaming_dedup_keep_last,
     streaming_top_n,
 )
+from flink_ci_flink_spark.streaming.windows_ext import (  # noqa: F401
+    count_tumbling_window,
+    streaming_running_agg,
+)
