@@ -41,6 +41,9 @@ HEADLINE = [
     "pipe_minhash_lsh",
     "pipe_text_features",
     "pipe_cosine_topk",
+    "tpch_q9_product_profit",
+    "cep_click_click_purchase",
+    "graph_dedup_clusters",
 ]
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-CHECKPOINT_EVERY = 5
+CHECKPOINT_EVERY = 1
 
 
 def undirect(edges: DataFrame) -> DataFrame:
@@ -41,14 +41,21 @@ def _maybe_checkpoint(df: DataFrame, i: int) -> DataFrame:
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_iter: int = 20
+    vertices: DataFrame | None, edges: DataFrame, max_iter: int = 20
 ) -> DataFrame:
     """Min-label propagation: component = min vertex id reachable.
 
     Ref: `graph/library/ConnectedComponents.java` (scatter-gather min-id).
     Converges in O(diameter) supersteps; early-exits when no label changes.
-    Output: (id, component)."""
-    e = undirect(edges.select("src", "dst"))
+    ``vertices=None`` derives the vertex set from the (materialized) edges —
+    preferred when the edge list has an expensive upstream, since a separate
+    vertices DataFrame would re-execute that lineage. Output: (id, component)."""
+    # Materialize the edge list once: every superstep re-executes its
+    # lineage otherwise (an expensive upstream — e.g. a similarity join —
+    # would run once per iteration).
+    e = undirect(edges.select("src", "dst")).localCheckpoint(eager=True)
+    if vertices is None:
+        vertices = e.select(F.col("src").alias("id")).distinct()
     labels = vertices.select(F.col("id"), F.col("id").alias("component"))
     for i in range(max_iter):
         msgs = (
@@ -91,7 +98,10 @@ def pagerank(
     Ref: `graph/library/linkanalysis/PageRank.java`. Dangling-node mass is
     redistributed uniformly each step (sum(rank) stays 1). Output: (id, rank)."""
     n = vertices.count()
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    edges = edges.localCheckpoint(eager=True)
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).localCheckpoint(
+        eager=True
+    )
     ranks = vertices.select("id", F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):
         contribs = (
@@ -129,7 +139,9 @@ def sssp(
     Ref: `graph/library/SingleSourceShortestPaths.java`. Output: (id, dist)
     for reachable vertices only."""
     w = F.col(weight_col) if weight_col else F.lit(1.0)
-    e = edges.select("src", "dst", w.cast("double").alias("w"))
+    e = edges.select("src", "dst", w.cast("double").alias("w")).localCheckpoint(
+        eager=True
+    )
     dists = e.select(F.lit(source).alias("id"), F.lit(0.0).alias("dist")).distinct()
     for i in range(max_iter):
         relaxed = (
@@ -166,7 +178,7 @@ def label_propagation(
     tie-break: smallest label wins).
 
     Ref: `graph/library/LabelPropagation.java`. Output: (id, label)."""
-    e = undirect(edges.select("src", "dst"))
+    e = undirect(edges.select("src", "dst")).localCheckpoint(eager=True)
     labels = vertices.select("id", F.col("id").alias("label"))
     for i in range(max_iter):
         # self-vote included: pure synchronous LPA oscillates on symmetric

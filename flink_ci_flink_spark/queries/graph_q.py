@@ -68,12 +68,9 @@ def graph_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = jaccard_pairs(t.documents, threshold=0.5).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
-    verts = (
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    return connected_components(verts, edges).select(
+    # vertices derived inside connected_components from the checkpointed
+    # edges — a separate verts DataFrame would re-run the similarity join
+    return connected_components(None, edges).select(
         F.col("id").alias("doc_id"), "component"
     )
 

@@ -1,0 +1,165 @@
+"""Remaining surface odds-and-ends: UNNEST-with-ordinality, map explode,
+null-safe comparison (IS [NOT] DISTINCT FROM), STR_TO_MAP, temporal overlap
+predicate, and PageRank (rows-only — iterative fixpoint isn't ANSI-SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_ci_flink_spark.catalog import load_tables
+from flink_ci_flink_spark.functions import temporal_overlaps
+from flink_ci_flink_spark.queries.registry import query
+
+
+@query(
+    "unnest_with_ordinality",
+    oracle="""
+    SELECT n_nationkey,
+           UNNEST(generate_series(1, LEN(parts))) - 1 AS pos,
+           UNNEST(parts) AS word
+    FROM (SELECT n_nationkey, STRING_SPLIT(n_name, '_') AS parts FROM nation)
+    """,
+    group="udtf",
+)
+def unnest_with_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (UNNEST with ordinal; oracle zips two UNNESTs).
+    Ref: `UnnestITCase`, `TableFunction.java:139`."""
+    t = load_tables(spark, sf_dir)
+    return t.nation.select(
+        "n_nationkey",
+        F.posexplode(F.split("n_name", "_")).alias("pos", "word"),
+    ).select("n_nationkey", F.col("pos").cast("long").alias("pos"), "word")
+
+
+@query(
+    "map_construct_explode",
+    oracle="""
+    SELECT n_regionkey,
+           UNNEST(map_keys(m)) AS k,
+           CAST(UNNEST(map_values(m)) AS BIGINT) AS v
+    FROM (
+      SELECT n_regionkey,
+             MAP(['nation', 'region'], [n_nationkey, n_regionkey]) AS m
+      FROM nation WHERE n_nationkey < 10
+    )
+    """,
+    group="udtf",
+)
+def map_construct_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP construction + entry explode (STR_TO_MAP-family surface).
+    Ref: BuiltInFunctionDefinitions MAP/CARDINALITY/AT."""
+    t = load_tables(spark, sf_dir)
+    m = F.create_map(
+        F.lit("nation"), F.col("n_nationkey"), F.lit("region"), F.col("n_regionkey")
+    )
+    return (
+        t.nation.filter(F.col("n_nationkey") < 10)
+        .select("n_regionkey", F.explode(m).alias("k", "v"))
+        .select("n_regionkey", "k", F.col("v").cast("long").alias("v"))
+    )
+
+
+@query(
+    "null_safe_comparison",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             NULLIF(o_orderstatus, 'P') AS maybe_status,
+             NULLIF(o_orderpriority, '5-LOW') AS maybe_prio
+      FROM orders WHERE o_orderkey % 41 = 0
+    )
+    SELECT o_orderkey,
+           (maybe_status IS NOT DISTINCT FROM maybe_prio) AS ns_eq,
+           (maybe_status IS DISTINCT FROM 'O') AS ns_neq_o,
+           (maybe_status = maybe_prio) AS plain_eq
+    FROM t
+    """,
+    group="calc",
+)
+def null_safe_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS [NOT] DISTINCT FROM (null-safe equality, `<=>` in Spark).
+    Ref: BuiltInFunctionDefinitions IS DISTINCT FROM."""
+    t = load_tables(spark, sf_dir)
+    o = t.orders.filter(F.col("o_orderkey") % 41 == 0).select(
+        "o_orderkey",
+        F.nullif("o_orderstatus", F.lit("P")).alias("maybe_status"),
+        F.nullif("o_orderpriority", F.lit("5-LOW")).alias("maybe_prio"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.col("maybe_status").eqNullSafe(F.col("maybe_prio")).alias("ns_eq"),
+        (~F.col("maybe_status").eqNullSafe(F.lit("O"))).alias("ns_neq_o"),
+        (F.col("maybe_status") == F.col("maybe_prio")).alias("plain_eq"),
+    )
+
+
+@query(
+    "str_to_map_canonical",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT(props, '$.k') AS VARCHAR) AS k_from_map
+    FROM events WHERE event_id % 13 = 0
+    """,
+    group="functions",
+)
+def str_to_map_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STR_TO_MAP over a derived k=v string (DuckDB lacks str_to_map; oracle
+    goes through its JSON path — both produce the value of key 'k').
+    Ref: SqlFunctionUtils.strToMap."""
+    t = load_tables(spark, sf_dir)
+    e = t.events.filter(F.col("event_id") % 13 == 0)
+    kv = F.regexp_replace(
+        F.regexp_replace(F.col("props"), r'[{}"\s]', ""), ":", "="
+    )  # {"k": 69} -> k=69
+    return e.select(
+        "event_id",
+        F.element_at(F.str_to_map(kv, F.lit(","), F.lit("=")), "k").alias("k_from_map"),
+    )
+
+
+@query(
+    "temporal_overlaps_pred",
+    oracle="""
+    SELECT o_orderkey,
+           ((o_orderdate <= o_orderdate + INTERVAL 30 DAY + INTERVAL 10 DAY)
+            AND (o_orderdate + INTERVAL 10 DAY <= o_orderdate + INTERVAL 30 DAY)) AS overlaps_30_10
+    FROM orders WHERE o_orderkey % 43 = 0
+    """,
+    group="functions",
+)
+def temporal_overlaps_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL_OVERLAPS predicate (custom — Spark has no OVERLAPS builtin).
+    Ref: BuiltInFunctionDefinitions temporalOverlaps."""
+    t = load_tables(spark, sf_dir)
+    o = t.orders.filter(F.col("o_orderkey") % 43 == 0)
+    s1 = F.col("o_orderdate")
+    e1 = F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+    s2 = F.col("o_orderdate") + F.expr("INTERVAL 10 DAY")
+    e2 = s2 + F.expr("INTERVAL 30 DAY")
+    return o.select(
+        "o_orderkey", temporal_overlaps(s1, e1, s2, e2).alias("overlaps_30_10")
+    )
+
+
+@query("graph_pagerank_nations", oracle=None, group="graph")
+def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation graph (rows-only: a damped iterative fixpoint
+    isn't ANSI-SQL-expressible; correctness vs numpy power iteration is
+    asserted in tests/test_graph.py). Ref: `linkanalysis/PageRank.java`."""
+    from flink_ci_flink_spark.graph import pagerank
+
+    t = load_tables(spark, sf_dir)
+    n = t.nation.select("n_nationkey", "n_regionkey")
+    a, b = n.alias("a"), n.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") != F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_nationkey").alias("src"), F.col("b.n_nationkey").alias("dst")
+    )
+    verts = n.select(F.col("n_nationkey").alias("id"))
+    out = pagerank(verts, edges, iterations=8)
+    return out.select("id", F.round("rank", 8).alias("rank"))
