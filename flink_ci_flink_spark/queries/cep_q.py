@@ -113,3 +113,54 @@ def cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         select=select,
         output_schema="user_id long, first_error_id long, third_error_id long",
     )
+
+
+@query(
+    "cep_match_recognize_view_run",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(event_type, 2) OVER w AS t2,
+             LEAD(event_type, 3) OVER w AS t3,
+             LEAD(event_id, 1)   OVER w AS id1,
+             LEAD(event_id, 2)   OVER w AS id2,
+             LEAD(event_id, 3)   OVER w AS id3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id, event_id AS first_a,
+           CASE WHEN t2 = 'view' THEN 2 ELSE 1 END AS n_b,
+           CASE WHEN t2 = 'view' THEN id3 ELSE id2 END AS last_c
+    FROM seq
+    WHERE event_type = 'signup' AND t1 = 'view'
+      AND ((t2 = 'view' AND t3 = 'purchase') OR (t2 = 'purchase'))
+    """,
+    group="cep",
+)
+def cep_match_recognize_view_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE helper: PATTERN (A B{1,2} C) — signup, 1-2 views,
+    purchase, strictly consecutive, greedy B, NO_SKIP anchoring. Oracle
+    enumerates both B lengths via LEAD() with greedy preference.
+    Ref: `StreamExecMatch.scala:68` (MATCH_RECOGNIZE→NFA compilation)."""
+    from flink_ci_flink_spark.cep import match_recognize
+
+    t = load_tables(spark, sf_dir)
+    return match_recognize(
+        t.events,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="A B{1,2} C",
+        define={
+            "A": lambda e: e["event_type"] == "signup",
+            "B": lambda e: e["event_type"] == "view",
+            "C": lambda e: e["event_type"] == "purchase",
+        },
+        measures={
+            "first_a": ("A", "first", "event_id"),
+            "n_b": ("B", "count", None),
+            "last_c": ("C", "last", "event_id"),
+        },
+        after_match="no_skip",
+        output_schema="user_id long, first_a long, n_b long, last_c long",
+    )
