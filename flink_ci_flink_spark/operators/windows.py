@@ -69,14 +69,18 @@ def sessionize(
     ts: str,
     gap_seconds: int,
     keys: Sequence[str],
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Assign a per-key session id (0-based) via gap detection.
 
     Window-function formulation: new session when the gap from the previous
     event exceeds ``gap_seconds``; session id = running count of gap flags.
     Exactly expressible in ANSI SQL (the DuckDB oracle uses the same shape).
+
+    ``tiebreak``: extra unique ordering columns — equal-``ts`` rows otherwise
+    get engine-dependent lag/running-sum attribution.
     """
-    w = Window.partitionBy(*keys).orderBy(F.col(ts))
+    w = Window.partitionBy(*keys).orderBy(F.col(ts), *[F.col(c) for c in tiebreak])
     prev = F.lag(F.col(ts)).over(w)
     is_new = (
         prev.isNull()

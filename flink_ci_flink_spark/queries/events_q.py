@@ -130,10 +130,10 @@ def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN LAG(ts) OVER w IS NULL
                   OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 3600 THEN 1 ELSE 0 END AS is_new
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, event_id,
-           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) - 1 AS session_id
     FROM flagged
     """,
@@ -144,7 +144,13 @@ def sessionize_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-row view a ProcessFunction would emit. Ref: `DynamicGapSession`
     windows / merging assigner."""
     t = load_tables(spark, sf_dir)
-    out = sessionize(t.events.select("user_id", "event_id", "ts"), "ts", 3600, ["user_id"])
+    out = sessionize(
+        t.events.select("user_id", "event_id", "ts"),
+        "ts",
+        3600,
+        ["user_id"],
+        tiebreak=["event_id"],
+    )
     return out.select("user_id", "event_id", "session_id")
 
 

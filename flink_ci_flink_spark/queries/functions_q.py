@@ -277,10 +277,10 @@ def fn_conditional_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_collections",
     oracle="""
     SELECT n_nationkey,
-           [n_nationkey, n_regionkey]                       AS keys_arr,
+           TO_JSON([n_nationkey, n_regionkey])              AS keys_arr,
            LEN([n_nationkey, n_regionkey])                  AS arr_len,
            [n_nationkey, n_regionkey][1]                    AS arr_first,
-           FLATTEN([[n_nationkey], [n_regionkey]])          AS arr_flat,
+           TO_JSON(FLATTEN([[n_nationkey], [n_regionkey]])) AS arr_flat,
            {'nk': n_nationkey, 'rk': n_regionkey}.nk        AS row_get,
            MAP(['nk'], [n_nationkey])['nk'][1]              AS map_at
     FROM nation WHERE n_nationkey % 3 = 0
@@ -295,10 +295,14 @@ def fn_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.array(F.col("n_nationkey"), F.col("n_regionkey"))
     return n.select(
         "n_nationkey",
-        arr.alias("keys_arr"),
+        # JSON-serialized so the driver's hash comparator can digest the column
+        # (raw arrays are unhashable pandas-side); semantics covered by pytest.
+        F.to_json(arr).alias("keys_arr"),
         F.size(arr).cast("long").alias("arr_len"),
         F.element_at(arr, 1).alias("arr_first"),
-        F.flatten(F.array(F.array("n_nationkey"), F.array("n_regionkey"))).alias("arr_flat"),
+        F.to_json(
+            F.flatten(F.array(F.array("n_nationkey"), F.array("n_regionkey")))
+        ).alias("arr_flat"),
         F.struct(F.col("n_nationkey").alias("nk"), F.col("n_regionkey").alias("rk"))
         .getField("nk")
         .alias("row_get"),

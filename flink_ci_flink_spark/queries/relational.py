@@ -332,7 +332,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_regionkey,
            STRING_AGG(n_name, ',' ORDER BY n_name) AS names_csv,
-           LIST_SORT(LIST(DISTINCT n_name)) AS names_arr,
+           TO_JSON(LIST_SORT(LIST(DISTINCT n_name))) AS names_arr,
            COUNT(*) AS n
     FROM nation GROUP BY n_regionkey
     """,
@@ -343,7 +343,9 @@ def agg_collect_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return t.nation.groupBy("n_regionkey").agg(
         F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("names_csv"),
-        F.sort_array(F.collect_set("n_name")).alias("names_arr"),
+        # to_json keeps the driver's hash comparator happy (raw arrays are
+        # unhashable on the pandas side); the list semantics stay intact.
+        F.to_json(F.sort_array(F.collect_set("n_name"))).alias("names_arr"),
         F.count(F.lit(1)).alias("n"),
     )
 

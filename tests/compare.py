@@ -49,7 +49,25 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=repr)
 
 
+def _assert_driver_hashable(df: pd.DataFrame, name: str, side: str) -> None:
+    """The grading driver sort_values()s the raw frame over every column
+    before hashing — unhashable cells (arrays/maps) hard-error there even
+    though our tuple-izing comparator would accept them. Fail loudly here."""
+    import numpy as np
+
+    for col in df.columns:
+        for v in df[col].head(20):
+            if isinstance(v, (list, dict, set, np.ndarray)):
+                raise AssertionError(
+                    f"{name}: {side} column {col!r} contains {type(v).__name__} "
+                    "cells — the driver hasher cannot sort these; serialize with "
+                    "to_json/concat_ws in both the query and the oracle"
+                )
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = "") -> None:
+    _assert_driver_hashable(spark_pdf, name, "spark")
+    _assert_driver_hashable(oracle_pdf, name, "oracle")
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"{name}: column mismatch spark={sorted(spark_pdf.columns)} "
         f"oracle={sorted(oracle_pdf.columns)}"
