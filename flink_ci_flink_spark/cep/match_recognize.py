@@ -68,16 +68,19 @@ def compile_pattern(
             p = Pattern.begin(name, pred)
         else:
             p = p.next(name, pred)
+        # MATCH_RECOGNIZE rows are consecutive within the partition, so
+        # quantified variables repeat strictly (consecutive) — unlike the
+        # Pattern API, where loop repeats default to relaxed contiguity.
         if quant == "?":
             p = p.optional_()
         elif quant == "+":
-            p = p.times(1, max_repeat)
+            p = p.times(1, max_repeat).consecutive_()
         elif quant == "*":
-            p = p.times(1, max_repeat).optional_()
+            p = p.times(1, max_repeat).optional_().consecutive_()
         elif quant and quant.startswith("{"):
             lo = int(m.group(3))
             hi = int(m.group(5)) if m.group(5) else lo
-            p = p.times(lo, hi)
+            p = p.times(lo, hi).consecutive_()
     assert p is not None, "empty pattern"
     if within is not None:
         p = p.within(within)

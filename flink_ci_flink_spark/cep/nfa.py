@@ -5,17 +5,33 @@ The reference builds an explicit NFA with shared match buffers because it
 must be incremental per record with bounded state; evaluating per key over a
 watermark-ordered buffer (how our operators invoke it) lets us use a simpler
 and easily-audited backtracking matcher with identical match semantics for
-the supported combinator set (strict/relaxed contiguity, quantifiers,
-optional, greedy, within, NO_SKIP / SKIP_PAST_LAST).
+the supported combinator set: strict/relaxed/non-deterministic contiguity,
+negative stages (notNext/notFollowedBy incl. trailing absence detection),
+quantifiers with consecutive()/allowCombinations() inner contiguity,
+optional, greedy, until, within, and the four after-match skip strategies
+(NO_SKIP, SKIP_PAST_LAST, SKIP_TO_FIRST, SKIP_TO_LAST — `nfa/aftermatch/`).
 
 Events are dicts; `ts_field` must be a sortable numeric/time value.
+
+Anchoring: a match's first CONSUMED event must sit at the anchor index, so
+patterns whose leading stages are optional still anchor deterministically
+(the within window starts at the anchor event's time).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 from dataclasses import dataclass
 
-from flink_ci_flink_spark.cep.pattern import NO_SKIP, SKIP_PAST_LAST, Pattern, Stage
+from flink_ci_flink_spark.cep.pattern import (
+    NO_SKIP,
+    SKIP_PAST_LAST,
+    SKIP_TO_FIRST,
+    SKIP_TO_LAST,
+    Pattern,
+    Stage,
+)
 
 
 @dataclass
@@ -30,90 +46,168 @@ def _stage_matches(stage: Stage, event: dict) -> bool:
     return stage.predicate is None or bool(stage.predicate(event))
 
 
-def _try_match(pattern: Pattern, events: list[dict], start: int, ts_field: str):
-    """Attempt a match anchored at `start`. Returns Match or None.
-
-    Backtracking over (stage_idx, repeat_count, event_idx). Greedy stages
-    consume as many as allowed first; non-greedy the minimum first.
-    """
+def _iter_matches(
+    pattern: Pattern, events: list[dict], start: int, ts_field: str
+) -> Iterator[dict]:
+    """Yield every match (as a groups dict) anchored at index `start`,
+    in preference order (greedy branches first)."""
     stages = pattern.stages
     n = len(events)
-    t0 = None
+    t0 = events[start][ts_field]
+    within = pattern.within_seconds
 
-    def within_ok(idx: int) -> bool:
-        if pattern.within_seconds is None or t0 is None:
-            return True
-        return (events[idx][ts_field] - t0) <= pattern.within_seconds
+    def in_window(idx: int) -> bool:
+        return within is None or (events[idx][ts_field] - t0) <= within
 
-    def rec(si: int, ei: int, groups: dict):
+    def neg_violated(pending: list[Stage], lo: int, hi: int) -> bool:
+        """Check pending negative stages against the gap [lo, hi) before the
+        next positive consumption at `hi`. Strict negatives (notNext) test
+        only the event directly at `lo`; relaxed test the whole gap."""
+        for st in pending:
+            if st.contiguity == "strict":
+                # notNext: only the event directly following the previous
+                # stage is tested (even when the next positive stage matches
+                # that same position — A notNext(B) next(B) is unsatisfiable)
+                if lo < n and in_window(lo) and _stage_matches(st, events[lo]):
+                    return True
+            else:
+                for j in range(lo, min(hi, n)):
+                    if not in_window(j):
+                        break
+                    if _stage_matches(st, events[j]):
+                        return True
+        return False
+
+    def trailing_neg_violated(pending: list[Stage], lo: int) -> bool:
+        """Final negative stages: absence until the within bound (or end of
+        the bounded input). Strict trailing (notNext last) tests events[lo]."""
+        for st in pending:
+            if st.contiguity == "strict":
+                if lo < n and in_window(lo) and _stage_matches(st, events[lo]):
+                    return True
+            else:
+                for j in range(lo, n):
+                    if not in_window(j):
+                        break
+                    if _stage_matches(st, events[j]):
+                        return True
+        return False
+
+    def placements(st: Stage, take: int, ei: int, consumed: bool) -> Iterator[list[int]]:
+        """Yield index lists for `take` occurrences of stage st, searching
+        from ei. Honors anchor, contiguity, inner contiguity, until, within."""
+
+        def pick(k: int, pos: int, idxs: list[int]) -> Iterator[list[int]]:
+            if k == take:
+                yield idxs
+                return
+            anchored = (not consumed) and k == 0
+            mode = st.contiguity if k == 0 else (st.inner_contiguity or "relaxed")
+            if anchored or mode == "strict":
+                if pos < n and in_window(pos) and _stage_matches(st, events[pos]):
+                    if st.until is not None and st.until(events[pos]):
+                        return
+                    yield from pick(k + 1, pos + 1, idxs + [pos])
+                return
+            # relaxed / any: scan forward
+            j = pos
+            while j < n and in_window(j):
+                if st.until is not None and st.until(events[j]):
+                    return  # until stops the loop from accepting further events
+                if _stage_matches(st, events[j]):
+                    yield from pick(k + 1, j + 1, idxs + [j])
+                    if mode != "any":
+                        return  # deterministic relaxed: first match only
+                j += 1
+
+        yield from pick(0, ei, [])
+
+    def rec(
+        si: int, ei: int, groups: dict, consumed: bool, pending_neg: list[Stage]
+    ) -> Iterator[dict]:
         if si == len(stages):
-            return groups
+            if not consumed:
+                return
+            if trailing_neg_violated(pending_neg, ei):
+                return
+            yield groups
+            return
         st = stages[si]
-        counts = range(st.max_times, st.min_times - 1, -1) if st.greedy else range(
-            st.min_times, st.max_times + 1
+        if st.negated:
+            yield from rec(si + 1, ei, groups, consumed, pending_neg + [st])
+            return
+        counts = (
+            range(st.max_times, st.min_times - 1, -1)
+            if st.greedy
+            else range(st.min_times, st.max_times + 1)
         )
         options = list(counts)
         if st.optional and 0 not in options:
             options = options + [0]
         for take in options:
             if take == 0:
-                res = rec(si + 1, ei, groups)
-                if res is not None:
-                    return res
+                yield from rec(si + 1, ei, groups, consumed, pending_neg)
                 continue
-            idxs, pos = [], ei
-            ok = True
-            for k in range(take):
-                anchored = si == 0 and k == 0
-                if anchored or st.contiguity == "strict":
-                    # must match at exactly `pos`
-                    if pos >= n or not (_stage_matches(st, events[pos]) and within_ok(pos)):
-                        ok = False
-                        break
-                    idxs.append(pos)
-                    pos += 1
-                else:
-                    # relaxed: scan forward for the next matching event
-                    while pos < n and not (_stage_matches(st, events[pos]) and within_ok(pos)):
-                        if pattern.within_seconds is not None and t0 is not None and (
-                            events[pos][ts_field] - t0
-                        ) > pattern.within_seconds:
-                            break
-                        pos += 1
-                    if pos >= n or not (_stage_matches(st, events[pos]) and within_ok(pos)):
-                        ok = False
-                        break
-                    idxs.append(pos)
-                    pos += 1
-            if not ok:
-                continue
-            res = rec(si + 1, pos, {**groups, st.name: groups.get(st.name, []) + idxs})
-            if res is not None:
-                return res
-        return None
+            for idxs in placements(st, take, ei, consumed):
+                if not consumed and idxs[0] != start:
+                    continue  # anchor: first consumed event must be at start
+                if pending_neg and neg_violated(pending_neg, ei, idxs[0]):
+                    continue
+                yield from rec(
+                    si + 1,
+                    idxs[-1] + 1,
+                    {**groups, st.name: groups.get(st.name, []) + idxs},
+                    True,
+                    [],
+                )
 
-    first = stages[0]
-    if not _stage_matches(first, events[start]):
-        return None
-    t0 = events[start][ts_field]
-    groups = rec(0, start, {})
-    if groups is None:
-        return None
+    yield from rec(0, start, {}, False, [])
+
+
+def _make_match(groups: dict) -> Match:
     all_idx = [i for idxs in groups.values() for i in idxs]
     return Match(groups, min(all_idx), max(all_idx))
 
 
+def _match_key(groups: dict) -> tuple:
+    return tuple(sorted((k, tuple(v)) for k, v in groups.items()))
+
+
 def find_matches(pattern: Pattern, events: list[dict], ts_field: str = "ts") -> list[Match]:
     """All matches over an ordered sequence under the after-match strategy."""
+    pattern.validate()
+    # deterministic patterns yield one match per anchor (the preferred
+    # branch); non-deterministic contiguity (followed_by_any /
+    # allow_combinations) emits every branch, like the reference NFA.
+    multi = any(
+        st.contiguity == "any" or st.inner_contiguity == "any" for st in pattern.stages
+    )
     matches: list[Match] = []
+    seen: set[tuple] = set()
     i = 0
     n = len(events)
     while i < n:
-        m = _try_match(pattern, events, i, ts_field)
-        if m is not None:
-            matches.append(m)
+        found: list[Match] = []
+        for groups in _iter_matches(pattern, events, i, ts_field):
+            key = _match_key(groups)
+            if key not in seen:
+                seen.add(key)
+                found.append(_make_match(groups))
+            if not multi:
+                break
+        matches.extend(found)
+        if found and pattern.after_match != NO_SKIP:
+            m0 = found[0]
             if pattern.after_match == SKIP_PAST_LAST:
-                i = m.end_idx + 1
-                continue
+                i = m0.end_idx + 1
+            elif pattern.after_match == SKIP_TO_FIRST:
+                idxs = m0.groups.get(pattern.after_match_stage)
+                nxt = idxs[0] if idxs else m0.end_idx + 1
+                i = nxt if nxt > i else i + 1
+            elif pattern.after_match == SKIP_TO_LAST:
+                idxs = m0.groups.get(pattern.after_match_stage)
+                nxt = idxs[-1] if idxs else m0.end_idx + 1
+                i = nxt if nxt > i else i + 1
+            continue
         i += 1
     return matches

@@ -4,33 +4,102 @@
 Reference: `cep/operator/CepOperator.java:83` — buffers events per key in
 keyed state, sorts by event time as the watermark advances, and runs the NFA
 over the ordered prefix. Our streaming operator does exactly that shape:
-per-key buffer in group state, matches emitted once their last event falls
-at or before (max event time seen − delay), matched-or-expired prefix
-pruned. The batch operator sorts each key group once and evaluates in a
-single pass (the bounded-input degenerate case).
+per-key buffer in group state, matches emitted once they are CLOSED (cannot
+extend or be invalidated by later in-window events) at or before
+(max event time seen − delay), matched-or-expired prefix pruned, emitted
+match identities remembered while their events remain buffered. The batch
+operator sorts each key group once and evaluates in a single pass (the
+bounded-input degenerate case).
 
 SQL MATCH_RECOGNIZE (`StreamExecMatch.scala:68`) compiles to the same NFA in
 the reference; here `match_recognize`-style queries are expressed by
 building a Pattern and calling cep() — see queries/cep_q.py.
 
-Scale: one shuffle on the key; per-key buffers bounded by the within-window
-(+ delay) in streaming. Python evaluation is per key-group and
-Arrow-batched; for hot keys the within bound caps the buffer.
+Scale:
+- When every stage carries a SQL expr and the pattern is fixed-length
+  strictly contiguous, batch cep() compiles to a pure lead() window plan
+  (`cep/compiled.py`) — one shuffle, whole-stage codegen, zero Python.
+- Otherwise stage predicates with exprs are evaluated JVM-side into boolean
+  columns BEFORE the shuffle (vectorized), so the Python NFA reads
+  precomputed booleans; and for patterns with no strict contiguity anywhere,
+  pattern-irrelevant events are filtered out before the shuffle entirely.
+- One shuffle on the key; per-key buffers bounded by the within-window
+  (+ delay) in streaming.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 from collections.abc import Callable
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
-from flink_ci_flink_spark.cep.nfa import find_matches
+from flink_ci_flink_spark.cep.nfa import Match, find_matches
 from flink_ci_flink_spark.cep.pattern import Pattern
 
 #: A select function: (key_tuple, match, events) -> dict of output columns.
 SelectFn = Callable[[tuple, "Match", list], dict]
+
+#: measure kinds for the declarative select surface (MATCH_RECOGNIZE
+#: MEASURES): (variable, kind, field) — kind in first/last/count/sum.
+MEASURE_FNS = {
+    "first": lambda events, idxs, field: events[idxs[0]][field],
+    "last": lambda events, idxs, field: events[idxs[-1]][field],
+    "count": lambda events, idxs, field: len(idxs),
+    "sum": lambda events, idxs, field: sum(events[i][field] for i in idxs),
+}
+
+
+def measure_select(measures: dict[str, tuple], keys: list[str]) -> SelectFn:
+    def select(key_tuple, match, events):
+        out = {k: key_tuple[i] for i, k in enumerate(keys)}
+        for out_name, (var, kind, field) in measures.items():
+            idxs = match.groups.get(var, [])
+            out[out_name] = MEASURE_FNS[kind](events, idxs, field) if idxs else None
+        return out
+
+    return select
+
+
+def _jvm_predicate_columns(df: DataFrame, pattern: Pattern) -> tuple[DataFrame, Pattern]:
+    """Evaluate stage exprs JVM-side into __p{i} boolean columns and swap
+    stage predicates for plain column reads. Stages without an expr keep
+    their Python predicate."""
+    if not any(st.expr is not None for st in pattern.stages):
+        return df, pattern
+    preds = []
+    for i, st in enumerate(pattern.stages):
+        if st.expr is not None:
+            df = df.withColumn(f"__p{i}", F.coalesce(F.expr(st.expr), F.lit(False)))
+            preds.append(lambda e, c=f"__p{i}": bool(e[c]))
+        else:
+            preds.append(st.predicate)
+    return df, pattern.copy_with_predicates(preds)
+
+
+def _relevance_prefilter(df: DataFrame, pattern: Pattern) -> DataFrame:
+    """Drop pattern-irrelevant events before the shuffle. Sound only when no
+    stage (nor loop repeat) uses strict contiguity — intervening events are
+    then invisible to the match — and every predicate (incl. until) has a
+    JVM expr so relevance is decidable column-side."""
+    exprs = []
+    for i, st in enumerate(pattern.stages):
+        if st.expr is None:
+            return df
+        if i > 0 and st.contiguity == "strict":
+            return df
+        if st.max_times > 1 and (st.inner_contiguity or "relaxed") == "strict":
+            return df
+        exprs.append(f"({st.expr})")
+        if st.until is not None:
+            if st.until_expr is None:
+                return df
+            exprs.append(f"({st.until_expr})")
+    return df.filter(F.expr(" OR ".join(exprs)))
 
 
 def cep(
@@ -38,17 +107,33 @@ def cep(
     pattern: Pattern,
     keys: list[str],
     ts_col: str,
-    select: SelectFn,
-    output_schema: str,
+    select: SelectFn | None = None,
+    output_schema: str = "",
+    measures: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Batch CEP: find all pattern matches per key over event-time order.
 
-    `select` maps each match to an output row (dict). Events are passed to
-    predicates as plain dicts; ts is converted to epoch seconds under the
-    key `__ts`. Ties in ts are broken by original row order (stable sort)."""
+    `select` maps each match to an output row (dict); alternatively pass
+    declarative `measures` ((variable, first|last|count|sum, field)) — which
+    also unlocks the compiled lead() path for qualifying patterns. Events
+    are passed to predicates as plain dicts; ts is converted to epoch
+    seconds under the key `__ts`. Ties in ts are broken by original row
+    order (stable sort)."""
+    pattern.validate()
+    if measures is not None:
+        from flink_ci_flink_spark.cep.compiled import try_compile
+
+        compiled = try_compile(df, pattern, keys, ts_col, measures, output_schema)
+        if compiled is not None:
+            return compiled
+        if select is None:
+            select = measure_select(measures, keys)
+    assert select is not None, "cep() needs select= or measures="
+
+    df = _relevance_prefilter(df, pattern)
+    df, pattern = _jvm_predicate_columns(df, pattern)
 
     def run(key_tuple, pdf: pd.DataFrame):
-        pdf = pdf.sort_values(ts_col, kind="stable").reset_index(drop=True)
         events = pdf.to_dict("records")
         for e in events:
             t = e[ts_col]
@@ -57,11 +142,50 @@ def cep(
             select(key_tuple, m, events)
             for m in find_matches(pattern, events, ts_field="__ts")
         ]
-        return pd.DataFrame(out) if out else pd.DataFrame()
+        return pd.DataFrame(out) if out else None
 
-    return df.groupBy(*keys).applyInPandas(
-        lambda key, pdf: run(key, pdf), output_schema
+    from flink_ci_flink_spark.operators.grouped import grouped_apply
+
+    # sorted-partition mapInPandas: many key groups per Arrow batch instead
+    # of one round-trip per group (the applyInPandas per-group-overhead cliff)
+    return grouped_apply(df, keys, [ts_col], run, output_schema)
+
+
+def _match_closed(pattern: Pattern, m: Match, events: list[dict], emit_upto: float) -> bool:
+    """A match may be emitted only when no later in-window event could extend
+    or invalidate it (reference NFA defers greedy emission the same way):
+
+    - trailing stages beyond the last consumed one (optional or negative)
+      and unsaturated greedy loops on the last consumed stage keep the match
+      open until its within-window expires;
+    - otherwise it closes as soon as its last event is at/behind the
+      frontier."""
+    last_ts = events[m.end_idx]["__ts"]
+    if last_ts > emit_upto:
+        return False
+    stage_idx = {st.name: i for i, st in enumerate(pattern.stages)}
+    last_si = max(stage_idx[name] for name in m.groups)
+    open_ended = last_si < len(pattern.stages) - 1  # trailing optional/negative
+    last_st = pattern.stages[last_si]
+    if last_st.greedy and len(m.groups[last_st.name]) < last_st.max_times:
+        open_ended = True
+    if not open_ended:
+        return True
+    t0 = events[m.start_idx]["__ts"]
+    return t0 + pattern.within_seconds <= emit_upto
+
+
+def _match_identity(m: Match, events: list[dict], payloads: list[str]) -> str:
+    """Content-based identity, stable across micro-batches (indices are not:
+    the buffer is re-sorted as events arrive)."""
+    body = json.dumps(
+        sorted(
+            (name, [(events[i]["__ts"], payloads[i]) for i in idxs])
+            for name, idxs in m.groups.items()
+        ),
+        default=str,
     )
+    return hashlib.md5(body.encode()).hexdigest()
 
 
 def cep_stream(
@@ -76,36 +200,40 @@ def cep_stream(
 ) -> DataFrame:
     """Streaming CEP over a keyed stream (CepOperator analog).
 
-    Buffers events in group state; a match is emitted once its last event's
-    time ≤ (max event time observed for the key − delay_seconds) — the
-    per-key watermark proxy. Buffer entries older than the emit frontier
-    minus the pattern's within-window are pruned. Exactly-once emission via
-    a monotone frontier stored in state."""
+    Buffers events in group state; a match is emitted once it is closed
+    (`_match_closed`) relative to (max event time observed for the key −
+    delay_seconds) — the per-key watermark proxy. Buffer entries older than
+    the emit frontier minus the pattern's within-window are pruned.
+    Exactly-once emission via content-based match identities held in state
+    while the match's events remain buffered."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    pattern.validate()
     payload_cols = payload_cols or [c for c in df.columns if c not in keys]
     if pattern.within_seconds is None:
         raise ValueError(
             "cep_stream requires pattern.within(...) — it bounds per-key state"
         )
     within = pattern.within_seconds
-    state_schema = "ts array<double>, payload array<string>, frontier double"
+    state_schema = "ts array<double>, payload array<string>, emitted array<string>"
 
     def run(key_tuple, pdf_iter, state):
-        import json
-
         if state.exists:
-            ts_list, payload, frontier = state.get
+            ts_list, payload, emitted = state.get
             ts_list = list(ts_list)
             payload = list(payload)
+            emitted = list(emitted)
         else:
-            ts_list, payload, frontier = [], [], float("-inf")
+            ts_list, payload, emitted = [], [], []
         for pdf in pdf_iter:
-            for _, row in pdf.iterrows():
-                t = row[ts_col]
-                tsec = t.timestamp() if hasattr(t, "timestamp") else float(t)
-                ts_list.append(tsec)
-                payload.append(json.dumps({c: str(row[c]) for c in payload_cols}))
+            if len(pdf) == 0:
+                continue
+            tvals = pdf[ts_col].map(
+                lambda t: t.timestamp() if hasattr(t, "timestamp") else float(t)
+            )
+            recs = pdf[payload_cols].astype(str).to_dict("records")
+            ts_list.extend(float(t) for t in tvals)
+            payload.extend(json.dumps(r) for r in recs)
         order = sorted(range(len(ts_list)), key=lambda i: ts_list[i])
         ts_list = [ts_list[i] for i in order]
         payload = [payload[i] for i in order]
@@ -117,16 +245,28 @@ def cep_stream(
             e = json.loads(pj)
             e["__ts"] = tsec
             events.append(e)
+        emitted_set = set(emitted)
         out = []
+        new_idents: list[tuple[float, str]] = []
         for m in find_matches(pattern, events, ts_field="__ts"):
-            last_ts = events[m.end_idx]["__ts"]
-            if frontier < last_ts <= emit_upto:
-                out.append(select(key_tuple, m, events))
-        new_frontier = max(frontier, emit_upto)
+            if not _match_closed(pattern, m, events, emit_upto):
+                continue
+            ident = f"{events[m.start_idx]['__ts']}:{_match_identity(m, events, payload)}"
+            if ident in emitted_set:
+                continue
+            emitted_set.add(ident)
+            new_idents.append((events[m.start_idx]["__ts"], ident))
+            out.append(select(key_tuple, m, events))
         keep_from = emit_upto - within
         kept = [(t, p) for t, p in zip(ts_list, payload) if t >= keep_from]
+        # an identity is re-findable only while its anchor event is buffered
+        kept_idents = [
+            ident
+            for ident in emitted
+            if float(ident.split(":", 1)[0]) >= keep_from
+        ] + [ident for t0, ident in new_idents if t0 >= keep_from]
         state.update(
-            ([t for t, _ in kept], [p for _, p in kept], new_frontier)
+            ([t for t, _ in kept], [p for _, p in kept], kept_idents)
         )
         yield pd.DataFrame(out) if out else pd.DataFrame(
             {c: [] for c in _schema_cols(output_schema)}

@@ -1,0 +1,83 @@
+"""Sorted-partition grouped apply: the scale path around applyInPandas.
+
+`DataFrame.groupBy(...).applyInPandas` pays one Arrow round-trip per GROUP
+(~4-5 ms each, measured): with many small key groups the per-group overhead
+dwarfs the user logic, and AQE happily coalesces the tiny shuffle into one
+task, serializing the whole thing. The reference runtime has no such cliff —
+its keyed operators stream records through a single operator instance per
+key-group partition (`KeyedProcessOperator`), amortizing overhead across all
+keys in the partition.
+
+`grouped_apply` reproduces that shape on Spark: hash-partition by key, sort
+within partitions by (key, order), then `mapInPandas` — each Arrow batch
+carries MANY complete key groups, with groups that straddle batch boundaries
+carried over. Per-batch overhead replaces per-group overhead (100-1000×
+fewer round trips at realistic key cardinalities), and partition sizing
+stays under `spark.sql.shuffle.partitions` / AQE control.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def grouped_apply(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    fn: Callable[[tuple, pd.DataFrame], pd.DataFrame | None],
+    output_schema: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Apply `fn(key_tuple, group_pdf)` per key group, ordered by
+    `order_cols` within the group, streaming many groups per Arrow batch.
+
+    Semantics match `groupBy(keys).applyInPandas` with a pre-sorted group;
+    `fn` may return None/empty for no output. Explicit repartition count
+    (default: spark.sql.shuffle.partitions) keeps AQE from collapsing the
+    exchange into a single task — per-group Python cost needs the
+    parallelism even when the shuffled bytes are small.
+    """
+    if num_partitions is None:
+        num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    part = df.repartition(num_partitions, *keys).sortWithinPartitions(
+        *keys, *order_cols
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: pd.DataFrame | None = None
+
+        def emit(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
+            outs = []
+            # sort=False: rows arrive key-clustered; groupby preserves order
+            for keyvals, g in pdf.groupby(keys, sort=False, dropna=False):
+                if not isinstance(keyvals, tuple):
+                    keyvals = (keyvals,)
+                out = fn(keyvals, g.reset_index(drop=True))
+                if out is not None and len(out):
+                    outs.append(out)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if len(pdf) == 0:
+                continue
+            tail_key = tuple(pdf.iloc[-1][k] for k in keys)
+            is_tail = pd.Series(True, index=pdf.index)
+            for k, v in zip(keys, tail_key):
+                is_tail &= (pdf[k] == v) if pd.notna(v) else pdf[k].isna()
+            pending = pdf[is_tail]
+            head = pdf[~is_tail]
+            if len(head):
+                yield from emit(head)
+        if pending is not None and len(pending):
+            yield from emit(pending)
+
+    return part.mapInPandas(run, output_schema)

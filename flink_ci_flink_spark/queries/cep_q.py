@@ -37,31 +37,42 @@ from flink_ci_flink_spark.queries.registry import query
 def cep_click_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pattern: click →(strict) click →(strict) purchase within 72h,
     NO_SKIP (every anchor tested — the LEAD() formulation's semantics).
+    Every stage carries a SQL expr and the pattern is fixed-length strict,
+    so cep() compiles it to a pure lead() window plan (`cep/compiled.py`) —
+    one shuffle, whole-stage codegen, zero Python.
     Ref: `Pattern.java` begin/next/within, `CepOperator.java:83`,
     `MATCH_RECOGNIZE` → `StreamExecMatch.scala:68`."""
+    from pyspark.sql import functions as F
+
     t = load_tables(spark, sf_dir)
+    ev = t.events.withColumn(
+        "ts_s", F.floor(F.col("ts").cast("double")).cast("long")
+    )
     pat = (
-        Pattern.begin("a", where=lambda e: e["event_type"] == "click")
-        .next("b", where=lambda e: e["event_type"] == "click")
-        .next("c", where=lambda e: e["event_type"] == "purchase")
+        Pattern.begin(
+            "a", where=lambda e: e["event_type"] == "click", expr="event_type = 'click'"
+        )
+        .next(
+            "b", where=lambda e: e["event_type"] == "click", expr="event_type = 'click'"
+        )
+        .next(
+            "c",
+            where=lambda e: e["event_type"] == "purchase",
+            expr="event_type = 'purchase'",
+        )
         .within(259200)
         .after_match_skip(NO_SKIP)
     )
-
-    def select(key, m, events):
-        return {
-            "user_id": int(key[0]),
-            "start_id": int(events[m.groups["a"][0]]["event_id"]),
-            "end_id": int(events[m.groups["c"][0]]["event_id"]),
-            "start_ts_s": int(events[m.groups["a"][0]]["__ts"]),
-        }
-
     return cep(
-        t.events,
+        ev,
         pat,
         keys=["user_id"],
         ts_col="ts",
-        select=select,
+        measures={
+            "start_id": ("a", "first", "event_id"),
+            "end_id": ("c", "last", "event_id"),
+            "start_ts_s": ("a", "first", "ts_s"),
+        },
         output_schema="user_id long, start_id long, end_id long, start_ts_s long",
     )
 
@@ -88,29 +99,26 @@ def cep_click_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pattern: error.times(3) strictly consecutive within 72h (burst
     detection) — quantifier path through the matcher, NO_SKIP anchoring
-    (LEAD/LAG-equivalent). Ref: `Pattern.times:382`, `consecutive:480`."""
+    (LEAD/LAG-equivalent); compiled to lead() exprs (fixed-length strict).
+    Ref: `Pattern.times:382`, `consecutive:480`."""
     t = load_tables(spark, sf_dir)
+    err = "event_type = 'error'"
     pat = (
-        Pattern.begin("e", where=lambda ev: ev["event_type"] == "error")
-        .next("e2", where=lambda ev: ev["event_type"] == "error")
-        .next("e3", where=lambda ev: ev["event_type"] == "error")
+        Pattern.begin("e", where=lambda ev: ev["event_type"] == "error", expr=err)
+        .next("e2", where=lambda ev: ev["event_type"] == "error", expr=err)
+        .next("e3", where=lambda ev: ev["event_type"] == "error", expr=err)
         .within(259200)
         .after_match_skip(NO_SKIP)
     )
-
-    def select(key, m, events):
-        return {
-            "user_id": int(key[0]),
-            "first_error_id": int(events[m.groups["e"][0]]["event_id"]),
-            "third_error_id": int(events[m.groups["e3"][0]]["event_id"]),
-        }
-
     return cep(
         t.events,
         pat,
         keys=["user_id"],
         ts_col="ts",
-        select=select,
+        measures={
+            "first_error_id": ("e", "first", "event_id"),
+            "third_error_id": ("e3", "last", "event_id"),
+        },
         output_schema="user_id long, first_error_id long, third_error_id long",
     )
 
@@ -163,4 +171,59 @@ def cep_match_recognize_view_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         after_match="no_skip",
         output_schema="user_id long, first_a long, n_b long, last_c long",
+    )
+
+
+@query(
+    "cep_click_no_purchase",
+    oracle="""
+    SELECT e.user_id, e.event_id AS click_id,
+           CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) AS click_ts_s
+    FROM events e
+    WHERE e.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+          AND p.ts > e.ts AND EPOCH(p.ts) - EPOCH(e.ts) <= 86400
+      )
+    """,
+    group="cep",
+)
+def cep_click_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absence detection: click NOT followed by purchase within 24h —
+    the trailing-notFollowedBy negative pattern (`Pattern.notFollowedBy:273`,
+    which the reference only allows with a within() bound; same constraint
+    here). The NFA holds the anchor open until the window expires, then
+    emits iff no purchase arrived. Every stage carries a SQL expr, so the
+    whole pattern compiles JVM-side (`cep/compiled.py`): the trailing
+    absence becomes a min-over-following-rows "next purchase ts" window
+    check — zero Python. Oracle: NOT EXISTS anti-join."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.withColumn(
+        "ts_s", F.floor(F.col("ts").cast("double")).cast("long")
+    )
+    pat = (
+        Pattern.begin(
+            "a", where=lambda e: e["event_type"] == "click", expr="event_type = 'click'"
+        )
+        .not_followed_by(
+            "np",
+            where=lambda e: e["event_type"] == "purchase",
+            expr="event_type = 'purchase'",
+        )
+        .within(86400)
+        .after_match_skip(NO_SKIP)
+    )
+    return cep(
+        ev,
+        pat,
+        keys=["user_id"],
+        ts_col="ts",
+        measures={
+            "click_id": ("a", "first", "event_id"),
+            "click_ts_s": ("a", "first", "ts_s"),
+        },
+        output_schema="user_id long, click_id long, click_ts_s long",
     )

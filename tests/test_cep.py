@@ -147,3 +147,329 @@ def test_streaming_cep_matches_batch(spark, sf_dir):
         assert streamed == batch
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -- new combinators (round 2): negatives, until, any-contiguity, skips ------
+
+
+def test_not_next():
+    """notNext (Pattern.java:304): event directly after the previous stage
+    must not match."""
+    p = Pattern.begin("a", typed("A")).not_next("nb", typed("B")).followed_by(
+        "c", typed("C")
+    )
+    assert find_matches(p, seq("A", "B", "C"), "__ts") == []
+    ms = find_matches(p, seq("A", "D", "C"), "__ts")
+    assert [(m.start_idx, m.end_idx) for m in ms] == [(0, 2)]
+    # notNext only tests the immediate successor: B later in the gap is fine
+    ms = find_matches(p, seq("A", "D", "B", "C"), "__ts")
+    assert [(m.start_idx, m.end_idx) for m in ms] == [(0, 3)]
+
+
+def test_not_followed_by_middle():
+    """notFollowedBy (Pattern.java:273): no matching event anywhere in the
+    gap before the next positive stage."""
+    p = Pattern.begin("a", typed("A")).not_followed_by("nb", typed("B")).followed_by(
+        "c", typed("C")
+    )
+    assert find_matches(p, seq("A", "B", "C"), "__ts") == []
+    assert find_matches(p, seq("A", "D", "B", "C"), "__ts") == []
+    ms = find_matches(p, seq("A", "D", "C", "B"), "__ts")
+    assert [(m.start_idx, m.end_idx) for m in ms] == [(0, 2)]
+
+
+def test_not_followed_by_trailing_absence():
+    """Trailing notFollowedBy = absence detection; requires within() (the
+    reference imposes the same constraint)."""
+    import pytest
+
+    p_bad = Pattern.begin("a", typed("A")).not_followed_by("nb", typed("B"))
+    with pytest.raises(ValueError):
+        find_matches(p_bad, seq("A"), "__ts")
+
+    p = Pattern.begin("a", typed("A")).not_followed_by("nb", typed("B")).within(10)
+    # B inside the window kills the match
+    assert find_matches(p, [ev(0, "A"), ev(5, "B")], "__ts") == []
+    # B outside the window does not
+    ms = find_matches(p, [ev(0, "A"), ev(20, "B")], "__ts")
+    assert len(ms) == 1 and ms[0].groups == {"a": [0]}
+    # pure absence matches
+    assert len(find_matches(p, [ev(0, "A")], "__ts")) == 1
+
+
+def test_until_stops_loop():
+    """until (Pattern.java:220): events from the first until-match onward are
+    not accepted into the loop."""
+    p = (
+        Pattern.begin("a", typed("A")).one_or_more().until_(typed("X"))
+        .followed_by("b", typed("B"))
+    )
+    ms = find_matches(p, seq("A", "A", "X", "A", "B"), "__ts")
+    # greedy loop takes A0, A1 but X blocks A3
+    assert ms[0].groups["a"] == [0, 1]
+
+
+def test_followed_by_any_branches():
+    """followedByAny (Pattern.java:322): every later matching event opens a
+    branch, not just the first."""
+    p = Pattern.begin("a", typed("A")).followed_by_any("b", typed("B"))
+    ms = find_matches(p, seq("A", "B", "C", "B"), "__ts")
+    assert sorted(m.groups["b"] for m in ms) == [[1], [3]]
+
+
+def test_consecutive_inner_contiguity():
+    """consecutive (Pattern.java:480) applies between loop repeats."""
+    p_rel = Pattern.begin("a", typed("A")).times(2).followed_by("b", typed("B"))
+    assert len(find_matches(p_rel, seq("A", "C", "A", "B"), "__ts")) == 1
+    p_con = (
+        Pattern.begin("a", typed("A")).times(2).consecutive_()
+        .followed_by("b", typed("B"))
+    )
+    assert find_matches(p_con, seq("A", "C", "A", "B"), "__ts") == []
+    ms = find_matches(p_con, seq("A", "A", "B"), "__ts")
+    assert ms[0].groups["a"] == [0, 1]
+
+
+def test_allow_combinations():
+    """allowCombinations (Pattern.java:441): all subsets of loop events, like
+    the reference's COMBINATIONS quantifier mode."""
+    p = (
+        Pattern.begin("a", typed("A")).one_or_more().allow_combinations_()
+        .followed_by("b", typed("B"))
+    )
+    ms = find_matches(p, seq("A", "A", "B"), "__ts")
+    assert sorted(m.groups["a"] for m in ms) == [[0], [0, 1], [1]]
+
+
+def test_skip_to_first_last():
+    """SKIP_TO_FIRST / SKIP_TO_LAST (nfa/aftermatch/) on the doc example
+    a+ b over A A A B."""
+    from flink_ci_flink_spark.cep import SKIP_TO_FIRST, SKIP_TO_LAST
+
+    def mk():
+        return Pattern.begin("a", typed("A")).one_or_more().followed_by(
+            "b", typed("B")
+        )
+
+    assert len(find_matches(mk(), seq("A", "A", "A", "B"), "__ts")) == 3  # NO_SKIP
+    assert (
+        len(
+            find_matches(
+                mk().after_match_skip(SKIP_PAST_LAST), seq("A", "A", "A", "B"), "__ts"
+            )
+        )
+        == 1
+    )
+    ms = find_matches(
+        mk().after_match_skip(SKIP_TO_LAST, "a"), seq("A", "A", "A", "B"), "__ts"
+    )
+    assert [m.groups["a"] for m in ms] == [[0, 1, 2], [2]]
+    ms = find_matches(
+        mk().after_match_skip(SKIP_TO_FIRST, "a"), seq("A", "A", "A", "B"), "__ts"
+    )
+    assert [m.groups["a"] for m in ms] == [[0, 1, 2], [1, 2], [2]]
+
+
+def test_optional_first_stage():
+    """A? B matches when the optional head is absent (reference optional()
+    semantics — the match anchors on the first consumed event)."""
+    p = Pattern.begin("a", typed("A")).optional_().next("b", typed("B"))
+    ms = find_matches(p, seq("B"), "__ts")
+    assert len(ms) == 1 and ms[0].groups == {"b": [0]}
+    ms = find_matches(p, seq("A", "B"), "__ts")
+    assert [m.groups for m in ms] == [{"a": [0], "b": [1]}, {"b": [1]}]
+
+
+def test_subtype_narrowing():
+    p = Pattern.begin("a", typed("A")).subtype(lambda e: e["__ts"] >= 1).next(
+        "b", typed("B")
+    )
+    ms = find_matches(p, seq("A", "A", "B"), "__ts")
+    assert [(m.start_idx, m.end_idx) for m in ms] == [(1, 2)]
+
+
+def test_compiled_path_equals_nfa(spark, sf_dir):
+    """Fixed-length strict patterns with exprs compile to a lead() window
+    plan (cep/compiled.py); results must equal the Python-NFA path."""
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.cep import cep, measure_select
+    from flink_ci_flink_spark.cep.compiled import try_compile
+
+    t = load_tables(spark, sf_dir)
+    ev_df = t.events.select("user_id", "event_id", "ts", "event_type")
+
+    def mk(with_expr: bool):
+        kw = (lambda s: {"expr": s}) if with_expr else (lambda s: {})
+        return (
+            Pattern.begin(
+                "a", lambda e: e["event_type"] == "click", **kw("event_type = 'click'")
+            )
+            .next(
+                "b", lambda e: e["event_type"] == "purchase", **kw("event_type = 'purchase'")
+            )
+            .within(259200)
+        )
+
+    measures = {
+        "start_id": ("a", "first", "event_id"),
+        "end_id": ("b", "last", "event_id"),
+    }
+    schema = "user_id long, start_id long, end_id long"
+    # the expr'd pattern must actually take the compiled path
+    assert (
+        try_compile(ev_df, mk(True), ["user_id"], "ts", measures, schema) is not None
+    )
+    compiled = cep(ev_df, mk(True), ["user_id"], "ts", output_schema=schema, measures=measures)
+    # no Python evaluation anywhere in the compiled plan
+    plan = compiled._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan and "ArrowEvalPython" not in plan
+    nfa = cep(
+        ev_df,
+        mk(False),
+        ["user_id"],
+        "ts",
+        select=measure_select(measures, ["user_id"]),
+        output_schema=schema,
+    )
+    key = lambda r: (r.user_id, r.start_id, r.end_id)  # noqa: E731
+    assert sorted(map(key, compiled.collect())) == sorted(map(key, nfa.collect()))
+
+
+def test_compiled_negative_and_repeat(spark, sf_dir):
+    """Compiled path handles times(n).consecutive_() and not_next."""
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.cep import cep, measure_select
+
+    t = load_tables(spark, sf_dir)
+    ev_df = t.events.select("user_id", "event_id", "ts", "event_type")
+    measures = {"first_id": ("a", "first", "event_id"), "n": ("a", "count", None)}
+    schema = "user_id long, first_id long, n long"
+
+    def mk(with_expr: bool):
+        kw = (lambda s: {"expr": s}) if with_expr else (lambda s: {})
+        return (
+            Pattern.begin(
+                "a", lambda e: e["event_type"] == "view", **kw("event_type = 'view'")
+            )
+            .times(2)
+            .consecutive_()
+            .not_next("nb", lambda e: e["event_type"] == "error", **kw("event_type = 'error'"))
+            .within(259200)
+        )
+
+    compiled = cep(ev_df, mk(True), ["user_id"], "ts", output_schema=schema, measures=measures)
+    plan = compiled._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    nfa = cep(
+        ev_df,
+        mk(False),
+        ["user_id"],
+        "ts",
+        select=measure_select(measures, ["user_id"]),
+        output_schema=schema,
+    )
+    key = lambda r: (r.user_id, r.first_id, r.n)  # noqa: E731
+    assert sorted(map(key, compiled.collect())) == sorted(map(key, nfa.collect()))
+
+
+def test_streaming_greedy_defers_until_closed(spark):
+    """A greedy one_or_more match must not emit while it could still extend
+    (reference NFA defers greedy emission); it emits exactly once, in its
+    maximal form, after the within-window expires."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from flink_ci_flink_spark.cep import cep_stream
+    from flink_ci_flink_spark.streaming import file_stream, run_to_completion
+
+    schema = "user_id long, event_id long, ts double, event_type string"
+    rows1 = [(1, 10, 0.0, "A"), (1, 11, 1.0, "B")]
+    rows2 = [(1, 12, 2.0, "B")]
+    rows3 = [(1, 13, 30.0, "X")]  # pushes the frontier past within=10
+    tmp = tempfile.mkdtemp(prefix="cep_greedy_")
+    try:
+        for i, rows in enumerate([rows1, rows2, rows3]):
+            df = spark.createDataFrame(rows, schema).coalesce(1)
+            df.write.parquet(f"{tmp}/f{i}")
+        import glob
+        import os
+
+        for i in range(3):
+            (part,) = glob.glob(f"{tmp}/f{i}/part-*.parquet")
+            os.rename(part, f"{tmp}/{i:03d}.parquet")
+            shutil.rmtree(f"{tmp}/f{i}")
+
+        pat = (
+            Pattern.begin("a", typed2("A"))
+            .followed_by("b", typed2("B"))
+            .one_or_more(max_times=4)
+            .within(10)
+        )
+
+        def select(key, m, events):
+            return {
+                "user_id": int(key[0]),
+                "n_b": len(m.groups["b"]),
+            }
+
+        stream = file_stream(
+            spark,
+            tmp,
+            spark.createDataFrame([], schema).schema,
+            max_files_per_trigger=1,
+        )
+        out = cep_stream(stream, pat, ["user_id"], "ts", select, "user_id long, n_b long")
+        name = f"cepg_{uuid.uuid4().hex[:8]}"
+        run_to_completion(out, name, "append")
+        got = [(r.user_id, r.n_b) for r in spark.table(name).collect()]
+        # exactly one emission, the maximal greedy match (both B's)
+        assert got == [(1, 2)]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def typed2(name):
+    return lambda e, n=name: e["event_type"] == n
+
+
+def test_compiled_absence_equals_nfa(spark, sf_dir):
+    """Trailing not_followed_by compiles to a next-negative-event window
+    check; must equal the NFA path."""
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.cep import cep, measure_select
+    from flink_ci_flink_spark.cep.compiled import try_compile
+
+    t = load_tables(spark, sf_dir)
+    ev_df = t.events.select("user_id", "event_id", "ts", "event_type")
+
+    def mk(with_expr: bool):
+        kw = (lambda s: {"expr": s}) if with_expr else (lambda s: {})
+        return (
+            Pattern.begin(
+                "a", lambda e: e["event_type"] == "click", **kw("event_type = 'click'")
+            )
+            .not_followed_by(
+                "np",
+                lambda e: e["event_type"] == "purchase",
+                **kw("event_type = 'purchase'"),
+            )
+            .within(86400)
+        )
+
+    measures = {"click_id": ("a", "first", "event_id")}
+    schema = "user_id long, click_id long"
+    assert try_compile(ev_df, mk(True), ["user_id"], "ts", measures, schema) is not None
+    compiled = cep(ev_df, mk(True), ["user_id"], "ts", output_schema=schema, measures=measures)
+    plan = compiled._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+    nfa = cep(
+        ev_df,
+        mk(False),
+        ["user_id"],
+        "ts",
+        select=measure_select(measures, ["user_id"]),
+        output_schema=schema,
+    )
+    key = lambda r: (r.user_id, r.click_id)  # noqa: E731
+    assert sorted(map(key, compiled.collect())) == sorted(map(key, nfa.collect()))
