@@ -13,4 +13,5 @@ from flink_ci_flink_spark.queries import cep_q  # noqa: F401,E402
 from flink_ci_flink_spark.queries import udf_q  # noqa: F401,E402
 from flink_ci_flink_spark.queries import tpch2  # noqa: F401,E402
 from flink_ci_flink_spark.queries import tpch3  # noqa: F401,E402
+from flink_ci_flink_spark.queries import tpch4  # noqa: F401,E402
 from flink_ci_flink_spark.queries import misc_q  # noqa: F401,E402
