@@ -58,19 +58,28 @@ def asof_join(
     # (keys..., __t, __is_left, left payload (null on right rows),
     #  right_values (null on left rows))
     left_payload = [c for c in left.columns if c not in keys and c != left_time]
+    # the right side rides as ONE struct so the forward-fill attaches a whole
+    # right-row version atomically (a NULL in one value column must not mix
+    # values from different versions), and its non-nullness doubles as the
+    # match marker for inner semantics
+    from pyspark.sql.types import StructField, StructType
+
+    r_struct_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in right_values]
+    )
     lt = left.select(
         *keys,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in left_payload],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_values],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     rt = right.select(
         *keys,
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
-        *[F.col(c).alias(f"__r_{c}") for c in right_values],
+        F.struct(*[F.col(c) for c in right_values]).alias("__r"),
     )
     # At equal times the right row must sort before the left row iff exact
     # matches are allowed.
@@ -85,20 +94,17 @@ def asof_join(
         "__t",
         "__is_left",
         *left_payload,
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
-            for c in right_values
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
-    out = filled.filter(F.col("__is_left") == 1).select(
+    out = filled.filter(F.col("__is_left") == 1)
+    if how == "inner":
+        out = out.filter(F.col("__r").isNotNull())
+    return out.select(
         *keys,
         F.col("__t").alias(left_time),
         *left_payload,
-        *[F.col(f"__r_{c}").alias(c) for c in right_values],
+        *[F.col(f"__r.{c}").alias(c) for c in right_values],
     )
-    if how == "inner":
-        out = out.dropna(subset=[right_values[0]]) if right_values else out
-    return out
 
 
 def interval_join(

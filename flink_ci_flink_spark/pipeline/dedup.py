@@ -105,19 +105,35 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_postings: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
 
     Inverted-index self-join: |A∩B| via groupBy on the shared shingle join,
     |A∪B| = |A|+|B|-|A∩B|. Output: (id_a, id_b, jaccard), id_a < id_b.
+
+    ``max_postings`` bounds skew: shingles appearing in more than this many
+    documents are dropped from the self-join (prefix-filtering style) — one
+    stop-word-like shingle otherwise makes a postings list whose in-bucket
+    join is quadratic. Union sizes stay exact (computed pre-cap), so results
+    are unchanged whenever the cap exceeds the true max postings length;
+    with a binding cap, intersections (hence jaccard) are lower bounds.
     """
     # Partition the inverted index by shingle once: the a/b self-join then
     # needs no further shuffle, and both sides (plus the sizes branch) hang
     # off the same exchange → computed once (ReusedExchange), not three times.
     st = shingle_table(df, text_col, id_col, n).repartition("shingle")
     sizes = st.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = st.select(F.col(id_col).alias("id_a"), "shingle")
-    b = st.select(F.col(id_col).alias("id_b"), "shingle")
+    joined = st
+    if max_postings is not None:
+        # window count rides the existing shingle partitioning (no shuffle)
+        from pyspark.sql.window import Window
+
+        joined = st.withColumn(
+            "__postings", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        ).filter(F.col("__postings") <= max_postings)
+    a = joined.select(F.col(id_col).alias("id_a"), "shingle")
+    b = joined.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -68,9 +68,11 @@ def streaming_top_n(
         else:
             vals, payloads = [], []
         for pdf in pdf_iter:
-            for _, row in pdf.iterrows():
-                vals.append(float(row[order_col]))
-                payloads.append([str(row[c]) for c in payload_cols])
+            if len(pdf) == 0:
+                continue
+            # vectorized per-batch extraction (no per-row iterrows)
+            vals.extend(pdf[order_col].astype(float).tolist())
+            payloads.extend(pdf[payload_cols].astype(str).to_numpy().tolist())
         order = sorted(range(len(vals)), key=lambda i: (-vals[i], payloads[i]))[:n]
         vals = [vals[i] for i in order]
         payloads = [payloads[i] for i in order]
@@ -105,11 +107,19 @@ def streaming_dedup_keep_last(
         best_ts = state.get[0] if state.exists else float("-inf")
         best_payload = list(state.get[1]) if state.exists else None
         for pdf in pdf_iter:
-            for _, row in pdf.iterrows():
-                t = row[ts_col].timestamp() if hasattr(row[ts_col], "timestamp") else float(row[ts_col])
-                if t > best_ts:
-                    best_ts = t
-                    best_payload = [str(row[c]) for c in payload_cols]
+            if len(pdf) == 0:
+                continue
+            # vectorized batch reduction: single idxmax, one state merge
+            s = pdf[ts_col]
+            tsv = (
+                s.astype("int64") / 1e9
+                if pd.api.types.is_datetime64_any_dtype(s)
+                else s.astype(float)
+            )
+            i = tsv.idxmax()  # first occurrence of the max, like the scan
+            if float(tsv.loc[i]) > best_ts:
+                best_ts = float(tsv.loc[i])
+                best_payload = [str(pdf.loc[i, c]) for c in payload_cols]
         if best_payload is not None:
             state.update((best_ts, best_payload))
             out = {k: [key_tuple[i]] for i, k in enumerate(keys)}

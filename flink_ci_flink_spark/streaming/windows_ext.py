@@ -37,19 +37,36 @@ def count_tumbling_window(
     state_schema = "buf_n long, buf_sum double, win long"
 
     def fn(key_tuple, pdf_iter, state):
+        import numpy as np
+
         if state.exists:
             buf_n, buf_sum, win = state.get
         else:
             buf_n, buf_sum, win = 0, 0.0, 0
+        chunks = [
+            pdf.sort_values(ts_col, kind="stable")[value_col].astype(float).to_numpy()
+            for pdf in pdf_iter
+            if len(pdf)
+        ]
         out_rows = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts_col, kind="stable")
-            for v in pdf[value_col]:
-                buf_n += 1
-                buf_sum += float(v)
-                if buf_n == size:
-                    out_rows.append((key_tuple[0], win, buf_n, buf_sum))
-                    buf_n, buf_sum, win = 0, 0.0, win + 1
+        v = np.concatenate(chunks) if chunks else np.empty(0)
+        total = buf_n + len(v)
+        k = total // size  # full windows completed this batch
+        if k:
+            # vectorized window sums: cumsum + slicing, one state merge
+            csum = np.cumsum(v)
+            ends = np.array([size - buf_n + i * size - 1 for i in range(k)])
+            sums = csum[ends].astype(float)
+            sums[0] += buf_sum
+            sums[1:] -= csum[ends[:-1]]
+            out_rows = [
+                (key_tuple[0], win + i, size, float(s)) for i, s in enumerate(sums)
+            ]
+            buf_sum = float(csum[-1] - csum[ends[-1]])
+            win += k
+        elif len(v):
+            buf_sum += float(v.sum())
+        buf_n = total - k * size
         state.update((buf_n, buf_sum, win))
         if out_rows:
             yield pd.DataFrame(out_rows, columns=[key, "win", "n", "total"])
@@ -73,20 +90,38 @@ def streaming_running_agg(
     state_schema = "running_sum double, running_n long"
 
     def fn(key_tuple, pdf_iter, state):
+        import numpy as np
+
         s, n = state.get if state.exists else (0.0, 0)
-        rows = []
+        frames = []
         for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
             pdf = pdf.sort_values(ts_col, kind="stable")
-            for _, row in pdf.iterrows():
-                t = row[ts_col]
-                tsec = t.timestamp() if hasattr(t, "timestamp") else float(t)
-                s += float(row[value_col])
-                n += 1
-                rows.append((key_tuple[0], tsec, float(row[value_col]), s, n))
-        state.update((s, n))
-        if rows:
-            yield pd.DataFrame(
-                rows, columns=[key, "ts_s", "value", "running_sum", "running_n"]
+            tcol = pdf[ts_col]
+            tsec = (
+                tcol.astype("int64").to_numpy() / 1e9
+                if pd.api.types.is_datetime64_any_dtype(tcol)
+                else tcol.astype(float).to_numpy()
             )
+            vals = pdf[value_col].astype(float).to_numpy()
+            run = np.cumsum(vals) + s
+            cnt = np.arange(1, len(vals) + 1, dtype="int64") + n
+            s = float(run[-1])
+            n = int(cnt[-1])
+            frames.append(
+                pd.DataFrame(
+                    {
+                        key: key_tuple[0],
+                        "ts_s": tsec,
+                        "value": vals,
+                        "running_sum": run,
+                        "running_n": cnt,
+                    }
+                )
+            )
+        state.update((s, n))
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
 
     return keyed_process(df, [key], fn, out_schema, state_schema, output_mode="append")

@@ -65,3 +65,38 @@ def test_decode_image_is_stubbed(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(None)
+
+
+def test_jaccard_max_postings_cap(spark):
+    """Hot-shingle cap: results identical when the cap exceeds the true max
+    postings length; a binding cap suppresses pairs that share only the
+    stop-word shingle (bounded in-bucket join at scale)."""
+    from flink_ci_flink_spark.pipeline.dedup import jaccard_pairs
+
+    # docs 1/2 are near-dups; docs 3..8 share ONLY the hot phrase
+    hot = "the quick brown"
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+    ] + [(i, f"{hot} filler{i} word{i} tail{i}") for i in range(3, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(df, threshold=0.1).collect()
+    }
+    assert any(k == (1, 2) for k in base)
+    # non-binding cap: identical output
+    capped_loose = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(df, threshold=0.1, max_postings=100).collect()
+    }
+    assert capped_loose == base
+    # binding cap (hot shingle appears in 6 docs): hot-only pairs vanish,
+    # the true near-dup pair survives
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(df, threshold=0.1, max_postings=3).collect()
+    }
+    assert (1, 2) in capped
+    assert all(a in (1, 2) and b in (1, 2) for a, b in capped)

@@ -140,3 +140,24 @@ def test_salted_broadcast_join_matches_plain(spark, sf_dir):
     got = salted_broadcast_left(big, small, "k").count()
     want = big.join(small, "k").count()
     assert got == want
+
+
+def test_asof_join_null_column_whole_row(spark):
+    """A right row with NULL in one value column must attach as-is (whole-row
+    version semantics, ref TemporalRowTimeJoinOperator.java:50-69) — not mix
+    values forward-filled from an older version; inner keeps rows whose
+    matched version has NULLs."""
+    from flink_ci_flink_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 20.0, "b")], "k long, t double, payload string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5.0, "v1", 100), (1, 15.0, None, 200)],
+        "k long, rt double, val string, num int",
+    )
+    out = asof_join(left, right, "k", "t", "rt").orderBy("t").collect()
+    assert [(r.val, r.num) for r in out] == [("v1", 100), (None, 200)]
+    inner = asof_join(left, right, "k", "t", "rt", how="inner").orderBy("t").collect()
+    # both left rows matched a version; the NULL val row must survive inner
+    assert len(inner) == 2 and inner[1].val is None and inner[1].num == 200
