@@ -88,3 +88,18 @@ def sessionize(
     ).cast("long")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("session_id", F.sum(is_new).over(wrun) - 1)
+
+
+def session_dynamic(
+    df: DataFrame, ts: str, gap: Column, keys: Sequence[str], aggs: Sequence[Column]
+) -> DataFrame:
+    """SESSION with per-event dynamic gap (`DynamicGapSession` /
+    `SessionWindowAssigner` with a SessionWindowTimeGapExtractor).
+
+    Spark's session_window accepts a gap Column natively: each event opens
+    [ts, ts+gap) and overlapping windows merge — identical merge semantics
+    to the reference's dynamic-gap session assigner. ``gap`` is an interval
+    Column or an expression yielding one (e.g.
+    ``F.when(cond, "30 seconds").otherwise("5 seconds")``)."""
+    g = df.groupBy(F.session_window(ts, gap).alias("window"), *keys).agg(*aggs)
+    return _flatten(g, keys, [F.col(c) for c in g.columns if c not in ("window", *keys)])

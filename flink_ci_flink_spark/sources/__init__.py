@@ -58,16 +58,121 @@ def decode_csv(col, schema: str, sep: str = ",") -> Column:
     return F.from_csv(c, F.lit(schema), {"sep": sep})
 
 
-def decode_avro(col, json_schema: str) -> Column:
-    """Avro payload decode — requires the spark-avro package (not bundled)."""
-    try:
-        from pyspark.sql.avro.functions import from_avro
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "spark-avro package not available in this environment"
-        ) from exc
+def decode_avro(col, json_schema: str, use_jvm: bool | None = None) -> Column:
+    """Avro payload decode (AvroRowDeserializationSchema analog).
+
+    Uses the JVM `from_avro` when the spark-avro package is loaded;
+    otherwise falls back to the vendored pure-Python binary decoder
+    (`sources/avro_codec.py`, Arrow-batched pandas UDF — records of
+    primitives and nullable unions)."""
     c = F.col(col) if isinstance(col, str) else col
-    return from_avro(c, json_schema)
+    if use_jvm is not False:
+        try:
+            from pyspark.sql.avro.functions import from_avro
+
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            # probe: AVRO_NOT_LOADED raises at expression creation time
+            out = from_avro(c, json_schema)
+            spark.range(0).select(
+                from_avro(F.lit(b"").cast("binary"), json_schema)
+            ).schema
+            return out
+        except Exception:
+            if use_jvm:
+                raise
+    from pyspark.sql.types import StructType
+
+    from flink_ci_flink_spark.sources.avro_codec import decode_record, spark_ddl_for
+
+    ddl = spark_ddl_for(json_schema)
+    out_type = StructType.fromDDL(ddl)
+
+    @F.pandas_udf(out_type)
+    def _decode(s):
+        import pandas as pd
+
+        recs = [
+            decode_record(bytes(b), json_schema) if b is not None else None
+            for b in s
+        ]
+        return pd.DataFrame(
+            [
+                {f.name: (r.get(f.name) if r else None) for f in out_type.fields}
+                for r in recs
+            ]
+        )
+
+    return _decode(c)
+
+
+# -- Kafka wrappers (FlinkKafkaConsumer.java:73 / FlinkKafkaProducer.java:99) -
+
+#: Flink Kafka consumer/producer property -> Spark kafka source/sink option.
+#: (`flink-connectors/flink-connector-kafka/.../FlinkKafkaConsumer.java`,
+#: Spark Structured Streaming Kafka integration guide — both public.)
+KAFKA_OPTION_MAP = {
+    "bootstrap.servers": "kafka.bootstrap.servers",
+    "group.id": "kafka.group.id",
+    "topic": "subscribe",
+    "topics": "subscribe",
+    "topic-pattern": "subscribePattern",
+    "scan.startup.mode:earliest-offset": ("startingOffsets", "earliest"),
+    "scan.startup.mode:latest-offset": ("startingOffsets", "latest"),
+    "properties.security.protocol": "kafka.security.protocol",
+    "properties.sasl.mechanism": "kafka.sasl.mechanism",
+    "properties.sasl.jaas.config": "kafka.sasl.jaas.config",
+    "sink.parallelism": None,  # Spark derives sink parallelism from the plan
+    "format": None,  # payload decode is a separate decode_* call here
+}
+
+
+def kafka_options(flink_props: dict) -> dict:
+    """Map Flink Kafka connector properties to Spark reader/writer options.
+
+    Pure function (unit-testable without a broker). Unknown `properties.*`
+    keys pass through with the `kafka.` prefix (both systems hand them to
+    the Kafka client verbatim); mapped keys translate per KAFKA_OPTION_MAP;
+    keys mapped to None are intentionally dropped."""
+    out: dict = {}
+    for k, v in flink_props.items():
+        enum_key = f"{k}:{v}"
+        if enum_key in KAFKA_OPTION_MAP:
+            opt, val = KAFKA_OPTION_MAP[enum_key]
+            out[opt] = val
+        elif k in KAFKA_OPTION_MAP:
+            tgt = KAFKA_OPTION_MAP[k]
+            if tgt is not None:
+                out[tgt] = v
+        elif k.startswith("properties."):
+            out["kafka." + k[len("properties.") :]] = v
+        else:
+            out[k] = v
+    return out
+
+
+def read_kafka(spark: SparkSession, flink_props: dict, streaming: bool = True) -> DataFrame:
+    """Kafka source (FlinkKafkaConsumer analog): returns the raw
+    (key, value, topic, partition, offset, timestamp) frame; decode the
+    value payload with decode_json/decode_csv/decode_avro. Requires the
+    spark-sql-kafka package on the classpath at runtime."""
+    opts = kafka_options(flink_props)
+    reader = (spark.readStream if streaming else spark.read).format("kafka")
+    return reader.options(**opts).load()
+
+
+def write_kafka(df: DataFrame, flink_props: dict, checkpoint_dir: str):
+    """Kafka sink (FlinkKafkaProducer analog): df must carry `value` (and
+    optionally `key`/`topic`) columns, per the Spark Kafka sink contract.
+    Returns the started StreamingQuery."""
+    opts = kafka_options(flink_props)
+    return (
+        df.writeStream.format("kafka")
+        .options(**opts)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
 
 
 def write_partitioned(

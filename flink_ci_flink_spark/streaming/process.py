@@ -31,11 +31,18 @@ def keyed_process(
     state_schema: str,
     output_mode: str = "update",
     timeout: str = "NoTimeout",
+    idle_ttl_seconds: float | None = None,
 ) -> DataFrame:
     """ProcessFunction analog: ``fn(key, batch_iter, state) -> pdf iter``.
 
     ``timeout``: NoTimeout | ProcessingTimeTimeout | EventTimeTimeout
-    (EventTimeTimeout requires a watermark on ``df``)."""
+    (EventTimeTimeout requires a watermark on ``df``).
+    ``idle_ttl_seconds``: drop a key's state after this much processing-time
+    idleness (StateTtlConfig / idle-state retention analog) — wraps ``fn``
+    with `with_idle_ttl` and forces ProcessingTimeTimeout."""
+    if idle_ttl_seconds is not None:
+        fn = with_idle_ttl(fn, idle_ttl_seconds)
+        timeout = "ProcessingTimeTimeout"
     return df.groupBy(*keys).applyInPandasWithState(
         fn, output_schema, state_schema, output_mode, getattr(GroupStateTimeout, timeout)
     )
@@ -129,3 +136,138 @@ def streaming_dedup_keep_last(
             yield pd.DataFrame(out)
 
     return keyed_process(df, keys, fn, schema_out, state_schema, "update")
+
+
+def streaming_top_n_retractable(
+    df: DataFrame,
+    key: str,
+    row_key: str,
+    order_col: str,
+    n: int,
+) -> DataFrame:
+    """Top-n over an UPDATE stream: each (key, row_key) carries a latest
+    value; a new value for an existing row_key replaces the old one (an
+    implicit retraction), which can evict it from — or promote it into —
+    the current top-n. Re-emits the full current top-n per key on every
+    batch that touches the key.
+
+    Reference: `RetractableTopNFunction.java:54` / `UpdatableTopNFunction.java`
+    (operators/rank/) — the update-stream ranking operators whose state maps
+    row key → latest record + a sorted rank view. State here is exactly that
+    map (row_key, value arrays); the rank view is recomputed per batch
+    (vectorized argsort), which is the right trade at Arrow batch
+    granularity.
+
+    Output: (key, row_key, order_col, rn), update mode.
+    """
+    schema_out = f"{key} long, {row_key} long, {order_col} double, rn integer"
+    state_schema = "row_keys array<long>, vals array<double>"
+
+    def fn(key_tuple, pdf_iter, state: GroupState):
+        if state.exists:
+            row_keys, vals = state.get
+            latest = dict(zip(row_keys, vals))
+        else:
+            latest = {}
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            # last occurrence per row_key within the batch wins (arrival order)
+            dedup = pdf.drop_duplicates(subset=[row_key], keep="last")
+            latest.update(
+                zip(dedup[row_key].astype(int), dedup[order_col].astype(float))
+            )
+        state.update((list(latest.keys()), list(latest.values())))
+        top = sorted(latest.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+        if top:
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]] * len(top),
+                    row_key: [k for k, _ in top],
+                    order_col: [v for _, v in top],
+                    "rn": list(range(1, len(top) + 1)),
+                }
+            )
+
+    return keyed_process(df, [key], fn, schema_out, state_schema, "update")
+
+
+def with_idle_ttl(fn, ttl_seconds: float):
+    """Wrap a keyed_process fn with idle-state TTL (StateTtlConfig /
+    idle-state retention `TableConfig:285` analog): if a key receives no
+    data for ttl_seconds of processing time, its state is dropped. Use with
+    ``keyed_process(..., timeout="ProcessingTimeTimeout")`` (or pass
+    ``idle_ttl_seconds`` to keyed_process, which wires both)."""
+
+    def wrapped(key_tuple, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        yield from fn(key_tuple, pdf_iter, state)
+        state.setTimeoutDuration(int(ttl_seconds * 1000))
+
+    return wrapped
+
+
+def streaming_event_time_sort(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    payload_cols: list[str],
+    delay_seconds: float = 0.0,
+) -> DataFrame:
+    """Watermark-delayed ordered emit (`RowTimeSortOperator` /
+    `StreamExecTemporalSort.scala`): buffer out-of-order events per key and
+    release them in event-time order once the per-key frontier
+    (max event time seen − delay) passes them. Rows arriving behind the
+    already-emitted frontier are late and dropped, exactly like the
+    reference's row-time sort under watermark.
+
+    Output: (key, ts_s, payloads...) in event-time order per key (append)."""
+    import json
+
+    schema_out = ", ".join(
+        [f"{key} long", "ts_s double"] + [f"{c} string" for c in payload_cols]
+    )
+    state_schema = "ts array<double>, payload array<string>, frontier double"
+
+    def fn(key_tuple, pdf_iter, state: GroupState):
+        if state.exists:
+            buf_ts, buf_pl, frontier = state.get
+            buf_ts = list(buf_ts)
+            buf_pl = list(buf_pl)
+        else:
+            buf_ts, buf_pl, frontier = [], [], float("-inf")
+        max_seen = frontier + delay_seconds if buf_ts or frontier > float("-inf") else float("-inf")
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            s = pdf[ts_col]
+            tsv = (
+                s.astype("int64") / 1e9
+                if pd.api.types.is_datetime64_any_dtype(s)
+                else s.astype(float)
+            )
+            recs = pdf[payload_cols].astype(str).to_dict("records")
+            for t, r in zip(tsv, recs):
+                t = float(t)
+                max_seen = max(max_seen, t)
+                if t <= frontier:
+                    continue  # late: the sort already emitted past this time
+                buf_ts.append(t)
+                buf_pl.append(json.dumps(r))
+        new_frontier = max(frontier, max_seen - delay_seconds)
+        order = sorted(range(len(buf_ts)), key=lambda i: buf_ts[i])
+        emit = [i for i in order if buf_ts[i] <= new_frontier]
+        keep = [i for i in order if buf_ts[i] > new_frontier]
+        if emit:
+            out = {key: [key_tuple[0]] * len(emit), "ts_s": [buf_ts[i] for i in emit]}
+            payloads = [json.loads(buf_pl[i]) for i in emit]
+            for c in payload_cols:
+                out[c] = [p[c] for p in payloads]
+            yield pd.DataFrame(out)
+        state.update(
+            ([buf_ts[i] for i in keep], [buf_pl[i] for i in keep], new_frontier)
+        )
+
+    return keyed_process(df, [key], fn, schema_out, state_schema, "append")

@@ -79,3 +79,98 @@ def test_text_source(spark):
         assert {r.value for r in rows} == {"hello", "world"}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_avro_codec_roundtrip_python():
+    """Vendored Avro binary codec: encode→decode round-trip across every
+    supported primitive + nullable union branches (Avro spec encoding)."""
+    from flink_ci_flink_spark.sources.avro_codec import (
+        decode_record,
+        encode_record,
+        spark_ddl_for,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "opt", "type": ["null", "string"]},
+            {"name": "opt2", "type": ["null", "long"]},
+        ],
+    }
+    rec = {
+        "b": True, "i": -42, "l": 2**40, "f": 1.5, "d": -2.25,
+        "s": "héllo", "by": b"\x00\x01", "opt": None, "opt2": -7,
+    }
+    out = decode_record(encode_record(rec, schema), schema)
+    assert out == rec
+    assert "opt2 long" in spark_ddl_for(schema)
+    # negative zigzag edge
+    rec2 = dict(rec, i=-1, l=-(2**40), opt="x", opt2=None)
+    assert decode_record(encode_record(rec2, schema), schema) == rec2
+
+
+def test_decode_avro_fallback_udf(spark):
+    """decode_avro's pure-Python fallback decodes a binary payload column
+    through the Arrow-batched pandas UDF."""
+    import json
+
+    from flink_ci_flink_spark.sources import decode_avro
+    from flink_ci_flink_spark.sources.avro_codec import encode_record
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "m",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "name", "type": "string"},
+                {"name": "score", "type": ["null", "double"]},
+            ],
+        }
+    )
+    rows = [
+        (encode_record({"id": 1, "name": "a", "score": 0.5}, schema),),
+        (encode_record({"id": 2, "name": "b", "score": None}, schema),),
+    ]
+    df = spark.createDataFrame(rows, "payload binary")
+    got = (
+        df.select(decode_avro("payload", schema, use_jvm=False).alias("rec"))
+        .select("rec.*")
+        .orderBy("id")
+        .collect()
+    )
+    assert [(r.id, r.name, r.score) for r in got] == [(1, "a", 0.5), (2, "b", None)]
+
+
+def test_kafka_option_mapping():
+    """Flink Kafka connector properties -> Spark kafka options (offline)."""
+    from flink_ci_flink_spark.sources import kafka_options
+
+    opts = kafka_options(
+        {
+            "bootstrap.servers": "h1:9092,h2:9092",
+            "topic": "clicks",
+            "group.id": "g1",
+            "scan.startup.mode": "earliest-offset",
+            "properties.security.protocol": "SASL_SSL",
+            "properties.max.poll.records": "500",
+            "format": "json",
+            "sink.parallelism": "4",
+        }
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "h1:9092,h2:9092",
+        "subscribe": "clicks",
+        "kafka.group.id": "g1",
+        "startingOffsets": "earliest",
+        "kafka.security.protocol": "SASL_SSL",
+        "kafka.max.poll.records": "500",
+    }

@@ -161,3 +161,248 @@ def test_asof_join_null_column_whole_row(spark):
     inner = asof_join(left, right, "k", "t", "rt", how="inner").orderBy("t").collect()
     # both left rows matched a version; the NULL val row must survive inner
     assert len(inner) == 2 and inner[1].val is None and inner[1].num == 200
+
+
+def test_streaming_bounded_over_rows(spark, events_stream_dir):  # noqa: F811
+    """ROWS BETWEEN N PRECEDING streaming over-window == batch
+    Window.rowsBetween on the same (ordered-replay) data."""
+    from pyspark.sql.window import Window
+
+    from flink_ci_flink_spark.streaming import run_to_completion
+    from flink_ci_flink_spark.streaming.windows_ext import streaming_bounded_over
+
+    stream = _events_stream(spark, events_stream_dir, per_trigger=1)
+    out = streaming_bounded_over(
+        stream.select("user_id", "ts", "value"), "user_id", "ts", "value",
+        rows_preceding=4,
+    )
+    name = f"bo_{uuid.uuid4().hex[:8]}"
+    run_to_completion(out, name, "append")
+    got = {
+        (r.user_id, round(r.ts_s, 6)): (round(r.w_sum, 6), r.w_n)
+        for r in spark.table(name).collect()
+    }
+    path, schema = events_stream_dir
+    w = (
+        Window.partitionBy("user_id").orderBy("ts").rowsBetween(-4, Window.currentRow)
+    )
+    batch = (
+        spark.read.schema(schema).parquet(path)
+        .select(
+            "user_id",
+            F.col("ts").cast("double").alias("ts_s"),
+            F.sum("value").over(w).alias("w_sum"),
+            F.count(F.lit(1)).over(w).alias("w_n"),
+        )
+        .collect()
+    )
+    want = {
+        (r.user_id, round(r.ts_s, 6)): (round(r.w_sum, 6), r.w_n) for r in batch
+    }
+    assert got == want
+
+
+def test_streaming_bounded_over_range(spark, events_stream_dir):  # noqa: F811
+    """RANGE BETWEEN T PRECEDING streaming over-window == batch
+    Window.rangeBetween on epoch seconds."""
+    from pyspark.sql.window import Window
+
+    from flink_ci_flink_spark.streaming import run_to_completion
+    from flink_ci_flink_spark.streaming.windows_ext import streaming_bounded_over
+
+    horizon = 86400.0 * 2
+    stream = _events_stream(spark, events_stream_dir, per_trigger=1)
+    out = streaming_bounded_over(
+        stream.select("user_id", "ts", "value"), "user_id", "ts", "value",
+        range_preceding=horizon,
+    )
+    name = f"br_{uuid.uuid4().hex[:8]}"
+    run_to_completion(out, name, "append")
+    got = {
+        (r.user_id, round(r.ts_s, 6)): (round(r.w_sum, 6), r.w_n)
+        for r in spark.table(name).collect()
+    }
+    path, schema = events_stream_dir
+    rows = (
+        spark.read.schema(schema).parquet(path)
+        .select("user_id", F.col("ts").cast("double").alias("ts_s"), "value")
+        .orderBy("ts_s")
+        .collect()
+    )
+    per_user: dict = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append((r.ts_s, r.value))
+    want = {}
+    for u, series in per_user.items():
+        for i, (t, _v) in enumerate(series):
+            in_win = [v for (t2, v) in series[: i + 1] if t2 >= t - horizon]
+            want[(u, round(t, 6))] = (round(sum(in_win), 6), len(in_win))
+    assert got == want
+
+
+def test_count_sliding_window(spark, events_stream_dir):  # noqa: F811
+    """Sliding count-window == chunking each key's ordered series with
+    (size, slide)."""
+    from flink_ci_flink_spark.streaming import run_to_completion
+    from flink_ci_flink_spark.streaming.windows_ext import count_sliding_window
+
+    size, slide = 10, 5
+    stream = _events_stream(spark, events_stream_dir, per_trigger=2)
+    out = count_sliding_window(
+        stream.select("user_id", "ts", "value"), "user_id", "ts", "value",
+        size=size, slide=slide,
+    )
+    name = f"cs_{uuid.uuid4().hex[:8]}"
+    run_to_completion(out, name, "append")
+    got = {
+        (r.user_id, r.win): (r.n, round(r.total, 6))
+        for r in spark.table(name).collect()
+    }
+    path, schema = events_stream_dir
+    ev = spark.read.schema(schema).parquet(path).orderBy("ts").collect()
+    per_user = {}
+    for r in ev:
+        per_user.setdefault(r.user_id, []).append(r.value)
+    want = {}
+    for u, vals in per_user.items():
+        w = 0
+        for end in range(size, len(vals) + 1, slide):
+            want[(u, w)] = (size, round(sum(vals[end - size : end]), 6))
+            w += 1
+    assert got == want
+
+
+def test_streaming_top_n_retractable(spark):
+    """An update lowering a current top-n member's value must evict it
+    (RetractableTopNFunction semantics) — final emitted top-n reflects the
+    latest values, not the running maxima."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from flink_ci_flink_spark.streaming import file_stream, run_to_completion
+    from flink_ci_flink_spark.streaming.process import streaming_top_n_retractable
+
+    schema = "k long, item long, score double"
+    batches = [
+        [(1, 10, 5.0), (1, 11, 4.0), (1, 12, 3.0)],   # top2 = {10, 11}
+        [(1, 10, 1.0), (1, 13, 3.5)],                  # 10 demoted; top2 = {11, 13}
+    ]
+    tmp = tempfile.mkdtemp(prefix="rtopn_")
+    try:
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{tmp}/f{i}")
+            (part,) = glob.glob(f"{tmp}/f{i}/part-*.parquet")
+            os.rename(part, f"{tmp}/{i:03d}.parquet")
+            shutil.rmtree(f"{tmp}/f{i}")
+        stream = file_stream(
+            spark, tmp, spark.createDataFrame([], schema).schema, max_files_per_trigger=1
+        )
+        out = streaming_top_n_retractable(stream, "k", "item", "score", n=2)
+        name = f"rt_{uuid.uuid4().hex[:8]}"
+        run_to_completion(out, name, "update")
+        # update-mode memory sink keeps the latest row per output key; collect
+        # the final rn:1/rn:2 assignment
+        final = {
+            r.rn: (r.item, r.score)
+            for r in spark.table(name).orderBy("rn").collect()
+        }
+        assert final == {1: (11, 4.0), 2: (13, 3.5)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_event_time_sort(spark):
+    """Out-of-order input emits in event-time order; rows behind the emitted
+    frontier are dropped as late (RowTimeSortOperator semantics)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from flink_ci_flink_spark.streaming import file_stream, run_to_completion
+    from flink_ci_flink_spark.streaming.process import streaming_event_time_sort
+
+    schema = "k long, ts double, v string"
+    batches = [
+        [(1, 3.0, "c"), (1, 1.0, "a"), (1, 2.0, "b")],   # frontier -> 3
+        [(1, 2.5, "late"), (1, 5.0, "e"), (1, 4.0, "d")],  # 2.5 < 3: dropped
+    ]
+    tmp = tempfile.mkdtemp(prefix="etsort_")
+    try:
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{tmp}/f{i}")
+            (part,) = glob.glob(f"{tmp}/f{i}/part-*.parquet")
+            os.rename(part, f"{tmp}/{i:03d}.parquet")
+            shutil.rmtree(f"{tmp}/f{i}")
+        stream = file_stream(
+            spark, tmp, spark.createDataFrame([], schema).schema, max_files_per_trigger=1
+        )
+        out = streaming_event_time_sort(stream, "k", "ts", ["v"], delay_seconds=0.0)
+        name = f"es_{uuid.uuid4().hex[:8]}"
+        run_to_completion(out, name, "append")
+        got = [r.v for r in spark.table(name).orderBy("ts_s").collect()]
+        # emitted in order, late row 2.5 absent
+        assert got == ["a", "b", "c", "d", "e"]
+        ts = [r.ts_s for r in spark.table(name).orderBy("ts_s").collect()]
+        assert ts == sorted(ts) and 2.5 not in ts
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_with_idle_ttl_wrapper():
+    """TTL wrapper: timed-out keys drop state and emit nothing; live keys
+    re-arm the processing-time timer."""
+    from flink_ci_flink_spark.streaming.process import with_idle_ttl
+
+    class FakeState:
+        def __init__(self, timed_out):
+            self.hasTimedOut = timed_out
+            self.removed = False
+            self.timeout_ms = None
+
+        def remove(self):
+            self.removed = True
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    def fn(key, it, state):
+        yield "row"
+
+    wrapped = with_idle_ttl(fn, 30.0)
+    dead = FakeState(True)
+    assert list(wrapped((1,), iter(()), dead)) == []
+    assert dead.removed and dead.timeout_ms is None
+    live = FakeState(False)
+    assert list(wrapped((1,), iter(()), live)) == ["row"]
+    assert live.timeout_ms == 30000 and not live.removed
+
+
+def test_session_dynamic_gap(spark):
+    """Dynamic-gap sessions: per-event gap column drives merge behavior
+    (DynamicGapSession analog on native session_window)."""
+    from flink_ci_flink_spark.operators.windows import session_dynamic
+
+    rows = [
+        # key 1: purchases extend the session by 30s, views by 5s
+        (1, 0.0, "view"),      # [0, 5)
+        (1, 4.0, "purchase"),  # [4, 34)  merges -> [0, 34)
+        (1, 20.0, "view"),     # [20, 25) merges -> [0, 34)
+        (1, 60.0, "view"),     # new session [60, 65)
+    ]
+    df = spark.createDataFrame(rows, "k long, tsec double, et string").select(
+        "k", F.timestamp_seconds("tsec").alias("ts"), "et"
+    )
+    gap = F.when(F.col("et") == "purchase", F.lit("30 seconds")).otherwise(
+        F.lit("5 seconds")
+    )
+    out = session_dynamic(
+        df, "ts", gap, ["k"], [F.count(F.lit(1)).alias("n")]
+    ).orderBy("window_start").collect()
+    assert [(r.n, r.window_start.second if hasattr(r.window_start, "second") else None) for r in out] == [
+        (3, 0), (1, 0)
+    ]
+    assert out[0].window_end.second == 34
+    assert out[1].window_start.minute == 1
