@@ -1,11 +1,14 @@
 """Graph library (Gelly parity): DataFrame-iteration algorithms."""
 
 from flink_ci_flink_spark.graph.algorithms import (  # noqa: F401
+    adamic_adar,
     connected_components,
     degrees,
+    hits,
     label_propagation,
     pagerank,
     sssp,
+    summarize,
     triangle_count,
     undirect,
 )

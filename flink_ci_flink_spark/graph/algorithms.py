@@ -111,20 +111,23 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("contrib"))
         )
+        # dangling mass folds in as a 1-row broadcast aggregate — no driver
+        # action per superstep (the loop stays lazy between checkpoints)
         dangling = (
             ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             vertices.select("id")
             .join(contribs, "id", "left")
+            .join(F.broadcast(dangling))
             .select(
                 "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("__dangling") / F.lit(float(n))
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
             )
         )
         ranks = _maybe_checkpoint(ranks, i)
@@ -231,3 +234,89 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     closing = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     tris = wedges.join(closing, ["a", "c"])
     return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def hits(
+    vertices: DataFrame, edges: DataFrame, iterations: int = 10
+) -> DataFrame:
+    """HITS hubs & authorities (`graph/library/linkanalysis/HITS.java`):
+    auth(v) = Σ hub(u) over u→v, hub(v) = Σ auth(w) over v→w, each step
+    L2-normalized. Normalizers fold in as 1-row broadcast aggregates (no
+    driver action per superstep). Output: (id, hub, auth)."""
+    edges = edges.localCheckpoint(eager=True)
+    scores = vertices.select("id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+    for i in range(iterations):
+        auth_new = (
+            edges.join(scores, edges.src == scores.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("auth_raw"))
+        )
+        a = (
+            vertices.select("id")
+            .join(auth_new, "id", "left")
+            .select("id", F.coalesce(F.col("auth_raw"), F.lit(0.0)).alias("auth_raw"))
+        )
+        a_norm = a.agg(F.sqrt(F.sum(F.col("auth_raw") ** 2)).alias("__an"))
+        a = a.join(F.broadcast(a_norm)).select(
+            "id",
+            F.when(F.col("__an") > 0, F.col("auth_raw") / F.col("__an"))
+            .otherwise(F.lit(0.0))
+            .alias("auth"),
+        )
+        hub_new = (
+            edges.join(a, edges.dst == a.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("auth").alias("hub_raw"))
+        )
+        h = (
+            vertices.select("id")
+            .join(hub_new, "id", "left")
+            .select("id", F.coalesce(F.col("hub_raw"), F.lit(0.0)).alias("hub_raw"))
+        )
+        h_norm = h.agg(F.sqrt(F.sum(F.col("hub_raw") ** 2)).alias("__hn"))
+        h = h.join(F.broadcast(h_norm)).select(
+            "id",
+            F.when(F.col("__hn") > 0, F.col("hub_raw") / F.col("__hn"))
+            .otherwise(F.lit(0.0))
+            .alias("hub"),
+        )
+        scores = _maybe_checkpoint(h.join(a, "id").select("id", "hub", "auth"), i)
+    return scores
+
+
+def adamic_adar(edges: DataFrame) -> DataFrame:
+    """Adamic-Adar link-prediction scores
+    (`graph/library/similarity/AdamicAdar.java`): for each vertex pair
+    (u, w) sharing a neighbor v, score += 1/ln(deg(v)), over the
+    undirected graph. One self-join on the shared neighbor — cost bounded
+    by Σ deg(v)², the standard formulation (Gelly shades the same way).
+    Output: (u, w, score), u < w."""
+    und = undirect(edges)
+    deg = und.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    nbr = und.select(F.col("src").alias("v"), F.col("dst").alias("n"))
+    pairs = (
+        nbr.alias("a")
+        .join(nbr.alias("b"), "v")
+        .filter(F.col("a.n") < F.col("b.n"))
+        .join(deg, "v")
+        .filter(F.col("deg") > 1)
+    )
+    return (
+        pairs.groupBy(F.col("a.n").alias("u"), F.col("b.n").alias("w"))
+        .agg(F.sum(F.lit(1.0) / F.log(F.col("deg").cast("double"))).alias("score"))
+    )
+
+
+def summarize(vertices: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Graph summarization (`graph/library/Summarization.java`): collapse
+    vertices sharing a `value` into one summary vertex; edges aggregate to
+    (src_value, dst_value, count). Pure relational — two group-bys."""
+    v_sum = vertices.groupBy("value").agg(F.count(F.lit(1)).alias("n_vertices"))
+    vv = vertices.select(F.col("id"), F.col("value"))
+    e_sum = (
+        edges.join(vv.withColumnRenamed("id", "src").withColumnRenamed("value", "src_value"), "src")
+        .join(vv.withColumnRenamed("id", "dst").withColumnRenamed("value", "dst_value"), "dst")
+        .groupBy("src_value", "dst_value")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return v_sum, e_sum

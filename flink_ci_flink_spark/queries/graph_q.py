@@ -155,3 +155,81 @@ def graph_sssp_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = intra.unionByName(chain)
     return sssp(edges, source=0, max_iter=8)
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    undirected AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), deg AS (
+      SELECT src AS v, COUNT(*) AS degree FROM undirected GROUP BY src
+    ), nbr AS (
+      SELECT src AS v, dst AS n FROM undirected
+    )
+    SELECT a.n AS u, b.n AS w,
+           FLOOR(SUM(1.0 / LN(degree)) * 1e6 + 0.5) / 1e6 AS score
+    FROM nbr a JOIN nbr b USING (v) JOIN deg USING (v)
+    WHERE a.n < b.n AND degree > 1
+    GROUP BY u, w
+    """,
+    group="graph",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the near-dup graph
+    (`graph/library/similarity/AdamicAdar.java`): candidate pairs share a
+    neighbor, weighted 1/ln(deg(shared))."""
+    from flink_ci_flink_spark.graph import adamic_adar
+
+    t = load_tables(spark, sf_dir)
+    edges = jaccard_pairs(t.documents, threshold=0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return adamic_adar(edges).select(
+        "u",
+        "w",
+        (F.floor(F.col("score") * 1e6 + F.lit(0.5)) / F.lit(1e6)).alias("score"),
+    )
+
+
+@query(
+    "graph_summarize_sources",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    e_sum AS (
+      SELECT ds.source AS src_value, dd.source AS dst_value, COUNT(*) AS n_edges
+      FROM edges
+      JOIN documents ds ON ds.doc_id = edges.src
+      JOIN documents dd ON dd.doc_id = edges.dst
+      GROUP BY 1, 2
+    ), v_sum AS (
+      SELECT source, COUNT(*) AS n_vertices FROM documents GROUP BY source
+    )
+    SELECT src_value, dst_value, n_edges, n_vertices AS src_group_size
+    FROM e_sum JOIN v_sum ON source = src_value
+    """,
+    group="graph",
+)
+def graph_summarize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph summarization (`graph/library/Summarization.java`): collapse
+    the near-dup graph by document source — summary edges carry pair counts,
+    summary vertices carry group sizes."""
+    from flink_ci_flink_spark.graph import summarize
+
+    t = load_tables(spark, sf_dir)
+    edges = jaccard_pairs(t.documents, threshold=0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    vertices = t.documents.select(
+        F.col("doc_id").alias("id"), F.col("source").alias("value")
+    )
+    v_sum, e_sum = summarize(vertices, edges)
+    return e_sum.join(
+        F.broadcast(v_sum.withColumnRenamed("value", "src_value")), "src_value"
+    ).select(
+        "src_value",
+        "dst_value",
+        "n_edges",
+        F.col("n_vertices").alias("src_group_size"),
+    )

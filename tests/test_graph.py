@@ -79,3 +79,73 @@ def test_triangle_count(spark, toy_graph):
 
     _, edges = toy_graph
     assert triangle_count(edges).first().n_triangles == 1
+
+
+def test_hits_matches_numpy(spark):
+    """HITS hub/auth vectors == numpy power iteration with L2 normalization."""
+    import numpy as np
+
+    from flink_ci_flink_spark.graph import hits
+
+    edges = [(0, 1), (0, 2), (1, 2), (3, 2), (2, 4)]
+    n = 5
+    vdf = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: (r.hub, r.auth) for r in hits(vdf, edf, iterations=8).collect()}
+
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[s, d] = 1.0
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(8):
+        a = A.T @ h
+        a = a / np.linalg.norm(a) if np.linalg.norm(a) else a
+        h = A @ a
+        h = h / np.linalg.norm(h) if np.linalg.norm(h) else h
+    for i in range(n):
+        assert abs(got[i][0] - h[i]) < 1e-9 and abs(got[i][1] - a[i]) < 1e-9
+
+
+def test_adamic_adar_matches_bruteforce(spark):
+    """AA scores == brute-force python over common neighbors."""
+    import math
+    from collections import defaultdict
+
+    from flink_ci_flink_spark.graph import adamic_adar
+
+    edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (3, 4)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.u, r.w): r.score for r in adamic_adar(edf).collect()}
+
+    nbrs = defaultdict(set)
+    for s, d in edges:
+        nbrs[s].add(d)
+        nbrs[d].add(s)
+    want = defaultdict(float)
+    for v, ns in nbrs.items():
+        if len(ns) <= 1:
+            continue
+        for u in ns:
+            for w in ns:
+                if u < w:
+                    want[(u, w)] += 1.0 / math.log(len(ns))
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_summarize(spark):
+    from flink_ci_flink_spark.graph import summarize
+
+    vdf = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b"), (3, "b")], "id long, value string"
+    )
+    edf = spark.createDataFrame([(0, 2), (1, 2), (0, 1), (2, 3)], "src long, dst long")
+    v_sum, e_sum = summarize(vdf, edf)
+    assert {(r.value, r.n_vertices) for r in v_sum.collect()} == {("a", 2), ("b", 2)}
+    assert {(r.src_value, r.dst_value, r.n_edges) for r in e_sum.collect()} == {
+        ("a", "b", 2),
+        ("a", "a", 1),
+        ("b", "b", 1),
+    }
