@@ -44,6 +44,9 @@ HEADLINE = [
     "tpch_q9_product_profit",
     "cep_click_click_purchase",
     "graph_dedup_clusters",
+    "tpch_q21_suppliers_who_kept_waiting",
+    "tpcds_shape_rank_over_rollup",
+    "cep_click_no_purchase",
 ]
 
 
