@@ -15,6 +15,16 @@ above-average filters, rank-over-rollup — against the synthetic tables:
 - `tpcds_shape_frequent_best`     ~ q23 (two CTE filters: frequent items +
   best customers via max-of-sum scalar threshold)
 - `tpcds_shape_rank_over_rollup`  ~ q67 (ROLLUP + RANK window, top-k)
+- `tpcds_shape_multi_bucket_counts` ~ q88 (scalar COUNT subqueries fused
+  into one conditional-aggregation scan)
+- `tpcds_shape_yoy_growth`        ~ q11/q74 (year-over-year ratio via CTE
+  self-join on the customer key)
+- `tpcds_shape_union_channel_agg` ~ q33/q56 (three channel branches
+  UNION ALL'd into one item aggregate)
+- `tpcds_shape_cumulative_crossover` ~ q51 (two cumulative window series
+  joined on the date axis, crossover filter)
+- `tpcds_shape_full_outer_overlap` ~ q97 (FULL OUTER channel-overlap
+  census by null-pattern)
 
 Money sums use exact integer cents per the repo-wide parity rule.
 
@@ -294,4 +304,254 @@ def tpcds_rank_over_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("rk", F.rank().over(w))
         .filter(F.col("rk") <= 3)
         .select("n_name", "o_year", "c_mktsegment", "sales_cents", "rk")
+    )
+
+
+@query(
+    "tpcds_shape_multi_bucket_counts",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10)  AS b1,
+      (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) AS b2,
+      (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) AS b3,
+      (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) AS b4,
+      (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) AS b5
+    """,
+    group="tpcds",
+)
+def tpcds_multi_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88 shape: a row of independent scalar COUNT subqueries over
+    disjoint buckets. Spark-first: ONE scan with conditional aggregation —
+    the plan TPC-DS engines rewrite q88 into (5 scans fused to 1)."""
+    t = load_tables(spark, sf_dir)
+
+    def bucket(lo, hi, name):
+        return F.sum(
+            (F.col("l_quantity").between(lo, hi)).cast("long")
+        ).alias(name)
+
+    return t.lineitem.agg(
+        bucket(1, 10, "b1"),
+        bucket(11, 20, "b2"),
+        bucket(21, 30, "b3"),
+        bucket(31, 40, "b4"),
+        bucket(41, 50, "b5"),
+    )
+
+
+@query(
+    "tpcds_shape_yoy_growth",
+    oracle=f"""
+    WITH yearly AS (
+      SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS yr,
+             SUM({_CENT_SQL}) AS spend_cents
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    )
+    SELECT a.o_custkey,
+           a.spend_cents AS spend_1996,
+           b.spend_cents AS spend_1997,
+           FLOOR(b.spend_cents * 1e6 / a.spend_cents + 0.5) / 1e6 AS growth
+    FROM yearly a JOIN yearly b
+      ON a.o_custkey = b.o_custkey AND a.yr = 1996 AND b.yr = 1997
+    WHERE a.spend_cents > 0 AND b.spend_cents > a.spend_cents
+    ORDER BY growth DESC, a.o_custkey
+    LIMIT 100
+    """,
+    group="tpcds",
+)
+def tpcds_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q11/q74 shape: per-customer year-over-year spend ratio via a
+    self-join of a yearly CTE on the customer key (the CTE computes once,
+    both join sides reuse the exchange)."""
+    t = load_tables(spark, sf_dir)
+    cents = _CENT(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    yearly = (
+        t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .withColumn("yr", F.year("o_orderdate"))
+        .filter(F.col("yr").isin(1996, 1997))
+        .groupBy("o_custkey", "yr")
+        .agg(F.sum(cents).alias("spend_cents"))
+        # one exchange, reused by both self-join sides
+        .repartition("o_custkey")
+    )
+    a = yearly.filter(F.col("yr") == 1996).select(
+        "o_custkey", F.col("spend_cents").alias("spend_1996")
+    )
+    b = yearly.filter(F.col("yr") == 1997).select(
+        "o_custkey", F.col("spend_cents").alias("spend_1997")
+    )
+    return (
+        a.join(b, "o_custkey")
+        .filter(
+            (F.col("spend_1996") > 0) & (F.col("spend_1997") > F.col("spend_1996"))
+        )
+        .select(
+            "o_custkey",
+            "spend_1996",
+            "spend_1997",
+            (
+                F.floor(
+                    F.col("spend_1997") * F.lit(1e6) / F.col("spend_1996") + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("growth"),
+        )
+        .orderBy(F.desc("growth"), "o_custkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpcds_shape_union_channel_agg",
+    oracle=f"""
+    WITH by_part AS (
+      SELECT l_partkey, {_CENT_SQL} AS cents, o_orderpriority
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ), u AS (
+      SELECT l_partkey, cents FROM by_part WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT l_partkey, cents FROM by_part WHERE o_orderpriority = '2-HIGH'
+      UNION ALL
+      SELECT l_partkey, cents FROM by_part WHERE o_orderpriority = '5-LOW'
+    )
+    SELECT p_brand, SUM(cents) AS total_cents, COUNT(*) AS n
+    FROM u JOIN part ON p_partkey = l_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    group="tpcds",
+)
+def tpcds_union_channel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q33/q56 shape: three per-channel CTE branches UNION ALL'd into
+    one aggregate by item attribute (each branch filters the same base CTE)."""
+    t = load_tables(spark, sf_dir)
+    cents = _CENT(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    by_part = (
+        t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("l_partkey", cents.alias("cents"), "o_orderpriority")
+    )
+    branches = [
+        by_part.filter(F.col("o_orderpriority") == p).select("l_partkey", "cents")
+        for p in ("1-URGENT", "2-HIGH", "5-LOW")
+    ]
+    u = branches[0].unionByName(branches[1]).unionByName(branches[2])
+    return (
+        u.join(F.broadcast(t.part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(F.sum("cents").alias("total_cents"), F.count(F.lit(1)).alias("n"))
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "tpcds_shape_cumulative_crossover",
+    oracle=f"""
+    WITH daily AS (
+      SELECT c_mktsegment, CAST(o_orderdate AS DATE) AS d,
+             SUM({_CENT_SQL}) AS cents
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY 1, 2
+    ), cume AS (
+      SELECT c_mktsegment, d,
+             SUM(cents) OVER (PARTITION BY c_mktsegment ORDER BY d) AS cum_cents
+      FROM daily
+    )
+    SELECT b.d, b.cum_cents AS building_cum, m.cum_cents AS machinery_cum
+    FROM (SELECT d, cum_cents FROM cume WHERE c_mktsegment = 'BUILDING') b
+    JOIN (SELECT d, cum_cents FROM cume WHERE c_mktsegment = 'MACHINERY') m
+      USING (d)
+    WHERE b.cum_cents > m.cum_cents
+    ORDER BY b.d
+    """,
+    group="tpcds",
+)
+def tpcds_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q51 shape: two cumulative (running-sum window) series joined on
+    the date axis, keeping days where one series has crossed the other."""
+    t = load_tables(spark, sf_dir)
+    cents = _CENT(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    daily = (
+        t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t.customer), F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            & F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+        )
+        .groupBy("c_mktsegment", F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("d")
+    cume = daily.select(
+        "c_mktsegment", "d", F.sum("cents").over(w).alias("cum_cents")
+    )
+    b = cume.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "d", F.col("cum_cents").alias("building_cum")
+    )
+    m = cume.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        "d", F.col("cum_cents").alias("machinery_cum")
+    )
+    return (
+        b.join(m, "d")
+        .filter(F.col("building_cum") > F.col("machinery_cum"))
+        .orderBy("d")
+    )
+
+
+@query(
+    "tpcds_shape_full_outer_overlap",
+    oracle=f"""
+    WITH prio AS (
+      SELECT o_custkey AS ck, SUM({_CENT_SQL}) AS cents
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY 1
+    ), std AS (
+      SELECT o_custkey AS ck, SUM({_CENT_SQL}) AS cents
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      GROUP BY 1
+    )
+    SELECT
+      SUM(CASE WHEN p.ck IS NOT NULL AND s.ck IS NOT NULL THEN 1 ELSE 0 END) AS both_channels,
+      SUM(CASE WHEN p.ck IS NOT NULL AND s.ck IS NULL     THEN 1 ELSE 0 END) AS priority_only,
+      SUM(CASE WHEN p.ck IS NULL     AND s.ck IS NOT NULL THEN 1 ELSE 0 END) AS standard_only
+    FROM prio p FULL OUTER JOIN std s ON p.ck = s.ck
+    """,
+    group="tpcds",
+)
+def tpcds_full_outer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q97 shape: channel-overlap census via FULL OUTER JOIN of two
+    per-channel aggregates, counted by null-pattern."""
+    t = load_tables(spark, sf_dir)
+    cents = _CENT(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+    prio = (
+        joined.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(F.col("o_custkey").alias("pk"))
+        .agg(F.sum(cents).alias("p_cents"))
+    )
+    std = (
+        joined.filter(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(F.col("o_custkey").alias("sk"))
+        .agg(F.sum(cents).alias("s_cents"))
+    )
+    fo = prio.join(std, prio.pk == std.sk, "full_outer")
+    return fo.agg(
+        F.sum(
+            (F.col("pk").isNotNull() & F.col("sk").isNotNull()).cast("long")
+        ).alias("both_channels"),
+        F.sum(
+            (F.col("pk").isNotNull() & F.col("sk").isNull()).cast("long")
+        ).alias("priority_only"),
+        F.sum(
+            (F.col("pk").isNull() & F.col("sk").isNotNull()).cast("long")
+        ).alias("standard_only"),
     )
