@@ -58,9 +58,11 @@ def streaming_top_n(
 ) -> DataFrame:
     """Keep the running top-n rows per key (descending by order_col),
     re-emitting the current top-n on every update — the AppendOnlyTopN
-    behavior (inserts only, no retractions needed upstream)."""
+    behavior (inserts only, no retractions needed upstream). The key keeps
+    its input type; payloads ride as strings (state-serializable)."""
+    key_type = df.schema[key].dataType.simpleString()
     schema_out = ", ".join(
-        [f"{key} long", f"{order_col} double", "rn integer"]
+        [f"{key} {key_type}", f"{order_col} double", "rn integer"]
         + [f"{c} string" for c in payload_cols]
     )
     state_schema = (
@@ -271,3 +273,113 @@ def streaming_event_time_sort(
         )
 
     return keyed_process(df, [key], fn, schema_out, state_schema, "append")
+
+
+class KeyedStates:
+    """Named ValueState/ListState/MapState views over the single
+    applyInPandasWithState state tuple.
+
+    Reference: `flink-core/.../api/common/state/ValueState.java`,
+    `ListState.java`, `MapState.java` — the reference splits keyed state
+    into named primitives registered against descriptors; Spark's
+    applyInPandasWithState gives ONE typed tuple per key. This facade maps
+    each tuple field to a named primitive with the reference's API shape:
+
+        states = KeyedStates(state, ["cnt", "recent", "per_type"])
+        cnt = states.value("cnt")            # ValueState: .get/.update/.clear
+        recent = states.list("recent")       # ListState: .get/.add/.update
+        per_type = states.map("per_type")    # MapState: .get/.put/.remove/.items
+        ... states.flush()                   # one state.update at the end
+
+    Use array<...> schema fields for list states and map<...> fields for
+    map states. `flush()` commits all views in one state.update (call it
+    once per batch — the single-merge discipline the vectorized operators
+    follow)."""
+
+    def __init__(self, state: GroupState, field_names: list[str]):
+        self._state = state
+        self._names = list(field_names)
+        self._vals = (
+            list(state.get) if state.exists else [None] * len(self._names)
+        )
+
+    def _idx(self, name: str) -> int:
+        return self._names.index(name)
+
+    def value(self, name: str) -> "ValueStateView":
+        return ValueStateView(self, self._idx(name))
+
+    def list(self, name: str) -> "ListStateView":
+        return ListStateView(self, self._idx(name))
+
+    def map(self, name: str) -> "MapStateView":
+        return MapStateView(self, self._idx(name))
+
+    def flush(self) -> None:
+        self._state.update(tuple(self._vals))
+
+    def clear_all(self) -> None:
+        self._state.remove()
+
+
+class ValueStateView:
+    def __init__(self, bag: KeyedStates, i: int):
+        self._bag, self._i = bag, i
+
+    @property
+    def get(self):
+        return self._bag._vals[self._i]
+
+    def update(self, value) -> None:
+        self._bag._vals[self._i] = value
+
+    def clear(self) -> None:
+        self._bag._vals[self._i] = None
+
+
+class ListStateView:
+    def __init__(self, bag: KeyedStates, i: int):
+        self._bag, self._i = bag, i
+
+    def get(self) -> list:
+        v = self._bag._vals[self._i]
+        return list(v) if v is not None else []
+
+    def add(self, value) -> None:
+        self._bag._vals[self._i] = self.get() + [value]
+
+    def add_all(self, values) -> None:
+        self._bag._vals[self._i] = self.get() + list(values)
+
+    def update(self, values) -> None:
+        self._bag._vals[self._i] = list(values)
+
+    def clear(self) -> None:
+        self._bag._vals[self._i] = []
+
+
+class MapStateView:
+    def __init__(self, bag: KeyedStates, i: int):
+        self._bag, self._i = bag, i
+        if self._bag._vals[i] is None:
+            self._bag._vals[i] = {}
+        elif not isinstance(self._bag._vals[i], dict):
+            self._bag._vals[i] = dict(self._bag._vals[i])
+
+    def get(self, key, default=None):
+        return self._bag._vals[self._i].get(key, default)
+
+    def put(self, key, value) -> None:
+        self._bag._vals[self._i][key] = value
+
+    def remove(self, key) -> None:
+        self._bag._vals[self._i].pop(key, None)
+
+    def contains(self, key) -> bool:
+        return key in self._bag._vals[self._i]
+
+    def items(self):
+        return self._bag._vals[self._i].items()
+
+    def clear(self) -> None:
+        self._bag._vals[self._i] = {}

@@ -406,3 +406,71 @@ def test_session_dynamic_gap(spark):
     ]
     assert out[0].window_end.second == 34
     assert out[1].window_start.minute == 1
+
+
+def test_keyed_states_facade(spark):
+    """ValueState/ListState/MapState views over the applyInPandasWithState
+    tuple, committed with one flush() (reference state-primitive API shape)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from flink_ci_flink_spark.streaming import file_stream, run_to_completion
+    from flink_ci_flink_spark.streaming.process import KeyedStates, keyed_process
+
+    schema = "k long, et string, v double"
+    batches = [
+        [(1, "a", 1.0), (1, "b", 2.0), (2, "a", 5.0)],
+        [(1, "a", 3.0), (2, "b", 1.0)],
+    ]
+    tmp = tempfile.mkdtemp(prefix="kstates_")
+    try:
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{tmp}/f{i}")
+            (part,) = glob.glob(f"{tmp}/f{i}/part-*.parquet")
+            os.rename(part, f"{tmp}/{i:03d}.parquet")
+            shutil.rmtree(f"{tmp}/f{i}")
+
+        def fn(key_tuple, pdf_iter, state):
+            import pandas as pd
+
+            states = KeyedStates(state, ["total", "recent", "per_type"])
+            total = states.value("total")
+            recent = states.list("recent")
+            per_type = states.map("per_type")
+            for pdf in pdf_iter:
+                for et, v in zip(pdf["et"], pdf["v"]):
+                    total.update((total.get or 0.0) + float(v))
+                    recent.add(float(v))
+                    recent.update(recent.get()[-3:])
+                    per_type.put(str(et), per_type.get(str(et), 0) + 1)
+            states.flush()
+            yield pd.DataFrame(
+                {
+                    "k": [key_tuple[0]],
+                    "total": [total.get],
+                    "n_recent": [len(recent.get())],
+                    "n_a": [per_type.get("a", 0)],
+                    "n_b": [per_type.get("b", 0)],
+                }
+            )
+
+        stream = file_stream(
+            spark, tmp, spark.createDataFrame([], schema).schema, max_files_per_trigger=1
+        )
+        out = keyed_process(
+            stream,
+            ["k"],
+            fn,
+            "k long, total double, n_recent long, n_a long, n_b long",
+            "total double, recent array<double>, per_type map<string,long>",
+            output_mode="update",
+        )
+        name = f"ks_{uuid.uuid4().hex[:8]}"
+        run_to_completion(out, name, "update")
+        final = {r.k: (r.total, r.n_recent, r.n_a, r.n_b) for r in spark.table(name).collect()}
+        assert final[1] == (6.0, 3, 2, 1)
+        assert final[2] == (6.0, 2, 1, 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
