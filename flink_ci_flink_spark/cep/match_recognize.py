@@ -55,8 +55,15 @@ def compile_pattern(
     within: float | None = None,
     after_match: str = SKIP_PAST_LAST,
     max_repeat: int = 16,
+    define_expr: dict[str, str] | None = None,
 ) -> Pattern:
-    """Compile a MATCH_RECOGNIZE pattern string into a Pattern."""
+    """Compile a MATCH_RECOGNIZE pattern string into a Pattern.
+
+    ``define_expr`` optionally maps variables to equivalent Spark SQL
+    boolean expressions — with every variable expr'd, fixed patterns take
+    the compiled lead() plan and variable ones still get JVM-side predicate
+    evaluation (cep/compiled.py, cep/operator.py)."""
+    define_expr = define_expr or {}
     p: Pattern | None = None
     for tok in pattern.split():
         m = _TOKEN.match(tok)
@@ -64,10 +71,11 @@ def compile_pattern(
             raise ValueError(f"bad pattern token {tok!r}")
         name, quant = m.group(1), m.group(2)
         pred = define.get(name)
+        expr = define_expr.get(name)
         if p is None:
-            p = Pattern.begin(name, pred)
+            p = Pattern.begin(name, pred, expr=expr)
         else:
-            p = p.next(name, pred)
+            p = p.next(name, pred, expr=expr)
         # MATCH_RECOGNIZE rows are consecutive within the partition, so
         # quantified variables repeat strictly (consecutive) — unlike the
         # Pattern API, where loop repeats default to relaxed contiguity.
@@ -110,13 +118,20 @@ def match_recognize(
     after_match: str = SKIP_PAST_LAST,
     streaming: bool = False,
     delay_seconds: float = 0.0,
+    define_expr: dict[str, str] | None = None,
 ) -> DataFrame:
-    """One row per match, with MEASURES computed per pattern variable."""
+    """One row per match, with MEASURES computed per pattern variable.
+
+    Pass ``define_expr`` (variable -> Spark SQL boolean expr) to unlock the
+    compiled lead() plan for fixed-length patterns and JVM predicate
+    pushdown otherwise."""
     keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-    pat = compile_pattern(pattern, define, within, after_match)
+    pat = compile_pattern(pattern, define, within, after_match, define_expr=define_expr)
     select = _measure_select(measures, keys)
     if streaming:
         return cep_stream(
             df, pat, keys, order_by, select, output_schema, delay_seconds
         )
+    if all(st.expr is not None for st in pat.stages):
+        return cep(df, pat, keys, order_by, select, output_schema, measures=measures)
     return cep(df, pat, keys, order_by, select, output_schema)

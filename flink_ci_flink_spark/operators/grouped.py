@@ -37,16 +37,19 @@ def grouped_apply(
     `order_cols` within the group, streaming many groups per Arrow batch.
 
     Semantics match `groupBy(keys).applyInPandas` with a pre-sorted group;
-    `fn` may return None/empty for no output. Explicit repartition count
-    (default: spark.sql.shuffle.partitions) keeps AQE from collapsing the
-    exchange into a single task — per-group Python cost needs the
-    parallelism even when the shuffled bytes are small.
+    `fn` may return None/empty for no output. By default the exchange is
+    `repartition(*keys)` with AQE free to size it by bytes — safe here
+    precisely because this path amortizes Python overhead per BATCH, not
+    per group (coalescing an applyInPandas exchange would serialize
+    per-group round trips; coalescing this one just concatenates batches).
+    Pass `num_partitions` to pin the fan-out (e.g. CPU-bound per-group
+    logic on small data).
     """
-    if num_partitions is None:
-        num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    part = df.repartition(num_partitions, *keys).sortWithinPartitions(
-        *keys, *order_cols
-    )
+    if num_partitions is not None:
+        part = df.repartition(num_partitions, *keys)
+    else:
+        part = df.repartition(*keys)
+    part = part.sortWithinPartitions(*keys, *order_cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pending: pd.DataFrame | None = None

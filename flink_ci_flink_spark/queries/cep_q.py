@@ -164,6 +164,11 @@ def cep_match_recognize_view_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             "B": lambda e: e["event_type"] == "view",
             "C": lambda e: e["event_type"] == "purchase",
         },
+        define_expr={
+            "A": "event_type = 'signup'",
+            "B": "event_type = 'view'",
+            "C": "event_type = 'purchase'",
+        },
         measures={
             "first_a": ("A", "first", "event_id"),
             "n_b": ("B", "count", None),
