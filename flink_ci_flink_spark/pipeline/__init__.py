@@ -7,7 +7,12 @@ from flink_ci_flink_spark.pipeline.dedup import (  # noqa: F401
     minhash_signatures,
     simhash,
 )
-from flink_ci_flink_spark.pipeline.similarity import cosine_topk, lsh_ann_topk  # noqa: F401
+from flink_ci_flink_spark.pipeline.similarity import (  # noqa: F401
+    cosine_topk,
+    ivf_ann_topk,
+    ivf_centroids,
+    lsh_ann_topk,
+)
 from flink_ci_flink_spark.pipeline.text import (  # noqa: F401
     fingerprint,
     lang_id,

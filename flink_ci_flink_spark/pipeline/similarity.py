@@ -146,3 +146,122 @@ def lsh_ann_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    d = F.zip_with(a, b, lambda x, y: x - y)
+    return F.aggregate(F.transform(d, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train IVF coarse centroids with Lloyd's k-means, DataFrame-native.
+
+    Deterministic: initial centroids are the `n_cells` lowest-id vectors;
+    each iteration is one assign (argmin via min-struct aggregate) + one
+    elementwise-mean (posexplode + groupBy(cell, pos)). Only the K centroid
+    vectors ever reach the driver (a broadcast-sized model, the legitimate
+    collect)."""
+    c = corpus.select(F.col(id_col).alias("__id"), _to_double(vec_col).alias("__v"))
+    centroids = [
+        list(r[0]) for r in c.orderBy("__id").limit(n_cells).select("__v").collect()
+    ]
+    spark = corpus.sparkSession
+    for _ in range(iterations):
+        cent = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(centroids)], "cell int, cv array<double>"
+        )
+        assigned = (
+            c.crossJoin(F.broadcast(cent))
+            .select(
+                "__id",
+                "__v",
+                F.struct(_l2sq(F.col("__v"), F.col("cv")).alias("d"), F.col("cell").alias("cell")).alias("dc"),
+            )
+            .groupBy("__id")
+            .agg(F.min("dc").alias("m"), F.first("__v").alias("__v"))
+            .select(F.col("m.cell").alias("cell"), "__v")
+        )
+        means = (
+            assigned.select("cell", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                    lambda s: s.mx,
+                ).alias("cv")
+            )
+        )
+        got = {r.cell: list(r.cv) for r in means.collect()}
+        centroids = [got.get(i, centroids[i]) for i in range(n_cells)]
+    return centroids
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into `n_cells`
+    k-means cells, probe the `nprobe` nearest cells per query, exact cosine
+    within the probed cells.
+
+    The inverted-file structure at 100 TB: the corpus is assigned (and in a
+    real deployment, partitioned/bucketed) by cell once; a query scans
+    nprobe/n_cells of the corpus instead of all of it. Centroids are a
+    driver-side model of K vectors, broadcast into both assign and probe —
+    the same coarse-quantizer shape FAISS IVF uses. Recall vs the exact
+    baseline is asserted in tests/test_pipeline.py."""
+    if centroids is None:
+        centroids = ivf_centroids(corpus, n_cells, iterations, id_col, vec_col)
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(centroids)], "cell int, cv array<double>"
+    )
+    c = corpus.select(F.col(id_col), _to_double(vec_col).alias("__cv"))
+    c_cells = (
+        c.crossJoin(F.broadcast(cent))
+        .select(
+            id_col,
+            "__cv",
+            F.struct(_l2sq(F.col("__cv"), F.col("cv")).alias("d"), F.col("cell").alias("cell")).alias("dc"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("dc").alias("m"), F.first("__cv").alias("__cv"))
+        .select(id_col, "__cv", F.col("m.cell").alias("cell"))
+    )
+    q = queries.select(F.col(query_id_col), _to_double(vec_col).alias("__qv"))
+    wq = Window.partitionBy(query_id_col).orderBy("d", "cell")
+    q_cells = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            query_id_col,
+            "__qv",
+            F.col("cell"),
+            _l2sq(F.col("__qv"), F.col("cv")).alias("d"),
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select(query_id_col, "__qv", "cell")
+    )
+    scored = c_cells.join(F.broadcast(q_cells), "cell").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -298,3 +298,19 @@ def pipe_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     letting the oracle verify the pandas path exactly."""
     t = load_tables(spark, sf_dir)
     return decode_stub_features(attach_binary_payload(t.documents))
+
+
+@query("pipe_ivf_ann_topk", oracle=None, group="pipeline")
+def pipe_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: k-means coarse cells + nprobe probing — the
+    second 100 TB ANN path next to sign-LSH (cell-partitioned corpus, a
+    query touches nprobe/n_cells of the data). Deterministic centroid init
+    (lowest vec_ids); recall vs exact asserted in tests/test_pipeline.py;
+    rows-only here (Lloyd iterations impractical to mirror in SQL)."""
+    from flink_ci_flink_spark.pipeline.similarity import ivf_ann_topk
+
+    t = load_tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_ann_topk(t.embeddings, queries, n_cells=16, nprobe=4, k=5)

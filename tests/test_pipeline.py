@@ -100,3 +100,35 @@ def test_jaccard_max_postings_cap(spark):
     }
     assert (1, 2) in capped
     assert all(a in (1, 2) and b in (1, 2) for a, b in capped)
+
+
+def test_ivf_ann_recall(spark, sf_dir):
+    """IVF ANN with nprobe=4/16 cells reaches usable recall vs the exact
+    cosine baseline, and full probing (nprobe=n_cells) is exact."""
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline.similarity import cosine_topk, ivf_ann_topk
+
+    t = load_tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(t.embeddings, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_ann_topk(
+            t.embeddings, queries, n_cells=16, nprobe=4, k=5, iterations=3
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+    # probing every cell == exact search
+    full = {
+        (r.query_id, r.vec_id)
+        for r in ivf_ann_topk(
+            t.embeddings, queries, n_cells=8, nprobe=8, k=5, iterations=2
+        ).collect()
+    }
+    assert full == exact
