@@ -314,3 +314,80 @@ def pipe_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_ann_topk(t.embeddings, queries, n_cells=16, nprobe=4, k=5)
+
+
+@query(
+    "pipe_e2e_curation",
+    oracle=f"""
+    WITH gated AS (
+      SELECT doc_id, text, lang, source, len({_TOKS}) AS n_tokens
+      FROM documents
+      WHERE len({_TOKS}) BETWEEN 5 AND 1000
+    ), survivors AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM gated
+      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ), sdocs AS (
+      SELECT g.* FROM gated g JOIN survivors USING (doc_id)
+    ), toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM sdocs
+    ), sh AS (
+      SELECT doc_id, UNNEST({_SHINGLES}) AS s FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+      FROM sh a JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), dominated AS (
+      SELECT DISTINCT id_b AS doc_id
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.5
+    )
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM sdocs
+    WHERE doc_id NOT IN (SELECT doc_id FROM dominated)
+    GROUP BY source, lang
+    """,
+    group="pipeline",
+)
+def pipe_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pass — the composite a training-data pipeline
+    actually runs, as ONE lazy plan:
+
+    1. quality gate (token count in [5, 1000]);
+    2. exact dedup (keep min doc_id per normalized-content digest);
+    3. near-dup suppression (3-gram Jaccard >= 0.5; keep-first policy —
+       a doc is dropped iff it near-duplicates a lower doc_id);
+    4. per-(source, lang) corpus summary (docs kept, total tokens).
+
+    Scale: the gate is a pushed filter; exact dedup is one shuffle on the
+    digest; the near-dup stage reuses the inverted-index self-join
+    (bounded by max_postings at 100 TB); the summary is a partial-final
+    agg. Stages 2-3 are keep-first policies, so the whole pass is
+    deterministic regardless of partitioning."""
+    from flink_ci_flink_spark.pipeline.dedup import exact_dedup
+    from flink_ci_flink_spark.pipeline.text import token_count
+
+    t = load_tables(spark, sf_dir)
+    gated = (
+        t.documents.withColumn("n_tokens", token_count(F.col("text")))
+        .filter(F.col("n_tokens").between(5, 1000))
+    )
+    survivors = exact_dedup(gated).select("doc_id")
+    sdocs = gated.join(survivors, "doc_id", "left_semi")
+    dominated = (
+        jaccard_pairs(sdocs, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = sdocs.join(dominated, "doc_id", "left_anti")
+    return kept.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
