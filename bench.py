@@ -55,8 +55,14 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # Warm the JVM + file listings with one trivial action (not timed).
+    # Warm the JVM + file listings + codegen/shuffle machinery with
+    # representative untimed actions (whole-stage codegen compilation and
+    # the first exchange dominate an unwarmed first query).
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li.filter("l_quantity > 0").groupBy("l_returnflag").count().count()
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev.groupBy("event_type").count().count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

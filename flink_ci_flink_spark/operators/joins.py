@@ -159,3 +159,50 @@ def lookup_join(
     """
     keys = [on] if isinstance(on, str) else list(on)
     return stream.join(F.broadcast(dim), keys, how)
+
+
+def async_lookup(
+    df: DataFrame,
+    lookup_fn,
+    key_cols: Sequence[str],
+    output_schema: str,
+    batch_size: int = 256,
+    max_workers: int = 8,
+) -> DataFrame:
+    """Async-I/O enrichment (`AsyncWaitOperator.java` / `AsyncFunction` —
+    flink-streaming-java api/operators/async/): enrich rows against an
+    external service without blocking per row.
+
+    `lookup_fn(list_of_key_tuples) -> list[dict|None]` is called per
+    micro-batch of keys; batches within an Arrow chunk run concurrently on
+    a thread pool (max_workers in-flight batches, the reference's async
+    capacity knob). Works on batch and streaming DataFrames alike
+    (mapInPandas — Arrow-batched, ordered output like the reference's
+    ordered-wait mode).
+
+    The returned columns are the input columns plus whatever keys
+    `lookup_fn` returns in its dicts; declare them in `output_schema`."""
+    import pandas as pd
+
+    def run(batches):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                keys = list(pdf[list(key_cols)].itertuples(index=False, name=None))
+                chunks = [
+                    keys[i : i + batch_size] for i in range(0, len(keys), batch_size)
+                ]
+                results: list = []
+                for out in pool.map(lookup_fn, chunks):
+                    results.extend(out)
+                extra = pd.DataFrame(
+                    [r if r is not None else {} for r in results]
+                )
+                yield pd.concat(
+                    [pdf.reset_index(drop=True), extra.reset_index(drop=True)], axis=1
+                )
+
+    return df.mapInPandas(run, output_schema)

@@ -93,3 +93,43 @@ def foreach_batch_upsert(df: DataFrame, merge_fn, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def side_output(df: DataFrame, condition):
+    """OutputTag analog (`ProcessFunction.Context#output`,
+    `OutputTag.java`): split one DataFrame into (main, side) by a boolean
+    condition — two filtered views of ONE lazy plan. Catalyst shares the
+    upstream; each branch applies its own filter. The canonical late-data
+    use: ``main, late = side_output(df, F.col("ts") < frontier)``."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    return df.filter(~cond), df.filter(cond)
+
+
+def foreach_batch_split_sink(
+    df: DataFrame,
+    condition,
+    main_sink,
+    side_sink,
+    checkpoint: str,
+):
+    """Streaming side output: one query, two sinks. Structured Streaming
+    allows one sink per query, so the reference's multi-collector shape is
+    expressed in foreachBatch — each micro-batch is split by `condition`
+    and handed to both sink callables (`main_sink(df, batch_id)` /
+    `side_sink(df, batch_id)`). Exactly-once to the degree the sinks are
+    idempotent on batch_id, same as the reference's 2PC sinks."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+
+    def handle(batch_df, batch_id):
+        batch_df.persist()
+        try:
+            main_sink(batch_df.filter(~cond), batch_id)
+            side_sink(batch_df.filter(cond), batch_id)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -474,3 +474,71 @@ def test_keyed_states_facade(spark):
         assert final[2] == (6.0, 2, 1, 1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_async_lookup(spark):
+    """Async-I/O enrichment: thread-pooled batched lookups, ordered output
+    (AsyncWaitOperator ordered-wait analog)."""
+    from flink_ci_flink_spark.operators.joins import async_lookup
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long").repartition(2)
+
+    def fake_service(key_batch):
+        # deterministic "remote" enrichment
+        return [{"doubled": kt[0] * 2, "tag": f"t{kt[0] % 3}"} for kt in key_batch]
+
+    out = async_lookup(
+        df, fake_service, ["k"], "k long, doubled long, tag string", batch_size=16
+    )
+    got = {r.k: (r.doubled, r.tag) for r in out.collect()}
+    assert len(got) == 100
+    assert all(got[k] == (k * 2, f"t{k % 3}") for k in got)
+
+
+def test_side_output_split_sinks(spark):
+    """Side output on a stream: one query, two sinks via foreachBatch
+    (OutputTag analog); batch side_output splits one plan."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from flink_ci_flink_spark.streaming import file_stream
+    from flink_ci_flink_spark.streaming.core import (
+        foreach_batch_split_sink,
+        side_output,
+    )
+
+    # batch split
+    df = spark.createDataFrame([(i,) for i in range(10)], "v long")
+    main, side = side_output(df, F2.col("v") >= 7)
+    assert main.count() == 7 and side.count() == 3
+
+    schema = "v long"
+    tmp = tempfile.mkdtemp(prefix="sideout_")
+    ckpt = tempfile.mkdtemp(prefix="sideout_ck_")
+    got_main, got_side = [], []
+    try:
+        for i, rows in enumerate([[(1,), (9,)], [(3,), (8,)]]):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{tmp}/f{i}")
+            (part,) = glob.glob(f"{tmp}/f{i}/part-*.parquet")
+            os.rename(part, f"{tmp}/{i:03d}.parquet")
+            shutil.rmtree(f"{tmp}/f{i}")
+        stream = file_stream(
+            spark, tmp, spark.createDataFrame([], schema).schema, max_files_per_trigger=1
+        )
+        q = foreach_batch_split_sink(
+            stream,
+            F2.col("v") >= 7,
+            lambda b, _id: got_main.extend(r.v for r in b.collect()),
+            lambda b, _id: got_side.extend(r.v for r in b.collect()),
+            ckpt,
+        )
+        q.processAllAvailable()
+        q.stop()
+        assert sorted(got_main) == [1, 3] and sorted(got_side) == [8, 9]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
