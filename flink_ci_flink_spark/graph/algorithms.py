@@ -204,6 +204,109 @@ def label_propagation(
     return labels
 
 
+def pregel(
+    vertices: DataFrame,
+    edges: DataFrame,
+    initial_state,
+    send_msg,
+    agg_msg,
+    update,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Generic vertex-centric iteration (Gelly
+    `Graph.runVertexCentricIteration` / `pregel/VertexCentricIteration.java`).
+
+    The BSP contract re-expressed as one shuffle per superstep:
+
+    - ``initial_state``: Column over the vertex attributes -> ``state``.
+    - ``send_msg``: Column evaluated over each edge joined with its source
+      vertex's ``state`` (edge attribute columns are in scope); the value is
+      delivered to the edge's ``dst``.
+    - ``agg_msg``: aggregate Column over the received ``msg`` values
+      (Gelly's combiner, e.g. ``F.min("msg")``).
+    - ``update``: Column over (``state``, aggregated ``msg`` — NULL when no
+      message arrived) -> next ``state``.
+
+    Runs exactly ``max_iter`` supersteps (algorithms wanting early exit use
+    the specialized functions above, which add a convergence probe).
+    Output: (id, state)."""
+    e = edges.localCheckpoint(eager=True)
+    v = vertices.select("id", initial_state.alias("state"))
+    for i in range(max_iter):
+        msgs = (
+            e.join(v, e.src == v.id)
+            .select(F.col("dst").alias("id"), send_msg.alias("msg"))
+            .groupBy("id")
+            .agg(agg_msg.alias("msg"))
+        )
+        v = (
+            v.join(msgs, "id", "left")
+            .select("id", update.alias("state"))
+        )
+        v = _maybe_checkpoint(v, i)
+    return v
+
+
+def community_detection(
+    vertices: DataFrame,
+    edges: DataFrame,
+    iterations: int = 5,
+    delta: float = 0.5,
+) -> DataFrame:
+    """Community detection with hop attenuation
+    (`graph/library/CommunityDetection.java`, Leung et al. 2009).
+
+    Like label propagation, but each vertex carries (label, score): a vertex
+    adopts the incoming label with the highest summed score (edge-weighted;
+    deterministic tie-break: smallest label), and the adopted label's score
+    attenuates by ``delta`` per hop — so labels lose influence with distance
+    and large communities stop swallowing everything, which plain LPA can't
+    express. Output: (id, label)."""
+    e = undirect(edges.select("src", "dst", *(["weight"] if "weight" in edges.columns else [])))
+    w = F.col("weight").cast("double") if "weight" in e.columns else F.lit(1.0)
+    e = e.select("src", "dst", w.alias("w")).localCheckpoint(eager=True)
+    state = vertices.select(
+        "id", F.col("id").alias("label"), F.lit(1.0).alias("score")
+    )
+    for i in range(iterations):
+        # deliver (label, score·w) to each neighbor, plus a self-vote with
+        # the current (label, score) — pure synchronous updates oscillate on
+        # symmetric structures otherwise; sum per candidate label
+        label_scores = (
+            e.join(state, e.src == state.id)
+            .select(F.col("dst").alias("id"), "label", (F.col("score") * F.col("w")).alias("s"))
+            .unionByName(state.select("id", "label", F.col("score").alias("s")))
+            .groupBy("id", "label")
+            .agg(F.sum("s").alias("sum_score"), F.max("s").alias("best_in"))
+        )
+        winner = label_scores.groupBy("id").agg(
+            F.max_by(
+                F.struct("label", "best_in"),
+                F.struct(F.col("sum_score"), (-F.col("label")).alias("neg")),
+            ).alias("win")
+        )
+        state = (
+            state.join(winner, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("win.label"), F.col("label")).alias("label"),
+                # hop attenuation applies when the label TRAVELS: a vertex
+                # adopting a new label takes the strongest incoming copy's
+                # score minus delta; re-confirming its current label keeps
+                # the score (otherwise every label decays to 0 and ties
+                # collapse to min-id — CC, not communities)
+                F.when(
+                    F.col("win").isNotNull() & (F.col("win.label") != F.col("label")),
+                    F.greatest(F.col("win.best_in") - F.lit(delta), F.lit(0.0)),
+                )
+                .otherwise(F.col("score"))
+                .alias("score"),
+            )
+        )
+        state = _maybe_checkpoint(state, i)
+    return state.select("id", "label")
+
+
 def degrees(edges: DataFrame) -> DataFrame:
     """in/out/total degree per vertex (Graph.inDegrees:963/outDegrees:926/
     getDegrees:974)."""

@@ -149,3 +149,40 @@ def test_summarize(spark):
         ("a", "a", 1),
         ("b", "b", 1),
     }
+
+
+def test_pregel_min_id_matches_connected_components(spark, toy_graph):
+    """The generic vertex-centric surface reproduces CC when programmed with
+    the min-id scatter/gather — same contract Gelly's VertexCentricIteration
+    users rely on."""
+    from flink_ci_flink_spark.graph import connected_components, pregel
+    from flink_ci_flink_spark.graph.algorithms import undirect
+
+    vertices, edges = toy_graph
+    got = pregel(
+        vertices,
+        undirect(edges),
+        initial_state=F.col("id"),
+        send_msg=F.col("state"),
+        agg_msg=F.min("msg"),
+        update=F.least(F.col("state"), F.coalesce(F.col("msg"), F.col("state"))),
+        max_iter=6,
+    )
+    want = {r.id: r.component for r in connected_components(vertices, edges).collect()}
+    assert {r.id: r.state for r in got.collect()} == want
+
+
+def test_community_detection_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge must resolve to two labels."""
+    from flink_ci_flink_spark.graph import community_detection
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [(3, 10)], "src long, dst long")
+    vertices = spark.createDataFrame(
+        [(i,) for i in list(range(4)) + list(range(10, 14))], "id long"
+    )
+    got = {r.id: r.label for r in community_detection(vertices, edges, iterations=6).collect()}
+    assert len({got[i] for i in range(4)}) == 1
+    assert len({got[i] for i in range(10, 14)}) == 1
+    assert got[0] != got[10]
