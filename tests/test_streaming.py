@@ -269,3 +269,63 @@ def test_streaming_top_n(spark, events_stream_dir):
     )
     want = {(r.user_id, r.rn): r.value for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_semi_join(spark, events_stream_dir):
+    """Stream-stream LEFT SEMI join (time-bounded): clicks that were followed
+    by a purchase from the same user within 2h — final rows == batch leftsemi.
+    Mirrors the reference's streaming semi-join (IN/EXISTS) execution."""
+    from flink_ci_flink_spark.streaming import file_stream, run_to_completion, with_watermark
+
+    path, schema = events_stream_dir
+    clicks = (
+        with_watermark(file_stream(spark, path, schema), "ts", "1 hour")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ts").alias("c_ts"))
+    )
+    purchases = (
+        with_watermark(file_stream(spark, path, schema), "ts", "1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("pu"), F.col("ts").alias("p_ts"))
+    )
+    cond = (
+        (F.col("cu") == F.col("pu"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOUR"))
+    )
+    semi = clicks.join(purchases, cond, "left_semi")
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    run_to_completion(semi, name, "append")
+    got = {r.click_id for r in spark.table(name).collect()}
+
+    ev = spark.read.schema(schema).parquet(path)
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("p_ts")
+    )
+    want = {r.click_id for r in c.join(p, cond, "left_semi").collect()}
+    assert got == want
+
+
+def test_streaming_anti_join_static(spark, events_stream_dir):
+    """Stream LEFT ANTI static dimension: events from users who never appear
+    in the static purchaser dim — final rows == batch anti join."""
+    from flink_ci_flink_spark.streaming import file_stream, run_to_completion
+
+    path, schema = events_stream_dir
+    ev_batch = spark.read.schema(schema).parquet(path)
+    purchasers = (
+        ev_batch.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    stream = file_stream(spark, path, schema)
+    anti = stream.join(purchasers, "user_id", "left_anti").select("event_id")
+    name = f"a_{uuid.uuid4().hex[:8]}"
+    run_to_completion(anti, name, "append")
+    got = {r.event_id for r in spark.table(name).collect()}
+    want = {
+        r.event_id
+        for r in ev_batch.join(purchasers, "user_id", "left_anti").select("event_id").collect()
+    }
+    assert got == want
