@@ -9,4 +9,9 @@ from flink_ci_flink_spark.cep.pattern import (  # noqa: F401
 )
 from flink_ci_flink_spark.cep.nfa import Match, find_matches  # noqa: F401
 from flink_ci_flink_spark.cep.operator import cep, cep_stream, measure_select  # noqa: F401
-from flink_ci_flink_spark.cep.match_recognize import compile_pattern, match_recognize  # noqa: F401
+from flink_ci_flink_spark.cep.match_recognize import (  # noqa: F401
+    compile_pattern,
+    match_recognize,
+    match_recognize_sql,
+    parse_match_recognize_sql,
+)

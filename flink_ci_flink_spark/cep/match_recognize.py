@@ -36,7 +36,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 from flink_ci_flink_spark.cep.operator import cep, cep_stream
-from flink_ci_flink_spark.cep.pattern import NO_SKIP, SKIP_PAST_LAST, Pattern
+from flink_ci_flink_spark.cep.pattern import (
+    NO_SKIP,
+    SKIP_PAST_LAST,
+    SKIP_TO_FIRST,
+    SKIP_TO_LAST,
+    Pattern,
+)
 
 _TOKEN = re.compile(r"^(\w+)(\?|\+|\*|\{(\d+)(,(\d+))?\})?$")
 
@@ -135,3 +141,217 @@ def match_recognize(
     if all(st.expr is not None for st in pat.stages):
         return cep(df, pat, keys, order_by, select, output_schema, measures=measures)
     return cep(df, pat, keys, order_by, select, output_schema)
+
+
+# ---------------------------------------------------------------------------
+# SQL-text front end: parse a `... FROM t MATCH_RECOGNIZE (...)` statement
+# into the DataFrame transform above (reference: Flink's MATCH_RECOGNIZE SQL
+# clause, `StreamExecMatch.scala:68`; Calcite does the parse there).
+# ---------------------------------------------------------------------------
+
+_SECTION_RE = re.compile(
+    r"\b(PARTITION\s+BY|ORDER\s+BY|MEASURES|ONE\s+ROW\s+PER\s+MATCH|"
+    r"ALL\s+ROWS\s+PER\s+MATCH|AFTER\s+MATCH|PATTERN|WITHIN|DEFINE)\b",
+    re.I,
+)
+_MEASURE_RE = re.compile(
+    r"^(?:(FIRST|LAST|COUNT|SUM)\s*\(\s*(\w+)\.(\w+|\*)\s*\)|(\w+)\.(\w+))\s+AS\s+(\w+)$",
+    re.I | re.S,
+)
+_INTERVAL_RE = re.compile(r"INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?", re.I)
+_INTERVAL_UNITS = {"second": 1.0, "minute": 60.0, "hour": 3600.0, "day": 86400.0}
+_SKIP_MAP = {
+    "SKIP PAST LAST ROW": (SKIP_PAST_LAST, None),
+    "SKIP TO NEXT ROW": (NO_SKIP, None),
+}
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested inside parentheses."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def parse_match_recognize_sql(sql: str) -> dict:
+    """Parse the supported MATCH_RECOGNIZE grammar into plain pieces.
+
+    Supported (the reference's common surface): PARTITION BY cols, ORDER BY
+    one ascending column, MEASURES with FIRST/LAST/COUNT/SUM(V.f | V.*) or
+    bare V.f (= FIRST), ONE ROW PER MATCH, AFTER MATCH SKIP {PAST LAST ROW |
+    TO NEXT ROW | TO [FIRST|LAST] V}, PATTERN with ? + * {m}/{m,n}
+    quantifiers, WITHIN INTERVAL 'n' unit, DEFINE V AS <row-local SQL bool>.
+    Not supported (loud errors): ALL ROWS PER MATCH, CLASSIFIER(),
+    aggregate-referencing DEFINE (LAST(B.x) etc.)."""
+    m = re.search(r"MATCH_RECOGNIZE\s*\(", sql, re.I)
+    if not m:
+        raise ValueError("no MATCH_RECOGNIZE clause found")
+    start, depth, i = m.end(), 1, m.end()
+    while i < len(sql) and depth:
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise ValueError("unbalanced parentheses in MATCH_RECOGNIZE clause")
+    body = sql[start : i - 1]
+    tbl = re.search(r"\bFROM\s+(\w+)\s+MATCH_RECOGNIZE", sql, re.I)
+
+    pieces = _SECTION_RE.split(body)
+    sections: dict[str, str] = {}
+    for hdr, content in zip(pieces[1::2], pieces[2::2]):
+        sections[re.sub(r"\s+", " ", hdr.upper())] = content.strip()
+    if "ALL ROWS PER MATCH" in sections:
+        raise NotImplementedError("ALL ROWS PER MATCH is not supported (ONE ROW PER MATCH only)")
+    for required in ("PARTITION BY", "ORDER BY", "MEASURES", "PATTERN", "DEFINE"):
+        if required not in sections:
+            raise ValueError(f"MATCH_RECOGNIZE clause missing {required}")
+
+    order_by = sections["ORDER BY"].strip()
+    if "," in order_by or re.search(r"\bDESC\b", order_by, re.I):
+        raise NotImplementedError("ORDER BY supports a single ascending column")
+
+    measures: dict[str, tuple] = {}
+    for part in _split_top_level(sections["MEASURES"]):
+        if re.search(r"CLASSIFIER\s*\(", part, re.I):
+            raise NotImplementedError("CLASSIFIER() measures are not supported")
+        mm = _MEASURE_RE.match(part)
+        if not mm:
+            raise ValueError(f"unsupported measure: {part!r}")
+        if mm.group(1):
+            kind, var, field = mm.group(1).lower(), mm.group(2), mm.group(3)
+            field = None if field == "*" else field
+            if kind == "count" and field is not None:
+                field = None  # COUNT(V.f) counts matched rows, same as V.*
+        else:
+            kind, var, field = "first", mm.group(4), mm.group(5)
+        measures[mm.group(6)] = (var, kind, field)
+
+    after_match, skip_stage = SKIP_PAST_LAST, None  # SQL default
+    if "AFTER MATCH" in sections:
+        text = re.sub(r"\s+", " ", sections["AFTER MATCH"].upper()).strip()
+        if text in _SKIP_MAP:
+            after_match, skip_stage = _SKIP_MAP[text]
+        else:
+            ms = re.match(r"SKIP TO (FIRST|LAST) (\w+)$", text)
+            if not ms:
+                raise ValueError(f"unsupported AFTER MATCH: {text!r}")
+            after_match = SKIP_TO_FIRST if ms.group(1) == "FIRST" else SKIP_TO_LAST
+            # variable case matters; recover it from the raw text
+            skip_stage = sections["AFTER MATCH"].split()[-1]
+
+    pattern = sections["PATTERN"].strip()
+    if not (pattern.startswith("(") and pattern.endswith(")")):
+        raise ValueError("PATTERN must be parenthesized")
+    pattern = pattern[1:-1].strip()
+
+    within = None
+    if "WITHIN" in sections:
+        mi = _INTERVAL_RE.search(sections["WITHIN"])
+        if not mi:
+            raise ValueError(f"unsupported WITHIN: {sections['WITHIN']!r}")
+        within = int(mi.group(1)) * _INTERVAL_UNITS[mi.group(2).lower()]
+
+    variables = [re.match(r"\w+", tok).group(0) for tok in pattern.split()]
+    define_expr: dict[str, str] = {}
+    for part in _split_top_level(sections["DEFINE"]):
+        md = re.match(r"^(\w+)\s+AS\s+(.*)$", part, re.I | re.S)
+        if not md:
+            raise ValueError(f"unsupported DEFINE entry: {part!r}")
+        var, expr = md.group(1), md.group(2).strip()
+        if re.search(r"\b(FIRST|LAST|PREV|NEXT)\s*\(", expr, re.I):
+            raise NotImplementedError("DEFINE with navigation/aggregates is not supported (row-local predicates only)")
+        # strip `V.` qualifiers — predicates are row-local, all variables
+        # see the same row's columns
+        for v in variables:
+            expr = re.sub(rf"\b{v}\.", "", expr)
+        define_expr[var] = expr
+    for v in variables:
+        # a pattern variable with no DEFINE entry matches any row (SQL spec)
+        define_expr.setdefault(v, "true")
+
+    return {
+        "table": tbl.group(1) if tbl else None,
+        "partition_by": [c.strip() for c in sections["PARTITION BY"].split(",")],
+        "order_by": order_by,
+        "measures": measures,
+        "after_match": after_match,
+        "skip_stage": skip_stage,
+        "pattern": pattern,
+        "within": within,
+        "define_expr": define_expr,
+    }
+
+
+def match_recognize_sql(
+    source,
+    sql: str,
+    streaming: bool = False,
+    delay_seconds: float = 0.0,
+) -> DataFrame:
+    """Run a MATCH_RECOGNIZE SQL statement as a DataFrame transform.
+
+    ``source`` is the input DataFrame, or a SparkSession (the FROM table is
+    then resolved via ``spark.table``). Output schema is inferred: partition
+    columns keep their input types; FIRST/LAST measures take the field's
+    type; COUNT is bigint; SUM widens integers to bigint, floats to double.
+
+    Every DEFINE predicate is a SQL expression, so fixed-length strict
+    patterns compile to the pure lead() window plan and variable-length ones
+    get JVM-side predicate evaluation (`cep/compiled.py`, `cep/operator.py`)
+    — the SQL front end never falls back to Python predicates."""
+    parsed = parse_match_recognize_sql(sql)
+    if isinstance(source, DataFrame):
+        df = source
+    else:
+        if parsed["table"] is None:
+            raise ValueError("no FROM table in statement and no DataFrame given")
+        df = source.table(parsed["table"])
+
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    int_types = {"tinyint", "smallint", "int", "bigint"}
+    cols = []
+    for c in parsed["partition_by"]:
+        cols.append(f"{c} {types[c]}")
+    for out_name, (var, kind, field) in parsed["measures"].items():
+        if kind == "count":
+            t = "bigint"
+        elif kind == "sum":
+            t = "bigint" if types[field] in int_types else "double"
+        else:
+            t = types[field]
+        cols.append(f"{out_name} {t}")
+    output_schema = ", ".join(cols)
+
+    pat = compile_pattern(
+        parsed["pattern"],
+        define={},
+        within=parsed["within"],
+        after_match=parsed["after_match"],
+        define_expr=parsed["define_expr"],
+    )
+    if parsed["skip_stage"] is not None:
+        pat = pat.after_match_skip(parsed["after_match"], parsed["skip_stage"])
+    keys = parsed["partition_by"]
+    select = _measure_select(parsed["measures"], keys)
+    if streaming:
+        return cep_stream(
+            df, pat, keys, parsed["order_by"], select, output_schema, delay_seconds
+        )
+    return cep(
+        df, pat, keys, parsed["order_by"], select, output_schema,
+        measures=parsed["measures"],
+    )

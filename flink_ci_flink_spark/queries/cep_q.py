@@ -232,3 +232,51 @@ def cep_click_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         output_schema="user_id long, click_id long, click_ts_s long",
     )
+
+
+@query(
+    "cep_mr_sql_view_to_purchase",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(event_id, 1)   OVER w AS id1,
+             LEAD(ts, 1)         OVER w AS ts1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id, event_id AS view_id, id1 AS purchase_id
+    FROM seq
+    WHERE event_type = 'view' AND t1 = 'purchase'
+      AND EPOCH(ts1) - EPOCH(ts) <= 172800
+    """,
+    group="cep",
+)
+def cep_mr_sql_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE parsed from SQL TEXT (the reference's actual user
+    surface — Calcite parse in `StreamExecMatch.scala:68`): view
+    immediately followed by purchase within 48h, SKIP PAST LAST ROW (the
+    SQL default). Strict adjacency on two disjoint event types means no
+    two candidate matches can share rows, so the skip-past-last anchor walk
+    emits every adjacent pair — the oracle is the plain LEAD() enumeration.
+    All DEFINE predicates are SQL exprs, so the fixed 2-stage pattern
+    compiles to the pure lead() window plan — zero Python.
+    """
+    from flink_ci_flink_spark.cep import match_recognize_sql
+
+    t = load_tables(spark, sf_dir)
+    t.events.createOrReplaceTempView("__mr_events")
+    return match_recognize_sql(
+        spark,
+        """
+        SELECT * FROM __mr_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(A.event_id) AS view_id, LAST(B.event_id) AS purchase_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B) WITHIN INTERVAL '48' HOUR
+          DEFINE A AS A.event_type = 'view', B AS B.event_type = 'purchase'
+        )
+        """,
+    )

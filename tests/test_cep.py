@@ -473,3 +473,91 @@ def test_compiled_absence_equals_nfa(spark, sf_dir):
     )
     key = lambda r: (r.user_id, r.click_id)  # noqa: E731
     assert sorted(map(key, compiled.collect())) == sorted(map(key, nfa.collect()))
+
+
+def test_parse_match_recognize_sql():
+    """SQL-text clause parses to the exact transform arguments."""
+    from flink_ci_flink_spark.cep import parse_match_recognize_sql
+
+    p = parse_match_recognize_sql("""
+        SELECT * FROM trades MATCH_RECOGNIZE (
+          PARTITION BY sym, venue
+          ORDER BY ts
+          MEASURES FIRST(A.price) AS p0, SUM(B.qty) AS total_qty,
+                   COUNT(B.*) AS n_b, C.price AS last_p
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO LAST B
+          PATTERN (A B{2,4} C?) WITHIN INTERVAL '30' MINUTE
+          DEFINE A AS A.price > 10, B AS B.price > PREV_COL + 0, C AS C.side = 'sell'
+        )
+    """)
+    assert p["table"] == "trades"
+    assert p["partition_by"] == ["sym", "venue"]
+    assert p["order_by"] == "ts"
+    assert p["measures"] == {
+        "p0": ("A", "first", "price"),
+        "total_qty": ("B", "sum", "qty"),
+        "n_b": ("B", "count", None),
+        "last_p": ("C", "first", "price"),
+    }
+    assert p["after_match"] == "skip_to_last" and p["skip_stage"] == "B"
+    assert p["pattern"] == "A B{2,4} C?"
+    assert p["within"] == 1800.0
+    # V. qualifiers stripped; undefined variables default to true
+    assert p["define_expr"]["A"] == "price > 10"
+    assert p["define_expr"]["C"] == "side = 'sell'"
+
+
+def test_parse_match_recognize_sql_rejects_unsupported():
+    import pytest as _pytest
+
+    from flink_ci_flink_spark.cep import parse_match_recognize_sql
+
+    base = """FROM t MATCH_RECOGNIZE (PARTITION BY k ORDER BY ts
+        MEASURES A.x AS x {extra} PATTERN (A) DEFINE A AS A.x > 0)"""
+    with _pytest.raises(NotImplementedError):
+        parse_match_recognize_sql(base.format(extra="ALL ROWS PER MATCH"))
+    with _pytest.raises(NotImplementedError):
+        parse_match_recognize_sql(
+            """FROM t MATCH_RECOGNIZE (PARTITION BY k ORDER BY ts
+            MEASURES A.x AS x PATTERN (A B) DEFINE A AS A.x > 0,
+            B AS B.x > LAST(A.x))"""
+        )
+
+
+def test_match_recognize_sql_matches_api(spark, sf_dir):
+    """The SQL front end and the keyword API produce identical matches."""
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.cep import match_recognize, match_recognize_sql
+
+    ev_df = load_tables(spark, sf_dir).events.select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+
+    sql_out = match_recognize_sql(
+        ev_df,
+        """
+        SELECT * FROM __unused MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(A.event_id) AS a_id, LAST(B.event_id) AS b_id
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B)
+          DEFINE A AS A.event_type = 'click', B AS B.event_type = 'purchase'
+        )
+        """,
+    )
+    api_out = match_recognize(
+        ev_df,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="A B",
+        define={
+            "A": lambda e: e["event_type"] == "click",
+            "B": lambda e: e["event_type"] == "purchase",
+        },
+        measures={"a_id": ("A", "first", "event_id"), "b_id": ("B", "last", "event_id")},
+        output_schema="user_id long, a_id long, b_id long",
+    )
+    key = lambda r: (r.user_id, r.a_id, r.b_id)  # noqa: E731
+    assert sorted(map(key, sql_out.collect())) == sorted(map(key, api_out.collect()))
