@@ -8,6 +8,7 @@ from flink_ci_flink_spark.pipeline.dedup import (  # noqa: F401
     simhash,
 )
 from flink_ci_flink_spark.pipeline.similarity import (  # noqa: F401
+    cosine_near_dup,
     cosine_topk,
     ivf_ann_topk,
     ivf_centroids,

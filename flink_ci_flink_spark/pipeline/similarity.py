@@ -148,6 +148,66 @@ def lsh_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cosine_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b), id_a < id_b,
+    cosine ≥ threshold.
+
+    ``exact=True`` is the all-pairs self-join — the verification baseline
+    and oracle path (O(n²): only for modest corpora / correctness gates).
+    ``exact=False`` (default) is the scale path: multi-table sign-LSH
+    bucketing (same deterministic hyperplanes as `lsh_ann_topk`), in-bucket
+    pair generation, exact cosine verification on candidates only — near
+    duplicates land in the same bucket with high probability, so the
+    self-join is per-bucket instead of global. Cosine is computed BEFORE
+    the cross-table dedup so only scalar (id_a, id_b, sim) rows reach that
+    shuffle, never the vectors. Recall vs exact is asserted in
+    tests/test_pipeline.py."""
+    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    if exact:
+        a = emb.select(F.col(id_col).alias("id_a"), _to_double(vec_col).alias("__va"))
+        b = emb.select(F.col(id_col).alias("id_b"), _to_double(vec_col).alias("__vb"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", sim.alias("sim"))
+            .filter(F.col("sim") >= threshold)
+        )
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket(F.col("__v"), dim, n_planes, t).alias("b"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    banded = (
+        emb.select(F.col(id_col).alias("__id"), _to_double(vec_col).alias("__v"))
+        .withColumn("__tb", F.explode(keys))
+        .select("__id", "__v", F.col("__tb.t").alias("t"), F.col("__tb.b").alias("b"))
+    )
+    scored = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["t", "b"])
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.round(cosine(F.col("l.__v"), F.col("r.__v")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    return scored.dropDuplicates(["id_a", "id_b"])
+
+
 def _l2sq(a: Column, b: Column) -> Column:
     d = F.zip_with(a, b, lambda x, y: x - y)
     return F.aggregate(F.transform(d, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from flink_ci_flink_spark.catalog import load_tables
 from flink_ci_flink_spark.pipeline import (
     attach_binary_payload,
+    cosine_near_dup,
     cosine_topk,
     decode_stub_features,
     exact_dedup,
@@ -264,6 +265,34 @@ def pipe_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return cosine_topk(t.embeddings, queries, k=5)
+
+
+@query(
+    "pipe_cosine_near_dup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v) /
+                 (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))),
+                 6) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v) /
+                (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))),
+                6) >= 0.45
+    """,
+    group="pipeline",
+)
+def pipe_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at τ=0.45 (exact all-pairs mode
+    — the oracle-checkable verification baseline; τ sits ≥5e-4 from every
+    pair's cosine at the driver SF, so double-precision drift can't flip
+    boundary membership). The LSH-bucketed scale path of the same operator
+    (`cosine_near_dup(exact=False)`) is recall-tested in
+    tests/test_pipeline.py."""
+    t = load_tables(spark, sf_dir)
+    return cosine_near_dup(t.embeddings, threshold=0.45, exact=True)
 
 
 @query("pipe_lsh_ann_topk", oracle=None, group="pipeline")

@@ -132,3 +132,27 @@ def test_ivf_ann_recall(spark, sf_dir):
         ).collect()
     }
     assert full == exact
+
+
+def test_cosine_near_dup_lsh_recall(spark, sf_dir):
+    """LSH-bucketed near-dup finds most exact pairs, never false positives
+    (candidates are exact-verified), and computes identical sims."""
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline import cosine_near_dup
+
+    emb = load_tables(spark, sf_dir).embeddings
+    # sf0.001 corpora are tiny; lower tau until a handful of pairs exist
+    tau = 0.40
+    exact = {
+        (r.id_a, r.id_b): r.sim
+        for r in cosine_near_dup(emb, threshold=tau, exact=True).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.sim
+        for r in cosine_near_dup(emb, threshold=tau, exact=False).collect()
+    }
+    assert set(approx) <= set(exact)  # verification step: no false positives
+    for k, v in approx.items():
+        assert v == exact[k]
+    if exact:
+        assert len(approx) / len(exact) >= 0.5
