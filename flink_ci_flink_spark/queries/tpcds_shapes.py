@@ -25,6 +25,12 @@ above-average filters, rank-over-rollup — against the synthetic tables:
   joined on the date axis, crossover filter)
 - `tpcds_shape_full_outer_overlap` ~ q97 (FULL OUTER channel-overlap
   census by null-pattern)
+- `tpcds_shape_threeway_intersect` ~ q38/q87 (chained INTERSECT of
+  distinct key sets → count)
+- `tpcds_shape_exists_either`     ~ q10/q35 (EXISTS AND (EXISTS OR
+  EXISTS), the OR decorrelated to a union semi-join)
+- `tpcds_shape_having_count_between` ~ q34/q73 (HAVING COUNT BETWEEN
+  band, join back to the dimension, second HAVING)
 
 Money sums use exact integer cents per the repo-wide parity rule.
 
@@ -554,4 +560,136 @@ def tpcds_full_outer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             (F.col("pk").isNull() & F.col("sk").isNotNull()).cast("long")
         ).alias("standard_only"),
+    )
+
+
+@query(
+    "tpcds_shape_threeway_intersect",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_loyal FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998
+    )
+    """,
+    group="tpcds",
+)
+def tpcds_threeway_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q38/q87 shape: customers active in ALL THREE periods via a
+    chained INTERSECT of distinct key sets, then a global count.
+
+    Catalyst plans INTERSECT as left-semi joins over distinct inputs —
+    key-only shuffles; at 100 TB each branch prunes to one column before
+    the join. Ref: TPC-DS q38 (`TpcdsTestProgram.java:57-69` runs it)."""
+    t = load_tables(spark, sf_dir)
+
+    def year_keys(y: int) -> DataFrame:
+        return (
+            t.orders.filter(F.year("o_orderdate") == y)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    return (
+        year_keys(1996)
+        .intersect(year_keys(1997))
+        .intersect(year_keys(1998))
+        .agg(F.count(F.lit(1)).alias("n_loyal"))
+    )
+
+
+@query(
+    "tpcds_shape_exists_either",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND EXTRACT(year FROM o.o_orderdate) = 1997
+      )
+      AND (
+        EXISTS (
+          SELECT 1 FROM orders o2
+          WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 450000
+        )
+        OR EXISTS (
+          SELECT 1 FROM lineitem l JOIN orders o3 ON l.l_orderkey = o3.o_orderkey
+          WHERE o3.o_custkey = c.c_custkey AND l.l_quantity > 45
+        )
+      )
+    GROUP BY c_mktsegment
+    """,
+    group="tpcds",
+)
+def tpcds_exists_either(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q10/q35 shape: demographic counts of customers with activity
+    in a base period AND presence in EITHER of two other relations —
+    EXISTS AND (EXISTS OR EXISTS).
+
+    The OR of two EXISTS decorrelates to a semi-join against the UNION of
+    the two key sets (Catalyst can't OR two semi-joins directly); the union
+    branches are key-only, so the extra shuffle carries one column.
+    Ref: TPC-DS q10 (`TpcdsTestProgram.java:57-69`)."""
+    t = load_tables(spark, sf_dir)
+    active_1997 = (
+        t.orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    )
+    big_spenders = (
+        t.orders.filter(F.col("o_totalprice") > 450000).select("o_custkey")
+    )
+    bulk_buyers = (
+        t.lineitem.filter(F.col("l_quantity") > 45)
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey")
+    )
+    either = big_spenders.unionByName(bulk_buyers)
+    return (
+        t.customer.join(
+            active_1997, F.col("c_custkey") == active_1997.o_custkey, "left_semi"
+        )
+        .join(either, F.col("c_custkey") == either.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+
+
+@query(
+    "tpcds_shape_having_count_between",
+    oracle="""
+    WITH bulky AS (
+      SELECT o_orderkey, o_custkey
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, o_custkey
+      HAVING COUNT(*) BETWEEN 6 AND 7
+    )
+    SELECT c_custkey, c_name, CAST(COUNT(*) AS BIGINT) AS n_bulky
+    FROM bulky JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    HAVING COUNT(*) >= 2
+    """,
+    group="tpcds",
+)
+def tpcds_having_count_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q34/q73 shape: orders whose item count falls in a band
+    (HAVING COUNT BETWEEN), joined back to the customer dimension, then a
+    second HAVING over the per-customer count of such orders.
+
+    Two partial-final count aggregations; the order→customer join carries
+    only (orderkey, custkey) after the first HAVING prunes. Ref: TPC-DS
+    q34 (`TpcdsTestProgram.java:57-69`)."""
+    t = load_tables(spark, sf_dir)
+    bulky = (
+        t.orders.join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items").between(6, 7))
+    )
+    return (
+        bulky.join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count(F.lit(1)).alias("n_bulky"))
+        .filter(F.col("n_bulky") >= 2)
     )
