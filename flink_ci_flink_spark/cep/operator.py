@@ -75,7 +75,10 @@ def _jvm_predicate_columns(df: DataFrame, pattern: Pattern) -> tuple[DataFrame, 
     for i, st in enumerate(pattern.stages):
         if st.expr is not None:
             df = df.withColumn(f"__p{i}", F.coalesce(F.expr(st.expr), F.lit(False)))
-            preds.append(lambda e, c=f"__p{i}": bool(e[c]))
+            # tolerant of the streaming payload's stringify round-trip,
+            # where True arrives as the (truthy-either-way) string "True"
+            # and False as "False"
+            preds.append(lambda e, c=f"__p{i}": e[c] in (True, "True", "true", 1, "1"))
         else:
             preds.append(st.predicate)
     return df, pattern.copy_with_predicates(preds)
@@ -209,6 +212,10 @@ def cep_stream(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     pattern.validate()
+    # expr-only stages (SQL front end) have predicate=None, which the NFA
+    # treats as match-anything — evaluate exprs JVM-side here exactly as the
+    # batch operator does; the __p{i} columns ride along in the payload
+    df, pattern = _jvm_predicate_columns(df, pattern)
     payload_cols = payload_cols or [c for c in df.columns if c not in keys]
     if pattern.within_seconds is None:
         raise ValueError(

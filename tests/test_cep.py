@@ -561,3 +561,61 @@ def test_match_recognize_sql_matches_api(spark, sf_dir):
     )
     key = lambda r: (r.user_id, r.a_id, r.b_id)  # noqa: E731
     assert sorted(map(key, sql_out.collect())) == sorted(map(key, api_out.collect()))
+
+
+def test_match_recognize_sql_streaming_matches_batch(spark, sf_dir):
+    """The SQL-text front end with streaming=True (micro-batch replay) emits
+    the same final matches as the batch plan of the same statement."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.cep import match_recognize_sql
+    from flink_ci_flink_spark.streaming import file_stream, run_to_completion
+
+    stmt = """
+    SELECT * FROM __t MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES FIRST(A.event_id) AS a_id, LAST(B.event_id) AS b_id
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B) WITHIN INTERVAL '72' HOUR
+      DEFINE A AS A.event_type = 'click', B AS B.event_type = 'purchase'
+    )
+    """
+    ev_df = load_tables(spark, sf_dir).events.select(
+        "user_id", "event_id", "ts", "event_type"
+    ).orderBy("ts")
+    batch = {
+        (r.user_id, r.a_id, r.b_id)
+        for r in match_recognize_sql(ev_df, stmt).collect()
+    }
+
+    tmp = tempfile.mkdtemp(prefix="mr_sql_stream_")
+    try:
+        rows = ev_df.collect()
+        third = len(rows) // 3
+        for i, chunk in enumerate(
+            [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+        ):
+            spark.createDataFrame(chunk, ev_df.schema).coalesce(1).write.parquet(
+                f"{tmp}/f{i}"
+            )
+        for i in range(3):
+            (part,) = glob.glob(f"{tmp}/f{i}/part-*.parquet")
+            os.rename(part, f"{tmp}/{i:03d}.parquet")
+            shutil.rmtree(f"{tmp}/f{i}")
+
+        stream = file_stream(spark, tmp, ev_df.schema, max_files_per_trigger=1)
+        out = match_recognize_sql(stream, stmt, streaming=True)
+        name = f"mrs_{uuid.uuid4().hex[:8]}"
+        run_to_completion(out, name, "append")
+        streamed = {
+            (r.user_id, r.a_id, r.b_id) for r in spark.table(name).collect()
+        }
+        assert streamed == batch
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
