@@ -368,28 +368,25 @@ def tpcds_multi_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="tpcds",
 )
 def tpcds_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-DS q11/q74 shape: per-customer year-over-year spend ratio via a
-    self-join of a yearly CTE on the customer key (the CTE computes once,
-    both join sides reuse the exchange)."""
+    """TPC-DS q11/q74 shape: per-customer year-over-year spend ratio. The
+    SQL (and the oracle text) is a self-join of a yearly CTE on the
+    customer key; the Spark-first plan FUSES the two CTE references into
+    one conditional-aggregation pass — the per-side year filters push
+    below any shared exchange and split the subplans, so a literal
+    self-join rescans the fact per side (measured), while the fused form
+    is one scan + one shuffle. Presence of a year == its spend > 0 (every
+    line has positive price), so the inner-join semantics survive."""
     t = load_tables(spark, sf_dir)
     cents = _CENT(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    yearly = (
-        t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .withColumn("yr", F.year("o_orderdate"))
-        .filter(F.col("yr").isin(1996, 1997))
-        .groupBy("o_custkey", "yr")
-        .agg(F.sum(cents).alias("spend_cents"))
-        # one exchange, reused by both self-join sides
-        .repartition("o_custkey")
-    )
-    a = yearly.filter(F.col("yr") == 1996).select(
-        "o_custkey", F.col("spend_cents").alias("spend_1996")
-    )
-    b = yearly.filter(F.col("yr") == 1997).select(
-        "o_custkey", F.col("spend_cents").alias("spend_1997")
-    )
+    yr = F.year("o_orderdate")
     return (
-        a.join(b, "o_custkey")
+        t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(yr.isin(1996, 1997))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(yr == 1996, cents).otherwise(0)).alias("spend_1996"),
+            F.sum(F.when(yr == 1997, cents).otherwise(0)).alias("spend_1997"),
+        )
         .filter(
             (F.col("spend_1996") > 0) & (F.col("spend_1997") > F.col("spend_1996"))
         )

@@ -274,11 +274,22 @@ def tpcds_pivot_months(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_quarter_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q31 shape: one quarterly CTE referenced four times (two
     segments x two consecutive quarters), nations where the BUILDING
-    segment grew faster than MACHINERY — the repeated-self-join plan where
-    all four sides reuse one shuffle exchange."""
+    segment grew faster than MACHINERY. The oracle keeps the literal
+    4-way CTE self-join; the Spark-first plan FUSES the four references
+    into one conditional-aggregation pass (per-side seg/qtr filters push
+    below any shared exchange and split the subplans, so a literal
+    self-join rescans the fact four times — measured). Inner-join
+    presence of a (seg, qtr) row == its sum > 0 (every line has positive
+    price), enforced explicitly on all four slots."""
     t = load_tables(spark, sf_dir)
     cents = _CENT(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    q = (
+    seg, qtr = F.col("c_mktsegment"), F.quarter("o_orderdate")
+
+    def slot(seg_v: str, qtr_v: int, name: str):
+        cond = (seg == seg_v) & (qtr == qtr_v)
+        return F.sum(F.when(cond, cents).otherwise(0)).alias(name)
+
+    per_nk = (
         t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(t.customer), F.col("c_custkey") == F.col("o_custkey"))
         .filter(
@@ -286,28 +297,20 @@ def tpcds_quarter_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1998-01-01"))
             & F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
         )
-        .groupBy(
-            F.col("c_nationkey").cast("long").alias("nk"),
-            F.col("c_mktsegment").alias("seg"),
-            F.quarter("o_orderdate").alias("qtr"),
+        .groupBy(F.col("c_nationkey").cast("long").alias("nk"))
+        .agg(
+            slot("BUILDING", 1, "b1"),
+            slot("BUILDING", 2, "b2"),
+            slot("MACHINERY", 1, "m1"),
+            slot("MACHINERY", 2, "m2"),
         )
-        .agg(F.sum(cents).alias("cents"))
-        # all four self-join sides read this one exchange
-        .repartition("nk")
     )
-
-    def side(seg: str, qtr: int, alias: str) -> DataFrame:
-        return q.filter((F.col("seg") == seg) & (F.col("qtr") == qtr)).select(
-            "nk", F.col("cents").alias(alias)
-        )
-
-    b1, b2 = side("BUILDING", 1, "b1"), side("BUILDING", 2, "b2")
-    m1, m2 = side("MACHINERY", 1, "m1"), side("MACHINERY", 2, "m2")
-    joined = b1.join(b2, "nk").join(m1, "nk").join(m2, "nk")
     return (
-        joined.filter(
+        per_nk.filter(
             (F.col("b1") > 0)
+            & (F.col("b2") > 0)
             & (F.col("m1") > 0)
+            & (F.col("m2") > 0)
             & (F.col("b2") / F.col("b1") > F.col("m2") / F.col("m1"))
         )
         .select(
