@@ -23,6 +23,12 @@ planner features, each mapped to the TPC-DS query it imitates:
   joined where each is within 10% of their average)
 - `tpcds_shape_dual_rank_union` ~ q49 (per-channel ratio with two rank
   orders, rank<=10 filter on either, UNION of channels)
+- `tpcds_shape_anti_ratio`      ~ q78 (fact LEFT ANTI fact — lines with no
+  return for the same (part, customer) — then a yearly ratio)
+- `tpcds_shape_part_or_filter`  ~ q41 (dimension-only correlated COUNT
+  with an OR-heavy predicate, decorrelated to an agg + semi-join)
+- `tpcds_shape_revenue_bands`   ~ q54/q98 (aggregate-of-aggregate:
+  per-customer revenue bucketed into bands, customers counted per band)
 
 Money sums use exact integer cents; ratios are floor-rounded to 6dp on
 both sides; every rank/LIMIT ordering carries a unique tiebreak
@@ -551,4 +557,156 @@ def tpcds_dual_rank_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("qty_rk") <= 10) | (F.col("amt_rk") <= 10))
         .orderBy("channel", "qty_rk", "amt_rk", "pk")
+    )
+
+
+@query(
+    "tpcds_shape_anti_ratio",
+    oracle=f"""
+    WITH no_ret AS (
+      SELECT l_partkey AS pk, o.o_custkey AS ck,
+             EXTRACT(year FROM o_orderdate) AS yr,
+             SUM({_CENT_SQL}) AS cents
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem r JOIN orders ro ON ro.o_orderkey = r.l_orderkey
+        WHERE r.l_returnflag = 'R'
+          AND r.l_partkey = l.l_partkey AND ro.o_custkey = o.o_custkey
+      )
+      GROUP BY 1, 2, 3
+    )
+    SELECT a.pk, a.ck, a.cents AS cents_1996, b.cents AS cents_1997,
+           FLOOR(b.cents * 1e6 / a.cents + 0.5) / 1e6 AS ratio
+    FROM no_ret a JOIN no_ret b ON a.pk = b.pk AND a.ck = b.ck
+    WHERE a.yr = 1996 AND b.yr = 1997 AND a.cents > 0
+    ORDER BY ratio DESC, a.pk, a.ck
+    LIMIT 100
+    """,
+    group="tpcds",
+)
+def tpcds_anti_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q78 shape: activity on (part, customer) pairs that have NEVER
+    had a return — the fact LEFT ANTI joined against its own returned
+    slice on a compound key — then the 1997/1996 spend ratio per
+    surviving pair. The anti side carries only the key columns through
+    its shuffle; the year pivot is fused into one conditional aggregate
+    (q78's CTE-per-year self-join, decorrelated)."""
+    t = load_tables(spark, sf_dir)
+    cents = _CENT(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    li = t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+    returned_keys = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_partkey").alias("pk"), F.col("o_custkey").alias("ck"))
+        .distinct()
+    )
+    yr = F.year("o_orderdate")
+    no_ret = (
+        li.select(
+            F.col("l_partkey").alias("pk"),
+            F.col("o_custkey").alias("ck"),
+            yr.alias("yr"),
+            cents.alias("cents"),
+        )
+        .join(returned_keys, ["pk", "ck"], "left_anti")
+    )
+    return (
+        no_ret.groupBy("pk", "ck")
+        .agg(
+            F.sum(F.when(F.col("yr") == 1996, F.col("cents")).otherwise(0)).alias(
+                "cents_1996"
+            ),
+            F.sum(F.when(F.col("yr") == 1997, F.col("cents")).otherwise(0)).alias(
+                "cents_1997"
+            ),
+        )
+        .filter((F.col("cents_1996") > 0) & (F.col("cents_1997") > 0))
+        .select(
+            "pk",
+            "ck",
+            "cents_1996",
+            "cents_1997",
+            _R6(F.col("cents_1997") / F.col("cents_1996")).alias("ratio"),
+        )
+        .orderBy(F.desc("ratio"), "pk", "ck")
+        .limit(100)
+    )
+
+
+@query(
+    "tpcds_shape_part_or_filter",
+    oracle="""
+    SELECT DISTINCT p_name
+    FROM part p1
+    WHERE p_brand IN (
+      SELECT p_brand FROM part p2
+      WHERE (p2.p_type = 'ECONOMY'  AND p2.p_size BETWEEN 1 AND 5)
+         OR (p2.p_type = 'STANDARD' AND p2.p_size BETWEEN 10 AND 15)
+         OR (p2.p_type = 'PROMO'    AND p2.p_size BETWEEN 20 AND 25)
+    )
+    AND p_retailprice BETWEEN 940 AND 960
+    ORDER BY p_name
+    LIMIT 100
+    """,
+    group="tpcds",
+)
+def tpcds_part_or_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q41 shape: a dimension-only query — parts in a price band
+    whose BRAND contains at least one part satisfying an OR-heavy
+    type/size predicate. The correlated IN decorrelates to a broadcast
+    semi-join of part against its own filtered brand projection."""
+    t = load_tables(spark, sf_dir)
+    or_pred = (
+        ((F.col("p_type") == "ECONOMY") & F.col("p_size").between(1, 5))
+        | ((F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 15))
+        | ((F.col("p_type") == "PROMO") & F.col("p_size").between(20, 25))
+    )
+    qual_brands = t.part.filter(or_pred).select("p_brand")
+    return (
+        t.part.filter(F.col("p_retailprice").between(940, 960))
+        .join(F.broadcast(qual_brands), "p_brand", "left_semi")
+        .select("p_name")
+        .distinct()
+        .orderBy("p_name")
+        .limit(100)
+    )
+
+
+@query(
+    "tpcds_shape_revenue_bands",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey, SUM({_CENT_SQL}) AS rev_cents
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1
+    )
+    SELECT CAST(FLOOR(rev_cents / 5000000) AS BIGINT) AS band,
+           COUNT(*) AS n_customers,
+           SUM(rev_cents) AS band_cents
+    FROM per_cust
+    GROUP BY 1
+    ORDER BY band
+    """,
+    group="tpcds",
+)
+def tpcds_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q54/q98 shape: aggregate-of-aggregate — per-customer lifetime
+    revenue bucketed into $50k bands, customers counted per band. Two
+    chained shuffles where the second input is already tiny; the band
+    expression stays integer (cents / 5_000_000) for hash stability."""
+    t = load_tables(spark, sf_dir)
+    cents = _CENT(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_cust = (
+        t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    return (
+        per_cust.groupBy(
+            F.floor(F.col("rev_cents") / 5000000).cast("long").alias("band")
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("rev_cents").alias("band_cents"),
+        )
+        .orderBy("band")
     )
