@@ -8,6 +8,10 @@ from flink_ci_flink_spark.streaming.core import (  # noqa: F401
     socket_stream,
     with_watermark,
 )
+from flink_ci_flink_spark.streaming.changelog import (  # noqa: F401
+    changelog_group_agg,
+    changelog_to_table,
+)
 from flink_ci_flink_spark.streaming.process import (  # noqa: F401
     keyed_process,
     streaming_dedup_keep_last,

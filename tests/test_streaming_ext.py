@@ -542,3 +542,60 @@ def test_side_output_split_sinks(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_changelog_group_agg_retract_stream(spark, events_stream_dir):  # noqa: F811
+    """changelog_group_agg emits a well-formed retract stream (+I then
+    -U/+U pairs per key, seq-ordered, each -U carrying the previous value)
+    whose fold-back (`changelog_to_table`) equals the batch aggregate."""
+    from flink_ci_flink_spark.streaming import (
+        changelog_group_agg,
+        changelog_to_table,
+        run_to_completion,
+    )
+
+    stream = _events_stream(spark, events_stream_dir, per_trigger=1)
+    out = changelog_group_agg(
+        stream.select("user_id", "value"),
+        ["user_id"],
+        {"total": ("sum", "value"), "n": ("count", "value")},
+    )
+    name = f"cl_{uuid.uuid4().hex[:8]}"
+    run_to_completion(out, name, "update")
+    log = spark.table(name)
+    # within a seq the -U precedes the +U ('-' > '+' in ASCII, so desc)
+    rows = log.orderBy("user_id", "seq", F.desc("row_kind")).collect()
+
+    # per-key kind protocol: seq 1 is a single +I; each later seq is a
+    # (-U, +U) pair whose -U equals the previous round's +I/+U values
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r.user_id, []).append(r)
+    assert per_key, "changelog is empty"
+    for u, rs in per_key.items():
+        assert (rs[0].row_kind, rs[0].seq) == ("+I", 1)
+        last = (rs[0].total, rs[0].n)
+        i = 1
+        while i < len(rs):
+            before, after = rs[i], rs[i + 1]
+            assert (before.row_kind, after.row_kind) == ("-U", "+U")
+            assert before.seq == after.seq == rs[i - 1].seq + 1
+            assert (before.total, before.n) == last, "retraction != previous value"
+            last = (after.total, after.n)
+            i += 2
+
+    # folding the changelog reproduces the batch aggregate
+    got = {
+        (r.user_id): (round(r.total, 6), int(r.n))
+        for r in changelog_to_table(log, ["user_id"]).collect()
+    }
+    path, schema = events_stream_dir
+    want = {
+        r.user_id: (round(r.total, 6), int(r.n))
+        for r in spark.read.schema(schema)
+        .parquet(path)
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("total"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
