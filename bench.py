@@ -47,6 +47,8 @@ HEADLINE = [
     "tpch_q21_suppliers_who_kept_waiting",
     "tpcds_shape_rank_over_rollup",
     "cep_click_no_purchase",
+    "tpcds_shape_moving_dev",
+    "tpcds_shape_anti_ratio",
 ]
 
 
