@@ -64,24 +64,20 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(msgs, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias(
-                    "component"
-                ),
-            )
+        upd = F.least(
+            F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+        )
+        # carry the changed flag in-row: the convergence probe is then a
+        # plain filter over the checkpointed partitions instead of a
+        # labels-vs-new-labels join (one shuffle less per superstep)
+        new_labels = labels.join(msgs, "id", "left").select(
+            "id",
+            upd.alias("component"),
+            (upd != F.col("component")).alias("__changed"),
         )
         new_labels = _maybe_checkpoint(new_labels, i)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             break
     return labels
