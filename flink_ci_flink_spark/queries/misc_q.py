@@ -143,23 +143,62 @@ def temporal_overlaps_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_pagerank_nations", oracle=None, group="graph")
+@query(
+    "graph_pagerank_nations",
+    oracle="""
+    WITH RECURSIVE pr(iter, id, rank) AS (
+      SELECT 0, n_nationkey, 1.0/25 FROM nation
+      UNION ALL
+      SELECT pr.iter + 1, e.dst, 0.15/25 + 0.85 * SUM(pr.rank / e.d)
+      FROM pr
+      JOIN (
+        SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS d FROM (
+          SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+          FROM nation a JOIN nation b
+            ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+          WHERE a.n_nationkey < b.n_nationkey
+             OR b.n_nationkey = (SELECT MIN(c.n_nationkey) FROM nation c
+                                 WHERE c.n_regionkey = a.n_regionkey)
+        )
+      ) e ON e.src = pr.id
+      WHERE pr.iter < 8
+      GROUP BY pr.iter + 1, e.dst
+    )
+    SELECT id, FLOOR(rank*1e6 + 0.5)/1e6 AS rank FROM pr WHERE iter = 8
+    ORDER BY id
+    """,
+    group="graph",
+)
 def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the nation graph (rows-only: a damped iterative fixpoint
-    isn't ANSI-SQL-expressible; correctness vs numpy power iteration is
-    asserted in tests/test_graph.py). Ref: `linkanalysis/PageRank.java`."""
+    """PageRank (8 damped power-iteration steps) over a directed,
+    dangling-free nation graph: within each region, a -> every higher-keyed
+    b, plus every node -> the region head. The iterative fixpoint IS
+    SQL-expressible for a fixed iteration count — the oracle runs the same
+    8 supersteps as a recursive CTE with aggregation in the recursive term,
+    so this query is exact-oracle-checked (upgraded from rows-only); both
+    sides floor-round to 6dp (double drift between engines ~1e-15).
+    Ref: `linkanalysis/PageRank.java`."""
     from flink_ci_flink_spark.graph import pagerank
 
     t = load_tables(spark, sf_dir)
     n = t.nation.select("n_nationkey", "n_regionkey")
-    a, b = n.alias("a"), n.alias("b")
+    head = n.groupBy("n_regionkey").agg(F.min("n_nationkey").alias("head_key"))
+    a = n.alias("a")
+    b = n.join(F.broadcast(head), "n_regionkey").alias("b")
     edges = a.join(
         b,
         (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
-        & (F.col("a.n_nationkey") != F.col("b.n_nationkey")),
+        & (F.col("a.n_nationkey") != F.col("b.n_nationkey"))
+        & (
+            (F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+            | (F.col("b.n_nationkey") == F.col("b.head_key"))
+        ),
     ).select(
-        F.col("a.n_nationkey").alias("src"), F.col("b.n_nationkey").alias("dst")
+        F.col("a.n_nationkey").cast("long").alias("src"),
+        F.col("b.n_nationkey").cast("long").alias("dst"),
     )
-    verts = n.select(F.col("n_nationkey").alias("id"))
+    verts = n.select(F.col("n_nationkey").cast("long").alias("id"))
     out = pagerank(verts, edges, iterations=8)
-    return out.select("id", F.round("rank", 8).alias("rank"))
+    return out.select(
+        "id", (F.floor(F.col("rank") * 1e6 + F.lit(0.5)) / 1e6).alias("rank")
+    )
