@@ -134,15 +134,17 @@ def lsh_ann_topk(
 
     c = banded(corpus, id_col, "__cv")
     q = banded(queries, query_id_col, "__qv")
-    cand = (
+    # score BEFORE deduping: every duplicate (query, id) candidate carries
+    # an identical score, so the dedupe shuffle moves (qid, id, score)
+    # triples instead of two dim-length vectors per row
+    scored = (
         c.join(F.broadcast(q), ["t", "b"])
-        .select(query_id_col, id_col, "__qv", "__cv")
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        )
         .dropDuplicates([query_id_col, id_col])
-    )
-    scored = cand.select(
-        query_id_col,
-        id_col,
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -182,3 +182,36 @@ def write_partitioned(
     the committer's manifest gives the same atomic-visibility guarantee the
     reference gets from its two-phase partition commit)."""
     df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def save_table(
+    df: DataFrame,
+    name: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Catalog-table sink (Hive source/sink analog — reference
+    `flink-connectors/flink-connector-hive/.../HiveTableSink.java`): write a
+    managed table registered in the session catalog (warehouse dir +
+    catalog entry). With a Hive metastore configured
+    (`spark.sql.catalogImplementation=hive`) the same call persists to the
+    metastore; the test image has no metastore service, so tests exercise
+    the in-memory catalog — the API surface and partition layout are
+    identical."""
+    w = df.write.mode(mode).format(fmt)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.saveAsTable(name)
+
+
+def read_table(spark: SparkSession, name: str) -> DataFrame:
+    """Catalog-table source (HiveTableSource analog): partition pruning and
+    pushdown apply exactly as for path-based reads."""
+    return spark.table(name)
+
+
+def insert_into_table(df: DataFrame, name: str, overwrite: bool = False) -> None:
+    """INSERT INTO / INSERT OVERWRITE a catalog table (dynamic partition
+    insert when the table is partitioned)."""
+    df.write.insertInto(name, overwrite=overwrite)

@@ -174,3 +174,36 @@ def test_kafka_option_mapping():
         "kafka.security.protocol": "SASL_SSL",
         "kafka.max.poll.records": "500",
     }
+
+
+def test_catalog_table_roundtrip(spark, sf_dir):
+    """save_table/read_table/insert_into_table: managed partitioned table in
+    the session catalog — write, read back, dynamic-partition append, and
+    partition pruning on the read path."""
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.sources import (
+        insert_into_table,
+        read_table,
+        save_table,
+    )
+
+    n = load_tables(spark, sf_dir).nation
+    save_table(n, "nations_tbl", partition_cols=["n_regionkey"])
+    got = read_table(spark, "nations_tbl")
+    assert got.count() == n.count()
+    assert set(got.columns) == set(n.columns)
+
+    # dynamic-partition append: shift keys so rows land in new partitions
+    extra = n.selectExpr(
+        "n_nationkey + 1000 AS n_nationkey", "n_name", "n_regionkey + 100 AS n_regionkey"
+    ).select(*[c for c in read_table(spark, "nations_tbl").columns])
+    insert_into_table(extra, "nations_tbl")
+    assert read_table(spark, "nations_tbl").count() == 2 * n.count()
+
+    pruned = read_table(spark, "nations_tbl").filter("n_regionkey = 100")
+    assert pruned.count() == n.filter("n_regionkey = 0").count()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "n_regionkey" not in plan.split("ReadSchema")[-1][:200], (
+        "partition column must be pruned from the read schema (metadata col)"
+    )
+    spark.sql("DROP TABLE IF EXISTS nations_tbl")
