@@ -599,3 +599,48 @@ def test_changelog_group_agg_retract_stream(spark, events_stream_dir):  # noqa: 
         .collect()
     }
     assert got == want
+
+
+def test_transform_with_state_running_agg(spark, events_stream_dir):  # noqa: F811
+    """Native split-state path (transformWithStateInPandas + ValueState):
+    last emission per key == batch aggregate. Needs google.protobuf (the
+    state-server protocol), absent from the default test image."""
+    pytest.importorskip("google.protobuf")
+    from flink_ci_flink_spark.streaming import run_to_completion
+    from flink_ci_flink_spark.streaming.tws import (
+        streaming_running_agg_tws,
+        use_rocksdb_state,
+    )
+
+    prev = use_rocksdb_state(spark)
+    try:
+        stream = _events_stream(spark, events_stream_dir, per_trigger=1)
+        out = streaming_running_agg_tws(
+            stream.select("user_id", "value"), "user_id", "value"
+        )
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        run_to_completion(out, name, "update")
+        # last emission per key = the row with the highest running_n
+        rows = spark.table(name).collect()
+        final = {}
+        for r in rows:
+            if r.user_id not in final or r.running_n > final[r.user_id].running_n:
+                final[r.user_id] = r
+        got = {
+            u: (round(r.running_sum, 6), r.running_n) for u, r in final.items()
+        }
+        path, schema = events_stream_dir
+        want = {
+            r.user_id: (round(r.total, 6), r.n)
+            for r in spark.read.schema(schema)
+            .parquet(path)
+            .groupBy("user_id")
+            .agg(F.sum("value").alias("total"), F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
