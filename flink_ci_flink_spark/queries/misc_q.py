@@ -5,7 +5,7 @@ predicate, and PageRank (rows-only — iterative fixpoint isn't ANSI-SQL).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_ci_flink_spark.catalog import load_tables
@@ -201,4 +201,62 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pagerank(verts, edges, iterations=8)
     return out.select(
         "id", (F.floor(F.col("rank") * 1e6 + F.lit(0.5)) / 1e6).alias("rank")
+    )
+
+
+@query(
+    "over_count_distinct",
+    oracle="""
+    SELECT n_mo, mo,
+           COUNT(DISTINCT ck) OVER (PARTITION BY n_mo ORDER BY mo) AS cum_custs
+    FROM (
+      SELECT DISTINCT c_nationkey AS n_mo,
+             EXTRACT(month FROM o_orderdate) AS mo,
+             o_custkey AS ck
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY n_mo, mo ORDER BY ck) = 1
+    ORDER BY n_mo, mo
+    """,
+    group="relational",
+)
+def over_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative COUNT(DISTINCT) over an ordered window — per nation, the
+    running number of distinct ordering customers by month. Spark forbids
+    DISTINCT aggregates in window frames; the standard rewrite is
+    size(collect_set() OVER (...)) — set semantics inside the frame make
+    the count distinct. One row per (nation, month).
+    Ref: blink planner's distinct over-agg rewrite
+    (`flink-table-planner-blink` over-window distinct support)."""
+    t = load_tables(spark, sf_dir)
+    base = (
+        t.orders.join(
+            F.broadcast(t.customer), F.col("c_custkey") == F.col("o_custkey")
+        )
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .select(
+            F.col("c_nationkey").cast("long").alias("n_mo"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            F.col("o_custkey").alias("ck"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("n_mo").orderBy("mo")
+    per_row = base.select(
+        "n_mo",
+        "mo",
+        "ck",
+        F.size(F.collect_set("ck").over(w)).alias("cum_custs"),
+    )
+    w2 = Window.partitionBy("n_mo", "mo").orderBy("ck")
+    return (
+        per_row.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") == 1)
+        .select("n_mo", "mo", "cum_custs")
+        .orderBy("n_mo", "mo")
     )
