@@ -60,11 +60,25 @@ def main() -> None:
     # Warm the JVM + file listings + codegen/shuffle machinery with
     # representative untimed actions (whole-stage codegen compilation and
     # the first exchange dominate an unwarmed first query).
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     li.filter("l_quantity > 0").groupBy("l_returnflag").count().count()
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ev.groupBy("event_type").count().count()
+    # broadcast-join + window codegen shapes (steady-state timings; the
+    # first compiled plan otherwise pays ~1-2s of codegen in whichever
+    # headline query runs first)
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    j = li.join(F.broadcast(od.select("o_orderkey", "o_custkey")),
+                li.l_orderkey == F.col("o_orderkey"))
+    j.groupBy("o_custkey").agg(F.sum("l_quantity").alias("q")).select(
+        F.sum(F.col("q")).alias("s")
+    ).count()
+    w = Window.partitionBy("l_returnflag").orderBy("l_orderkey")
+    li.select(F.row_number().over(w).alias("rn")).filter("rn <= 3").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
