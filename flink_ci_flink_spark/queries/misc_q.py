@@ -228,8 +228,11 @@ def over_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT aggregates in window frames; the standard rewrite is
     size(collect_set() OVER (...)) — set semantics inside the frame make
     the count distinct. One row per (nation, month).
-    Ref: blink planner's distinct over-agg rewrite
-    (`flink-table-planner-blink` over-window distinct support)."""
+    Ref: the reference's distinct-aggregate handling in group aggs
+    (`flink-table-planner-blink` MiniBatchIncrementalGroupAgg/distinct agg
+    codegen); neither engine allows DISTINCT directly in an OVER frame, so
+    both this query and the reference's users rely on the set-state
+    rewrite."""
     t = load_tables(spark, sf_dir)
     base = (
         t.orders.join(

@@ -619,3 +619,71 @@ def test_match_recognize_sql_streaming_matches_batch(spark, sf_dir):
         assert streamed == batch
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_compiled_equals_nfa_property(spark):
+    """Property test: over random event sequences and every compilable
+    pattern template, the lead()-compiled plan and the Python NFA produce
+    identical match sets."""
+    from hypothesis import given, settings, strategies as st
+
+    from flink_ci_flink_spark.cep import cep
+    from flink_ci_flink_spark.cep.pattern import Pattern
+
+    def templates(with_exprs: bool):
+        def pred(t):
+            return (lambda e, t=t: e["event_type"] == t)
+
+        def ex(t):
+            return f"event_type = '{t}'" if with_exprs else None
+
+        p1 = Pattern.begin("a", pred("A"), expr=ex("A")).next(
+            "b", pred("B"), expr=ex("B")
+        )
+        p2 = (
+            Pattern.begin("a", pred("A"), expr=ex("A"))
+            .next("b", pred("B"), expr=ex("B"))
+            .next("c", pred("A"), expr=ex("A"))
+        )
+        p3 = (
+            Pattern.begin("a", pred("A"), expr=ex("A"))
+            .times(2)
+            .consecutive_()
+            .next("b", pred("B"), expr=ex("B"))
+        )
+        p4 = (
+            Pattern.begin("a", pred("A"), expr=ex("A"))
+            .not_next("x", pred("X"), expr=ex("X"))
+            .next("b", pred("B"), expr=ex("B"))
+        )
+        p5 = Pattern.begin("a", pred("A"), expr=ex("A")).not_followed_by(
+            "x", pred("X"), expr=ex("X")
+        ).within(5.0)
+        return [p1, p2, p3, p4, p5]
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        types=st.lists(st.sampled_from("ABX"), min_size=4, max_size=24),
+        ti=st.integers(0, 4),
+    )
+    def run(types, ti):
+        rows = [(1, i, float(i), t) for i, t in enumerate(types)]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts double, event_type string"
+        )
+        measures = {"a_id": ("a", "first", "event_id"), "n": ("a", "count", None)}
+        schema = "user_id long, a_id long, n long"
+        compiled = cep(
+            df, templates(True)[ti], ["user_id"], "ts",
+            output_schema=schema, measures=measures,
+        )
+        nfa = cep(
+            df, templates(False)[ti], ["user_id"], "ts",
+            output_schema=schema, measures=measures,
+        )
+        key = lambda r: (r.user_id, r.a_id, r.n)  # noqa: E731
+        assert sorted(map(key, compiled.collect())) == sorted(
+            map(key, nfa.collect())
+        )
+
+    run()
