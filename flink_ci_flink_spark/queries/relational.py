@@ -691,3 +691,93 @@ def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inline VALUES source. Ref: `ValuesInputFormat.java:37`."""
     df = spark.createDataFrame([(1, 10.0), (2, 20.5), (3, -1.5)], "k int, v double")
     return df.select("k", (F.col("v") * 2).alias("v2"))
+
+
+@query(
+    "over_value_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           LAST_VALUE(o_orderkey)  OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+           FIRST_VALUE(maybe_key IGNORE NULLS) OVER w AS first_urgent_key,
+           NTILE(4) OVER w AS quartile,
+           FLOOR(PERCENT_RANK() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+           FLOOR(CUME_DIST()    OVER w * 1e6 + 0.5) / 1e6 AS cume
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderkey END AS maybe_key
+      FROM orders WHERE o_custkey % 25 = 0
+    )
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    group="over",
+)
+def over_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value over-window functions: FIRST_VALUE / LAST_VALUE (full frame),
+    FIRST_VALUE IGNORE NULLS, NTILE, PERCENT_RANK, CUME_DIST.
+    Ref: `FirstValueAggFunction.java`, `LastValueAggFunction.java`
+    (+ ...WithRetract variants), `NTILEAggFunction`/`PercentRank`/`CumeDist`
+    in `flink-table-runtime-blink/.../functions/aggregate/` and the blink
+    over-window codegen."""
+    t = load_tables(spark, sf_dir)
+    o = t.orders.filter(F.col("o_custkey") % 25 == 0).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_orderkey")).alias(
+            "maybe_key"
+        ),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+        F.first("maybe_key", ignorenulls=True).over(w).alias("first_urgent_key"),
+        F.ntile(4).over(w).alias("quartile"),
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+@query(
+    "over_range_interval_days",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY d
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS trailing_30d_cents
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             DATEDIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS d
+      FROM orders WHERE o_custkey % 15 = 0
+    )
+    """,
+    group="over",
+)
+def over_range_interval_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: 30-day trailing spend per customer — the
+    RANGE BETWEEN INTERVAL '30' DAY PRECEDING shape, expressed on an
+    epoch-day order key (Spark's classic-API rangeBetween takes long
+    bounds; day-difference keys keep the frame exact).
+    Ref: `RangeSlidingOverFrame.java`, RowTimeRangeBoundedPrecedingFunction
+    (the streaming twin already covered by streaming_bounded_over)."""
+    t = load_tables(spark, sf_dir)
+    o = t.orders.filter(F.col("o_custkey") % 15 == 0).select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("d"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-30, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("cents").over(w).alias("trailing_30d_cents"),
+    )
