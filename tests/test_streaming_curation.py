@@ -1,0 +1,119 @@
+"""Streaming end-to-end curation: the batch curation pass (quality gate ->
+exact dedup keep-first) composed on a document STREAM — replayed in chunks,
+deduplicating across micro-batches with keyed state, final corpus summary
+equal to the batch computation. This is the pipeline a training-data
+ingestion service runs continuously (reference analog: a DataStream job
+chaining filter -> keyed deduplicate -> windowless aggregate)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_stream_dir(spark, sf_dir):
+    """documents table split into 3 parquet files (3 micro-batches)."""
+    from flink_ci_flink_spark.catalog import load_tables
+
+    tmp = tempfile.mkdtemp(prefix="docs_stream_")
+    d = load_tables(spark, sf_dir).documents.orderBy("doc_id")
+    rows = d.collect()
+    third = len(rows) // 3
+    chunks = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, d.schema).coalesce(1).write.parquet(f"{tmp}/f{i}")
+    for i in range(3):
+        (part,) = glob.glob(f"{tmp}/f{i}/part-*.parquet")
+        os.rename(part, f"{tmp}/{i:03d}.parquet")
+        shutil.rmtree(f"{tmp}/f{i}")
+    yield tmp, d.schema
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_curation_matches_batch(spark, docs_stream_dir):
+    """Quality gate -> cross-batch exact dedup (keep FIRST arrival per
+    content digest, keyed state) -> per-(source, lang) corpus counts ==
+    the batch quality gate + exact dedup on the same corpus."""
+    import pandas as pd
+
+    from flink_ci_flink_spark.pipeline.dedup import normalize_text
+    from flink_ci_flink_spark.pipeline.text import token_count
+    from flink_ci_flink_spark.streaming import file_stream, run_to_completion
+    from flink_ci_flink_spark.streaming.process import keyed_process
+
+    path, schema = docs_stream_dir
+    stream = file_stream(spark, path, schema, max_files_per_trigger=1)
+    gated = (
+        stream.withColumn("n_tokens", token_count(F.col("text")))
+        .filter(F.col("n_tokens").between(5, 1000))
+        .withColumn("content_hash", F.md5(normalize_text("text")))
+    )
+
+    # keyed-state dedup: first arrival per digest wins, later ones drop —
+    # processing-order keep-first (doc_ids arrive ordered per the replay)
+    def keep_first(key_tuple, pdf_iter, state):
+        emitted = state.get[0] if state.exists else False
+        for pdf in pdf_iter:
+            if len(pdf) == 0 or emitted:
+                continue
+            first = pdf.sort_values("doc_id").iloc[0]
+            emitted = True
+            state.update((True,))
+            yield pd.DataFrame(
+                {
+                    "content_hash": [key_tuple[0]],
+                    "doc_id": [int(first["doc_id"])],
+                    "source": [str(first["source"])],
+                    "lang": [str(first["lang"])],
+                    "n_tokens": [int(first["n_tokens"])],
+                }
+            )
+
+    deduped = keyed_process(
+        gated.select("content_hash", "doc_id", "source", "lang", "n_tokens"),
+        ["content_hash"],
+        keep_first,
+        "content_hash string, doc_id long, source string, lang string, n_tokens long",
+        "emitted boolean",
+        output_mode="append",
+    )
+    name = f"cur_{uuid.uuid4().hex[:8]}"
+    run_to_completion(deduped, name, "append")
+    got = {
+        (r.source, r.lang): (r.n_docs, r.total_tokens)
+        for r in spark.table(name)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .collect()
+    }
+
+    batch = (
+        spark.read.schema(schema).parquet(path)
+        .withColumn("n_tokens", token_count(F.col("text")))
+        .filter(F.col("n_tokens").between(5, 1000))
+        .withColumn("content_hash", F.md5(normalize_text("text")))
+    )
+    w_first = (
+        batch.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    )
+    kept = batch.join(w_first, ["content_hash", "doc_id"], "inner")
+    want = {
+        (r.source, r.lang): (r.n_docs, r.total_tokens)
+        for r in kept.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .collect()
+    }
+    assert got == want
