@@ -710,3 +710,92 @@ def tpcds_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@query(
+    "tpcds_shape_before_after_band",
+    oracle="""
+    WITH per_supp AS (
+      SELECT l_suppkey,
+             SUM(CASE WHEN l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+                      THEN l_quantity ELSE 0 END) AS qty_before,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-07-01 00:00:00'
+                      THEN l_quantity ELSE 0 END) AS qty_after
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT l_suppkey,
+           CAST(qty_before AS BIGINT) AS qty_before,
+           CAST(qty_after  AS BIGINT) AS qty_after
+    FROM per_supp
+    WHERE qty_before > 0 AND qty_after > 0
+      AND qty_after * 1.0 / qty_before BETWEEN 2.0/3.0 AND 3.0/2.0
+    ORDER BY l_suppkey
+    """,
+    group="tpcds",
+)
+def tpcds_before_after_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q21 shape: per-supplier inventory shipped before vs after a
+    pivot date, keeping suppliers whose after/before ratio stays within
+    [2/3, 3/2] — the conditional split + band filter, one scan, one
+    shuffle (quantities are exact integers in this corpus)."""
+    t = load_tables(spark, sf_dir)
+    pivot = F.lit("1997-07-01")
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(F.when(F.col("l_shipdate") < pivot, F.col("l_quantity")).otherwise(0))
+        .cast("long")
+        .alias("qty_before"),
+        F.sum(F.when(F.col("l_shipdate") >= pivot, F.col("l_quantity")).otherwise(0))
+        .cast("long")
+        .alias("qty_after"),
+    )
+    ratio = F.col("qty_after") / F.col("qty_before")
+    return (
+        per_supp.filter(
+            (F.col("qty_before") > 0)
+            & (F.col("qty_after") > 0)
+            & ratio.between(2.0 / 3.0, 3.0 / 2.0)
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+@query(
+    "tpcds_shape_scalar_ratio",
+    oracle="""
+    SELECT CASE WHEN pm_cnt = 0 THEN NULL
+                ELSE FLOOR(am_cnt * 1e6 / pm_cnt + 0.5) / 1e6 END AS am_pm_ratio
+    FROM (
+      SELECT SUM(CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 1 ELSE 0 END) AS am_cnt,
+             SUM(CASE WHEN EXTRACT(hour FROM ts) >= 12 THEN 1 ELSE 0 END) AS pm_cnt
+      FROM events
+      WHERE event_type IN ('click', 'view')
+    )
+    """,
+    group="tpcds",
+)
+def tpcds_scalar_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q90 shape: one-row report dividing two scalar subquery counts
+    (AM vs PM activity). q90 runs two separate scalar subqueries; the fused
+    plan computes both counts in a single conditional-aggregation scan and
+    divides — the rewrite every TPC-DS engine applies."""
+    t = load_tables(spark, sf_dir)
+    ev = t.events.filter(F.col("event_type").isin("click", "view"))
+    hr = F.hour("ts")
+    agg = ev.agg(
+        F.sum(F.when(hr < 12, 1).otherwise(0)).alias("am_cnt"),
+        F.sum(F.when(hr >= 12, 1).otherwise(0)).alias("pm_cnt"),
+    )
+    return agg.select(
+        F.when(
+            F.col("pm_cnt") == 0, F.lit(None).cast("double")
+        )
+        .otherwise(F.floor(F.col("am_cnt") * 1e6 / F.col("pm_cnt") + F.lit(0.5)) / 1e6)
+        .alias("am_pm_ratio")
+    )
