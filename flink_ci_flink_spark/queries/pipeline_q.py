@@ -346,6 +346,53 @@ def pipe_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_ivf_full_probe",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
+      FROM embeddings WHERE vec_id < 8
+    ), c AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS cv FROM embeddings
+    ), scored AS (
+      SELECT query_id, vec_id,
+             ROUND(list_dot_product(qv, cv) /
+                   (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(cv, cv))),
+                   6) AS cos_sim
+      FROM q CROSS JOIN c
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+    group="pipeline",
+)
+def pipe_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe == n_cells (full probe): every corpus vector is
+    scored exactly once (cells partition the corpus), so the result equals
+    exact brute-force top-k and takes the SAME oracle — turning the IVF
+    machinery (k-means assign, cell-partitioned candidate join, per-cell
+    scoring) into an exact-oracle-checked query. The approximate
+    (nprobe < n_cells) configuration stays rows-only + recall-tested.
+    Full probe makes the result centroid-independent, so the coarse
+    quantizer uses 8 fixed vectors (lowest vec_ids) instead of paying
+    Lloyd iterations the answer can't depend on."""
+    from flink_ci_flink_spark.pipeline.similarity import ivf_ann_topk
+
+    t = load_tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in t.embeddings.orderBy("vec_id").limit(8).collect()
+    ]
+    return ivf_ann_topk(
+        t.embeddings, queries, n_cells=8, nprobe=8, k=5, centroids=cents
+    )
+
+
+@query(
     "pipe_e2e_curation",
     oracle=f"""
     WITH gated AS (

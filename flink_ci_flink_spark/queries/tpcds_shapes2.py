@@ -29,6 +29,10 @@ planner features, each mapped to the TPC-DS query it imitates:
   with an OR-heavy predicate, decorrelated to an agg + semi-join)
 - `tpcds_shape_revenue_bands`   ~ q54/q98 (aggregate-of-aggregate:
   per-customer revenue bucketed into bands, customers counted per band)
+- `tpcds_shape_before_after_band` ~ q21 (before/after pivot-date split with
+  a [2/3, 3/2] ratio band filter)
+- `tpcds_shape_scalar_ratio`    ~ q90 (one-row ratio of two scalar counts,
+  fused into a single conditional-aggregation scan)
 
 Money sums use exact integer cents; ratios are floor-rounded to 6dp on
 both sides; every rank/LIMIT ordering carries a unique tiebreak
