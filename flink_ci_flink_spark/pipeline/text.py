@@ -144,3 +144,43 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(text_col))
         .withColumn("fingerprint", fingerprint(text_col))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into token-bounded overlapping chunks — the standard
+    LLM-training preprocessing step (context packing upstream). Output one
+    row per (doc, chunk): (id, chunk_start, chunk_text, n_chunk_tokens),
+    chunk_start being the 1-based token offset (a deterministic chunk id).
+
+    Pure column expressions: tokenize once behind a projection boundary,
+    generate the stride-offset sequence, slice per offset, explode. No
+    Python, no shuffle — chunking is embarrassingly row-parallel."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.col("__toks")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - overlap, F.lit(1)),
+        F.lit(step),
+    )
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(F.col(id_col), toks, F.explode(starts).alias("chunk_start"))
+        .select(
+            id_col,
+            "chunk_start",
+            F.concat_ws(" ", F.slice(toks, F.col("chunk_start"), chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.size(F.slice(toks, F.col("chunk_start"), chunk_tokens)).cast("long").alias(
+                "n_chunk_tokens"
+            ),
+        )
+    )

@@ -467,3 +467,33 @@ def pipe_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+@query(
+    "pipe_chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), starts AS (
+      SELECT doc_id, t,
+             UNNEST(generate_series(1, GREATEST(len(t) - 16, 1), 48)) AS chunk_start
+      FROM toks
+    )
+    SELECT doc_id, chunk_start,
+           array_to_string(list_slice(t, chunk_start, chunk_start + 63), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(t, chunk_start, chunk_start + 63)) AS BIGINT)
+             AS n_chunk_tokens
+    FROM starts
+    """,
+    group="pipeline",
+)
+def pipe_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bounded document chunking (64-token chunks, 16-token overlap)
+    — the LLM context-window preprocessing operator, as pure column
+    expressions (tokenize -> stride offsets -> slice -> explode), zero
+    shuffle."""
+    from flink_ci_flink_spark.pipeline.text import chunk_documents
+
+    t = load_tables(spark, sf_dir)
+    return chunk_documents(t.documents, chunk_tokens=64, overlap=16)
