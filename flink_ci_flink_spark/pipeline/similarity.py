@@ -294,17 +294,32 @@ def ivf_ann_topk(
     cent = spark.createDataFrame(
         [(i, v) for i, v in enumerate(centroids)], "cell int, cv array<double>"
     )
+    # Cell assignment as a PURE PROJECTION: distances to the literal
+    # centroid array, argmin via array_position — no crossJoin, no shuffle
+    # of corpus vectors (the previous crossJoin+groupBy shape moved every
+    # vector through an exchange; at 100 TB the assign stage must be
+    # map-only). Ties pick the lowest cell index, same as the min-struct
+    # (d, cell) ordering.
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in cv]) for cv in centroids]
+    )
     c = corpus.select(F.col(id_col), _to_double(vec_col).alias("__cv"))
     c_cells = (
-        c.crossJoin(F.broadcast(cent))
+        c.select(id_col, "__cv", cent_lit.alias("__cents"))
         .select(
             id_col,
             "__cv",
-            F.struct(_l2sq(F.col("__cv"), F.col("cv")).alias("d"), F.col("cell").alias("cell")).alias("dc"),
+            F.transform(F.col("__cents"), lambda cv: _l2sq(F.col("__cv"), cv)).alias(
+                "__ds"
+            ),
         )
-        .groupBy(id_col)
-        .agg(F.min("dc").alias("m"), F.first("__cv").alias("__cv"))
-        .select(id_col, "__cv", F.col("m.cell").alias("cell"))
+        .select(
+            id_col,
+            "__cv",
+            (F.array_position(F.col("__ds"), F.array_min(F.col("__ds"))) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
     )
     q = queries.select(F.col(query_id_col), _to_double(vec_col).alias("__qv"))
     wq = Window.partitionBy(query_id_col).orderBy("d", "cell")
