@@ -215,6 +215,15 @@ def _l2sq(a: Column, b: Column) -> Column:
     return F.aggregate(F.transform(d, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _assign_cells(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell index as a pure expression (argmin of squared
+    L2 against the literal centroid array) — map-only, no join/shuffle;
+    ties take the lowest cell index."""
+    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in centroids])
+    ds = F.transform(cent_lit, lambda cv: _l2sq(vec, cv))
+    return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -225,30 +234,17 @@ def ivf_centroids(
     """Train IVF coarse centroids with Lloyd's k-means, DataFrame-native.
 
     Deterministic: initial centroids are the `n_cells` lowest-id vectors;
-    each iteration is one assign (argmin via min-struct aggregate) + one
-    elementwise-mean (posexplode + groupBy(cell, pos)). Only the K centroid
-    vectors ever reach the driver (a broadcast-sized model, the legitimate
-    collect)."""
+    each iteration is one map-only assign (`_assign_cells` argmin
+    projection — no shuffle of corpus vectors) + one elementwise-mean
+    (posexplode + groupBy(cell, pos), the only shuffle per iteration).
+    Only the K centroid vectors ever reach the driver (a broadcast-sized
+    model, the legitimate collect)."""
     c = corpus.select(F.col(id_col).alias("__id"), _to_double(vec_col).alias("__v"))
     centroids = [
         list(r[0]) for r in c.orderBy("__id").limit(n_cells).select("__v").collect()
     ]
-    spark = corpus.sparkSession
     for _ in range(iterations):
-        cent = spark.createDataFrame(
-            [(i, v) for i, v in enumerate(centroids)], "cell int, cv array<double>"
-        )
-        assigned = (
-            c.crossJoin(F.broadcast(cent))
-            .select(
-                "__id",
-                "__v",
-                F.struct(_l2sq(F.col("__v"), F.col("cv")).alias("d"), F.col("cell").alias("cell")).alias("dc"),
-            )
-            .groupBy("__id")
-            .agg(F.min("dc").alias("m"), F.first("__v").alias("__v"))
-            .select(F.col("m.cell").alias("cell"), "__v")
-        )
+        assigned = c.select(_assign_cells(F.col("__v"), centroids).alias("cell"), "__v")
         means = (
             assigned.select("cell", F.posexplode("__v").alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -294,32 +290,12 @@ def ivf_ann_topk(
     cent = spark.createDataFrame(
         [(i, v) for i, v in enumerate(centroids)], "cell int, cv array<double>"
     )
-    # Cell assignment as a PURE PROJECTION: distances to the literal
-    # centroid array, argmin via array_position — no crossJoin, no shuffle
-    # of corpus vectors (the previous crossJoin+groupBy shape moved every
-    # vector through an exchange; at 100 TB the assign stage must be
-    # map-only). Ties pick the lowest cell index, same as the min-struct
-    # (d, cell) ordering.
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in cv]) for cv in centroids]
-    )
+    # Cell assignment as a PURE PROJECTION (`_assign_cells`): no crossJoin,
+    # no shuffle of corpus vectors — at 100 TB the assign stage must be
+    # map-only.
     c = corpus.select(F.col(id_col), _to_double(vec_col).alias("__cv"))
-    c_cells = (
-        c.select(id_col, "__cv", cent_lit.alias("__cents"))
-        .select(
-            id_col,
-            "__cv",
-            F.transform(F.col("__cents"), lambda cv: _l2sq(F.col("__cv"), cv)).alias(
-                "__ds"
-            ),
-        )
-        .select(
-            id_col,
-            "__cv",
-            (F.array_position(F.col("__ds"), F.array_min(F.col("__ds"))) - 1)
-            .cast("int")
-            .alias("cell"),
-        )
+    c_cells = c.select(
+        id_col, "__cv", _assign_cells(F.col("__cv"), centroids).alias("cell")
     )
     q = queries.select(F.col(query_id_col), _to_double(vec_col).alias("__qv"))
     wq = Window.partitionBy(query_id_col).orderBy("d", "cell")

@@ -342,7 +342,7 @@ def pipe_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = t.embeddings.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_ann_topk(t.embeddings, queries, n_cells=16, nprobe=4, k=5)
+    return ivf_ann_topk(t.embeddings, queries, n_cells=16, nprobe=4, k=5, iterations=3)
 
 
 @query(
