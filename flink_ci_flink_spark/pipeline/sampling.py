@@ -1,0 +1,142 @@
+"""Deterministic sampling operators for training-data curation.
+
+Beyond the reference's own surface (north-star extension): a large-scale
+pipeline needs *reproducible* sampling — re-running the job on the same
+corpus must select the same rows, regardless of partitioning, task
+scheduling, or cluster size. Engine-native `df.sample()` cannot promise
+that (row order is partition-dependent), so every operator here derives
+its randomness from a 60-bit md5-based hash of a stable row key:
+
+    u60(key) = int(md5(key || ':' || seed)[:15 hex], 16)   ∈ [0, 2^60)
+
+which is identical in any engine (the DuckDB oracles compute the same
+expression), making even the *sampled row set* exactly oracle-checkable.
+
+Scale notes (100 TB):
+- `hash_sample` / `stratified_sample` are map-only filters — no shuffle,
+  fully pushed into the scan stage, linear in corpus size.
+- `sample_k_per_stratum` is one shuffle on the stratum key (rank over
+  hash order) — the same cost as any per-group top-k.
+- `token_budget_mix` adds one tiny per-source aggregate (broadcast back);
+  the corpus-side pass stays map-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 2^60 — the hash domain; thresholds are compared as exact BIGINTs when
+#: the rate is a Python-side constant.
+HASH_DOMAIN = 1 << 60
+
+
+def sample_hash60(key: Column, seed: str = "s0") -> Column:
+    """Deterministic uniform 60-bit hash of a row key (portable: md5 hex)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(":" + seed))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def hash60_sql(key_sql: str, seed: str = "s0") -> str:
+    """The exact DuckDB expression for :func:`sample_hash60`."""
+    return (
+        f"CAST('0x' || substr(md5(CAST({key_sql} AS VARCHAR) || ':{seed}'), 1, 15) "
+        "AS BIGINT)"
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, seed: str = "s0"
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose key-hash falls below
+    ``rate`` of the hash domain. Exact-integer comparison (no float), so the
+    selected set is bit-reproducible across engines, partitionings, and
+    cluster sizes. Map-only — no shuffle.
+
+    Reference analogue: `DataSet.sample()` /
+    `flink-java/src/main/java/org/apache/flink/api/java/utils/DataSetUtils.java`
+    (sampleWithSize) — those are RNG-based and scheduling-dependent; this is
+    the reproducible variant a curation pipeline actually wants.
+    """
+    threshold = int(rate * HASH_DOMAIN)
+    return df.where(sample_hash60(F.col(key_col), seed) < F.lit(threshold))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: str = "s0",
+) -> DataFrame:
+    """Per-stratum Bernoulli rates (e.g. per-source quotas: keep 100% of
+    wiki, 10% of crawl). One CASE expression over the same deterministic
+    hash — still map-only, no shuffle.
+    """
+    h = sample_hash60(F.col(key_col), seed)
+    expr: Column = F.lit(int(default_rate * HASH_DOMAIN))
+    for stratum, rate in sorted(rates.items()):
+        expr = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(rate * HASH_DOMAIN))
+        ).otherwise(expr)
+    return df.where(h < expr)
+
+
+def sample_k_per_stratum(
+    df: DataFrame, stratum_col: str, key_col: str, k: int, seed: str = "s0"
+) -> DataFrame:
+    """Uniform-without-replacement sample of exactly ``min(k, n)`` rows per
+    stratum: rank rows by deterministic hash within each stratum and keep
+    the first ``k``. Equivalent to a distributed reservoir sample but
+    reproducible. One shuffle on the stratum key.
+    """
+    h = sample_hash60(F.col(key_col), seed)
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    seed: str = "s0",
+) -> DataFrame:
+    """Weighted dataset mixing toward a token budget: each source ``s`` gets
+    ``token_budget * weights[s]`` tokens; its sampling rate is
+    ``min(1, share_s / total_tokens_s)``. Rows are then kept by the
+    deterministic hash at that rate — so the *expected* token count hits the
+    budget share while the selected set stays reproducible.
+
+    Plan: per-source token totals (tiny aggregate) broadcast-joined back,
+    then the map-only hash filter — the full-corpus pass never shuffles.
+    Returns the kept rows plus the per-source ``mix_rate`` applied.
+    """
+    totals = docs.groupBy(source_col).agg(F.sum(token_col).alias("__tot"))
+    wmap = F.create_map(
+        *[x for s, w in sorted(weights.items()) for x in (F.lit(s), F.lit(float(w)))]
+    )
+    rates = totals.select(
+        F.col(source_col),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(token_budget))
+            * F.coalesce(wmap[F.col(source_col)], F.lit(0.0))
+            / F.col("__tot").cast("double"),
+        ).alias("mix_rate"),
+    )
+    u = sample_hash60(F.col(key_col), seed).cast("double") / F.lit(float(HASH_DOMAIN))
+    return (
+        docs.join(F.broadcast(rates), source_col)
+        .where(u < F.col("mix_rate"))
+    )

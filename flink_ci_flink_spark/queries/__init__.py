@@ -16,4 +16,5 @@ from flink_ci_flink_spark.queries import tpch3  # noqa: F401,E402
 from flink_ci_flink_spark.queries import tpch4  # noqa: F401,E402
 from flink_ci_flink_spark.queries import tpcds_shapes  # noqa: F401,E402
 from flink_ci_flink_spark.queries import tpcds_shapes2  # noqa: F401,E402
+from flink_ci_flink_spark.queries import tpcds_shapes3  # noqa: F401,E402
 from flink_ci_flink_spark.queries import misc_q  # noqa: F401,E402

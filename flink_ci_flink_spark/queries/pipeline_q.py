@@ -497,3 +497,125 @@ def pipe_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return chunk_documents(t.documents, chunk_tokens=64, overlap=16)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / dataset mixing (pipeline/sampling.py)
+# ---------------------------------------------------------------------------
+
+def _h60(key_sql: str) -> str:
+    from flink_ci_flink_spark.pipeline.sampling import hash60_sql
+
+    return hash60_sql(key_sql)
+
+
+def _strat_thresholds() -> dict[str, int]:
+    from flink_ci_flink_spark.pipeline.sampling import HASH_DOMAIN
+
+    return {
+        "src0": int(1.0 * HASH_DOMAIN),
+        "src1": int(0.5 * HASH_DOMAIN),
+        "src2": int(0.25 * HASH_DOMAIN),
+        "__default__": int(0.1 * HASH_DOMAIN),
+    }
+
+
+_T = _strat_thresholds()
+
+@query(
+    "pipe_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_h60('doc_id')} < CASE source
+        WHEN 'src0' THEN {_T['src0']}
+        WHEN 'src1' THEN {_T['src1']}
+        WHEN 'src2' THEN {_T['src2']}
+        ELSE {_T['__default__']} END
+    """,
+    group="pipeline",
+)
+def pipe_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified Bernoulli sample (per-source keep rates via
+    a 60-bit md5 key hash; exact-integer thresholds). Map-only filter —
+    reproducible across engines, partitionings, and cluster sizes
+    (`pipeline/sampling.py::stratified_sample`; reproducible variant of
+    `DataSetUtils.java` sampling)."""
+    from flink_ci_flink_spark.pipeline.sampling import stratified_sample
+
+    t = load_tables(spark, sf_dir)
+    return stratified_sample(
+        t.documents.select("doc_id", "source"),
+        "source",
+        "doc_id",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    )
+
+
+@query(
+    "pipe_sample_k_per_source",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY source ORDER BY {_h60('doc_id')}, doc_id) <= 3
+    """,
+    group="pipeline",
+)
+def pipe_sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-without-replacement sample of exactly 3 docs per source
+    (rank by deterministic hash within stratum) — a reproducible
+    distributed reservoir sample; one shuffle on the stratum key
+    (`pipeline/sampling.py::sample_k_per_stratum`)."""
+    from flink_ci_flink_spark.pipeline.sampling import sample_k_per_stratum
+
+    t = load_tables(spark, sf_dir)
+    return sample_k_per_stratum(
+        t.documents.select("doc_id", "source"), "source", "doc_id", k=3
+    )
+
+
+@query(
+    "pipe_mix_token_budget",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), tot AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tot FROM toks GROUP BY 1
+    ), rates AS (
+      SELECT source,
+             LEAST(1.0, 6000.0 * (CASE source WHEN 'src0' THEN 0.5
+                                              WHEN 'src1' THEN 0.3
+                                              WHEN 'src2' THEN 0.2
+                                              ELSE 0.0 END)
+                        / CAST(tot AS DOUBLE)) AS mix_rate
+      FROM tot
+    )
+    SELECT t.doc_id, t.source, t.n_tokens,
+           FLOOR(r.mix_rate * 1000000 + 0.5) / 1000000 AS mix_rate
+    FROM toks t JOIN rates r USING (source)
+    WHERE CAST({_h60('t.doc_id')} AS DOUBLE) / 1152921504606846976.0 < r.mix_rate
+    """,
+    group="pipeline",
+)
+def pipe_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing toward a 6000-token budget (src0/1/2 at
+    50/30/20%): per-source sampling rates from a tiny broadcast aggregate,
+    then the map-only deterministic hash filter — the full-corpus pass
+    never shuffles (`pipeline/sampling.py::token_budget_mix`)."""
+    from flink_ci_flink_spark.pipeline.sampling import token_budget_mix
+    from flink_ci_flink_spark.pipeline.text import token_count
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", "source", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    mixed = token_budget_mix(
+        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, token_budget=6000
+    )
+    return mixed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.floor(F.col("mix_rate") * 1000000 + 0.5) / 1000000).alias("mix_rate"),
+    )

@@ -156,3 +156,67 @@ def test_cosine_near_dup_lsh_recall(spark, sf_dir):
         assert v == exact[k]
     if exact:
         assert len(approx) / len(exact) >= 0.5
+
+
+def test_hash_sample_reproducible_across_partitioning(spark, sf_dir):
+    """Deterministic sampling selects the identical row set regardless of
+    partitioning — the property engine-native df.sample() cannot promise."""
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline.sampling import hash_sample
+
+    docs = load_tables(spark, sf_dir).documents.select("doc_id")
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3).collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(7, "doc_id"), "doc_id", 0.3).collect()
+    }
+    assert a == b and 0 < len(a) < docs.count()
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    """rate=1.0 keeps every row of its stratum; rate=0.0 keeps none."""
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline.sampling import stratified_sample
+
+    docs = load_tables(spark, sf_dir).documents.select("doc_id", "source")
+    out = stratified_sample(
+        docs, "source", "doc_id", {"src0": 1.0, "src1": 0.0}, default_rate=0.5
+    )
+    per = {r.source: r.n for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    n_src0 = docs.where("source = 'src0'").count()
+    assert per.get("src0") == n_src0
+    assert "src1" not in per
+
+
+def test_sample_k_per_stratum_exact_k(spark, sf_dir):
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline.sampling import sample_k_per_stratum
+
+    docs = load_tables(spark, sf_dir).documents.select("doc_id", "source")
+    out = sample_k_per_stratum(docs, "source", "doc_id", k=4)
+    counts = [r["count"] for r in out.groupBy("source").count().collect()]
+    assert counts and all(c == 4 for c in counts)
+    # reproducible: same rows again
+    again = sample_k_per_stratum(docs, "source", "doc_id", k=4)
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+
+
+def test_token_budget_mix_budget_share(spark, sf_dir):
+    """Kept token mass per source approaches budget*weight (expectation);
+    weight-0 sources are dropped entirely; rates clamp at 1.0."""
+    from pyspark.sql import functions as F
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline.sampling import token_budget_mix
+    from flink_ci_flink_spark.pipeline.text import token_count
+
+    docs = (
+        load_tables(spark, sf_dir)
+        .documents.select("doc_id", "source", token_count("text").alias("n_tokens"))
+    )
+    big_budget = 10_000_000  # forces every rate to clamp at 1.0
+    mixed = token_budget_mix(docs, {"src0": 0.5, "src1": 0.5}, big_budget)
+    kept = {r.source for r in mixed.select("source").distinct().collect()}
+    assert kept == {"src0", "src1"}
+    n_full = docs.where(F.col("source").isin("src0", "src1")).count()
+    assert mixed.count() == n_full  # rate clamped to 1.0 keeps everything
+    assert mixed.select(F.min("mix_rate")).first()[0] == 1.0
