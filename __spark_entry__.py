@@ -25,6 +25,71 @@ from flink_ci_flink_spark.queries import QUERIES  # noqa: E402
 
 FLAGSHIP = "tpch_q3_shipping_priority"
 
+# The driver samples a prefix of queries() for its sf0.01 correctness check.
+# Order the registry so that prefix spans every operator group (tpch, calc,
+# join, agg, over, rank/dedup, setop, subquery, udtf, pivot, functions,
+# window, temporal_join, format, pipeline, graph, cep, udf, tpcds) instead
+# of following module-import order, which front-loaded tpch+relational and
+# left pipeline/graph/CEP/TPC-DS unsampled.
+_PRIORITY = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q9_product_profit",
+    "tpch_q18_large_orders",
+    "tpch_q21_suppliers_who_kept_waiting",
+    "calc_project_filter",
+    "join_left_outer_agg",
+    "join_semi",
+    "join_anti",
+    "agg_grouping_sets",
+    "agg_min_max_by",
+    "over_ranking",
+    "over_value_functions",
+    "topn_per_group",
+    "dedup_keep_last",
+    "setop_intersect_except",
+    "subquery_in_exists",
+    "unnest_with_ordinality",
+    "pivot_status_by_flag",
+    "fn_string_basic",
+    "fn_collections",
+    "window_tumble",
+    "window_session_native",
+    "sessionize_ordinal",
+    "asof_join_events",
+    "interval_join_events",
+    "json_payload_extract",
+    "pipe_exact_dedup",
+    "pipe_jaccard_pairs",
+    "pipe_minhash_lsh",
+    "pipe_simhash",
+    "pipe_text_features",
+    "pipe_cosine_topk",
+    "pipe_ivf_full_probe",
+    "pipe_ivf_partial_probe",
+    "pipe_chunk_documents",
+    "pipe_sample_stratified",
+    "pipe_mix_token_budget",
+    "pipe_e2e_curation",
+    "graph_dedup_clusters",
+    "graph_pagerank_nations",
+    "cep_click_click_purchase",
+    "cep_click_no_purchase",
+    "cep_mr_sql_view_to_purchase",
+    "cep_mr_price_dip",
+    "udf_pandas_scalar",
+    "udf_grouped_agg",
+    "tpcds_shape_frequent_best",
+    "tpcds_shape_percentile_report",
+    "tpcds_shape_first_purchase_cohort",
+]
+
+
+def _ordered_names() -> list[str]:
+    pri = [n for n in _PRIORITY if n in QUERIES]
+    rest = [n for n in QUERIES if n not in set(pri)]
+    return pri + rest
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -33,11 +98,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in QUERIES.items()}
+    return {name: QUERIES[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every SQL-expressible query."""
     return {
-        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+        name: QUERIES[name].oracle
+        for name in _ordered_names()
+        if QUERIES[name].oracle is not None
     }

@@ -33,7 +33,7 @@ def _compilable(pattern: Pattern) -> bool:
     if not pattern.stages or all(st.negated for st in pattern.stages):
         return False
     for i, st in enumerate(pattern.stages):
-        if st.expr is None or st.until is not None:
+        if st.expr is None or st.until is not None or st.ctx_predicate is not None:
             return False
         if st.negated:
             if st.contiguity != "strict":
@@ -82,10 +82,12 @@ def try_compile(
     work = df
     for i, st in enumerate(pattern.stages):
         work = work.withColumn(f"__p{i}", F.coalesce(F.expr(st.expr), F.lit(False)))
-    work = work.withColumn("__tsec", F.col(ts_col).cast("double"))
+    from flink_ci_flink_spark.functions.scalar import epoch_seconds
+
+    work = work.withColumn("__tsec", epoch_seconds(work, ts_col))
     measure_cols: dict[str, str] = {}
     for mi, (out_name, (var, kind, fieldexpr)) in enumerate(measures.items()):
-        if kind in ("first", "last", "sum") and fieldexpr is not None:
+        if kind in ("first", "last", "sum", "avg", "min", "max") and fieldexpr is not None:
             measure_cols[out_name] = f"__m{mi}"
             work = work.withColumn(f"__m{mi}", F.expr(fieldexpr))
 
@@ -134,6 +136,13 @@ def try_compile(
     # the match condition — after filter they'd range over matches, not rows
     measure_exprs: list[Column] = []
     for out_name, (var, kind, fieldexpr) in measures.items():
+        if kind in ("classifier", "classifier_first"):
+            # fixed-length pattern: the variable at the first/last consumed
+            # offset is statically known
+            want = 0 if kind == "classifier_first" else last_off
+            name = next(v for v, offs in occ_offsets.items() if want in offs)
+            measure_exprs.append(F.lit(name).alias(out_name))
+            continue
         offs = occ_offsets[var]
         if kind == "count":
             measure_exprs.append(F.lit(len(offs)).cast("long").alias(out_name))
@@ -143,11 +152,20 @@ def try_compile(
             measure_exprs.append(at(mcol, offs[0]).alias(out_name))
         elif kind == "last":
             measure_exprs.append(at(mcol, offs[-1]).alias(out_name))
-        elif kind == "sum":
+        elif kind in ("sum", "avg"):
             total = at(mcol, offs[0])
             for o in offs[1:]:
                 total = total + at(mcol, o)
+            if kind == "avg":
+                total = total.cast("double") / F.lit(float(len(offs)))
             measure_exprs.append(total.alias(out_name))
+        elif kind in ("min", "max"):
+            cols = [at(mcol, o) for o in offs]
+            if len(cols) == 1:
+                c = cols[0]
+            else:
+                c = F.least(*cols) if kind == "min" else F.greatest(*cols)
+            measure_exprs.append(c.alias(out_name))
         else:
             raise ValueError(f"unknown measure kind {kind!r}")
 

@@ -30,12 +30,14 @@ strict (MATCH_RECOGNIZE rows are consecutive within the partition).
 
 from __future__ import annotations
 
+import ast
+import inspect
 import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-from flink_ci_flink_spark.cep.operator import cep, cep_stream
+from flink_ci_flink_spark.cep.operator import cep, cep_stream, measure_select
 from flink_ci_flink_spark.cep.pattern import (
     NO_SKIP,
     SKIP_PAST_LAST,
@@ -46,13 +48,13 @@ from flink_ci_flink_spark.cep.pattern import (
 
 _TOKEN = re.compile(r"^(\w+)(\?|\+|\*|\{(\d+)(,(\d+))?\})?$")
 
-#: measure kinds: (variable, kind, field) — kind in first/last/count/sum_field
-_MEASURE_FNS = {
-    "first": lambda events, idxs, field: events[idxs[0]][field],
-    "last": lambda events, idxs, field: events[idxs[-1]][field],
-    "count": lambda events, idxs, field: len(idxs),
-    "sum": lambda events, idxs, field: sum(events[i][field] for i in idxs),
-}
+
+def _is_iterative(fn: Callable) -> bool:
+    """Callables taking (event, ctx) are IterativeConditions."""
+    try:
+        return len(inspect.signature(fn).parameters) >= 2
+    except (TypeError, ValueError):
+        return False
 
 
 def compile_pattern(
@@ -68,7 +70,11 @@ def compile_pattern(
     ``define_expr`` optionally maps variables to equivalent Spark SQL
     boolean expressions — with every variable expr'd, fixed patterns take
     the compiled lead() plan and variable ones still get JVM-side predicate
-    evaluation (cep/compiled.py, cep/operator.py)."""
+    evaluation (cep/compiled.py, cep/operator.py).
+
+    ``define`` callables taking two arguments ``(event, ctx)`` are treated
+    as iterative conditions (`IterativeCondition.java` parity) and attached
+    via `Pattern.where_iterative` — ctx is a `cep.nfa.MatchContext`."""
     define_expr = define_expr or {}
     p: Pattern | None = None
     for tok in pattern.split():
@@ -78,10 +84,15 @@ def compile_pattern(
         name, quant = m.group(1), m.group(2)
         pred = define.get(name)
         expr = define_expr.get(name)
+        ctx_pred = None
+        if pred is not None and _is_iterative(pred):
+            pred, ctx_pred = None, pred
         if p is None:
             p = Pattern.begin(name, pred, expr=expr)
         else:
             p = p.next(name, pred, expr=expr)
+        if ctx_pred is not None:
+            p = p.where_iterative(ctx_pred)
         # MATCH_RECOGNIZE rows are consecutive within the partition, so
         # quantified variables repeat strictly (consecutive) — unlike the
         # Pattern API, where loop repeats default to relaxed contiguity.
@@ -101,15 +112,8 @@ def compile_pattern(
     return p.after_match_skip(after_match)
 
 
-def _measure_select(measures: dict[str, tuple], keys: list[str]):
-    def select(key_tuple, match, events):
-        out = {k: key_tuple[i] for i, k in enumerate(keys)}
-        for out_name, (var, kind, field) in measures.items():
-            idxs = match.groups.get(var, [])
-            out[out_name] = _MEASURE_FNS[kind](events, idxs, field) if idxs else None
-        return out
-
-    return select
+#: single measure-evaluation implementation lives in operator.measure_select
+_measure_select = measure_select
 
 
 def match_recognize(
@@ -155,7 +159,8 @@ _SECTION_RE = re.compile(
     re.I,
 )
 _MEASURE_RE = re.compile(
-    r"^(?:(FIRST|LAST|COUNT|SUM)\s*\(\s*(\w+)\.(\w+|\*)\s*\)|(\w+)\.(\w+))\s+AS\s+(\w+)$",
+    r"^(?:(FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(\w+)\.(\w+|\*)\s*\)|(\w+)\.(\w+))"
+    r"\s+AS\s+(\w+)$",
     re.I | re.S,
 )
 _INTERVAL_RE = re.compile(r"INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?", re.I)
@@ -185,16 +190,175 @@ def _split_top_level(s: str) -> list[str]:
     return parts
 
 
+# -- DEFINE navigation / aggregate support ----------------------------------
+# Reference: MATCH_RECOGNIZE DEFINE may navigate (`PREV`/`NEXT` physical over
+# the partition, `FIRST`/`LAST` logical over the match) and aggregate over a
+# variable's rows so far; the reference evaluates these via IterativeCondition
+# on its NFA (`Pattern.java:156` where(IterativeCondition),
+# `StreamExecMatch.scala:68`, runtime `flink-table-runtime-blink/.../
+# operators/match/`). Spark-first split:
+#   - PREV/NEXT are exactly lag()/lead() — rewritten to precomputed JVM
+#     window columns, keeping the define row-local (and the fully-compiled
+#     lead() plan reachable for fixed-length patterns);
+#   - FIRST/LAST/aggregates depend on the in-flight match attempt, so they
+#     compile to a sandboxed Python predicate over `cep.nfa.MatchContext`
+#     and run on the NFA path (the reference's own mechanism).
+
+_NAV_FN = re.compile(
+    r"\b(PREV|NEXT|FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+))?\s*\)", re.I
+)
+_AGG_FN = re.compile(r"\b(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(\w+)\.(\w+|\*)\s*\)", re.I)
+_LOGICAL_FN = re.compile(r"\b(FIRST|LAST|SUM|COUNT|AVG|MIN|MAX)\s*\(", re.I)
+_PHYSICAL_FN = re.compile(r"\b(PREV|NEXT)\s*\(", re.I)
+_UNSUPPORTED_SQL = re.compile(
+    r"\b(CASE|WHEN|BETWEEN|IN|LIKE|EXISTS|SELECT|CAST)\b", re.I
+)
+
+
+def _rewrite_physical_nav(expr: str, nav_specs: list[tuple]) -> str:
+    """Replace PREV/NEXT(V.col[, n]) with a generated lag/lead column name
+    (physical navigation ignores the variable qualifier — it offsets over
+    the input partition). Appends (colname, lag|lead, src, n) to nav_specs."""
+
+    def repl(m):
+        fn, col = m.group(1).upper(), m.group(3)
+        n = int(m.group(4)) if m.group(4) else 1
+        kind = "lag" if fn == "PREV" else "lead"
+        name = f"__nav_{kind}{n}_{col}"
+        spec = (name, kind, col, n)
+        if spec not in nav_specs:
+            nav_specs.append(spec)
+        return name
+
+    return _NAV_FN.sub(
+        lambda m: repl(m) if m.group(1).upper() in ("PREV", "NEXT") else m.group(0),
+        expr,
+    )
+
+
+def _translate_ctx_define(cur_var: str, expr: str, variables: list[str]) -> Callable:
+    """Compile a DEFINE expression with logical navigation / aggregates into
+    a ``(row, ctx) -> bool`` predicate over `cep.nfa.MatchContext`.
+
+    Supported grammar: comparisons and arithmetic over column refs
+    (``V.col`` / bare ``col``), literals, AND/OR/NOT, IS [NOT] NULL, and
+    PREV/NEXT/FIRST/LAST/SUM/COUNT/AVG/MIN/MAX calls. The translated Python
+    expression is AST-validated against a strict whitelist (names ``row`` /
+    ``ctx``, MatchContext method calls only) before compilation — nothing
+    outside those two locals is reachable. SQL three-valued logic: any NULL
+    (None) in a comparison makes the predicate false."""
+    if _UNSUPPORTED_SQL.search(expr):
+        raise NotImplementedError(
+            f"unsupported SQL construct in DEFINE: {expr!r}"
+        )
+    placeholders: dict[str, str] = {}
+
+    def stash(snippet: str) -> str:
+        key = f"__PH{len(placeholders)}X"
+        placeholders[key] = snippet
+        return key
+
+    s = expr
+    # protect string literals first (SQL single-quoted == Python)
+    s = re.sub(r"'[^']*'", lambda m: stash(m.group(0)), s)
+
+    def nav_repl(m):
+        fn, var, col = m.group(1).upper(), m.group(2), m.group(3)
+        n = int(m.group(4)) if m.group(4) else (1 if fn in ("PREV", "NEXT") else 0)
+        if fn == "PREV":
+            return stash(f"ctx.prev_val({col!r}, {n})")
+        if fn == "NEXT":
+            return stash(f"ctx.next_val({col!r}, {n})")
+        if fn == "FIRST":
+            return stash(f"ctx.first({var!r}, {col!r}, {n})")
+        return stash(f"ctx.last({var!r}, {col!r}, {n})")
+
+    s = _NAV_FN.sub(nav_repl, s)
+
+    def agg_repl(m):
+        fn, var, col = m.group(1).lower(), m.group(2), m.group(3)
+        if fn == "count":
+            return stash(f"ctx.agg('count', {var!r})")
+        if col == "*":
+            raise ValueError(f"{fn.upper()}(V.*) is only valid for COUNT")
+        return stash(f"ctx.agg({fn!r}, {var!r}, {col!r})")
+
+    s = _AGG_FN.sub(agg_repl, s)
+
+    s = s.replace("<>", "!=")
+    s = re.sub(r"(?<![<>=!])=(?!=)", "==", s)
+    s = re.sub(r"\bIS\s+NOT\s+NULL\b", " is not None", s, flags=re.I)
+    s = re.sub(r"\bIS\s+NULL\b", " is None", s, flags=re.I)
+    s = re.sub(r"\bAND\b", " and ", s, flags=re.I)
+    s = re.sub(r"\bOR\b", " or ", s, flags=re.I)
+    s = re.sub(r"\bNOT\b", " not ", s, flags=re.I)
+    s = re.sub(r"\bTRUE\b", "True", s, flags=re.I)
+    s = re.sub(r"\bFALSE\b", "False", s, flags=re.I)
+    s = re.sub(r"\bNULL\b", "None", s, flags=re.I)
+
+    def qual_repl(m):
+        var, col = m.group(1), m.group(2)
+        if var == cur_var:
+            return stash(f"row[{col!r}]")
+        if var in variables:
+            # SQL: a bare other-variable reference in DEFINE means the LAST
+            # row mapped to that variable so far
+            return stash(f"ctx.last({var!r}, {col!r})")
+        raise ValueError(f"unknown pattern variable {var!r} in DEFINE: {expr!r}")
+
+    s = re.sub(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", qual_repl, s)
+
+    def bare_repl(m):
+        tok = m.group(0)
+        if tok.startswith("__PH") or tok in (
+            "and", "or", "not", "is", "None", "True", "False",
+        ):
+            return tok
+        return stash(f"row[{tok!r}]")
+
+    s = re.sub(r"\b[A-Za-z_]\w*\b", bare_repl, s)
+    for key, snippet in placeholders.items():
+        s = s.replace(key, snippet)
+
+    tree = ast.parse(s, mode="eval")
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Name) and node.id not in ("row", "ctx"):
+            raise ValueError(f"disallowed name {node.id!r} in DEFINE: {expr!r}")
+        if isinstance(node, ast.Attribute) and node.attr not in (
+            "prev_val", "next_val", "first", "last", "agg",
+        ):
+            raise ValueError(f"disallowed attribute {node.attr!r} in DEFINE")
+        if isinstance(node, ast.Call) and not isinstance(node.func, ast.Attribute):
+            raise ValueError("only MatchContext method calls allowed in DEFINE")
+
+    code = compile(tree, "<match_recognize-define>", "eval")
+
+    def pred(row, ctx, _code=code):
+        try:
+            v = eval(_code, {"__builtins__": {}}, {"row": row, "ctx": ctx})
+        except TypeError:
+            return False  # NULL in comparison/arithmetic -> unknown -> false
+        return bool(v) if v is not None else False
+
+    return pred
+
+
 def parse_match_recognize_sql(sql: str) -> dict:
     """Parse the supported MATCH_RECOGNIZE grammar into plain pieces.
 
     Supported (the reference's common surface): PARTITION BY cols, ORDER BY
-    one ascending column, MEASURES with FIRST/LAST/COUNT/SUM(V.f | V.*) or
-    bare V.f (= FIRST), ONE ROW PER MATCH, AFTER MATCH SKIP {PAST LAST ROW |
-    TO NEXT ROW | TO [FIRST|LAST] V}, PATTERN with ? + * {m}/{m,n}
-    quantifiers, WITHIN INTERVAL 'n' unit, DEFINE V AS <row-local SQL bool>.
-    Not supported (loud errors): ALL ROWS PER MATCH, CLASSIFIER(),
-    aggregate-referencing DEFINE (LAST(B.x) etc.)."""
+    one ascending column, MEASURES with
+    FIRST/LAST/COUNT/SUM/AVG/MIN/MAX(V.f | V.*), bare V.f (= FIRST), and
+    CLASSIFIER() / FIRST|LAST(CLASSIFIER()), ONE ROW PER MATCH, AFTER MATCH
+    SKIP {PAST LAST ROW | TO NEXT ROW | TO [FIRST|LAST] V}, PATTERN with
+    ? + * {m}/{m,n} quantifiers, WITHIN INTERVAL 'n' unit, DEFINE with
+    row-local predicates, PREV/NEXT physical navigation (compiled to
+    lag/lead columns), FIRST/LAST logical navigation, running aggregates
+    (SUM/COUNT/AVG/MIN/MAX over a variable), and cross-variable references
+    (bare ``A.f`` in B's DEFINE = LAST(A.f), per SQL).
+    Not supported (loud errors): ALL ROWS PER MATCH, CASE/BETWEEN/IN/LIKE/
+    subqueries inside navigated DEFINEs, PREV/NEXT or logical navigation in
+    the STREAMING operator."""
     m = re.search(r"MATCH_RECOGNIZE\s*\(", sql, re.I)
     if not m:
         raise ValueError("no MATCH_RECOGNIZE clause found")
@@ -226,8 +390,20 @@ def parse_match_recognize_sql(sql: str) -> dict:
 
     measures: dict[str, tuple] = {}
     for part in _split_top_level(sections["MEASURES"]):
-        if re.search(r"CLASSIFIER\s*\(", part, re.I):
-            raise NotImplementedError("CLASSIFIER() measures are not supported")
+        mc = re.match(
+            r"^(?:(FIRST|LAST)\s*\(\s*CLASSIFIER\s*\(\s*\)\s*\)|CLASSIFIER\s*\(\s*\))"
+            r"\s+AS\s+(\w+)$",
+            part,
+            re.I,
+        )
+        if mc:
+            kind = (
+                "classifier_first"
+                if (mc.group(1) or "").upper() == "FIRST"
+                else "classifier"
+            )
+            measures[mc.group(2)] = ("*", kind, None)
+            continue
         mm = _MEASURE_RE.match(part)
         if not mm:
             raise ValueError(f"unsupported measure: {part!r}")
@@ -267,21 +443,34 @@ def parse_match_recognize_sql(sql: str) -> dict:
 
     variables = [re.match(r"\w+", tok).group(0) for tok in pattern.split()]
     define_expr: dict[str, str] = {}
+    define_ctx: dict[str, Callable] = {}
+    nav_specs: list[tuple] = []
     for part in _split_top_level(sections["DEFINE"]):
         md = re.match(r"^(\w+)\s+AS\s+(.*)$", part, re.I | re.S)
         if not md:
             raise ValueError(f"unsupported DEFINE entry: {part!r}")
         var, expr = md.group(1), md.group(2).strip()
-        if re.search(r"\b(FIRST|LAST|PREV|NEXT)\s*\(", expr, re.I):
-            raise NotImplementedError("DEFINE with navigation/aggregates is not supported (row-local predicates only)")
-        # strip `V.` qualifiers — predicates are row-local, all variables
-        # see the same row's columns
+        # route: logical navigation / aggregates / cross-variable references
+        # need the in-flight match -> ctx predicate on the NFA; PREV/NEXT
+        # alone are physical -> lag/lead column rewrite, stays row-local/JVM
+        stripped_calls = _NAV_FN.sub(" ", _AGG_FN.sub(" ", expr))
+        other_var_ref = any(
+            re.search(rf"\b{v}\.", stripped_calls) for v in variables if v != var
+        )
+        if _LOGICAL_FN.search(expr) or other_var_ref:
+            define_ctx[var] = _translate_ctx_define(var, expr, variables)
+            define_expr[var] = None
+            continue
+        if _PHYSICAL_FN.search(expr):
+            expr = _rewrite_physical_nav(expr, nav_specs)
+        # strip remaining (own-variable) qualifiers — the predicate is now
+        # row-local; all qualifiers see the current row's columns
         for v in variables:
             expr = re.sub(rf"\b{v}\.", "", expr)
         define_expr[var] = expr
     for v in variables:
         # a pattern variable with no DEFINE entry matches any row (SQL spec)
-        define_expr.setdefault(v, "true")
+        define_expr.setdefault(v, None if v in define_ctx else "true")
 
     return {
         "table": tbl.group(1) if tbl else None,
@@ -293,6 +482,8 @@ def parse_match_recognize_sql(sql: str) -> dict:
         "pattern": pattern,
         "within": within,
         "define_expr": define_expr,
+        "define_ctx": define_ctx,
+        "nav_specs": nav_specs,
     }
 
 
@@ -301,6 +492,7 @@ def match_recognize_sql(
     sql: str,
     streaming: bool = False,
     delay_seconds: float = 0.0,
+    max_repeat: int = 64,
 ) -> DataFrame:
     """Run a MATCH_RECOGNIZE SQL statement as a DataFrame transform.
 
@@ -321,16 +513,44 @@ def match_recognize_sql(
             raise ValueError("no FROM table in statement and no DataFrame given")
         df = source.table(parsed["table"])
 
+    keys = parsed["partition_by"]
+    if parsed["nav_specs"]:
+        # PREV/NEXT physical navigation == lag()/lead() over the partition —
+        # precomputed JVM-side so the DEFINE stays row-local (and fixed
+        # patterns keep the fully-compiled lead() plan)
+        if streaming:
+            raise NotImplementedError(
+                "PREV/NEXT navigation in streaming MATCH_RECOGNIZE is not "
+                "supported (window functions are unavailable on streams)"
+            )
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy(*keys).orderBy(parsed["order_by"])
+        for colname, kind, src, n in parsed["nav_specs"]:
+            fn = F.lag if kind == "lag" else F.lead
+            df = df.withColumn(colname, fn(src, n).over(w))
+    if parsed["define_ctx"] and streaming:
+        raise NotImplementedError(
+            "logical navigation/aggregate DEFINE in streaming "
+            "MATCH_RECOGNIZE is not supported (state payloads are "
+            "stringified; use the batch operator)"
+        )
+
     types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     int_types = {"tinyint", "smallint", "int", "bigint"}
     cols = []
-    for c in parsed["partition_by"]:
+    for c in keys:
         cols.append(f"{c} {types[c]}")
     for out_name, (var, kind, field) in parsed["measures"].items():
-        if kind == "count":
+        if kind in ("classifier", "classifier_first"):
+            t = "string"
+        elif kind == "count":
             t = "bigint"
         elif kind == "sum":
             t = "bigint" if types[field] in int_types else "double"
+        elif kind == "avg":
+            t = "double"
         else:
             t = types[field]
         cols.append(f"{out_name} {t}")
@@ -338,14 +558,14 @@ def match_recognize_sql(
 
     pat = compile_pattern(
         parsed["pattern"],
-        define={},
+        define=parsed["define_ctx"],
         within=parsed["within"],
         after_match=parsed["after_match"],
+        max_repeat=max_repeat,
         define_expr=parsed["define_expr"],
     )
     if parsed["skip_stage"] is not None:
         pat = pat.after_match_skip(parsed["after_match"], parsed["skip_stage"])
-    keys = parsed["partition_by"]
     select = _measure_select(parsed["measures"], keys)
     if streaming:
         return cep_stream(

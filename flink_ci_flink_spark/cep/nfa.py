@@ -42,8 +42,78 @@ class Match:
     end_idx: int
 
 
-def _stage_matches(stage: Stage, event: dict) -> bool:
-    return stage.predicate is None or bool(stage.predicate(event))
+@dataclass
+class MatchContext:
+    """Evaluation context for iterative (match-aware) predicates.
+
+    Reference: `IterativeCondition.Context` (`flink-cep/.../pattern/
+    conditions/IterativeCondition.java`) — predicates may inspect the events
+    matched so far — and SQL MATCH_RECOGNIZE navigation/aggregates in DEFINE
+    (`PREV`/`NEXT` physical, `FIRST`/`LAST` + running aggregates logical).
+
+    ``events_for`` mirrors ``Context.getEventsForPattern`` (accepted events
+    only, current row excluded); the SQL helpers (`first`/`last`/`agg`) use
+    *running* semantics — the row under evaluation counts as mapped to the
+    current variable, per SQL MATCH_RECOGNIZE DEFINE."""
+
+    events: list
+    idx: int  # index of the row under evaluation
+    groups: dict  # var -> accepted indices so far (current match attempt)
+    var: str  # variable being evaluated
+
+    def events_for(self, var: str) -> list:
+        return [self.events[i] for i in self.groups.get(var, [])]
+
+    def _running(self, var: str) -> list[int]:
+        idxs = list(self.groups.get(var, []))
+        if var == self.var:
+            idxs.append(self.idx)
+        return idxs
+
+    def prev_val(self, col: str, n: int = 1):
+        """PREV(col, n): physical navigation over the input partition."""
+        j = self.idx - n
+        return self.events[j].get(col) if j >= 0 else None
+
+    def next_val(self, col: str, n: int = 1):
+        """NEXT(col, n): physical navigation over the input partition."""
+        j = self.idx + n
+        return self.events[j].get(col) if j < len(self.events) else None
+
+    def first(self, var: str, col: str, n: int = 0):
+        idxs = self._running(var)
+        return self.events[idxs[n]].get(col) if n < len(idxs) else None
+
+    def last(self, var: str, col: str, n: int = 0):
+        idxs = self._running(var)
+        return self.events[idxs[-1 - n]].get(col) if n < len(idxs) else None
+
+    def agg(self, fn: str, var: str, col: str | None = None):
+        idxs = self._running(var)
+        if fn == "count":
+            return len(idxs)
+        vals = [v for v in (self.events[i].get(col) for i in idxs) if v is not None]
+        if not vals:
+            return None
+        if fn == "sum":
+            return sum(vals)
+        if fn == "min":
+            return min(vals)
+        if fn == "max":
+            return max(vals)
+        if fn == "avg":
+            return sum(vals) / len(vals)
+        raise ValueError(f"unknown aggregate {fn!r}")
+
+
+def _stage_matches(
+    stage: Stage, event: dict, ctx: MatchContext | None = None
+) -> bool:
+    if stage.predicate is not None and not stage.predicate(event):
+        return False
+    if stage.ctx_predicate is not None:
+        return bool(stage.ctx_predicate(event, ctx))
+    return True
 
 
 def _iter_matches(
@@ -59,7 +129,18 @@ def _iter_matches(
     def in_window(idx: int) -> bool:
         return within is None or (events[idx][ts_field] - t0) <= within
 
-    def neg_violated(pending: list[Stage], lo: int, hi: int) -> bool:
+    def _ctx(
+        st: Stage, idx: int, groups: dict, partial: list[int]
+    ) -> MatchContext | None:
+        """Build a MatchContext only when the stage needs one."""
+        if st.ctx_predicate is None:
+            return None
+        g = groups
+        if partial:
+            g = {**groups, st.name: groups.get(st.name, []) + partial}
+        return MatchContext(events, idx, g, st.name)
+
+    def neg_violated(pending: list[Stage], lo: int, hi: int, groups: dict) -> bool:
         """Check pending negative stages against the gap [lo, hi) before the
         next positive consumption at `hi`. Strict negatives (notNext) test
         only the event directly at `lo`; relaxed test the whole gap."""
@@ -68,32 +149,57 @@ def _iter_matches(
                 # notNext: only the event directly following the previous
                 # stage is tested (even when the next positive stage matches
                 # that same position — A notNext(B) next(B) is unsatisfiable)
-                if lo < n and in_window(lo) and _stage_matches(st, events[lo]):
+                if lo < n and in_window(lo) and _stage_matches(
+                    st, events[lo], _ctx(st, lo, groups, [])
+                ):
                     return True
             else:
                 for j in range(lo, min(hi, n)):
                     if not in_window(j):
                         break
-                    if _stage_matches(st, events[j]):
+                    if _stage_matches(st, events[j], _ctx(st, j, groups, [])):
                         return True
         return False
 
-    def trailing_neg_violated(pending: list[Stage], lo: int) -> bool:
+    def trailing_neg_violated(pending: list[Stage], lo: int, groups: dict) -> bool:
         """Final negative stages: absence until the within bound (or end of
         the bounded input). Strict trailing (notNext last) tests events[lo]."""
         for st in pending:
             if st.contiguity == "strict":
-                if lo < n and in_window(lo) and _stage_matches(st, events[lo]):
+                if lo < n and in_window(lo) and _stage_matches(
+                    st, events[lo], _ctx(st, lo, groups, [])
+                ):
                     return True
             else:
                 for j in range(lo, n):
                     if not in_window(j):
                         break
-                    if _stage_matches(st, events[j]):
+                    if _stage_matches(st, events[j], _ctx(st, j, groups, [])):
                         return True
         return False
 
-    def placements(st: Stage, take: int, ei: int, consumed: bool) -> Iterator[list[int]]:
+    def strict_streak(st: Stage, ei: int, groups: dict, cap: int) -> int:
+        """Length of the maximal strictly-contiguous run of st-matching
+        events starting at ei (bounded by cap, within, until). Valid when
+        every repeat placement is forced to the next position — the
+        placements are then prefixes of this run, so greedy take-counting
+        needs ONE forward walk instead of one per candidate count."""
+        m = 0
+        while m < cap:
+            pos = ei + m
+            if pos >= n or not in_window(pos):
+                break
+            ev = events[pos]
+            if st.until is not None and st.until(ev):
+                break
+            if not _stage_matches(st, ev, _ctx(st, pos, groups, list(range(ei, pos)))):
+                break
+            m += 1
+        return m
+
+    def placements(
+        st: Stage, take: int, ei: int, consumed: bool, groups: dict
+    ) -> Iterator[list[int]]:
         """Yield index lists for `take` occurrences of stage st, searching
         from ei. Honors anchor, contiguity, inner contiguity, until, within."""
 
@@ -104,7 +210,9 @@ def _iter_matches(
             anchored = (not consumed) and k == 0
             mode = st.contiguity if k == 0 else (st.inner_contiguity or "relaxed")
             if anchored or mode == "strict":
-                if pos < n and in_window(pos) and _stage_matches(st, events[pos]):
+                if pos < n and in_window(pos) and _stage_matches(
+                    st, events[pos], _ctx(st, pos, groups, idxs)
+                ):
                     if st.until is not None and st.until(events[pos]):
                         return
                     yield from pick(k + 1, pos + 1, idxs + [pos])
@@ -114,7 +222,7 @@ def _iter_matches(
             while j < n and in_window(j):
                 if st.until is not None and st.until(events[j]):
                     return  # until stops the loop from accepting further events
-                if _stage_matches(st, events[j]):
+                if _stage_matches(st, events[j], _ctx(st, j, groups, idxs)):
                     yield from pick(k + 1, j + 1, idxs + [j])
                     if mode != "any":
                         return  # deterministic relaxed: first match only
@@ -128,7 +236,7 @@ def _iter_matches(
         if si == len(stages):
             if not consumed:
                 return
-            if trailing_neg_violated(pending_neg, ei):
+            if trailing_neg_violated(pending_neg, ei, groups):
                 return
             yield groups
             return
@@ -144,14 +252,26 @@ def _iter_matches(
         options = list(counts)
         if st.optional and 0 not in options:
             options = options + [0]
+        # every placement forced to the next position? one walk finds the
+        # maximal run; each take is then its prefix (no per-take re-walk)
+        all_strict = ((not consumed) or st.contiguity == "strict") and (
+            st.max_times == 1 or st.inner_contiguity == "strict"
+        )
+        streak = (
+            strict_streak(st, ei, groups, st.max_times) if all_strict else None
+        )
         for take in options:
             if take == 0:
                 yield from rec(si + 1, ei, groups, consumed, pending_neg)
                 continue
-            for idxs in placements(st, take, ei, consumed):
+            if streak is not None:
+                cands = [list(range(ei, ei + take))] if take <= streak else []
+            else:
+                cands = placements(st, take, ei, consumed, groups)
+            for idxs in cands:
                 if not consumed and idxs[0] != start:
                     continue  # anchor: first consumed event must be at start
-                if pending_neg and neg_violated(pending_neg, ei, idxs[0]):
+                if pending_neg and neg_violated(pending_neg, ei, idxs[0], groups):
                     continue
                 yield from rec(
                     si + 1,

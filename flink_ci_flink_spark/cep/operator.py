@@ -45,12 +45,17 @@ from flink_ci_flink_spark.cep.pattern import Pattern
 SelectFn = Callable[[tuple, "Match", list], dict]
 
 #: measure kinds for the declarative select surface (MATCH_RECOGNIZE
-#: MEASURES): (variable, kind, field) — kind in first/last/count/sum.
+#: MEASURES): (variable, kind, field) — kind in
+#: first/last/count/sum/avg/min/max.
 MEASURE_FNS = {
     "first": lambda events, idxs, field: events[idxs[0]][field],
     "last": lambda events, idxs, field: events[idxs[-1]][field],
     "count": lambda events, idxs, field: len(idxs),
     "sum": lambda events, idxs, field: sum(events[i][field] for i in idxs),
+    "avg": lambda events, idxs, field: sum(events[i][field] for i in idxs)
+    / len(idxs),
+    "min": lambda events, idxs, field: min(events[i][field] for i in idxs),
+    "max": lambda events, idxs, field: max(events[i][field] for i in idxs),
 }
 
 
@@ -58,6 +63,15 @@ def measure_select(measures: dict[str, tuple], keys: list[str]) -> SelectFn:
     def select(key_tuple, match, events):
         out = {k: key_tuple[i] for i, k in enumerate(keys)}
         for out_name, (var, kind, field) in measures.items():
+            if kind in ("classifier", "classifier_first"):
+                # CLASSIFIER(): pattern variable of the match's last (or
+                # first) row (SQL MATCH_RECOGNIZE; ref MatchCodeGenerator's
+                # CLASSIFIER support in flink-table-planner-blink)
+                want = match.end_idx if kind == "classifier" else match.start_idx
+                out[out_name] = next(
+                    (v for v, idxs in match.groups.items() if want in idxs), None
+                )
+                continue
             idxs = match.groups.get(var, [])
             out[out_name] = MEASURE_FNS[kind](events, idxs, field) if idxs else None
         return out
@@ -91,7 +105,7 @@ def _relevance_prefilter(df: DataFrame, pattern: Pattern) -> DataFrame:
     JVM expr so relevance is decidable column-side."""
     exprs = []
     for i, st in enumerate(pattern.stages):
-        if st.expr is None:
+        if st.expr is None or st.ctx_predicate is not None:
             return df
         if i > 0 and st.contiguity == "strict":
             return df

@@ -55,6 +55,11 @@ class Stage:
     #: enabling JVM-side evaluation / full lead-lag compilation.
     expr: str | None = None
     until_expr: str | None = None
+    #: iterative (match-aware) predicate: (event, MatchContext) -> bool.
+    #: Reference: `IterativeCondition.java` — Pattern.where(IterativeCondition)
+    #: — and MATCH_RECOGNIZE navigation/aggregate DEFINE. ANDed with
+    #: `predicate`; forces the NFA path (never JVM-compiled).
+    ctx_predicate: Callable | None = None
 
 
 @dataclass
@@ -83,6 +88,23 @@ class Pattern:
         )
         if expr is not None:
             st.expr = expr if st.expr is None else f"({st.expr}) AND ({expr})"
+        return self
+
+    def where_iterative(self, predicate: Callable) -> "Pattern":
+        """AND-refine the current stage with a match-aware predicate
+        ``(event, ctx) -> bool`` (Pattern.where(IterativeCondition), ref
+        `pattern/conditions/IterativeCondition.java`). ``ctx`` is a
+        `cep.nfa.MatchContext`: ``ctx.events_for(var)`` mirrors
+        ``Context.getEventsForPattern``; SQL-style navigation helpers
+        (``prev_val``/``first``/``last``/``agg``) use running semantics."""
+        st = self.stages[-1]
+        prev = st.ctx_predicate
+        st.ctx_predicate = (
+            predicate
+            if prev is None
+            else (lambda e, c, a=prev, b=predicate: a(e, c) and b(e, c))
+        )
+        st.expr = None  # no longer a pure row-local condition
         return self
 
     def or_(self, predicate: Predicate, expr: str | None = None) -> "Pattern":

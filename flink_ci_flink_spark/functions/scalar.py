@@ -153,6 +153,29 @@ def ceil_ts(col, unit: str) -> Column:
     )
 
 
+def epoch_seconds(df, col) -> Column:
+    """Seconds-since-epoch (double, microsecond precision) for a timestamp
+    column of EITHER flavor — TIMESTAMP or TIMESTAMP_NTZ.
+
+    ``CAST(ts AS DOUBLE)`` is illegal for TIMESTAMP_NTZ (and parquet written
+    with isAdjustedToUTC=false reads back as NTZ under Spark's default
+    inferTimestampNTZ). For NTZ we diff from the NTZ epoch — timezone-free,
+    matching DuckDB's ``EPOCH(naive_ts)`` exactly. Needs the DataFrame to
+    inspect the column's type; pure JVM expression either way."""
+    from pyspark.sql.types import TimestampNTZType
+
+    name = col if isinstance(col, str) else None
+    if name is not None and isinstance(df.schema[name].dataType, TimestampNTZType):
+        return (
+            F.expr(
+                f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', `{name}`)"
+            ).cast("double")
+            / F.lit(1e6)
+        )
+    c = F.col(name) if name is not None else col
+    return c.cast("double")
+
+
 def register_all(spark: SparkSession) -> None:
     """Expose the custom functions to SQL text via small expression rewrites.
 

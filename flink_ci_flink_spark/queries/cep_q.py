@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_ci_flink_spark.catalog import load_tables
 from flink_ci_flink_spark.cep import NO_SKIP, Pattern, cep
+from flink_ci_flink_spark.functions.scalar import epoch_seconds
 from flink_ci_flink_spark.queries.registry import query
 
 
@@ -46,7 +47,7 @@ def cep_click_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     ev = t.events.withColumn(
-        "ts_s", F.floor(F.col("ts").cast("double")).cast("long")
+        "ts_s", F.floor(epoch_seconds(t.events, "ts")).cast("long")
     )
     pat = (
         Pattern.begin(
@@ -207,7 +208,7 @@ def cep_click_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     ev = t.events.withColumn(
-        "ts_s", F.floor(F.col("ts").cast("double")).cast("long")
+        "ts_s", F.floor(epoch_seconds(t.events, "ts")).cast("long")
     )
     pat = (
         Pattern.begin(
@@ -277,6 +278,79 @@ def cep_mr_sql_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
           AFTER MATCH SKIP PAST LAST ROW
           PATTERN (A B) WITHIN INTERVAL '48' HOUR
           DEFINE A AS A.event_type = 'view', B AS B.event_type = 'purchase'
+        )
+        """,
+    )
+
+
+@query(
+    "cep_mr_price_dip",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER w AS rn,
+             CASE WHEN value < LAG(value) OVER w THEN 1 ELSE 0 END AS dn,
+             CASE WHEN value > LAG(value) OVER w THEN 1 ELSE 0 END AS up
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    isl AS (
+      SELECT user_id, rn,
+             rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM base WHERE dn = 1
+    ),
+    islands AS (
+      SELECT user_id, grp, MAX(rn) AS end_rn FROM isl GROUP BY user_id, grp
+    ),
+    downs AS (
+      SELECT i.user_id, i.rn, s.end_rn
+      FROM isl i JOIN islands s ON s.user_id = i.user_id AND s.grp = i.grp
+    )
+    SELECT p.user_id,
+           p.event_id AS start_id,
+           p.value AS start_value,
+           e.value AS bottom_value,
+           CAST(d.end_rn - d.rn + 1 AS BIGINT) AS n_downs,
+           CASE WHEN COALESCE(x.up, 0) = 1 THEN 'UP' ELSE 'DOWN' END AS last_var
+    FROM downs d
+    JOIN base p ON p.user_id = d.user_id AND p.rn = d.rn - 1
+    JOIN base e ON e.user_id = d.user_id AND e.rn = d.end_rn
+    LEFT JOIN base x ON x.user_id = d.user_id AND x.rn = d.end_rn + 1
+    """,
+    group="cep",
+)
+def cep_mr_price_dip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-dip MATCH_RECOGNIZE with navigation DEFINE and CLASSIFIER():
+    a strictly-falling run of `value` (DOWN+, each row below its physical
+    predecessor via PREV) optionally closed by a recovery row (UP?), AFTER
+    MATCH SKIP TO NEXT ROW — the canonical navigated-DEFINE workload the
+    reference runs through IterativeCondition (`Pattern.java:156`,
+    `StreamExecMatch.scala:68`, runtime `operators/match/`). Here
+    PREV(value) compiles to a JVM lag() column so every DEFINE stays
+    row-local; the variable-length pattern runs on the NFA over
+    precomputed booleans. CLASSIFIER() reports whether the dip closed with
+    a recovery ('UP') or ran to a boundary ('DOWN'). Oracle: gaps-and-
+    islands enumeration of down-runs — every down row starts one match
+    anchored at its predecessor (SKIP TO NEXT ROW semantics), n_downs is
+    the remaining run length, greedy UP? reads the post-run flag."""
+    from flink_ci_flink_spark.cep import match_recognize_sql
+
+    t = load_tables(spark, sf_dir)
+    t.events.createOrReplaceTempView("__mr_price_events")
+    return match_recognize_sql(
+        spark,
+        """
+        SELECT * FROM __mr_price_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES STRT.event_id AS start_id, STRT.value AS start_value,
+                   LAST(DOWN.value) AS bottom_value, COUNT(DOWN.*) AS n_downs,
+                   CLASSIFIER() AS last_var
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (STRT DOWN+ UP?)
+          DEFINE DOWN AS DOWN.value < PREV(DOWN.value),
+                 UP AS UP.value > PREV(UP.value)
         )
         """,
     )

@@ -36,6 +36,13 @@ RUNTIME_CONFS = {
     # type, so read as long and convert in the catalog (micros precision,
     # matching DuckDB's TIMESTAMP truncation).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet written with isAdjustedToUTC=false otherwise reads back as
+    # TIMESTAMP_NTZ, which (a) forbids CAST(ts AS DOUBLE) and (b) makes
+    # unix_timestamp() session-timezone-dependent. Reading as TIMESTAMP
+    # (stored micros taken as UTC instants) keeps epoch math timezone-free
+    # and equal to DuckDB's EPOCH(naive_ts), and keeps parquet filter
+    # pushdown intact (no per-column cast wrappers).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

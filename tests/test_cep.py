@@ -517,11 +517,28 @@ def test_parse_match_recognize_sql_rejects_unsupported():
         MEASURES A.x AS x {extra} PATTERN (A) DEFINE A AS A.x > 0)"""
     with _pytest.raises(NotImplementedError):
         parse_match_recognize_sql(base.format(extra="ALL ROWS PER MATCH"))
+    # navigation DEFINE is now supported: LAST() routes to a ctx predicate,
+    # PREV() to a lag-column rewrite
+    parsed = parse_match_recognize_sql(
+        """FROM t MATCH_RECOGNIZE (PARTITION BY k ORDER BY ts
+        MEASURES A.x AS x PATTERN (A B) DEFINE A AS A.x > 0,
+        B AS B.x > LAST(A.x))"""
+    )
+    assert "B" in parsed["define_ctx"] and parsed["define_expr"]["B"] is None
+    assert parsed["define_expr"]["A"] == "x > 0"
+    parsed2 = parse_match_recognize_sql(
+        """FROM t MATCH_RECOGNIZE (PARTITION BY k ORDER BY ts
+        MEASURES A.x AS x PATTERN (A B) DEFINE A AS A.x > 0,
+        B AS B.x < PREV(B.x))"""
+    )
+    assert parsed2["nav_specs"] == [("__nav_lag1_x", "lag", "x", 1)]
+    assert parsed2["define_expr"]["B"] == "x < __nav_lag1_x"
+    # CASE etc. inside a navigated DEFINE still rejects loudly
     with _pytest.raises(NotImplementedError):
         parse_match_recognize_sql(
             """FROM t MATCH_RECOGNIZE (PARTITION BY k ORDER BY ts
             MEASURES A.x AS x PATTERN (A B) DEFINE A AS A.x > 0,
-            B AS B.x > LAST(A.x))"""
+            B AS CASE WHEN B.x > LAST(A.x) THEN TRUE ELSE FALSE END)"""
         )
 
 
@@ -687,3 +704,160 @@ def test_compiled_equals_nfa_property(spark):
         )
 
     run()
+
+
+def test_where_iterative_running_sum():
+    """IterativeCondition parity (Pattern.where(IterativeCondition),
+    `IterativeCondition.java`): accept b-rows while the running sum of
+    accepted b values stays under a cap."""
+
+    def b_cap(e, ctx):
+        return sum(x["v"] for x in ctx.events_for("b")) + e["v"] <= 50
+
+    p = (
+        Pattern.begin("a", typed("A"))
+        .next("b", lambda e: e["type"] == "B")
+        .where_iterative(b_cap)
+        .times(1, 8)
+        .consecutive_()
+    )
+    events = [
+        {"__ts": 0.0, "type": "A", "v": 0},
+        {"__ts": 1.0, "type": "B", "v": 20},
+        {"__ts": 2.0, "type": "B", "v": 25},
+        {"__ts": 3.0, "type": "B", "v": 10},  # 20+25+10 > 50 -> not accepted
+    ]
+    ms = find_matches(p.after_match_skip(SKIP_PAST_LAST), events, "__ts")
+    assert len(ms) == 1
+    assert ms[0].groups["b"] == [1, 2]
+
+
+def test_match_context_navigation_helpers():
+    from flink_ci_flink_spark.cep.nfa import MatchContext
+
+    events = [{"v": 10}, {"v": 8}, {"v": 6}, {"v": 9}]
+    ctx = MatchContext(events, 2, {"a": [0], "d": [1]}, "d")
+    assert ctx.prev_val("v") == 8
+    assert ctx.prev_val("v", 2) == 10
+    assert ctx.next_val("v") == 9
+    assert ctx.next_val("v", 5) is None
+    # running semantics: current row counts as mapped to the current var
+    assert ctx.last("d", "v") == 6
+    assert ctx.last("d", "v", 1) == 8
+    assert ctx.first("d", "v") == 8
+    assert ctx.agg("sum", "d", "v") == 14
+    assert ctx.agg("count", "d") == 2
+    assert ctx.agg("avg", "d", "v") == 7
+    # accepted-only view (getEventsForPattern) excludes the current row
+    assert [e["v"] for e in ctx.events_for("d")] == [8]
+
+
+def test_price_dip_fixture(spark):
+    """Navigated DEFINE + CLASSIFIER on a hand-computed fixture."""
+    from flink_ci_flink_spark.cep import match_recognize_sql
+
+    rows = [(1, float(t), v, t) for t, v in enumerate(
+        [10.0, 8.0, 6.0, 9.0, 7.0, 11.0], start=1)]
+    df = spark.createDataFrame(rows, "user_id long, ts double, value double, event_id long")
+    out = match_recognize_sql(df, """
+      SELECT * FROM __x MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES STRT.event_id AS start_id, STRT.value AS start_value,
+                 LAST(DOWN.value) AS bottom_value, COUNT(DOWN.*) AS n_downs,
+                 CLASSIFIER() AS last_var
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (STRT DOWN+ UP?)
+        DEFINE DOWN AS DOWN.value < PREV(DOWN.value),
+               UP AS UP.value > PREV(UP.value)
+      )""")
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [
+        (1, 1, 10.0, 6.0, 2, "UP"),
+        (1, 2, 8.0, 6.0, 1, "UP"),
+        (1, 4, 9.0, 7.0, 1, "UP"),
+    ]
+    # trailing unclosed dip -> CLASSIFIER() = 'DOWN'
+    df2 = spark.createDataFrame(
+        [(1, 1.0, 10.0, 1), (1, 2.0, 8.0, 2), (1, 3.0, 6.0, 3)],
+        "user_id long, ts double, value double, event_id long",
+    )
+    out2 = match_recognize_sql(df2, """
+      SELECT * FROM __x MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES STRT.event_id AS start_id, COUNT(DOWN.*) AS n_downs,
+                 CLASSIFIER() AS last_var, FIRST(CLASSIFIER()) AS first_var
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (STRT DOWN+ UP?)
+        DEFINE DOWN AS DOWN.value < PREV(DOWN.value),
+               UP AS UP.value > PREV(UP.value)
+      )""")
+    assert sorted(tuple(r) for r in out2.collect()) == [
+        (1, 1, 2, "DOWN", "STRT"),
+        (1, 2, 1, "DOWN", "STRT"),
+    ]
+
+
+def test_nav_rewrite_keeps_compiled_plan(spark):
+    """A fixed-length pattern whose DEFINE uses only PREV navigation stays
+    on the fully-compiled lead() path (no Python in the plan), and the
+    compiled result equals the NFA result."""
+    from flink_ci_flink_spark.cep import match_recognize_sql
+    from flink_ci_flink_spark.cep.match_recognize import (
+        compile_pattern,
+        parse_match_recognize_sql,
+    )
+    from flink_ci_flink_spark.cep.operator import cep, measure_select
+
+    rows = [
+        (u, float(t), float(v), u * 100 + t)
+        for u in (1, 2)
+        for t, v in enumerate([5, 3, 7, 4, 9, 2, 8], start=1)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts double, value double, event_id long")
+    sql = """
+      SELECT * FROM __x MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS drop_id, B.event_id AS rebound_id,
+                 CLASSIFIER() AS cls
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A B)
+        DEFINE A AS A.value < PREV(A.value), B AS B.value > PREV(B.value)
+      )"""
+    out = match_recognize_sql(df, sql)
+    # compiled plan: no BatchEvalPython / ArrowEvalPython / mapInPandas
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "InPandas" not in plan
+    got = sorted(tuple(r) for r in out.collect())
+    # NFA path on the same pattern (expr stripped -> Python predicates)
+    parsed = parse_match_recognize_sql(sql)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ndf = df
+    for colname, kind, src, n in parsed["nav_specs"]:
+        fn = F.lag if kind == "lag" else F.lead
+        ndf = ndf.withColumn(colname, fn(src, n).over(w))
+    pat = compile_pattern(
+        parsed["pattern"],
+        define={
+            "A": lambda e: e["__nav_lag1_value"] is not None
+            and e["value"] < e["__nav_lag1_value"],
+            "B": lambda e: e["__nav_lag1_value"] is not None
+            and e["value"] > e["__nav_lag1_value"],
+        },
+        after_match=parsed["after_match"],
+    )
+    nfa_out = cep(
+        ndf,
+        pat,
+        ["user_id"],
+        "ts",
+        measure_select(parsed["measures"], ["user_id"]),
+        "user_id long, drop_id long, rebound_id long, cls string",
+    )
+    assert sorted(tuple(r) for r in nfa_out.collect()) == got
+    assert got, "fixture must produce matches"

@@ -102,6 +102,27 @@ def test_jaccard_max_postings_cap(spark):
     assert all(a in (1, 2) and b in (1, 2) for a, b in capped)
 
 
+def test_lsh_max_bucket_guard(spark):
+    """Per-bucket pair cap: non-binding cap leaves pairs unchanged; a binding
+    cap keeps the first max_bucket members so every dropped doc still pairs
+    with the kept representatives (dedup-safe truncation)."""
+    from flink_ci_flink_spark.pipeline.dedup import minhash_lsh_pairs
+
+    # 6 identical docs -> one bucket of 6 in every band
+    rows = [(i, "same exact words repeated here for everyone always") for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df).collect()}
+    assert base == {(a, b) for a in range(1, 7) for b in range(a + 1, 7)}
+    uncapped = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df, max_bucket=None).collect()}
+    assert uncapped == base
+    capped = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df, max_bucket=3).collect()}
+    # only the first 3 ids survive per bucket -> pairs among {1,2,3}
+    assert capped == {(1, 2), (1, 3), (2, 3)}
+    # every dropped doc (4..6) was in a bucket with kept representative 1
+    assert all(a <= 3 and b <= 3 for a, b in capped)
+
+
 def test_ivf_ann_recall(spark, sf_dir):
     """IVF ANN with nprobe=4/16 cells reaches usable recall vs the exact
     cosine baseline, and full probing (nprobe=n_cells) is exact."""
