@@ -619,3 +619,70 @@ def pipe_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.floor(F.col("mix_rate") * 1000000 + 0.5) / 1000000).alias("mix_rate"),
     )
+
+
+@query(
+    "pipe_ivf_partial_probe",
+    oracle="""
+    WITH cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+             list_transform(embedding, x -> x::DOUBLE) AS ctv
+      FROM embeddings WHERE vec_id IN (
+        SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+    ), c AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS cv
+      FROM embeddings
+    ), cassign AS (
+      SELECT vec_id, cv, cell FROM (
+        SELECT c.vec_id, c.cv, ct.cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 list_dot_product(c.cv, c.cv) - 2 * list_dot_product(c.cv, ct.ctv)
+                   + list_dot_product(ct.ctv, ct.ctv),
+                 ct.cell) AS rn
+        FROM c CROSS JOIN cents ct) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, cv AS qv FROM c WHERE vec_id < 8
+    ), qprobe AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, ct.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 list_dot_product(q.qv, q.qv) - 2 * list_dot_product(q.qv, ct.ctv)
+                   + list_dot_product(ct.ctv, ct.ctv),
+                 ct.cell) AS rn
+        FROM q CROSS JOIN cents ct) WHERE rn <= 3
+    ), scored AS (
+      SELECT p.query_id, a.vec_id,
+             ROUND(list_dot_product(p.qv, a.cv) /
+                   (SQRT(list_dot_product(p.qv, p.qv)) *
+                    SQRT(list_dot_product(a.cv, a.cv))), 6) AS cos_sim
+      FROM qprobe p JOIN cassign a USING (cell)
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+    group="pipeline",
+)
+def pipe_ivf_partial_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF at nprobe=3 of 8 cells with an EXACT oracle: the oracle mirrors
+    the deterministic coarse quantizer itself — fixed centroids (8
+    lowest-id vectors), argmin-L2 cell assignment with lowest-cell
+    tie-break, nprobe nearest cells per query — so the partial-probe
+    candidate set is SQL-reproducible and the whole restricted-scan path
+    (map-only assign, broadcast probe join, per-cell exact scoring) is
+    hash-checked, not just recall-tested. Complements pipe_ivf_full_probe
+    (probe-independent exact answer) by pinning the probe SELECTION."""
+    from flink_ci_flink_spark.pipeline.similarity import ivf_ann_topk
+
+    t = load_tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in t.embeddings.orderBy("vec_id").limit(8).collect()
+    ]
+    return ivf_ann_topk(
+        t.embeddings, queries, n_cells=8, nprobe=3, k=5, centroids=cents
+    )
