@@ -19,8 +19,11 @@ Reference parity (SURVEY.md §2.1, §2.5, §2.10):
 Streaming semantics notes vs the reference (documented limitations):
 - Watermarks are per-query global min, not per-key; punctuated watermark
   generation is not expressible.
-- Late rows beyond the watermark are dropped (no allowedLateness re-fire,
-  no side output); approximate by widening the delay.
+- Late rows: Spark's built-in windowed aggs drop rows behind the
+  watermark; `streaming/late.py` provides the exact `sideOutputLateData` +
+  `allowedLateness` routing (foreachBatch splitter with Flink's watermark
+  definition). Window RE-FIRE on late arrivals (allowedLateness refiring a
+  closed window's agg) remains unsupported.
 - Changelog (retract) emission: Spark update/complete modes emit latest
   state, not UPDATE_BEFORE/AFTER pairs; final states match.
 """

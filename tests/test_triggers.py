@@ -267,3 +267,103 @@ def test_event_time_trigger_default(spark):
         assert got == {(0, 2, 3.0), (10, 1, 3.0)}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_late_data_side_output(spark):
+    """Late rows land in the late sink; the main path receives exactly what
+    a watermarked window agg would keep (`sideOutputLateData` +
+    `allowedLateness` semantics, window-level lateness)."""
+    import tempfile
+
+    from flink_ci_flink_spark.streaming import file_stream
+    from flink_ci_flink_spark.streaming.late import side_output_late_data
+
+    schema = "user_id long, ts double, value double"
+    # batch1: on-time rows up to t=20 -> wm after batch1 = 20-5 = 15
+    # batch2: t=2 (window [0,10) end 10 <= 15 -> LATE)
+    #         t=13 (window [10,20) end 20 > 15 -> on time despite ts < wm)
+    #         t=27 (on time)
+    b1 = [(1, 1.0, 1.0), (1, 8.0, 2.0), (1, 12.0, 3.0), (1, 20.0, 4.0)]
+    b2 = [(1, 2.0, 100.0), (1, 13.0, 5.0), (1, 27.0, 6.0)]
+    tmp = _replay_fixture(spark, b1 + b2, schema, n_files=2)
+    ck = tempfile.mkdtemp(prefix="late_ck_")
+    got_main, got_late = [], []
+    try:
+        st = file_stream(
+            spark, tmp, spark.createDataFrame([], schema).schema,
+            max_files_per_trigger=1,
+        )
+        q = side_output_late_data(
+            st, "ts", 5.0,
+            lambda df, bid: got_main.extend(
+                (r.user_id, r.ts, r.value) for r in df.collect()),
+            lambda df, bid: got_late.extend(
+                (r.user_id, r.ts, r.value) for r in df.collect()),
+            checkpoint=ck,
+            window_seconds=10.0,
+        )
+        q.processAllAvailable()
+        q.stop()
+        assert sorted(got_late) == [(1, 2.0, 100.0)]
+        assert sorted(got_main) == sorted(
+            (u, t, v) for u, t, v in b1 + b2 if not (u, t, v) == (1, 2.0, 100.0)
+        )
+        # allowed_lateness widens acceptance: rerun with lateness 10 ->
+        # window end 10 + 10 > 15, the t=2 row is no longer late
+        got_main2, got_late2 = [], []
+        import shutil as _sh
+
+        _sh.rmtree(ck, ignore_errors=True)
+        st2 = file_stream(
+            spark, tmp, spark.createDataFrame([], schema).schema,
+            max_files_per_trigger=1,
+        )
+        q2 = side_output_late_data(
+            st2, "ts", 5.0,
+            lambda df, bid: got_main2.extend(
+                (r.user_id, r.ts, r.value) for r in df.collect()),
+            lambda df, bid: got_late2.extend(
+                (r.user_id, r.ts, r.value) for r in df.collect()),
+            checkpoint=tempfile.mkdtemp(prefix="late_ck2_"),
+            window_seconds=10.0,
+            allowed_lateness=10.0,
+        )
+        q2.processAllAvailable()
+        q2.stop()
+        assert got_late2 == []
+        assert len(got_main2) == len(b1 + b2)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_late_row_level_split(spark):
+    """Row-level lateness (ProcessFunction side-output convention):
+    ts <= watermark routes to the late sink."""
+    import tempfile
+
+    from flink_ci_flink_spark.streaming import file_stream
+    from flink_ci_flink_spark.streaming.late import side_output_late_data
+
+    schema = "user_id long, ts double, value double"
+    b1 = [(1, 10.0, 1.0), (1, 30.0, 2.0)]  # wm -> 25
+    b2 = [(1, 20.0, 3.0), (1, 26.0, 4.0)]  # 20 late, 26 on time
+    tmp = _replay_fixture(spark, b1 + b2, schema, n_files=2)
+    got_main, got_late = [], []
+    try:
+        st = file_stream(
+            spark, tmp, spark.createDataFrame([], schema).schema,
+            max_files_per_trigger=1,
+        )
+        q = side_output_late_data(
+            st, "ts", 5.0,
+            lambda df, bid: got_main.extend(r.ts for r in df.collect()),
+            lambda df, bid: got_late.extend(r.ts for r in df.collect()),
+            checkpoint=tempfile.mkdtemp(prefix="late_ck3_"),
+        )
+        q.processAllAvailable()
+        q.stop()
+        assert sorted(got_late) == [20.0]
+        assert sorted(got_main) == [10.0, 26.0, 30.0]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
