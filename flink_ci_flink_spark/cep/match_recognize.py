@@ -357,8 +357,9 @@ def parse_match_recognize_sql(sql: str) -> dict:
     (SUM/COUNT/AVG/MIN/MAX over a variable), and cross-variable references
     (bare ``A.f`` in B's DEFINE = LAST(A.f), per SQL).
     Not supported (loud errors): ALL ROWS PER MATCH, CASE/BETWEEN/IN/LIKE/
-    subqueries inside navigated DEFINEs, PREV/NEXT or logical navigation in
-    the STREAMING operator."""
+    subqueries inside navigated DEFINEs, PREV/NEXT physical navigation in
+    the STREAMING operator (needs window functions; logical navigation and
+    aggregates stream fine)."""
     m = re.search(r"MATCH_RECOGNIZE\s*\(", sql, re.I)
     if not m:
         raise ValueError("no MATCH_RECOGNIZE clause found")
@@ -530,12 +531,9 @@ def match_recognize_sql(
         for colname, kind, src, n in parsed["nav_specs"]:
             fn = F.lag if kind == "lag" else F.lead
             df = df.withColumn(colname, fn(src, n).over(w))
-    if parsed["define_ctx"] and streaming:
-        raise NotImplementedError(
-            "logical navigation/aggregate DEFINE in streaming "
-            "MATCH_RECOGNIZE is not supported (state payloads are "
-            "stringified; use the batch operator)"
-        )
+    # logical navigation / aggregates run fine on the streaming NFA: the
+    # state payload preserves value types (operator._jsonable), and ctx
+    # predicates evaluate over the buffered, ordered per-key events
 
     types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     int_types = {"tinyint", "smallint", "int", "bigint"}

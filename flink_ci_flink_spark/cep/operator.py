@@ -205,6 +205,19 @@ def _match_identity(m: Match, events: list[dict], payloads: list[str]) -> str:
     return hashlib.md5(body.encode()).hexdigest()
 
 
+def _jsonable(v):
+    """JSON-encodable payload value PRESERVING type: numpy scalars unbox,
+    timestamps stringify, numbers stay numbers (a stringified payload would
+    silently break numeric predicates and navigation in streaming CEP)."""
+    if v is None:
+        return None
+    if hasattr(v, "item"):  # numpy scalar
+        v = v.item()
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    return str(v)
+
+
 def cep_stream(
     df: DataFrame,
     pattern: Pattern,
@@ -252,7 +265,10 @@ def cep_stream(
             tvals = pdf[ts_col].map(
                 lambda t: t.timestamp() if hasattr(t, "timestamp") else float(t)
             )
-            recs = pdf[payload_cols].astype(str).to_dict("records")
+            recs = [
+                {k: _jsonable(v) for k, v in r.items()}
+                for r in pdf[payload_cols].to_dict("records")
+            ]
             ts_list.extend(float(t) for t in tvals)
             payload.extend(json.dumps(r) for r in recs)
         order = sorted(range(len(ts_list)), key=lambda i: ts_list[i])

@@ -861,3 +861,58 @@ def test_nav_rewrite_keeps_compiled_plan(spark):
     )
     assert sorted(tuple(r) for r in nfa_out.collect()) == got
     assert got, "fixture must produce matches"
+
+
+def test_streaming_mr_aggregate_define(spark):
+    """Running-aggregate DEFINE on the STREAMING MATCH_RECOGNIZE operator:
+    typed state payloads let ctx predicates evaluate numerically; streaming
+    result == batch result on ordered replay."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from flink_ci_flink_spark.cep import match_recognize_sql
+    from flink_ci_flink_spark.streaming import file_stream, run_to_completion
+
+    schema = "user_id long, ts double, amount double"
+    rows = [(1, float(t), a) for t, a in
+            enumerate([20.0, 15.0, 20.0, 30.0, 5.0], start=1)]
+    rows.append((1, 100.0, 999.0))  # frontier sentinel: closes open matches
+    sql = """
+      SELECT * FROM __x MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(B.ts) AS first_ts, COUNT(B.*) AS n_b,
+                 SUM(B.amount) AS total
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (B+) WITHIN INTERVAL '10' SECOND
+        DEFINE B AS SUM(B.amount) <= 50
+      )"""
+
+    df = spark.createDataFrame(rows, schema)
+    batch = {tuple(r) for r in match_recognize_sql(df, sql).collect()}
+    assert batch == {(1, 1.0, 2, 35.0), (1, 3.0, 2, 50.0), (1, 5.0, 1, 5.0)}
+
+    tmp = tempfile.mkdtemp(prefix="mr_stream_")
+    try:
+        for i in range(3):
+            chunk = rows[i * 2 : (i + 1) * 2]
+            spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                f"{tmp}/f{i}"
+            )
+            (part,) = glob.glob(f"{tmp}/f{i}/part-*.parquet")
+            os.rename(part, f"{tmp}/{i:03d}.parquet")
+            shutil.rmtree(f"{tmp}/f{i}")
+        st = file_stream(
+            spark, tmp, spark.createDataFrame([], schema).schema,
+            max_files_per_trigger=1,
+        )
+        out = match_recognize_sql(st, sql, streaming=True)
+        name = f"mr_{uuid.uuid4().hex[:8]}"
+        run_to_completion(out, name, "append")
+        streamed = {tuple(r) for r in spark.table(name).collect()}
+        assert streamed == batch
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
