@@ -293,3 +293,39 @@ def simhash(
             )
         ).alias("simhash")
     )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination screen: per corpus document, how many of its
+    distinct word n-grams appear in ANY benchmark document (the standard
+    train/test decontamination pass).
+
+    Shape at 100 TB: the benchmark's distinct-shingle set is tiny relative
+    to the corpus and is BROADCAST, so the probe is a map-side join over
+    the exploded corpus shingles; the only shuffle is the per-document
+    count. Output: (id, n_shingles, n_overlap, overlap_ratio) — rounded
+    engine-portably; documents with fewer than n tokens have no shingles
+    and are absent (nothing to test)."""
+    c_sh = shingle_table(corpus, text_col, id_col, n)
+    b_sh = shingle_table(benchmark, text_col, id_col, n).select("shingle").distinct()
+    per_doc = (
+        c_sh.join(F.broadcast(b_sh.withColumn("__hit", F.lit(1))), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_overlap"),
+        )
+    )
+    ratio = F.col("n_overlap") / F.col("n_shingles")
+    return per_doc.select(
+        id_col,
+        "n_shingles",
+        "n_overlap",
+        (F.floor(ratio * 1e6 + F.lit(0.5)) / 1e6).alias("overlap_ratio"),
+    )

@@ -184,3 +184,25 @@ def chunk_documents(
             ),
         )
     )
+
+
+#: PII masking patterns (pattern, replacement) — regexes restricted to the
+#: syntax subset Java regex and RE2/DuckDB interpret identically, so the
+#: DuckDB oracle reproduces the redaction byte-for-byte.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(col) -> Column:
+    """Mask emails / phone numbers / IPv4s with typed placeholder tokens —
+    the standard pre-training scrubbing pass. Chained `regexp_replace`
+    expressions: JVM-side, codegen'd, map-only — scales with the corpus and
+    never shuffles. Order matters (emails before IPs: 'a@1.2.3.4' is an
+    email first)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

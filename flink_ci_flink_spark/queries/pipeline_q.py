@@ -686,3 +686,82 @@ def pipe_ivf_partial_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(
         t.embeddings, queries, n_cells=8, nprobe=3, k=5, centroids=cents
     )
+
+
+@query(
+    "pipe_redact_pii",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@mail.example.com or 555-867-5309 at 10.0.0.' ||
+             CAST(doc_id % 256 AS VARCHAR) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'
+           ) AS redacted
+    FROM aug
+    """,
+    group="pipeline",
+)
+def pipe_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (emails / phones / IPv4 -> typed placeholders):
+    the standard pre-training redaction step, as chained JVM
+    regexp_replace — map-only, no shuffle, regex subset chosen so Java
+    regex and RE2 (DuckDB) agree byte-for-byte. Deterministic PII is
+    appended per doc so the redaction is exercised on every row."""
+    from flink_ci_flink_spark.pipeline.text import redact_pii
+
+    t = load_tables(spark, sf_dir)
+    aug = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 555-867-5309 at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return aug.select("doc_id", redact_pii("text").alias("redacted"))
+
+
+@query(
+    "pipe_contamination_overlap",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, UNNEST({_SHINGLES}) AS s FROM toks),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+    agg AS (
+      SELECT sh.doc_id,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overlap
+      FROM sh LEFT JOIN bench b ON sh.s = b.s
+      GROUP BY sh.doc_id
+    )
+    SELECT doc_id, n_shingles, n_overlap,
+           FLOOR((CAST(n_overlap AS DOUBLE) / n_shingles) * 1000000.0 + 0.5)
+             / 1000000.0 AS overlap_ratio
+    FROM agg
+    """,
+    group="pipeline",
+)
+def pipe_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination screen: per document, the share of its
+    distinct word 3-grams found in a benchmark set (here: every 50th doc
+    as the synthetic benchmark). The benchmark's shingle set is broadcast
+    — a map-side probe over the exploded corpus shingles; the only
+    shuffle is the per-document count. The ubiquitous n-gram-overlap
+    contamination check LLM pipelines run before training."""
+    from flink_ci_flink_spark.pipeline.dedup import contamination_overlap
+
+    t = load_tables(spark, sf_dir)
+    bench = t.documents.filter(F.col("doc_id") % 50 == 0)
+    return contamination_overlap(t.documents, bench)
