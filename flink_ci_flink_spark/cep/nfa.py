@@ -34,6 +34,11 @@ from flink_ci_flink_spark.cep.pattern import (
 )
 
 
+#: strict-streak fast path switch — tests flip it to prove the fast path
+#: is observationally identical to the generic backtracking placements
+_STREAK_ENABLED = True
+
+
 @dataclass
 class Match:
     #: stage name -> list of event indices (into the input sequence)
@@ -254,8 +259,10 @@ def _iter_matches(
             options = options + [0]
         # every placement forced to the next position? one walk finds the
         # maximal run; each take is then its prefix (no per-take re-walk)
-        all_strict = ((not consumed) or st.contiguity == "strict") and (
-            st.max_times == 1 or st.inner_contiguity == "strict"
+        all_strict = (
+            _STREAK_ENABLED
+            and ((not consumed) or st.contiguity == "strict")
+            and (st.max_times == 1 or st.inner_contiguity == "strict")
         )
         streak = (
             strict_streak(st, ei, groups, st.max_times) if all_strict else None

@@ -916,3 +916,91 @@ def test_streaming_mr_aggregate_define(spark):
         assert streamed == batch
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streak_fast_path_equals_generic_property():
+    """Property test: the strict-streak fast path (one forward walk for
+    greedy consecutive quantifiers) produces exactly the matches of the
+    generic backtracking placements, across random patterns x sequences x
+    skip strategies (pure-Python NFA, no Spark)."""
+    from hypothesis import given, settings, strategies as st
+
+    from flink_ci_flink_spark.cep import nfa as nfa_mod
+    from flink_ci_flink_spark.cep.nfa import find_matches
+    from flink_ci_flink_spark.cep.pattern import (
+        NO_SKIP,
+        SKIP_PAST_LAST,
+        Pattern,
+    )
+
+    def pat(ti, greedy, skip):
+        def pred(t):
+            return lambda e, t=t: e["type"] == t
+
+        if ti == 0:  # quantified strict loop + strict tail
+            p = (
+                Pattern.begin("a", pred("A"))
+                .times(1, 4)
+                .consecutive_()
+                .greedy_(greedy)
+                .next("b", pred("B"))
+            )
+        elif ti == 1:  # optional strict stage inside
+            p = (
+                Pattern.begin("a", pred("A"))
+                .next("o", pred("B"))
+                .optional_()
+                .next("c", pred("C"))
+            )
+        elif ti == 2:  # loop with until
+            p = (
+                Pattern.begin("a", pred("A"))
+                .times(1, 6)
+                .consecutive_()
+                .greedy_(greedy)
+                .until_(pred("X"))
+            )
+        elif ti == 3:  # within-bounded loop + trailing optional
+            p = (
+                Pattern.begin("a", pred("A"))
+                .times(2, 5)
+                .consecutive_()
+                .greedy_(greedy)
+                .next("u", pred("B"))
+                .optional_()
+                .within(6.0)
+            )
+        else:  # relaxed head (generic path) + strict quantified tail
+            p = (
+                Pattern.begin("a", pred("A"))
+                .followed_by("b", pred("B"))
+                .times(1, 3)
+                .consecutive_()
+                .greedy_(greedy)
+            )
+        return p.after_match_skip(skip)
+
+    def matchset(p, events):
+        return [
+            tuple(sorted((k, tuple(v)) for k, v in m.groups.items()))
+            for m in find_matches(p, events, "__ts")
+        ]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        types=st.lists(st.sampled_from("ABCX"), min_size=3, max_size=16),
+        ti=st.integers(0, 4),
+        greedy=st.booleans(),
+        skip=st.sampled_from([NO_SKIP, SKIP_PAST_LAST]),
+    )
+    def run(types, ti, greedy, skip):
+        events = [{"__ts": float(i), "type": t} for i, t in enumerate(types)]
+        fast = matchset(pat(ti, greedy, skip), events)
+        nfa_mod._STREAK_ENABLED = False
+        try:
+            slow = matchset(pat(ti, greedy, skip), events)
+        finally:
+            nfa_mod._STREAK_ENABLED = True
+        assert fast == slow
+
+    run()
