@@ -67,7 +67,7 @@ _PRIORITY = [
     "pipe_cosine_topk",
     "pipe_ivf_full_probe",
     "pipe_ivf_partial_probe",
-    "pipe_chunk_documents",
+    "pipe_lsh_ann_topk",
     "pipe_sample_stratified",
     "pipe_mix_token_budget",
     "pipe_e2e_curation",

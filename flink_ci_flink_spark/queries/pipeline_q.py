@@ -295,12 +295,67 @@ def pipe_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup(t.embeddings, threshold=0.45, exact=True)
 
 
-@query("pipe_lsh_ann_topk", oracle=None, group="pipeline")
+def _lsh_oracle_sql(dim: int = 64, n_planes: int = 5, n_tables: int = 10, k: int = 5) -> str:
+    """EXACT oracle for the sign-random-projection ANN: the hyperplanes are
+    deterministic md5-derived constants, so they inline as SQL literals
+    generated from the SAME `_hyperplane` table the Spark operator uses.
+    Bucket bits (dot >= 0) and candidate union over tables are recomputed
+    in SQL; both engines evaluate the identical left-to-right double dot
+    product over identical literals."""
+    from flink_ci_flink_spark.pipeline.similarity import _hyperplane
+
+    def bucket_expr(col: str, table: int) -> str:
+        terms = []
+        for p in range(n_planes):
+            plane = _hyperplane(table * 100 + p, dim)
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+            terms.append(
+                f"CASE WHEN list_dot_product({col}, {lit}) >= 0 "
+                f"THEN {2 ** (n_planes - 1 - p)} ELSE 0 END"
+            )
+        return " + ".join(terms)
+
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {bucket_expr('v', t)} AS b FROM e"
+        for t in range(n_tables)
+    )
+    qb = " UNION ALL ".join(
+        f"SELECT query_id, {t} AS t, {bucket_expr('qv', t)} AS b FROM q"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8
+    ), cb AS ({cb}), qb AS ({qb}),
+    cand AS (
+      SELECT DISTINCT qb.query_id, cb.vec_id
+      FROM qb JOIN cb ON qb.t = cb.t AND qb.b = cb.b
+    ), scored AS (
+      SELECT c.query_id, c.vec_id,
+             ROUND(list_dot_product(q.qv, e.v) /
+                   (SQRT(list_dot_product(q.qv, q.qv)) *
+                    SQRT(list_dot_product(e.v, e.v))), 6) AS cos_sim
+      FROM cand c JOIN q ON q.query_id = c.query_id
+                  JOIN e ON e.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= {k}
+    """
+
+
+@query("pipe_lsh_ann_topk", oracle=_lsh_oracle_sql(), group="pipeline")
 def pipe_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (sign-random-projection buckets; the
     100 TB path — equi-join on bucket instead of full scan). Recall vs the
-    exact baseline is asserted in tests/test_pipeline.py; rows-only check
-    here (hyperplane constants impractical to mirror in SQL)."""
+    exact baseline is asserted in tests/test_pipeline.py; the DuckDB oracle
+    is EXACT — it recomputes the deterministic md5-derived hyperplane
+    buckets from inlined literals (see `_lsh_oracle_sql`), so the bucket
+    selection itself is hash-checked like the IVF partial probe."""
     t = load_tables(spark, sf_dir)
     queries = t.embeddings.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
