@@ -99,6 +99,12 @@ def main() -> None:
     ).count()
     w = Window.partitionBy("l_returnflag").orderBy("l_orderkey")
     li.select(F.row_number().over(w).alias("rn")).filter("rn <= 3").count()
+    # rollup (Expand) and unbounded-following window frames — the two plan
+    # shapes that showed 2-4s first-run codegen spikes in cold bench runs
+    li.rollup("l_returnflag", "l_linestatus").count().count()
+    ev.select(F.min("value").over(
+        Window.partitionBy("user_id").orderBy("ts").rowsBetween(1, Window.unboundedFollowing)
+    ).alias("m")).filter("m > 0").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
