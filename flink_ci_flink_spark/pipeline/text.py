@@ -206,3 +206,72 @@ def redact_pii(col) -> Column:
     for pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return c
+
+
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_distinct_ratio: float = 0.2,
+    max_top_bigram_frac: float = 0.18,
+    max_dup_bigram_frac: float = 0.4,
+) -> DataFrame:
+    """Gopher-style repetition quality filters (public heuristics from the
+    Gopher / C4 / Dolma pipelines), token-based: distinct-token ratio,
+    share of bigram slots taken by the single most frequent bigram, and
+    share of bigram slots whose bigram occurs more than once. `kept` flags
+    documents passing all thresholds.
+
+    Everything is per-row array arithmetic over the token array — pure JVM
+    expressions, map-only, zero shuffles: O(distinct x total) comparisons
+    per row, linear in the corpus. Engine-portable rounding
+    (floor(x*1e6+0.5)/1e6) so the DuckDB oracle matches bit-for-bit."""
+    t = F.col("__toks")
+    grams = F.col("__grams")
+    # non-distinct bigrams: one slot per adjacent pair
+    mk_grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda d: F.size(F.filter(grams, lambda x: x == d)),
+    )
+    nb = F.size(grams).cast("double")
+
+    def rnd(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    distinct_ratio = rnd(F.size(F.array_distinct(t)) / F.size(t))
+    top_frac = F.when(nb == 0, F.lit(0.0)).otherwise(
+        rnd(F.array_max(F.col("__counts")) / nb)
+    )
+    dup_frac = F.when(nb == 0, F.lit(0.0)).otherwise(
+        rnd(
+            F.aggregate(
+                F.col("__counts"),
+                F.lit(0),
+                lambda acc, c: acc + F.when(c >= 2, c).otherwise(F.lit(0)),
+            )
+            / nb
+        )
+    )
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .filter(F.size(t) > 0)
+        .withColumn("__grams", mk_grams)
+        .withColumn("__counts", counts)
+        .select(
+            id_col,
+            F.size(t).cast("long").alias("n_tokens"),
+            distinct_ratio.alias("distinct_ratio"),
+            top_frac.alias("top_bigram_frac"),
+            dup_frac.alias("dup_bigram_frac"),
+        )
+        .withColumn(
+            "kept",
+            (F.col("distinct_ratio") >= min_distinct_ratio)
+            & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+            & (F.col("dup_bigram_frac") <= max_dup_bigram_frac),
+        )
+    )

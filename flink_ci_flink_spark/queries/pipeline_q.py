@@ -820,3 +820,56 @@ def pipe_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     bench = t.documents.filter(F.col("doc_id") % 50 == 0)
     return contamination_overlap(t.documents, bench)
+
+
+@query(
+    "pipe_repetition_filters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), base AS (
+      SELECT doc_id, t,
+             list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                            i -> concat_ws(' ', t[i], t[i+1])) AS g
+      FROM toks WHERE len(t) > 0
+    ), cnt AS (
+      SELECT doc_id, t, g,
+             list_transform(list_distinct(g),
+                            d -> len(list_filter(g, x -> x = d))) AS c
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           FLOOR((CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 1000000.0
+                 + 0.5) / 1000000.0 AS distinct_ratio,
+           CASE WHEN len(g) = 0 THEN 0.0 ELSE
+             FLOOR((CAST(list_max(c) AS DOUBLE) / len(g)) * 1000000.0 + 0.5)
+               / 1000000.0 END AS top_bigram_frac,
+           CASE WHEN len(g) = 0 THEN 0.0 ELSE
+             FLOOR((CAST(list_sum(list_transform(c,
+                     x -> CASE WHEN x >= 2 THEN x ELSE 0 END)) AS DOUBLE)
+                    / len(g)) * 1000000.0 + 0.5) / 1000000.0 END
+             AS dup_bigram_frac,
+           (FLOOR((CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 1000000.0
+                  + 0.5) / 1000000.0 >= 0.2)
+           AND (CASE WHEN len(g) = 0 THEN 0.0 ELSE
+                 FLOOR((CAST(list_max(c) AS DOUBLE) / len(g)) * 1000000.0
+                       + 0.5) / 1000000.0 END <= 0.18)
+           AND (CASE WHEN len(g) = 0 THEN 0.0 ELSE
+                 FLOOR((CAST(list_sum(list_transform(c,
+                         x -> CASE WHEN x >= 2 THEN x ELSE 0 END)) AS DOUBLE)
+                        / len(g)) * 1000000.0 + 0.5) / 1000000.0 END <= 0.4)
+             AS kept
+    FROM cnt
+    """,
+    group="pipeline",
+)
+def pipe_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality filters over the corpus:
+    distinct-token ratio, top-bigram slot share, duplicate-bigram slot
+    share, plus the combined keep flag — map-only per-row array
+    arithmetic, the standard pre-training repetition screen."""
+    from flink_ci_flink_spark.pipeline.text import repetition_features
+
+    t = load_tables(spark, sf_dir)
+    return repetition_features(t.documents)
