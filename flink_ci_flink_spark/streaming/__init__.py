@@ -21,3 +21,5 @@ from flink_ci_flink_spark.streaming.windows_ext import (  # noqa: F401
     count_tumbling_window,
     streaming_running_agg,
 )
+from flink_ci_flink_spark.streaming.datastream import DataStream  # noqa: F401
+from flink_ci_flink_spark.streaming.late import side_output_late_data  # noqa: F401

@@ -367,3 +367,56 @@ def test_late_row_level_split(spark):
         assert sorted(got_main) == [10.0, 26.0, 30.0]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_datastream_facade(spark, events_stream_dir):  # noqa: F811
+    """Fluent DataStream facade delegates faithfully: keyBy().countWindow()
+    == the dedicated operator; keyBy().window().trigger().evictor().sum()
+    == triggered_window; filter/map/watermark chain composes."""
+    from flink_ci_flink_spark.streaming.datastream import (
+        DataStream,
+        count_window_composition,
+    )
+    from flink_ci_flink_spark.streaming.windows_ext import count_tumbling_window
+
+    stream = _events_stream(spark, events_stream_dir, per_trigger=3)
+    ds_out = (
+        DataStream(stream)
+        .map("user_id", "ts", "value")
+        .key_by("user_id")
+        .count_window("ts", "value", 10)
+    )
+    got = {(r.user_id, r.win): (r.n, round(r.total, 6)) for r in _run(spark, ds_out)}
+
+    stream2 = _events_stream(spark, events_stream_dir, per_trigger=3)
+    ref = count_tumbling_window(
+        stream2.select("user_id", "ts", "value"), "user_id", "ts", "value", size=10
+    )
+    want = {(r.user_id, r.win): (r.n, round(r.total, 6)) for r in _run(spark, ref)}
+    assert got == want and got
+
+    # windowed trigger/evictor chain == direct triggered_window call
+    trig, ev = count_window_composition(4, 2)
+    rows = [(1, float(t), float(v)) for t, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8], 1)]
+    schema = "user_id long, ts double, value double"
+    tmp = _replay_fixture(spark, rows, schema)
+    try:
+        from flink_ci_flink_spark.streaming import file_stream
+
+        st = file_stream(
+            spark, tmp, spark.createDataFrame([], schema).schema,
+            max_files_per_trigger=1,
+        )
+        out = (
+            DataStream(st)
+            .key_by("user_id")
+            .global_window("ts", "value")
+            .trigger(trig)
+            .evictor(ev)
+            .sum()
+        )
+        got2 = [(r.fire_seq, r.n, r.total) for r in
+                sorted(_run(spark, out), key=lambda r: r.fire_seq)]
+        assert got2 == [(0, 2, 3.0), (1, 4, 10.0), (2, 4, 18.0), (3, 4, 26.0)]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
