@@ -179,6 +179,11 @@ class Pattern:
         """(:352) — max bounded for evaluation; raise if you need more."""
         return self.times(1, max_times)
 
+    def times_or_more(self, min_times: int, max_times: int = 16) -> "Pattern":
+        """At least `min_times` occurrences (Pattern.timesOrMore:420) —
+        max bounded for evaluation, like one_or_more."""
+        return self.times(min_times, max_times)
+
     def optional_(self) -> "Pattern":
         self.stages[-1].optional = True
         return self

@@ -37,6 +37,13 @@ event-time frontier (max ts seen) stands in for the watermark, matching
 
 Evictor semantics follow the reference's evictBefore: evicted elements are
 removed from window STATE, not just from the emitted aggregate.
+
+ProcessingTime trigger variants (`ProcessingTimeTrigger`,
+`ContinuousProcessingTimeTrigger`) are deliberately absent: in the
+micro-batch model every element is processed at arrival and batch
+boundaries ARE the processing-time ticks, so their observable behavior is
+the element/batch-boundary firing already provided; a wall-clock-firing
+trigger would make replay tests nondeterministic for no added capability.
 """
 
 from __future__ import annotations

@@ -1004,3 +1004,15 @@ def test_streak_fast_path_equals_generic_property():
         assert fast == slow
 
     run()
+
+
+def test_times_or_more():
+    """timesOrMore(n): at least n occurrences (Pattern.timesOrMore:420)."""
+    p = Pattern.begin("a", typed("A")).times_or_more(2).next("b", typed("B"))
+    ms = find_matches(p, seq("A", "A", "A", "B"), "__ts")
+    assert ms[0].groups["a"] == [0, 1, 2]  # greedy takes all three
+    assert find_matches(
+        Pattern.begin("a", typed("A")).times_or_more(2).next("b", typed("B")),
+        seq("A", "B"),
+        "__ts",
+    ) == []
