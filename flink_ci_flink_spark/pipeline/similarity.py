@@ -230,32 +230,54 @@ def ivf_centroids(
     iterations: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    deterministic: bool = False,
 ) -> list[list[float]]:
     """Train IVF coarse centroids with Lloyd's k-means, DataFrame-native.
 
-    Deterministic: initial centroids are the `n_cells` lowest-id vectors;
-    each iteration is one map-only assign (`_assign_cells` argmin
+    Deterministic structure: initial centroids are the `n_cells` lowest-id
+    vectors; each iteration is one map-only assign (`_assign_cells` argmin
     projection — no shuffle of corpus vectors) + one elementwise-mean
     (posexplode + groupBy(cell, pos), the only shuffle per iteration).
     Only the K centroid vectors ever reach the driver (a broadcast-sized
-    model, the legitimate collect)."""
+    model, the legitimate collect).
+
+    ``deterministic=True`` additionally makes the mean BITWISE
+    reproducible: per (cell, pos) the values are collected, sorted, and
+    summed in sorted order (floating-point addition is order-sensitive and
+    distributed partial aggregation order is not fixed). That turns the
+    whole training into a pure function of the data — SQL oracles can
+    replay it — at the cost of materializing each group's value list, so
+    it is for oracle-checked configurations; the default streaming-sum
+    F.avg is the at-scale path."""
     c = corpus.select(F.col(id_col).alias("__id"), _to_double(vec_col).alias("__v"))
     centroids = [
         list(r[0]) for r in c.orderBy("__id").limit(n_cells).select("__v").collect()
     ]
+    if deterministic:
+        mean_agg = F.array_sort(F.collect_list("x")).alias("xs")
     for _ in range(iterations):
         assigned = c.select(_assign_cells(F.col("__v"), centroids).alias("cell"), "__v")
-        means = (
-            assigned.select("cell", F.posexplode("__v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("mx"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mx"))),
-                    lambda s: s.mx,
-                ).alias("cv")
+        per_pos = assigned.select("cell", F.posexplode("__v").alias("pos", "x"))
+        if deterministic:
+            means_pp = (
+                per_pos.groupBy("cell", "pos")
+                .agg(mean_agg)
+                .select(
+                    "cell",
+                    "pos",
+                    (
+                        F.aggregate("xs", F.lit(0.0), lambda a, x: a + x)
+                        / F.size("xs")
+                    ).alias("mx"),
+                )
             )
+        else:
+            means_pp = per_pos.groupBy("cell", "pos").agg(F.avg("x").alias("mx"))
+        means = means_pp.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                lambda s: s.mx,
+            ).alias("cv")
         )
         got = {r.cell: list(r.cv) for r in means.collect()}
         centroids = [got.get(i, centroids[i]) for i in range(n_cells)]
@@ -273,10 +295,12 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: list[list[float]] | None = None,
+    deterministic: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into `n_cells`
     k-means cells, probe the `nprobe` nearest cells per query, exact cosine
-    within the probed cells.
+    within the probed cells. ``deterministic=True`` trains with bitwise-
+    reproducible means (see `ivf_centroids`).
 
     The inverted-file structure at 100 TB: the corpus is assigned (and in a
     real deployment, partitioned/bucketed) by cell once; a query scans
@@ -285,7 +309,9 @@ def ivf_ann_topk(
     the same coarse-quantizer shape FAISS IVF uses. Recall vs the exact
     baseline is asserted in tests/test_pipeline.py."""
     if centroids is None:
-        centroids = ivf_centroids(corpus, n_cells, iterations, id_col, vec_col)
+        centroids = ivf_centroids(
+            corpus, n_cells, iterations, id_col, vec_col, deterministic
+        )
     spark = corpus.sparkSession
     cent = spark.createDataFrame(
         [(i, v) for i, v in enumerate(centroids)], "cell int, cv array<double>"

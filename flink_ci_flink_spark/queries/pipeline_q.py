@@ -384,20 +384,97 @@ def pipe_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stub_features(attach_binary_payload(t.documents))
 
 
-@query("pipe_ivf_ann_topk", oracle=None, group="pipeline")
+def _ivf_oracle_sql(
+    n_cells: int = 16, nprobe: int = 4, k: int = 5, iterations: int = 3, dim: int = 64
+) -> str:
+    """EXACT oracle for the trained-IVF query: the k-means training itself
+    is unrolled into SQL — init = `n_cells` lowest-id vectors, then per
+    iteration an argmin-L2 assignment (elementwise squared-difference sum,
+    the same ascending-index fold Spark's `_l2sq` performs) and a per
+    (cell, position) mean computed by summing the group's values in SORTED
+    order, mirroring `ivf_centroids(deterministic=True)` bit-for-bit
+    (floating-point addition is order-sensitive; fixing the order makes
+    training a pure function of the data on both engines)."""
+    l2 = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+    def assign(src: str, cents: str, out: str) -> str:
+        d = l2.format(d=dim, a="s.v", b="ct.cv")
+        return (
+            f"{out} AS (SELECT vec_id, v, cell FROM ("
+            f"SELECT s.vec_id, s.v, ct.cell, "
+            f"ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {d}, ct.cell) AS rn "
+            f"FROM {src} s CROSS JOIN {cents} ct) WHERE rn = 1)"
+        )
+
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v "
+        "FROM embeddings)",
+        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv "
+        f"FROM e WHERE vec_id IN "
+        f"(SELECT vec_id FROM e ORDER BY vec_id LIMIT {n_cells}))",
+    ]
+    for it in range(iterations):
+        parts.append(assign("e", f"c{it}", f"a{it}"))
+        parts.append(
+            f"m{it} AS (SELECT cell, i AS pos, "
+            f"list_sum(list_sort(list(x))) / COUNT(*) AS mx FROM "
+            f"(SELECT cell, i, v[i] AS x FROM a{it}, generate_series(1, {dim}) AS t(i)) "
+            f"GROUP BY cell, i)"
+        )
+        parts.append(
+            f"c{it + 1} AS (SELECT p.cell, COALESCE(g.cv, p.cv) AS cv FROM c{it} p "
+            f"LEFT JOIN (SELECT cell, list(mx ORDER BY pos) AS cv FROM m{it} "
+            f"GROUP BY cell) g ON g.cell = p.cell)"
+        )
+    final = f"c{iterations}"
+    parts.append(assign("e", final, "afin"))
+    parts.append("q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8)")
+    dq = l2.format(d=dim, a="s.qv", b="ct.cv")
+    parts.append(
+        f"qprobe AS (SELECT query_id, qv, cell FROM ("
+        f"SELECT s.query_id, s.qv, ct.cell, "
+        f"ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY {dq}, ct.cell) AS rn "
+        f"FROM q s CROSS JOIN {final} ct) WHERE rn <= {nprobe})"
+    )
+    parts.append(
+        "scored AS (SELECT p.query_id, a.vec_id, "
+        "ROUND(list_dot_product(p.qv, a.v) / "
+        "(SQRT(list_dot_product(p.qv, p.qv)) * SQRT(list_dot_product(a.v, a.v))), 6) "
+        "AS cos_sim FROM qprobe p JOIN afin a USING (cell))"
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= {k}
+    """
+    )
+
+
+@query("pipe_ivf_ann_topk", oracle=_ivf_oracle_sql(), group="pipeline")
 def pipe_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: k-means coarse cells + nprobe probing — the
     second 100 TB ANN path next to sign-LSH (cell-partitioned corpus, a
     query touches nprobe/n_cells of the data). Deterministic centroid init
-    (lowest vec_ids); recall vs exact asserted in tests/test_pipeline.py;
-    rows-only here (Lloyd iterations impractical to mirror in SQL)."""
+    (lowest vec_ids) AND deterministic training (sorted-order means), so
+    the full Lloyd loop is mirrored in the DuckDB oracle
+    (`_ivf_oracle_sql` unrolls the 3 iterations) — training, probe
+    selection, and scoring are ALL hash-checked. Recall vs exact is
+    additionally asserted in tests/test_pipeline.py."""
     from flink_ci_flink_spark.pipeline.similarity import ivf_ann_topk
 
     t = load_tables(spark, sf_dir)
     queries = t.embeddings.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_ann_topk(t.embeddings, queries, n_cells=16, nprobe=4, k=5, iterations=3)
+    return ivf_ann_topk(
+        t.embeddings, queries, n_cells=16, nprobe=4, k=5, iterations=3,
+        deterministic=True,
+    )
 
 
 @query(
