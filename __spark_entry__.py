@@ -65,7 +65,7 @@ _PRIORITY = [
     "pipe_simhash",
     "pipe_text_features",
     "pipe_cosine_topk",
-    "pipe_ivf_full_probe",
+    "pipe_ivf_ann_topk",
     "pipe_ivf_partial_probe",
     "pipe_lsh_ann_topk",
     "pipe_sample_stratified",
