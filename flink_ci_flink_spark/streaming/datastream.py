@@ -149,6 +149,11 @@ class WindowedStream:
         """Execute with (count, sum) output per firing. Default trigger for
         a count-style composition matches the reference's countWindow:
         PurgingTrigger(CountTrigger) on the global window."""
+        return self.aggregate(None)
+
+    def aggregate(self, aggs: dict[str, str] | None) -> DataFrame:
+        """WindowedStream.reduce/aggregate analog: extra named aggregate
+        columns from triggers.WINDOW_AGGS (e.g. {"low": "min"})."""
         from flink_ci_flink_spark.streaming.triggers import EventTimeTrigger
 
         trig = self._trigger
@@ -165,6 +170,7 @@ class WindowedStream:
             trigger=trig,
             evictor=self._evictor,
             window_seconds=self.window_seconds,
+            aggs=aggs,
         )
 
 

@@ -187,6 +187,19 @@ class DeltaEvictor:
         return [t for t, _ in kept], [v for _, v in kept]
 
 
+#: aggregate library for triggered_window firings (WindowedStream.reduce /
+#: aggregate analog): name -> fn(values) over the evictor-retained buffer
+WINDOW_AGGS = {
+    "count": lambda vals: len(vals),
+    "sum": lambda vals: float(sum(vals)),
+    "min": lambda vals: float(min(vals)),
+    "max": lambda vals: float(max(vals)),
+    "avg": lambda vals: float(sum(vals)) / len(vals),
+    "first": lambda vals: float(vals[0]),
+    "last": lambda vals: float(vals[-1]),
+}
+
+
 def triggered_window(
     df: DataFrame,
     key: str,
@@ -195,21 +208,31 @@ def triggered_window(
     trigger,
     evictor=None,
     window_seconds: float | None = None,
+    aggs: dict[str, str] | None = None,
 ) -> DataFrame:
     """Keyed windowed stream with a custom trigger and optional evictor
     (`WindowedStream.trigger/evictor`). ``window_seconds=None`` uses a
     single global window per key (`GlobalWindows`), else event-time
     tumbling windows of that size.
 
-    Output: one row per firing — (key, win, fire_seq, n, total) where `win`
-    is the window start epoch (0 for the global window), `fire_seq` numbers
-    the firings per window, `n`/`total` are count/sum of the
-    evictor-retained elements. Firings happen on elements (count/delta
-    triggers) and, for event-time triggers, when the per-key frontier (max
-    event time seen) crosses a boundary at the end of each micro-batch;
-    fired tumbling windows whose end passed the frontier are purged, which
-    bounds state."""
-    out_schema = f"{key} long, win long, fire_seq long, n long, total double"
+    Output: one row per firing — (key, win, fire_seq, n, total, *aggs)
+    where `win` is the window start epoch (0 for the global window),
+    `fire_seq` numbers the firings per window, `n`/`total` are count/sum
+    of the evictor-retained elements, and ``aggs`` optionally adds named
+    columns from WINDOW_AGGS (``{"low": "min", "high": "max"}`` — the
+    `WindowedStream.reduce/aggregate` analog). Firings happen on elements
+    (count/delta triggers) and, for event-time triggers, when the per-key
+    frontier (max event time seen) crosses a boundary at the end of each
+    micro-batch; fired tumbling windows whose end passed the frontier are
+    purged, which bounds state."""
+    aggs = aggs or {}
+    for out_name, agg_name in aggs.items():
+        if agg_name not in WINDOW_AGGS:
+            raise ValueError(f"unknown window aggregate {agg_name!r}")
+    extra_cols = "".join(f", {name} double" for name in aggs)
+    out_schema = (
+        f"{key} long, win long, fire_seq long, n long, total double{extra_cols}"
+    )
     state_schema = "blob string"
 
     def fn(key_tuple, pdf_iter, state):
@@ -232,6 +255,7 @@ def triggered_window(
                     w["seq"] - 1,
                     len(vals_l),
                     float(sum(vals_l)),
+                    *(WINDOW_AGGS[a](vals_l) for a in aggs.values()),
                 )
             )
             if purge:
@@ -283,7 +307,8 @@ def triggered_window(
         state.update((json.dumps(st),))
         if out_rows:
             yield pd.DataFrame(
-                out_rows, columns=[key, "win", "fire_seq", "n", "total"]
+                out_rows,
+                columns=[key, "win", "fire_seq", "n", "total", *aggs],
             )
 
     return keyed_process(df, [key], fn, out_schema, state_schema, output_mode="append")

@@ -420,3 +420,39 @@ def test_datastream_facade(spark, events_stream_dir):  # noqa: F811
         assert got2 == [(0, 2, 3.0), (1, 4, 10.0), (2, 4, 18.0), (3, 4, 26.0)]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_window_aggregate_library(spark):
+    """WindowedStream.aggregate analog: named aggregate columns (min/max/
+    avg/first/last) computed over the evictor-retained firing buffer."""
+    from flink_ci_flink_spark.streaming.datastream import DataStream
+    from flink_ci_flink_spark.streaming.triggers import CountTrigger, PurgingTrigger
+
+    rows = [(1, float(t), v) for t, v in enumerate([4.0, 9.0, 2.0, 7.0, 5.0, 3.0], 1)]
+    schema = "user_id long, ts double, value double"
+    tmp = _replay_fixture(spark, rows, schema)
+    try:
+        from flink_ci_flink_spark.streaming import file_stream
+
+        st = file_stream(
+            spark, tmp, spark.createDataFrame([], schema).schema,
+            max_files_per_trigger=1,
+        )
+        out = (
+            DataStream(st)
+            .key_by("user_id")
+            .global_window("ts", "value")
+            .trigger(PurgingTrigger(CountTrigger(3)))
+            .aggregate({"low": "min", "high": "max", "mean": "avg",
+                        "opening": "first", "closing": "last"})
+        )
+        got = [
+            (r.fire_seq, r.n, r.total, r.low, r.high, r.mean, r.opening, r.closing)
+            for r in sorted(_run(spark, out), key=lambda r: r.fire_seq)
+        ]
+        assert got == [
+            (0, 3, 15.0, 2.0, 9.0, 5.0, 4.0, 2.0),
+            (1, 3, 15.0, 3.0, 7.0, 5.0, 7.0, 3.0),
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
