@@ -55,7 +55,7 @@ _CENT_SQL = "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGIN
     "tpcds_shape_returns_above_avg",
     oracle=f"""
     WITH cust_returns AS (
-      SELECT c_custkey, c_nationkey, SUM({_CENT_SQL}) AS ret_cents
+      SELECT c_custkey, c_nationkey, CAST(SUM({_CENT_SQL}) AS BIGINT) AS ret_cents
       FROM lineitem
       JOIN orders   ON o_orderkey = l_orderkey
       JOIN customer ON c_custkey = o_custkey
@@ -111,7 +111,7 @@ def tpcds_returns_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
     )
-    SELECT channel, n_name, SUM(cents) AS sales_cents, COUNT(*) AS n_sales
+    SELECT channel, n_name, CAST(SUM(cents) AS BIGINT) AS sales_cents, COUNT(*) AS n_sales
     FROM sales
     GROUP BY ROLLUP(channel, n_name)
     """,
@@ -153,7 +153,7 @@ def tpcds_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_partkey
       HAVING COUNT(DISTINCT EXTRACT(year FROM o_orderdate)) >= 4
     )
-    SELECT p_brand, SUM({_CENT_SQL}) AS revenue_cents, COUNT(*) AS n_items
+    SELECT p_brand, CAST(SUM({_CENT_SQL}) AS BIGINT) AS revenue_cents, COUNT(*) AS n_items
     FROM lineitem
     JOIN persistent USING (l_partkey)
     JOIN part ON p_partkey = l_partkey
@@ -201,7 +201,7 @@ def tpcds_cross_year_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), frequent AS (
       SELECT l_partkey FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 40
     )
-    SELECT COUNT(*) AS n_rows, SUM({_CENT_SQL}) AS total_cents
+    SELECT COUNT(*) AS n_rows, CAST(SUM({_CENT_SQL}) AS BIGINT) AS total_cents
     FROM lineitem
     JOIN orders ON o_orderkey = l_orderkey
     JOIN best     ON best.o_custkey = orders.o_custkey
@@ -251,7 +251,7 @@ def tpcds_frequent_best(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT n_name,
              EXTRACT(year FROM o_orderdate) AS o_year,
              c_mktsegment,
-             SUM({_CENT_SQL}) AS sales_cents
+             CAST(SUM({_CENT_SQL}) AS BIGINT) AS sales_cents
       FROM lineitem
       JOIN orders   ON o_orderkey = l_orderkey
       JOIN customer ON c_custkey = o_custkey
@@ -356,8 +356,8 @@ def tpcds_multi_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT a.o_custkey,
-           a.spend_cents AS spend_1996,
-           b.spend_cents AS spend_1997,
+           CAST(a.spend_cents AS BIGINT) AS spend_1996,
+           CAST(b.spend_cents AS BIGINT) AS spend_1997,
            FLOOR(b.spend_cents * 1e6 / a.spend_cents + 0.5) / 1e6 AS growth
     FROM yearly a JOIN yearly b
       ON a.o_custkey = b.o_custkey AND a.yr = 1996 AND b.yr = 1997
@@ -419,7 +419,7 @@ def tpcds_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT l_partkey, cents FROM by_part WHERE o_orderpriority = '5-LOW'
     )
-    SELECT p_brand, SUM(cents) AS total_cents, COUNT(*) AS n
+    SELECT p_brand, CAST(SUM(cents) AS BIGINT) AS total_cents, COUNT(*) AS n
     FROM u JOIN part ON p_partkey = l_partkey
     GROUP BY p_brand
     ORDER BY p_brand
@@ -466,7 +466,8 @@ def tpcds_union_channel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(cents) OVER (PARTITION BY c_mktsegment ORDER BY d) AS cum_cents
       FROM daily
     )
-    SELECT b.d, b.cum_cents AS building_cum, m.cum_cents AS machinery_cum
+    SELECT b.d, CAST(b.cum_cents AS BIGINT) AS building_cum,
+           CAST(m.cum_cents AS BIGINT) AS machinery_cum
     FROM (SELECT d, cum_cents FROM cume WHERE c_mktsegment = 'BUILDING') b
     JOIN (SELECT d, cum_cents FROM cume WHERE c_mktsegment = 'MACHINERY') m
       USING (d)
@@ -523,9 +524,9 @@ def tpcds_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     )
     SELECT
-      SUM(CASE WHEN p.ck IS NOT NULL AND s.ck IS NOT NULL THEN 1 ELSE 0 END) AS both_channels,
-      SUM(CASE WHEN p.ck IS NOT NULL AND s.ck IS NULL     THEN 1 ELSE 0 END) AS priority_only,
-      SUM(CASE WHEN p.ck IS NULL     AND s.ck IS NOT NULL THEN 1 ELSE 0 END) AS standard_only
+      CAST(SUM(CASE WHEN p.ck IS NOT NULL AND s.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_channels,
+      CAST(SUM(CASE WHEN p.ck IS NOT NULL AND s.ck IS NULL     THEN 1 ELSE 0 END) AS BIGINT) AS priority_only,
+      CAST(SUM(CASE WHEN p.ck IS NULL     AND s.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS standard_only
     FROM prio p FULL OUTER JOIN std s ON p.ck = s.ck
     """,
     group="tpcds",

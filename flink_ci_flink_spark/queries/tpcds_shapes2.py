@@ -64,7 +64,7 @@ _R6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
       SELECT c_nationkey AS nk,
              EXTRACT(year FROM o_orderdate) AS yr,
              EXTRACT(month FROM o_orderdate) AS mo,
-             SUM({_CENT_SQL}) AS cents
+             CAST(SUM({_CENT_SQL}) AS BIGINT) AS cents
       FROM lineitem
       JOIN orders   ON o_orderkey = l_orderkey
       JOIN customer ON c_custkey = o_custkey
@@ -143,7 +143,7 @@ def tpcds_moving_dev(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH agg AS (
       SELECT n_name, c_mktsegment,
-             SUM({_CENT_SQL}) AS sales_cents,
+             CAST(SUM({_CENT_SQL}) AS BIGINT) AS sales_cents,
              GROUPING(n_name) + GROUPING(c_mktsegment) AS lochierarchy,
              GROUPING(c_mktsegment) AS g_seg
       FROM lineitem
@@ -199,18 +199,18 @@ def tpcds_grouping_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpcds_shape_pivot_months",
     oracle=f"""
     SELECT n_name,
-      SUM(CASE WHEN mo = 1  THEN cents ELSE 0 END) AS m01,
-      SUM(CASE WHEN mo = 2  THEN cents ELSE 0 END) AS m02,
-      SUM(CASE WHEN mo = 3  THEN cents ELSE 0 END) AS m03,
-      SUM(CASE WHEN mo = 4  THEN cents ELSE 0 END) AS m04,
-      SUM(CASE WHEN mo = 5  THEN cents ELSE 0 END) AS m05,
-      SUM(CASE WHEN mo = 6  THEN cents ELSE 0 END) AS m06,
-      SUM(CASE WHEN mo = 7  THEN cents ELSE 0 END) AS m07,
-      SUM(CASE WHEN mo = 8  THEN cents ELSE 0 END) AS m08,
-      SUM(CASE WHEN mo = 9  THEN cents ELSE 0 END) AS m09,
-      SUM(CASE WHEN mo = 10 THEN cents ELSE 0 END) AS m10,
-      SUM(CASE WHEN mo = 11 THEN cents ELSE 0 END) AS m11,
-      SUM(CASE WHEN mo = 12 THEN cents ELSE 0 END) AS m12
+      CAST(SUM(CASE WHEN mo = 1  THEN cents ELSE 0 END) AS BIGINT) AS m01,
+      CAST(SUM(CASE WHEN mo = 2  THEN cents ELSE 0 END) AS BIGINT) AS m02,
+      CAST(SUM(CASE WHEN mo = 3  THEN cents ELSE 0 END) AS BIGINT) AS m03,
+      CAST(SUM(CASE WHEN mo = 4  THEN cents ELSE 0 END) AS BIGINT) AS m04,
+      CAST(SUM(CASE WHEN mo = 5  THEN cents ELSE 0 END) AS BIGINT) AS m05,
+      CAST(SUM(CASE WHEN mo = 6  THEN cents ELSE 0 END) AS BIGINT) AS m06,
+      CAST(SUM(CASE WHEN mo = 7  THEN cents ELSE 0 END) AS BIGINT) AS m07,
+      CAST(SUM(CASE WHEN mo = 8  THEN cents ELSE 0 END) AS BIGINT) AS m08,
+      CAST(SUM(CASE WHEN mo = 9  THEN cents ELSE 0 END) AS BIGINT) AS m09,
+      CAST(SUM(CASE WHEN mo = 10 THEN cents ELSE 0 END) AS BIGINT) AS m10,
+      CAST(SUM(CASE WHEN mo = 11 THEN cents ELSE 0 END) AS BIGINT) AS m11,
+      CAST(SUM(CASE WHEN mo = 12 THEN cents ELSE 0 END) AS BIGINT) AS m12
     FROM (
       SELECT n_name, EXTRACT(month FROM o_orderdate) AS mo, {_CENT_SQL} AS cents
       FROM lineitem
@@ -395,7 +395,8 @@ def tpcds_sale_return_rebuy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey,
            CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE l_quantity END) AS BIGINT)
              AS net_qty,
-           SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE {_CENT_SQL} END) AS net_cents
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE {_CENT_SQL} END) AS BIGINT)
+             AS net_cents
     FROM lineitem JOIN orders ON o_orderkey = l_orderkey
     GROUP BY o_custkey
     HAVING SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE l_quantity END) > 0
@@ -432,10 +433,10 @@ def tpcds_net_after_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH by_pri AS (
       SELECT l_partkey AS pk,
-             SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN {_CENT_SQL} ELSE 0 END) AS c_urgent,
-             SUM(CASE WHEN o_orderpriority = '2-HIGH'   THEN {_CENT_SQL} ELSE 0 END) AS c_high,
-             SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                      THEN {_CENT_SQL} ELSE 0 END) AS c_rest
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN {_CENT_SQL} ELSE 0 END) AS BIGINT) AS c_urgent,
+             CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'   THEN {_CENT_SQL} ELSE 0 END) AS BIGINT) AS c_high,
+             CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                      THEN {_CENT_SQL} ELSE 0 END) AS BIGINT) AS c_rest
       FROM lineitem JOIN orders ON o_orderkey = l_orderkey
       GROUP BY 1
     )
@@ -570,7 +571,7 @@ def tpcds_dual_rank_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH no_ret AS (
       SELECT l_partkey AS pk, o.o_custkey AS ck,
              EXTRACT(year FROM o_orderdate) AS yr,
-             SUM({_CENT_SQL}) AS cents
+             CAST(SUM({_CENT_SQL}) AS BIGINT) AS cents
       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
       WHERE NOT EXISTS (
         SELECT 1 FROM lineitem r JOIN orders ro ON ro.o_orderkey = r.l_orderkey
@@ -685,7 +686,7 @@ def tpcds_part_or_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(FLOOR(rev_cents / 5000000) AS BIGINT) AS band,
            COUNT(*) AS n_customers,
-           SUM(rev_cents) AS band_cents
+           CAST(SUM(rev_cents) AS BIGINT) AS band_cents
     FROM per_cust
     GROUP BY 1
     ORDER BY band

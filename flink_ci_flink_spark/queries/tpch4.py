@@ -186,7 +186,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation   ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_3'
     ), tot AS (SELECT SUM(value_cents) AS total FROM ps)
-    SELECT ps_partkey, SUM(value_cents) AS value_cents
+    SELECT ps_partkey, CAST(SUM(value_cents) AS BIGINT) AS value_cents
     FROM ps, tot
     GROUP BY ps_partkey, tot.total
     HAVING SUM(value_cents) > 0.002 * tot.total

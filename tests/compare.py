@@ -65,6 +65,28 @@ def _assert_driver_hashable(df: pd.DataFrame, name: str, side: str) -> None:
                 )
 
 
+def assert_oracle_types_strict(arrow_table, name: str = "") -> None:
+    """Reject DuckDB HUGEINT / DECIMAL oracle outputs at the Arrow layer.
+
+    The grading driver hashes dtype-sensitively, but pandas silently coerces
+    HUGEINT (DuckDB's SUM-over-BIGINT result) to float64, where 42 == 42.0 —
+    so an un-cast oracle passes this local gate yet turns the driver row red.
+    Fetch the oracle via .arrow() and fail the class before it can recur:
+    every final integer aggregate must be CAST(... AS BIGINT).
+    """
+    import pyarrow as pa
+
+    for field in arrow_table.schema:
+        t = field.type
+        if pa.types.is_decimal(t) or str(t) == "int128":
+            raise AssertionError(
+                f"{name}: oracle column {field.name!r} has Arrow type {t} "
+                "(DuckDB HUGEINT/DECIMAL) — the driver's hash is dtype-"
+                "sensitive while pandas coerces this to float64 locally. "
+                "Wrap the final aggregate in CAST(... AS BIGINT)."
+            )
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = "") -> None:
     _assert_driver_hashable(spark_pdf, name, "spark")
     _assert_driver_hashable(oracle_pdf, name, "oracle")

@@ -9,7 +9,7 @@ from __future__ import annotations
 import pytest
 
 from flink_ci_flink_spark.queries import QUERIES
-from tests.compare import assert_frames_match
+from tests.compare import assert_frames_match, assert_oracle_types_strict
 
 ALL = sorted(QUERIES)
 
@@ -23,8 +23,19 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
         # Rows-only check (mirrors the driver's weaker path).
         assert spark_pdf is not None
         return
-    oracle_pdf = duck.execute(spec.oracle).fetchdf()
+    oracle_tbl = duck.execute(spec.oracle).arrow()
+    assert_oracle_types_strict(oracle_tbl, name)
+    oracle_pdf = oracle_tbl.to_pandas()
     assert_frames_match(spark_pdf, oracle_pdf, name)
+
+
+def test_hugeint_oracle_rejected(duck):
+    """A deliberately un-cast SUM (DuckDB HUGEINT) must fail the strict gate."""
+    tbl = duck.execute(
+        "SELECT SUM(x) AS s FROM (VALUES (CAST(1 AS BIGINT)), (2)) t(x)"
+    ).arrow()
+    with pytest.raises(AssertionError, match="BIGINT"):
+        assert_oracle_types_strict(tbl, "demo_uncast")
 
 
 def test_entry_smoke(spark):
