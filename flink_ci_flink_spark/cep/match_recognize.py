@@ -410,6 +410,13 @@ def parse_match_recognize_sql(sql: str) -> dict:
             raise ValueError(f"unsupported measure: {part!r}")
         if mm.group(1):
             kind, var, field = mm.group(1).lower(), mm.group(2), mm.group(3)
+            if field == "*" and kind != "count":
+                # Only COUNT(V.*) is meaningful; SUM(V.*) etc. would later
+                # surface as a bare KeyError during schema inference.
+                raise ValueError(
+                    f"unsupported measure: {part!r} — '*' is only valid in "
+                    "COUNT(var.*)"
+                )
             field = None if field == "*" else field
             if kind == "count" and field is not None:
                 field = None  # COUNT(V.f) counts matched rows, same as V.*

@@ -72,10 +72,17 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     tokenize expression — each gram references the array n+1 times, and
     inlining the tokenizer would cost O(shingles × tokenize) per row
     (measured 10x slowdown)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
-    )
+    # Guarded: with fewer than n tokens, sequence(1, 0) yields the BACKWARD
+    # array [1, 0] whose indices are out of range for element_at — a single
+    # short document would abort the job. Short docs get an empty shingle
+    # set (and are genuinely absent from exploded shingle tables).
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
@@ -210,11 +217,13 @@ def minhash_lsh_pairs(
 
     ``max_bucket`` guards pair blow-up: a bucket of k near-identical docs
     emits k²/2 pairs, so one giant cluster at 100 TB would emit billions of
-    pairs from a single bucket. Buckets larger than the cap keep only their
-    first ``max_bucket`` members (sorted by id — deterministic); for the
-    dedup use-case this loses nothing, since every dropped member still
-    pairs with the kept representative set. Default 1000 (never binds at
-    test SFs, so oracle hashes are unaffected); None disables the guard."""
+    pairs from a single bucket. Buckets larger than the cap emit all pairs
+    among their first ``max_bucket`` members (sorted by id — deterministic)
+    PLUS one (ids[0], dropped_id) pair per truncated member — linear in the
+    tail, so every dropped member stays connected to the bucket
+    representative and connected-components dedup still collapses the whole
+    cluster. Default 1000 (never binds at test SFs, so oracle hashes are
+    unaffected); None disables the guard."""
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_cols = []
@@ -241,20 +250,35 @@ def minhash_lsh_pairs(
         .filter(F.size("ids") >= 2)
     )
     if max_bucket is not None:
-        groups = groups.withColumn("ids", F.slice("ids", 1, max_bucket))
-    pairs = groups.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                    ),
-                )
-            )
-        ).alias("p")
+        # Truncated tail members each pair with the bucket representative
+        # ids[0] (ids is sorted, so id_a < id_b holds) — linear, keeps the
+        # cluster connected instead of silently dropping over-cap members.
+        groups = groups.withColumn(
+            "tail",
+            F.slice(
+                F.col("ids"),
+                max_bucket + 1,
+                F.greatest(F.size("ids") - max_bucket, F.lit(0)),
+            ),
+        ).withColumn("ids", F.slice("ids", 1, max_bucket))
+    else:
+        groups = groups.withColumn("tail", F.slice(F.col("ids"), 1, 0))
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
+    rep_tail = F.transform(
+        F.col("tail"),
+        lambda y: F.struct(
+            F.element_at(F.col("ids"), 1).alias("id_a"), y.alias("id_b")
+        ),
+    )
+    pairs = groups.select(F.explode(F.concat(combos, rep_tail)).alias("p"))
     return (
         pairs.select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .groupBy("id_a", "id_b")

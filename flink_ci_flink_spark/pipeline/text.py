@@ -228,11 +228,17 @@ def repetition_features(
     (floor(x*1e6+0.5)/1e6) so the DuckDB oracle matches bit-for-bit."""
     t = F.col("__toks")
     grams = F.col("__grams")
-    # non-distinct bigrams: one slot per adjacent pair
-    mk_grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-    )
+    # non-distinct bigrams: one slot per adjacent pair. Guarded: for a
+    # single-token doc sequence(1, 0) yields the BACKWARD array [1, 0]
+    # (element_at(t, 0) is illegal, element_at(t, 2) out-of-bounds), so
+    # any 1-token doc would abort the whole job.
+    mk_grams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     counts = F.transform(
         F.array_distinct(grams),
         lambda d: F.size(F.filter(grams, lambda x: x == d)),

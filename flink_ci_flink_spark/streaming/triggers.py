@@ -280,6 +280,19 @@ def triggered_window(
                     if window_seconds is None
                     else str(math.floor(t / window_seconds) * window_seconds)
                 )
+                # Drop elements whose window already closed (its state was
+                # GC'd at win_end <= frontier): recreating the window would
+                # re-fire with fire_seq reset to 0, emitting duplicate
+                # (win, fire_seq) keys downstream. Matches the reference's
+                # WindowOperator, which drops late elements when
+                # allowedLateness is 0 (isWindowLate -> skip); late-but-
+                # allowed re-fires live in streaming/late.py.
+                if (
+                    window_seconds is not None
+                    and frontier is not None
+                    and float(wk) + window_seconds <= frontier
+                ):
+                    continue
                 w = wins.setdefault(wk, {"ts": [], "vals": [], "trig": {}, "seq": 0})
                 w["ts"].append(t)
                 w["vals"].append(v)

@@ -540,6 +540,15 @@ def test_parse_match_recognize_sql_rejects_unsupported():
             MEASURES A.x AS x PATTERN (A B) DEFINE A AS A.x > 0,
             B AS CASE WHEN B.x > LAST(A.x) THEN TRUE ELSE FALSE END)"""
         )
+    # '*' is only valid in COUNT(var.*): SUM(A.*) rejects at parse time
+    # with a named error, not a downstream KeyError in schema inference
+    with _pytest.raises(ValueError, match="COUNT"):
+        parse_match_recognize_sql(base.format(extra="").replace(
+            "A.x AS x", "SUM(A.*) AS s"))
+    # COUNT(A.*) itself stays supported
+    ok = parse_match_recognize_sql(base.format(extra="").replace(
+        "A.x AS x", "COUNT(A.*) AS n"))
+    assert ok["measures"]["n"] == ("A", "count", None)
 
 
 def test_match_recognize_sql_matches_api(spark, sf_dir):

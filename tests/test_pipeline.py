@@ -104,8 +104,9 @@ def test_jaccard_max_postings_cap(spark):
 
 def test_lsh_max_bucket_guard(spark):
     """Per-bucket pair cap: non-binding cap leaves pairs unchanged; a binding
-    cap keeps the first max_bucket members so every dropped doc still pairs
-    with the kept representatives (dedup-safe truncation)."""
+    cap emits all pairs among the first max_bucket members PLUS one
+    (representative, dropped) pair per truncated member, so no doc escapes
+    the cluster (connected-components dedup still collapses it)."""
     from flink_ci_flink_spark.pipeline.dedup import minhash_lsh_pairs
 
     # 6 identical docs -> one bucket of 6 in every band
@@ -117,10 +118,50 @@ def test_lsh_max_bucket_guard(spark):
     uncapped = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df, max_bucket=None).collect()}
     assert uncapped == base
     capped = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df, max_bucket=3).collect()}
-    # only the first 3 ids survive per bucket -> pairs among {1,2,3}
-    assert capped == {(1, 2), (1, 3), (2, 3)}
-    # every dropped doc (4..6) was in a bucket with kept representative 1
-    assert all(a <= 3 and b <= 3 for a, b in capped)
+    # pairs among kept {1,2,3} + representative 1 paired with each of 4..6
+    assert capped == {(1, 2), (1, 3), (2, 3), (1, 4), (1, 5), (1, 6)}
+    # connectivity: every doc appears in at least one pair
+    touched = {x for p in capped for x in p}
+    assert touched == set(range(1, 7))
+
+
+def test_repetition_features_single_token_doc(spark):
+    """A 1-token doc must not abort the job: sequence(1, 0) is the BACKWARD
+    array [1, 0] in Spark, so unguarded bigram construction indexes t[0]
+    (illegal) and t[2] (out of bounds). Expect empty bigrams -> fracs 0."""
+    from flink_ci_flink_spark.pipeline.text import repetition_features
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two tokens"), (3, "a a a a a a a a a a")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert rows[1].n_tokens == 1
+    assert rows[1].distinct_ratio == 1.0
+    assert rows[1].top_bigram_frac == 0.0
+    assert rows[1].dup_bigram_frac == 0.0
+    assert rows[1].kept
+    assert rows[2].top_bigram_frac == 1.0  # single bigram slot
+    assert not rows[3].kept  # pure repetition fails every filter
+
+
+def test_shingles_short_doc(spark):
+    """Docs with fewer than n tokens yield an empty shingle set (and are
+    genuinely absent from exploded shingle tables), not an element_at crash."""
+    from flink_ci_flink_spark.pipeline.dedup import contamination_overlap, shingle_table
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "alpha beta gamma delta"), (3, "x")],
+        "doc_id long, text string",
+    )
+    sh = shingle_table(df, n=3)
+    got = {(r.doc_id, r.shingle) for r in sh.collect()}
+    assert {d for d, _ in got} == {2}
+    assert ("alpha beta gamma" in {s for _, s in got})
+    # contamination screen over a corpus containing short docs must not abort
+    out = contamination_overlap(df, df.filter(F.col("doc_id") == 2), n=3)
+    res = {r.doc_id: r.n_overlap for r in out.collect()}
+    assert res == {2: 2}
 
 
 def test_ivf_ann_recall(spark, sf_dir):

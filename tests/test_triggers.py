@@ -269,6 +269,41 @@ def test_event_time_trigger_default(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_late_element_after_window_gc_dropped(spark):
+    """An element arriving after its window fired and was GC'd is DROPPED
+    (reference: WindowOperator drops late elements when allowedLateness=0) —
+    it must not recreate the window and re-fire with fire_seq reset to 0,
+    which would emit duplicate (win, fire_seq) keys downstream."""
+    from flink_ci_flink_spark.streaming.triggers import (
+        EventTimeTrigger,
+        triggered_window,
+    )
+
+    schema = "user_id long, ts double, value double"
+    # batch1 closes window [0,10) (frontier 11); batch2 brings ts=2.0 — late,
+    # its window state is gone — plus ts=25 closing [10,20).
+    b1 = [(1, 1.0, 1.0), (1, 11.0, 3.0)]
+    b2 = [(1, 2.0, 100.0), (1, 25.0, 4.0)]
+    tmp = _replay_fixture(spark, b1 + b2, schema, n_files=2)
+    try:
+        from flink_ci_flink_spark.streaming import file_stream
+
+        st = file_stream(
+            spark, tmp, spark.createDataFrame([], schema).schema,
+            max_files_per_trigger=1,
+        )
+        out = triggered_window(
+            st, "user_id", "ts", "value",
+            trigger=EventTimeTrigger(), window_seconds=10.0,
+        )
+        rows = _run(spark, out)
+        got = {(r.win, r.fire_seq, r.n, r.total) for r in rows}
+        # late 2.0 contributes nothing; no duplicate (win=0, fire_seq=0) row
+        assert got == {(0, 0, 1, 1.0), (10, 0, 1, 3.0)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_late_data_side_output(spark):
     """Late rows land in the late sink; the main path receives exactly what
     a watermarked window agg would keep (`sideOutputLateData` +
