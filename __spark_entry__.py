@@ -26,62 +26,66 @@ from flink_ci_flink_spark.queries import QUERIES  # noqa: E402
 FLAGSHIP = "tpch_q3_shipping_priority"
 
 # The driver samples a prefix of queries() for its sf0.01 correctness check.
-# Order the registry so that prefix spans every operator group (tpch, calc,
-# join, agg, over, rank/dedup, setop, subquery, udtf, pivot, functions,
-# window, temporal_join, format, pipeline, graph, cep, udf, tpcds) instead
-# of following module-import order, which front-loaded tpch+relational and
-# left pipeline/graph/CEP/TPC-DS unsampled.
+# The prefix is rotated each round: a handful of per-group anchors stay (so
+# the sample always spans tpch/relational/window/pipeline/graph/cep/udf/
+# tpcds), every oracle whose final aggregate was re-cast to BIGINT this
+# round is included to prove the fix driver-green, and the remaining slots
+# go to queries never driver-checked in any prior round (cumulative proven
+# set grows monotonically; rounds 1-3 covered 76/140).
 _PRIORITY = [
+    # group anchors, driver-green in prior rounds
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    "tpch_q9_product_profit",
-    "tpch_q18_large_orders",
-    "tpch_q21_suppliers_who_kept_waiting",
-    "calc_project_filter",
-    "join_left_outer_agg",
-    "join_semi",
-    "join_anti",
-    "agg_grouping_sets",
-    "agg_min_max_by",
-    "over_ranking",
-    "over_value_functions",
-    "topn_per_group",
-    "dedup_keep_last",
-    "setop_intersect_except",
-    "subquery_in_exists",
-    "unnest_with_ordinality",
-    "pivot_status_by_flag",
-    "fn_string_basic",
-    "fn_collections",
-    "window_tumble",
-    "window_session_native",
     "sessionize_ordinal",
-    "asof_join_events",
-    "interval_join_events",
-    "json_payload_extract",
     "pipe_exact_dedup",
-    "pipe_jaccard_pairs",
-    "pipe_minhash_lsh",
-    "pipe_simhash",
-    "pipe_text_features",
-    "pipe_cosine_topk",
-    "pipe_ivf_ann_topk",
-    "pipe_ivf_partial_probe",
-    "pipe_lsh_ann_topk",
-    "pipe_sample_stratified",
-    "pipe_mix_token_budget",
-    "pipe_e2e_curation",
     "graph_dedup_clusters",
-    "graph_pagerank_nations",
     "cep_click_click_purchase",
-    "cep_click_no_purchase",
-    "cep_mr_sql_view_to_purchase",
-    "cep_mr_price_dip",
     "udf_pandas_scalar",
-    "udf_grouped_agg",
+    # HUGEINT-cast oracles (r3 reds + latent class) — prove green
+    "pipe_simhash",
     "tpcds_shape_frequent_best",
-    "tpcds_shape_percentile_report",
-    "tpcds_shape_first_purchase_cohort",
+    "tpch_q11_important_stock",
+    "tpcds_shape_returns_above_avg",
+    "tpcds_shape_channel_rollup",
+    "tpcds_shape_cross_year_parts",
+    "tpcds_shape_rank_over_rollup",
+    "tpcds_shape_yoy_growth",
+    "tpcds_shape_union_channel_agg",
+    "tpcds_shape_cumulative_crossover",
+    "tpcds_shape_full_outer_overlap",
+    "tpcds_shape_moving_dev",
+    "tpcds_shape_grouping_rank",
+    "tpcds_shape_pivot_months",
+    "tpcds_shape_net_after_returns",
+    "tpcds_shape_channel_band",
+    "tpcds_shape_anti_ratio",
+    "tpcds_shape_revenue_bands",
+    # never driver-checked before round 4
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q20_potential_promotion",
+    "map_construct_explode",
+    "null_safe_comparison",
+    "str_to_map_canonical",
+    "temporal_overlaps_pred",
+    "over_count_distinct",
+    "pipe_redact_pii",
+    "pipe_repetition_filters",
+    "pipe_contamination_overlap",
+    "pipe_chunk_documents",
+    "pipe_token_count_by_source",
+    "pipe_cosine_near_dup",
+    "pipe_ivf_full_probe",
+    "graph_degrees_triangles",
+    "graph_sssp_nations",
+    "graph_adamic_adar",
+    "cep_error_burst",
+    "cep_match_recognize_view_run",
+    "udf_cogroup",
+    "udf_map_partitions",
 ]
 
 
