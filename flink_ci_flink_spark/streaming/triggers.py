@@ -67,7 +67,10 @@ class CountTrigger:
 
     n: int
 
-    def on_element(self, trig: dict, ts: float, val: float) -> int:
+    def on_element(
+        self, trig: dict, ts: float, val: float, win_end: float = math.inf,
+        frontier: float | None = None,
+    ) -> int:
         trig["c"] = trig.get("c", 0) + 1
         if trig["c"] >= self.n:
             trig["c"] = 0
@@ -86,7 +89,10 @@ class DeltaTrigger:
 
     threshold: float
 
-    def on_element(self, trig: dict, ts: float, val: float) -> int:
+    def on_element(
+        self, trig: dict, ts: float, val: float, win_end: float = math.inf,
+        frontier: float | None = None,
+    ) -> int:
         if "b" not in trig:
             trig["b"] = val
             return CONTINUE
@@ -102,31 +108,54 @@ class DeltaTrigger:
 @dataclass(frozen=True)
 class EventTimeTrigger:
     """Fire once when the event-time frontier passes the window end
-    (`EventTimeTrigger.java` — the default trigger)."""
+    (`EventTimeTrigger.java` — the default trigger).
 
-    def on_element(self, trig: dict, ts: float, val: float) -> int:
+    Late-but-allowed elements fire immediately (the reference's
+    `EventTimeTrigger.onElement`: window.maxTimestamp <= currentWatermark
+    -> FIRE), producing the corrected re-emission; purging is the
+    operator's job at win_end + allowedLateness, never the trigger's."""
+
+    def on_element(
+        self, trig: dict, ts: float, val: float, win_end: float = math.inf,
+        frontier: float | None = None,
+    ) -> int:
+        if frontier is not None and win_end <= frontier:
+            trig["fired"] = True
+            return FIRE
         return CONTINUE
 
     def on_time(self, trig: dict, win_end: float, frontier: float) -> int:
-        return FIRE_AND_PURGE if frontier >= win_end else CONTINUE
+        if frontier >= win_end and not trig.get("fired"):
+            trig["fired"] = True
+            return FIRE
+        return CONTINUE
 
 
 @dataclass(frozen=True)
 class ContinuousEventTimeTrigger:
     """Fire at every `interval` event-time boundary while the window is
-    open, plus the final fire-and-purge at the window end
-    (`ContinuousEventTimeTrigger.java`)."""
+    open, plus the final fire at the window end; late-but-allowed elements
+    re-fire immediately (`ContinuousEventTimeTrigger.java`)."""
 
     interval: float
 
-    def on_element(self, trig: dict, ts: float, val: float) -> int:
+    def on_element(
+        self, trig: dict, ts: float, val: float, win_end: float = math.inf,
+        frontier: float | None = None,
+    ) -> int:
         if "next" not in trig:
             trig["next"] = math.floor(ts / self.interval) * self.interval + self.interval
+        if frontier is not None and win_end <= frontier:
+            trig["fired"] = True
+            return FIRE
         return CONTINUE
 
     def on_time(self, trig: dict, win_end: float, frontier: float) -> int:
         if frontier >= win_end:
-            return FIRE_AND_PURGE
+            if trig.get("fired"):
+                return CONTINUE
+            trig["fired"] = True
+            return FIRE
         if "next" in trig and frontier >= trig["next"]:
             # advance past every boundary the frontier already crossed
             trig["next"] = (
@@ -142,8 +171,11 @@ class PurgingTrigger:
 
     inner: object
 
-    def on_element(self, trig: dict, ts: float, val: float) -> int:
-        r = self.inner.on_element(trig, ts, val)
+    def on_element(
+        self, trig: dict, ts: float, val: float, win_end: float = math.inf,
+        frontier: float | None = None,
+    ) -> int:
+        r = self.inner.on_element(trig, ts, val, win_end=win_end, frontier=frontier)
         return FIRE_AND_PURGE if r == FIRE else r
 
     def on_time(self, trig: dict, win_end: float, frontier: float) -> int:
@@ -209,6 +241,7 @@ def triggered_window(
     evictor=None,
     window_seconds: float | None = None,
     aggs: dict[str, str] | None = None,
+    allowed_lateness: float = 0.0,
 ) -> DataFrame:
     """Keyed windowed stream with a custom trigger and optional evictor
     (`WindowedStream.trigger/evictor`). ``window_seconds=None`` uses a
@@ -223,8 +256,18 @@ def triggered_window(
     `WindowedStream.reduce/aggregate` analog). Firings happen on elements
     (count/delta triggers) and, for event-time triggers, when the per-key
     frontier (max event time seen) crosses a boundary at the end of each
-    micro-batch; fired tumbling windows whose end passed the frontier are
-    purged, which bounds state."""
+    micro-batch; fired tumbling windows are purged once
+    win_end + allowed_lateness passes the frontier, which bounds state.
+
+    ``allowed_lateness`` (reference: `WindowedStream.allowedLateness`,
+    `WindowOperator.java:349,388,420`): an element landing in an
+    already-fired window that is still within lateness RE-FIRES the window
+    with the corrected aggregate — an update-mode re-emission carrying the
+    next ``fire_seq`` for the same ``win``, so downstream keeps the
+    max-fire_seq row per (key, win). Elements beyond
+    win_end + allowed_lateness are dropped here; route them to a side sink
+    by composing with `streaming/late.py::side_output_late_data` upstream
+    (the `sideOutputLateData` analog)."""
     aggs = aggs or {}
     for out_name, agg_name in aggs.items():
         if agg_name not in WINDOW_AGGS:
@@ -280,23 +323,24 @@ def triggered_window(
                     if window_seconds is None
                     else str(math.floor(t / window_seconds) * window_seconds)
                 )
-                # Drop elements whose window already closed (its state was
-                # GC'd at win_end <= frontier): recreating the window would
-                # re-fire with fire_seq reset to 0, emitting duplicate
+                # Drop elements whose window is beyond allowed lateness
+                # (its state was GC'd): recreating the window would re-fire
+                # with fire_seq reset to 0, emitting duplicate
                 # (win, fire_seq) keys downstream. Matches the reference's
-                # WindowOperator, which drops late elements when
-                # allowedLateness is 0 (isWindowLate -> skip); late-but-
-                # allowed re-fires live in streaming/late.py.
-                if (
-                    window_seconds is not None
-                    and frontier is not None
-                    and float(wk) + window_seconds <= frontier
-                ):
+                # WindowOperator isWindowLate gate; within lateness the
+                # element is added and the trigger re-fires the window
+                # (corrected update-mode emission).
+                win_end = (
+                    math.inf if window_seconds is None else float(wk) + window_seconds
+                )
+                if frontier is not None and win_end + allowed_lateness <= frontier:
                     continue
                 w = wins.setdefault(wk, {"ts": [], "vals": [], "trig": {}, "seq": 0})
                 w["ts"].append(t)
                 w["vals"].append(v)
-                d = trigger.on_element(w["trig"], t, v)
+                d = trigger.on_element(
+                    w["trig"], t, v, win_end=win_end, frontier=frontier
+                )
                 if d != CONTINUE:
                     fire(wk, w, d == FIRE_AND_PURGE)
                 frontier = t if frontier is None else max(frontier, t)
@@ -313,8 +357,8 @@ def triggered_window(
                 d = trigger.on_time(w["trig"], win_end, frontier)
                 if d != CONTINUE:
                     fire(wk, w, d == FIRE_AND_PURGE)
-                if win_end <= frontier:
-                    del wins[wk]  # window closed: GC its state
+                if win_end + allowed_lateness <= frontier:
+                    del wins[wk]  # lateness expired: GC the window's state
 
         st["frontier"] = frontier
         state.update((json.dumps(st),))

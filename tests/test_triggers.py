@@ -304,6 +304,50 @@ def test_late_element_after_window_gc_dropped(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_allowed_lateness_refires_closed_window(spark):
+    """A late element within allowedLateness RE-FIRES the already-fired
+    window with the corrected aggregate (next fire_seq, update-mode
+    re-emission — `WindowOperator.java:349,388,420`); an element beyond
+    win_end + allowedLateness is dropped."""
+    from flink_ci_flink_spark.streaming.triggers import (
+        EventTimeTrigger,
+        triggered_window,
+    )
+
+    schema = "user_id long, ts double, value double"
+    # b1: frontier 11 fires [0,10) (n=1, total=1); lateness 10 keeps state.
+    # b2: ts=2 is late-but-allowed (10 <= 11 < 20) -> re-fire (n=2, total=6);
+    #     ts=25 then closes [10,20) and expires [0,10)'s lateness.
+    # b3: ts=3 is beyond lateness (20 <= 25) -> dropped.
+    rows = [
+        (1, 1.0, 1.0), (1, 11.0, 3.0),
+        (1, 2.0, 5.0), (1, 25.0, 4.0),
+        (1, 3.0, 99.0),
+    ]
+    tmp = _replay_fixture(spark, rows, schema, n_files=3)
+    try:
+        from flink_ci_flink_spark.streaming import file_stream
+
+        st = file_stream(
+            spark, tmp, spark.createDataFrame([], schema).schema,
+            max_files_per_trigger=1,
+        )
+        out = triggered_window(
+            st, "user_id", "ts", "value",
+            trigger=EventTimeTrigger(), window_seconds=10.0,
+            allowed_lateness=10.0,
+        )
+        got = {(r.win, r.fire_seq, r.n, r.total) for r in _run(spark, out)}
+        assert got == {(0, 0, 1, 1.0), (0, 1, 2, 6.0), (10, 0, 1, 3.0)}
+        # update-mode consumers keep the max fire_seq per (key, win):
+        latest = {}
+        for win, seq, n, total in sorted(got):
+            latest[win] = (n, total)
+        assert latest == {0: (2, 6.0), 10: (1, 3.0)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_late_data_side_output(spark):
     """Late rows land in the late sink; the main path receives exactly what
     a watermarked window agg would keep (`sideOutputLateData` +
