@@ -78,7 +78,7 @@ _PRIORITY = [
     "pipe_chunk_documents",
     "pipe_token_count_by_source",
     "pipe_cosine_near_dup",
-    "pipe_ivf_full_probe",
+    "pipe_decode_bmp",
     "graph_degrees_triangles",
     "graph_sssp_nations",
     "graph_adamic_adar",

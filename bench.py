@@ -3,11 +3,13 @@
 
 Prints exactly ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "sf": <sf>, "runs": 2, ...}
 
-Each query is executed once after a warm-up of the input file listing; timing
-covers plan + execution + result materialization (count or collect to driver,
-matching how the engine would serve the query).
+Each headline query is executed SPARK_GRAFT_BENCH_RUNS times (default 3)
+after warm-up and reported as the per-query MEDIAN (box noise is ~2x
+run-to-run with occasional 8x contention spikes; the 3-run median absorbs a
+single spike). Timing covers plan + execution + result materialization
+(count or collect to driver, matching how the engine would serve the query).
 """
 
 from __future__ import annotations
@@ -72,6 +74,39 @@ SKEW_RUNG = [
 ]
 
 
+def _bench_stateful(spark, sf_dir: str) -> dict:
+    """Time streaming_top_n (applyInPandasWithState) over the events table
+    replayed as a 1-file stream: rows/sec for keyed Python state handling."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from flink_ci_flink_spark.streaming import file_stream, run_to_completion
+    from flink_ci_flink_spark.streaming.process import streaming_top_n
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(ev_path).schema
+    n_rows = spark.read.parquet(ev_path).count()
+    # the monitored-dir source wants a directory; stage the single file
+    tmp = tempfile.mkdtemp(prefix="bench_stateful_")
+    try:
+        shutil.copy(ev_path, os.path.join(tmp, "events.parquet"))
+        st = file_stream(spark, tmp, schema)
+        out = streaming_top_n(st, "user_id", "value", 5, ["event_type"])
+        name = f"bench_topn_{uuid.uuid4().hex[:8]}"
+        t0 = time.perf_counter()
+        run_to_completion(out, name, "update")
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "operator": "streaming_top_n(applyInPandasWithState)",
+        "input_rows": n_rows,
+        "sec": round(dt, 3),
+        "rows_per_sec": round(n_rows / dt),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -106,22 +141,51 @@ def main() -> None:
         Window.partitionBy("user_id").orderBy("ts").rowsBetween(1, Window.unboundedFollowing)
     ).alias("m")).filter("m > 0").count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    import statistics
+
+    # 3 runs -> true median: single contention spikes (observed 8x on this
+    # box) poison a 2-run mean but leave the 3-run median untouched.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for r in range(runs):
+        for name in HEADLINE:
+            fn = QUERIES[name].fn
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = round(time.perf_counter() - t0, 3)
+            samples[name].append(dt)
+            print(f"# run{r + 1} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+    timings = {
+        name: round(statistics.median(ts), 3) for name, ts in samples.items()
+    }
 
     result = {
         "metric": "headline_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "runs": runs,
+        "query_samples": samples,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+
+    # Superstep accounting for the iterative CC under graph_dedup_clusters:
+    # explains whether sf1 scale-up is iteration-count growth (benign,
+    # O(diameter)) or per-superstep degradation (a plan problem).
+    from flink_ci_flink_spark.graph.algorithms import LAST_CC_STATS
+
+    if LAST_CC_STATS:
+        result["cc_supersteps_sf01"] = dict(LAST_CC_STATS)
+
+    # Stateful-streaming rung: one applyInPandasWithState operator end-to-end
+    # (streaming_top_n over the events fixture) — puts a measured number on
+    # the per-key Python serialization tax that the protobuf-gated
+    # transformWithStateInPandas path would avoid (streaming/tws.py).
+    try:
+        result["stateful_streaming"] = _bench_stateful(spark, sf_dir)
+    except Exception as ex:  # pragma: no cover - defensive bench guard
+        result["stateful_streaming_error"] = f"{type(ex).__name__}: {ex}"[:300]
 
     # Scale rung (sf1 = 10x) + skew fixtures: the 100-TB proof points.
     # Fixture dirs are built once and cached under .benchdata/ (gitignored).
@@ -147,6 +211,8 @@ def main() -> None:
                 n = QUERIES[name].fn(spark, sf1_dir).count()
                 sf1_t[name] = round(time.perf_counter() - t0, 3)
                 print(f"# sf1 {name}: {sf1_t[name]:.3f}s ({n} rows)", file=sys.stderr)
+                if name == "graph_dedup_clusters" and LAST_CC_STATS:
+                    result["cc_supersteps_sf1"] = dict(LAST_CC_STATS)
             skew_t: dict[str, float] = {}
             for name in SKEW_RUNG:
                 t0 = time.perf_counter()

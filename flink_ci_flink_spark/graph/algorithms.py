@@ -24,6 +24,11 @@ from pyspark.sql import functions as F
 
 CHECKPOINT_EVERY = 1
 
+#: Instrumentation written by connected_components on every run:
+#: {"supersteps": int, "superstep_secs": [float, ...]} — read by bench.py
+#: to attribute scale-up to iteration count vs per-superstep cost.
+LAST_CC_STATS: dict = {}
+
 
 def undirect(edges: DataFrame) -> DataFrame:
     """Add reversed edges (undirected interpretation)."""
@@ -53,11 +58,16 @@ def connected_components(
     # Materialize the edge list once: every superstep re-executes its
     # lineage otherwise (an expensive upstream — e.g. a similarity join —
     # would run once per iteration).
+    import time as _time
+
     e = undirect(edges.select("src", "dst")).localCheckpoint(eager=True)
     if vertices is None:
         vertices = e.select(F.col("src").alias("id")).distinct()
     labels = vertices.select(F.col("id"), F.col("id").alias("component"))
+    LAST_CC_STATS.clear()
+    LAST_CC_STATS.update({"supersteps": 0, "superstep_secs": []})
     for i in range(max_iter):
+        _t0 = _time.perf_counter()
         msgs = (
             e.join(labels, e.src == labels.id)
             .select(F.col("dst").alias("id"), F.col("component"))
@@ -78,6 +88,10 @@ def connected_components(
         new_labels = _maybe_checkpoint(new_labels, i)
         changed = new_labels.filter(F.col("__changed")).limit(1).count()
         labels = new_labels.drop("__changed")
+        LAST_CC_STATS["supersteps"] = i + 1
+        LAST_CC_STATS["superstep_secs"].append(
+            round(_time.perf_counter() - _t0, 3)
+        )
         if changed == 0:
             break
     return labels

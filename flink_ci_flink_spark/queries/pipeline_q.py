@@ -384,6 +384,47 @@ def pipe_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stub_features(attach_binary_payload(t.documents))
 
 
+@query(
+    "pipe_decode_bmp",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 13 AS INTEGER) AS width,
+             CAST(1 + doc_id % 7 AS INTEGER) AS height
+      FROM documents
+    ), px AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 7 + x.x * 13 + y.y * 31) % 256
+              + (d.doc_id * 11 + x.x * 17 + y.y * 5) % 256
+              + (d.doc_id * 3 + x.x * 19 + y.y * 23) % 256) AS s
+      FROM dims d
+      JOIN (SELECT UNNEST(generate_series(0, 12)) AS x) x ON x.x < d.width
+      JOIN (SELECT UNNEST(generate_series(0, 6)) AS y) y ON y.y < d.height
+    )
+    SELECT dims.doc_id, width, height, CAST(24 AS INTEGER) AS bpp,
+           CAST(width AS BIGINT) * height AS n_pixels,
+           CAST(SUM(px.s) AS BIGINT) AS px_sum
+    FROM dims JOIN px ON px.doc_id = dims.doc_id
+    GROUP BY dims.doc_id, width, height
+    """,
+    group="pipeline",
+)
+def pipe_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END real image decode: synthesize a genuine 24-bit
+    uncompressed BMP per document (width/height/pixels deterministic
+    functions of doc_id), then parse it back with the pure-stdlib BMP
+    decoder — header fields, padded bottom-up pixel rows, per-image pixel
+    byte total. Both stages are Arrow-batched mapInPandas, map-only, zero
+    shuffles; payloads never pass through the driver. The oracle recomputes
+    width/height and the full pixel sum from the same deterministic
+    formulas in SQL, so the decoder's pixel walk is hash-checked exactly
+    (a wrong stride, row order, or padding handling changes px_sum)."""
+    from flink_ci_flink_spark.pipeline.multimodal import decode_image, synthesize_bmp
+
+    t = load_tables(spark, sf_dir)
+    return decode_image(synthesize_bmp(t.documents))
+
+
 def _ivf_oracle_sql(
     n_cells: int = 16, nprobe: int = 4, k: int = 5, iterations: int = 3, dim: int = 64
 ) -> str:

@@ -164,6 +164,39 @@ def test_shingles_short_doc(spark):
     assert res == {2: 2}
 
 
+def test_bmp_decode_roundtrip(spark):
+    """The stdlib BMP codec round-trips: synthesized header fields and the
+    padding-aware pixel walk match a direct recomputation; non-BMP codecs
+    stay gated."""
+    import pytest as _pytest
+
+    from flink_ci_flink_spark.pipeline.multimodal import (
+        _bmp_bytes,
+        decode_image,
+        synthesize_bmp,
+    )
+
+    # direct byte-level check, including a width needing row padding
+    b = _bmp_bytes(14)  # w = 1 + 14 % 13 = 2 -> stride 8 (2 bytes padding)
+    assert b[:2] == b"BM" and len(b) == 54 + 8 * (1 + 14 % 7)
+
+    df = spark.createDataFrame([(i,) for i in (0, 5, 14, 77)], "doc_id long")
+    rows = {r.doc_id: r for r in decode_image(synthesize_bmp(df)).collect()}
+    for did, r in rows.items():
+        w, h = 1 + did % 13, 1 + did % 7
+        assert (r.width, r.height, r.bpp, r.n_pixels) == (w, h, 24, w * h)
+        expect = sum(
+            (did * 7 + x * 13 + y * 31) % 256
+            + (did * 11 + x * 17 + y * 5) % 256
+            + (did * 3 + x * 19 + y * 23) % 256
+            for x in range(w)
+            for y in range(h)
+        )
+        assert r.px_sum == expect
+    with _pytest.raises(NotImplementedError):
+        decode_image(df, kind="png")
+
+
 def test_ivf_ann_recall(spark, sf_dir):
     """IVF ANN with nprobe=4/16 cells reaches usable recall vs the exact
     cosine baseline, and full probing (nprobe=n_cells) is exact."""
