@@ -114,6 +114,123 @@ def synthesize_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(gen, "doc_id long, payload binary")
 
 
+def _parse_bmp(b: bytes, did: int):
+    """(width, height, row-major top-down BGR pixel rows) from a 24-bit BMP."""
+    import struct
+
+    if b[:2] != b"BM":
+        raise ValueError(f"doc {did}: not a BMP payload")
+    off = struct.unpack_from("<I", b, 10)[0]
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"doc {did}: only uncompressed 24-bit BMP")
+    stride = (w * 3 + 3) & ~3
+    # stored bottom-up: reverse to top-down row order
+    rows = [
+        b[off + y * stride : off + y * stride + w * 3]
+        for y in range(abs(h) - 1, -1, -1)
+    ]
+    return w, abs(h), rows
+
+
+def resize_image(
+    df: DataFrame, out_w: int, out_h: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Nearest-neighbor resize of BMP payloads (the thumbnail/normalize step
+    of an image pipeline), pure stdlib inside Arrow-batched mapInPandas.
+
+    Source pixel for output (x, y) is (x*w // out_w, y*h // out_h) — the
+    standard floor mapping, integer-exact so an SQL oracle can recompute the
+    resized pixel sum. Emits (doc_id, width, height, px_sum) of the RESIZED
+    image; a wrong index mapping or axis swap changes px_sum."""
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "px_sum")}
+            for did, payload in zip(pdf[id_col].astype("int64"), pdf["payload"]):
+                w, h, rows = _parse_bmp(bytes(payload), int(did))
+                px_sum = 0
+                for y in range(out_h):
+                    src_row = rows[y * h // out_h]
+                    for x in range(out_w):
+                        sx = x * w // out_w
+                        px_sum += (
+                            src_row[sx * 3]
+                            + src_row[sx * 3 + 1]
+                            + src_row[sx * 3 + 2]
+                        )
+                out["doc_id"].append(int(did))
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["px_sum"].append(px_sum)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        rs, "doc_id long, width integer, height integer, px_sum long"
+    )
+
+
+def synthesize_bmp_animation(
+    df: DataFrame, n_frames: int = 6, id_col: str = "doc_id"
+) -> DataFrame:
+    """A 'video' payload: `n_frames` complete BMPs back-to-back (each frame
+    shifts the pixel formula by 41*frame), the shape a container-level frame
+    splitter sees. Arrow-batched mapInPandas; payloads stay executor-side."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        b"".join(
+                            _bmp_bytes(int(d) + 41 * f) for f in range(n_frames)
+                        )
+                        for d in ids
+                    ],
+                }
+            )
+
+    return df.mapInPandas(gen, "doc_id long, payload binary")
+
+
+def sample_frames(
+    df: DataFrame, every_k: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame sampling over concatenated-BMP payloads: walk the container by
+    each frame's declared file size (header offset 2), keep every k-th
+    frame, emit one row per kept frame with its decoded pixel sum — the
+    keyframe-extraction step of a video pipeline. One input row fans out to
+    ceil(n_frames/k) output rows, still map-only."""
+    import struct
+
+    def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_idx", "width", "height", "px_sum")}
+            for did, payload in zip(pdf[id_col].astype("int64"), pdf["payload"]):
+                b, pos, idx = bytes(payload), 0, 0
+                while pos < len(b):
+                    if b[pos : pos + 2] != b"BM":
+                        raise ValueError(f"doc {did}: bad frame at byte {pos}")
+                    size = struct.unpack_from("<I", b, pos + 2)[0]
+                    if idx % every_k == 0:
+                        w, h, rows = _parse_bmp(b[pos : pos + size], int(did))
+                        out["doc_id"].append(int(did))
+                        out["frame_idx"].append(idx)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["px_sum"].append(sum(sum(r) for r in rows))
+                    pos += size
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        fs,
+        "doc_id long, frame_idx integer, width integer, height integer, px_sum long",
+    )
+
+
 def decode_image(df: DataFrame, id_col: str = "doc_id", kind: str = "bmp") -> DataFrame:
     """Real image decode over binary payloads (pure stdlib, mapInPandas).
 

@@ -425,6 +425,92 @@ def pipe_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image(synthesize_bmp(t.documents))
 
 
+@query(
+    "pipe_resize_bmp",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             1 + doc_id % 13 AS w,
+             1 + doc_id % 7 AS h
+      FROM documents
+    ), px AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 7 + ((x.x * d.w) // 4) * 13 + ((y.y * d.h) // 3) * 31) % 256
+              + (d.doc_id * 11 + ((x.x * d.w) // 4) * 17 + ((y.y * d.h) // 3) * 5) % 256
+              + (d.doc_id * 3 + ((x.x * d.w) // 4) * 19 + ((y.y * d.h) // 3) * 23) % 256
+             ) AS s
+      FROM dims d
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS x) x
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS y) y
+    )
+    SELECT doc_id, CAST(4 AS INTEGER) AS width, CAST(3 AS INTEGER) AS height,
+           CAST(SUM(s) AS BIGINT) AS px_sum
+    FROM px
+    GROUP BY doc_id
+    """,
+    group="pipeline",
+)
+def pipe_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE step of the multimodal pipeline: synthesize real BMPs,
+    nearest-neighbor-resample every image to 4x3 (thumbnail/normalize pass),
+    emit the resized pixel sum. Integer-exact floor index mapping
+    (sx = x*w//4, sy = y*h//3), so the oracle recomputes the resampled
+    pixel grid from the synthesis formulas in SQL — any axis swap, stride
+    bug, or rounding difference in the resampler changes px_sum. Both
+    stages Arrow-batched mapInPandas, map-only, zero shuffles."""
+    from flink_ci_flink_spark.pipeline.multimodal import resize_image, synthesize_bmp
+
+    t = load_tables(spark, sf_dir)
+    return resize_image(synthesize_bmp(t.documents), 4, 3)
+
+
+@query(
+    "pipe_frame_sample",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id,
+             f.f AS frame_idx,
+             doc_id + 41 * f.f AS d,
+             CAST(1 + (doc_id + 41 * f.f) % 13 AS INTEGER) AS width,
+             CAST(1 + (doc_id + 41 * f.f) % 7 AS INTEGER) AS height
+      FROM documents
+      CROSS JOIN (SELECT UNNEST([0, 2, 4]) AS f) f
+    ), px AS (
+      SELECT fr.doc_id, fr.frame_idx,
+             ((fr.d * 7 + x.x * 13 + y.y * 31) % 256
+              + (fr.d * 11 + x.x * 17 + y.y * 5) % 256
+              + (fr.d * 3 + x.x * 19 + y.y * 23) % 256) AS s
+      FROM frames fr
+      JOIN (SELECT UNNEST(generate_series(0, 12)) AS x) x ON x.x < fr.width
+      JOIN (SELECT UNNEST(generate_series(0, 6)) AS y) y ON y.y < fr.height
+    )
+    SELECT fr.doc_id, CAST(fr.frame_idx AS INTEGER) AS frame_idx,
+           fr.width, fr.height,
+           CAST(SUM(px.s) AS BIGINT) AS px_sum
+    FROM frames fr
+    JOIN px ON px.doc_id = fr.doc_id AND px.frame_idx = fr.frame_idx
+    GROUP BY fr.doc_id, fr.frame_idx, fr.width, fr.height
+    """,
+    group="pipeline",
+)
+def pipe_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video FRAME-SAMPLE step: synthesize a 6-frame concatenated-BMP
+    'video' per document (frame f shifts the pixel formula by 41*f), walk
+    the container by each frame's declared file size, keep every 2nd frame
+    (keyframe extraction), and decode each kept frame's dimensions + pixel
+    sum. One row fans out to 3 frame rows — map-only, zero shuffles; the
+    oracle recomputes every kept frame's dims and pixel sum in SQL, so the
+    container walk (frame boundaries) and per-frame decode are both
+    hash-checked exactly."""
+    from flink_ci_flink_spark.pipeline.multimodal import (
+        sample_frames,
+        synthesize_bmp_animation,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return sample_frames(synthesize_bmp_animation(t.documents, 6), 2)
+
+
 def _ivf_oracle_sql(
     n_cells: int = 16, nprobe: int = 4, k: int = 5, iterations: int = 3, dim: int = 64
 ) -> str:
