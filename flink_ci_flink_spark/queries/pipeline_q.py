@@ -511,6 +511,43 @@ def pipe_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(synthesize_bmp_animation(t.documents, 6), 2)
 
 
+@query(
+    "pipe_decode_wav",
+    oracle="""
+    WITH clips AS (
+      SELECT doc_id, 16 + doc_id % 17 AS n
+      FROM documents
+    ), s AS (
+      SELECT c.doc_id, c.n,
+             ((c.doc_id * 13 + i.i * 7919) % 65536) - 32768 AS v
+      FROM clips c
+      JOIN (SELECT UNNEST(generate_series(0, 32)) AS i) i ON i.i < c.n
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS INTEGER) AS n_samples,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(SUM(ABS(v)) AS BIGINT) AS abs_sum,
+           CAST(MAX(ABS(v)) AS INTEGER) AS peak
+    FROM s
+    GROUP BY doc_id
+    """,
+    group="pipeline",
+)
+def pipe_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END real audio decode: synthesize a genuine PCM 16-bit WAV
+    per document (sample count and every sample deterministic functions of
+    doc_id), then parse it back with the pure-stdlib RIFF walker — chunk
+    traversal, PCM validation, per-clip amplitude features. Both stages
+    Arrow-batched mapInPandas, map-only, zero shuffles. The oracle
+    recomputes the sample series and its absolute-amplitude sum/peak in
+    SQL, so chunk offsets, sample width, and signedness handling are all
+    hash-checked exactly."""
+    from flink_ci_flink_spark.pipeline.multimodal import decode_audio, synthesize_wav
+
+    t = load_tables(spark, sf_dir)
+    return decode_audio(synthesize_wav(t.documents))
+
+
 def _ivf_oracle_sql(
     n_cells: int = 16, nprobe: int = 4, k: int = 5, iterations: int = 3, dim: int = 64
 ) -> str:

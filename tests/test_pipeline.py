@@ -197,6 +197,39 @@ def test_bmp_decode_roundtrip(spark):
         decode_image(df, kind="png")
 
 
+def test_wav_decode_roundtrip(spark):
+    """The stdlib WAV codec round-trips, walks unknown RIFF chunks per
+    spec, and keeps compressed codecs gated."""
+    import struct
+
+    import pytest as _pytest
+
+    from flink_ci_flink_spark.pipeline.multimodal import (
+        _wav_bytes,
+        decode_audio,
+        synthesize_wav,
+    )
+
+    df = spark.createDataFrame([(3,), (20,)], "doc_id long")
+    rows = {r.doc_id: r for r in decode_audio(synthesize_wav(df)).collect()}
+    for did, r in rows.items():
+        n = 16 + did % 17
+        samples = [((did * 13 + i * 7919) % 65536) - 32768 for i in range(n)]
+        assert (r.n_samples, r.sample_rate) == (n, 8000)
+        assert r.abs_sum == sum(abs(s) for s in samples)
+        assert r.peak == max(abs(s) for s in samples)
+    # an unknown chunk (e.g. LIST) before data must be skipped, word-aligned
+    b = _wav_bytes(3)
+    head, rest = b[:12], b[12:]
+    odd_chunk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    injected = head + odd_chunk + rest
+    df2 = spark.createDataFrame([(3, bytearray(injected))], "doc_id long, payload binary")
+    (r2,) = decode_audio(df2).collect()
+    assert (r2.n_samples, r2.abs_sum) == (rows[3].n_samples, rows[3].abs_sum)
+    with _pytest.raises(NotImplementedError):
+        decode_audio(df, kind="mp3")
+
+
 def test_ivf_ann_recall(spark, sf_dir):
     """IVF ANN with nprobe=4/16 cells reaches usable recall vs the exact
     cosine baseline, and full probing (nprobe=n_cells) is exact."""
