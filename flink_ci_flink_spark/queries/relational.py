@@ -683,7 +683,8 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "values_inline",
     oracle="""
-    SELECT k, v * 2 AS v2 FROM (VALUES (1, 10.0), (2, 20.5), (3, -1.5)) AS t(k, v)
+    SELECT k, CAST(v AS DOUBLE) * 2 AS v2
+    FROM (VALUES (1, 10.0), (2, 20.5), (3, -1.5)) AS t(k, v)
     """,
     group="scan",
 )

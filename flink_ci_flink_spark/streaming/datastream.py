@@ -136,6 +136,7 @@ class WindowedStream:
         self.window_seconds = window_seconds
         self._trigger = None
         self._evictor = None
+        self._allowed_lateness = 0.0
 
     def trigger(self, t) -> "WindowedStream":
         self._trigger = t
@@ -143,6 +144,13 @@ class WindowedStream:
 
     def evictor(self, e) -> "WindowedStream":
         self._evictor = e
+        return self
+
+    def allowed_lateness(self, seconds: float) -> "WindowedStream":
+        """`WindowedStream.allowedLateness` analog: late-but-allowed
+        elements re-fire their window with the corrected aggregate
+        (update-mode re-emission, next fire_seq)."""
+        self._allowed_lateness = float(seconds)
         return self
 
     def sum(self) -> DataFrame:
@@ -171,6 +179,7 @@ class WindowedStream:
             evictor=self._evictor,
             window_seconds=self.window_seconds,
             aggs=aggs,
+            allowed_lateness=self._allowed_lateness,
         )
 
 

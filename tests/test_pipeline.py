@@ -58,13 +58,16 @@ def test_multimodal_stub_plumbing(spark, sf_dir):
     assert len(row.head_hex) == 16 and row.kind == "blob"
 
 
-def test_decode_image_is_stubbed(spark):
+def test_decode_image_gates_compressed_codecs(spark):
+    """BMP decodes natively (test_bmp_decode_roundtrip); every codec that
+    would need PIL/ffmpeg stays behind a loud NotImplementedError."""
     import pytest
 
     from flink_ci_flink_spark.pipeline.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
-        decode_image(None)
+    for kind in ("png", "jpeg", "mp4"):
+        with pytest.raises(NotImplementedError):
+            decode_image(None, kind=kind)
 
 
 def test_jaccard_max_postings_cap(spark):

@@ -304,6 +304,34 @@ def test_late_element_after_window_gc_dropped(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_datastream_allowed_lateness_chain(spark):
+    """The fluent facade's .allowed_lateness() routes to the re-firing
+    triggered_window (WindowedStream.allowedLateness analog)."""
+    from flink_ci_flink_spark.streaming import file_stream
+    from flink_ci_flink_spark.streaming.datastream import DataStream
+
+    schema = "user_id long, ts double, value double"
+    b1 = [(1, 1.0, 1.0), (1, 11.0, 3.0)]
+    b2 = [(1, 2.0, 5.0), (1, 25.0, 4.0)]
+    tmp = _replay_fixture(spark, b1 + b2, schema, n_files=2)
+    try:
+        st = file_stream(
+            spark, tmp, spark.createDataFrame([], schema).schema,
+            max_files_per_trigger=1,
+        )
+        out = (
+            DataStream(st)
+            .key_by("user_id")
+            .window("ts", "value", 10.0)
+            .allowed_lateness(10.0)
+            .sum()
+        )
+        got = {(r.win, r.fire_seq, r.n, r.total) for r in _run(spark, out)}
+        assert got == {(0, 0, 1, 1.0), (0, 1, 2, 6.0), (10, 0, 1, 3.0)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_allowed_lateness_refires_closed_window(spark):
     """A late element within allowedLateness RE-FIRES the already-fired
     window with the corrected aggregate (next fire_seq, update-mode
