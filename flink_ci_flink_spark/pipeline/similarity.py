@@ -344,3 +344,78 @@ def ivf_ann_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q[i] = round(x[i] * 127 / mx)
+    with mx = max|x| — the standard scalar-quantized ANN storage layout
+    (4x smaller than float32, integer dot products downstream).
+
+    Engine-portable by construction: amax via an exact max fold, rounding
+    via floor(x + 0.5), everything a deterministic double expression — so a
+    DuckDB oracle reproduces every code bit-for-bit. Map-only, no shuffle.
+    Output: (id, qvec array<bigint>, amax double)."""
+    v = _to_double(vec_col)
+    amax = F.aggregate(
+        F.transform(v, lambda x: F.abs(x)), F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(
+            amax > 0,
+            F.transform(
+                v, lambda x: F.floor(x * F.lit(127.0) / amax + F.lit(0.5)).cast("long")
+            ),
+        )
+        .otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
+        .alias("qvec"),
+        amax.alias("amax"),
+    )
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k by int8-quantized cosine: integer dot products over the
+    quantized codes, normalized by the codes' own norms (scale factors
+    cancel). The memory-bound ANN configuration at 100 TB — the corpus
+    streams as int8 codes (4x less I/O than float32), the dot product is
+    integer arithmetic, and the 8-query side broadcasts exactly like the
+    float baseline. Output: (query_id, vec_id, dot_q BIGINT, approx_cos,
+    rank); recall vs the exact baseline is asserted in tests."""
+    qq = quantize_embeddings(queries, query_id_col, vec_col).select(
+        F.col(query_id_col), F.col("qvec").alias("__qq")
+    )
+    qc = quantize_embeddings(corpus, id_col, vec_col).select(
+        F.col(id_col), F.col("qvec").alias("__qc")
+    )
+    dot_q = F.aggregate(
+        F.zip_with(F.col("__qq"), F.col("__qc"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = qc.crossJoin(F.broadcast(qq)).select(
+        query_id_col,
+        id_col,
+        dot_q.alias("dot_q"),
+        F.round(
+            dot_q.cast("double") / (nrm(F.col("__qq")) * nrm(F.col("__qc"))), 6
+        ).alias("approx_cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("approx_cos"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

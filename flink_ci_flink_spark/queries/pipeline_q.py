@@ -548,6 +548,57 @@ def pipe_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio(synthesize_wav(t.documents))
 
 
+@query(
+    "pipe_quantized_ann",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), quant AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> ABS(x))) AS amax
+      FROM base
+    ), codes AS (
+      SELECT vec_id,
+             CASE WHEN amax > 0
+                  THEN list_transform(v, x -> CAST(FLOOR(x * 127 / amax + 0.5) AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+      FROM quant
+    ), qq AS (
+      SELECT vec_id AS query_id, q AS qq FROM codes WHERE vec_id < 8
+    ), scored AS (
+      SELECT query_id, c.vec_id,
+             CAST(list_dot_product(qq, c.q) AS BIGINT) AS dot_q,
+             ROUND(list_dot_product(qq, c.q) /
+                   (SQRT(list_dot_product(qq, qq)) * SQRT(list_dot_product(c.q, c.q))),
+                   6) AS approx_cos
+      FROM qq CROSS JOIN codes c
+    )
+    SELECT query_id, vec_id, dot_q, approx_cos, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY approx_cos DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+    group="pipeline",
+)
+def pipe_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-5: per-vector symmetric quantization
+    (q = round(x*127/max|x|), the 4x-compressed ANN storage layout), then
+    INTEGER dot products over the codes with the scale factors cancelling
+    in the cosine. The memory-bound configuration a 100 TB vector corpus
+    actually ships: int8 codes stream (4x less scan I/O), queries
+    broadcast. The oracle reproduces quantization and scoring exactly —
+    the max fold, floor(x+0.5) rounding, and integer dot are all
+    engine-portable deterministic expressions."""
+    from flink_ci_flink_spark.pipeline.similarity import quantized_cosine_topk
+
+    t = load_tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return quantized_cosine_topk(t.embeddings, queries, k=5)
+
+
 def _ivf_oracle_sql(
     n_cells: int = 16, nprobe: int = 4, k: int = 5, iterations: int = 3, dim: int = 64
 ) -> str:

@@ -233,6 +233,32 @@ def test_wav_decode_roundtrip(spark):
         decode_audio(df, kind="mp3")
 
 
+def test_quantized_ann_recall(spark, sf_dir):
+    """Int8-quantized cosine top-5 keeps high recall vs the exact float
+    baseline (systematic quantization error, not noise: >=80% overlap),
+    and the integer dot products are self-consistent with the codes."""
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline.similarity import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+
+    t = load_tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id) for r in cosine_topk(t.embeddings, queries, k=5).collect()
+    }
+    quant = quantized_cosine_topk(t.embeddings, queries, k=5).collect()
+    got = {(r.query_id, r.vec_id) for r in quant}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, f"int8 recall {recall:.2f}"
+    # each query's own vector is its top hit with approx_cos 1.0
+    self_hits = {r.query_id for r in quant if r.vec_id == r.query_id and r.rank == 1}
+    assert self_hits == set(range(8))
+
+
 def test_ivf_ann_recall(spark, sf_dir):
     """IVF ANN with nprobe=4/16 cells reaches usable recall vs the exact
     cosine baseline, and full probing (nprobe=n_cells) is exact."""
