@@ -205,14 +205,25 @@ def main() -> None:
                 f"# fixtures ready in {time.perf_counter() - t0:.1f}s",
                 file=sys.stderr,
             )
-            sf1_t: dict[str, float] = {}
-            for name in SCALE_RUNG:
-                t0 = time.perf_counter()
-                n = QUERIES[name].fn(spark, sf1_dir).count()
-                sf1_t[name] = round(time.perf_counter() - t0, 3)
-                print(f"# sf1 {name}: {sf1_t[name]:.3f}s ({n} rows)", file=sys.stderr)
-                if name == "graph_dedup_clusters" and LAST_CC_STATS:
-                    result["cc_supersteps_sf1"] = dict(LAST_CC_STATS)
+            # 2 runs -> MIN per query: the sf1 rung runs late in the bench
+            # when box contention is likeliest, and contention noise is
+            # one-sided (observed 22s..79s for the same CC query), so the
+            # min is the faithful cost estimate for scale-up ratios.
+            sf1_samples: dict[str, list[float]] = {n: [] for n in SCALE_RUNG}
+            for r in range(2):
+                for name in SCALE_RUNG:
+                    t0 = time.perf_counter()
+                    n = QUERIES[name].fn(spark, sf1_dir).count()
+                    dt = round(time.perf_counter() - t0, 3)
+                    sf1_samples[name].append(dt)
+                    print(
+                        f"# sf1 run{r + 1} {name}: {dt:.3f}s ({n} rows)",
+                        file=sys.stderr,
+                    )
+                    if name == "graph_dedup_clusters" and LAST_CC_STATS:
+                        result["cc_supersteps_sf1"] = dict(LAST_CC_STATS)
+            sf1_t = {name: min(ts) for name, ts in sf1_samples.items()}
+            result["sf1_samples"] = sf1_samples
             skew_t: dict[str, float] = {}
             for name in SKEW_RUNG:
                 t0 = time.perf_counter()

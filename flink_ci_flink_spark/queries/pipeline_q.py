@@ -599,6 +599,80 @@ def pipe_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_cosine_topk(t.embeddings, queries, k=5)
 
 
+@query(
+    "pipe_pq_ann",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), cb AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS e, v AS cv
+      FROM base ORDER BY vec_id LIMIT 16
+    ), dists AS (
+      SELECT c.vec_id, s.s, cb.e,
+             list_sum(list_transform(generate_series(1, 8),
+               j -> (c.v[s.s * 8 + j] - cb.cv[s.s * 8 + j])
+                    * (c.v[s.s * 8 + j] - cb.cv[s.s * 8 + j]))) AS d
+      FROM base c
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS s) s
+      CROSS JOIN cb
+    ), codes AS (
+      SELECT vec_id, s, e FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, e) AS rn
+        FROM dists) WHERE rn = 1
+    ), recon AS (
+      SELECT t.vec_id, flatten(list(t.piece ORDER BY t.s)) AS rv
+      FROM (
+        SELECT codes.vec_id, codes.s,
+               array_slice(cb.cv, codes.s * 8 + 1, codes.s * 8 + 8) AS piece
+        FROM codes JOIN cb USING (e)
+      ) t
+      GROUP BY t.vec_id
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 8
+    ), short AS (
+      SELECT query_id, vec_id, qv FROM (
+        SELECT q.query_id, r.vec_id, q.qv,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 ROUND(list_dot_product(q.qv, r.rv) /
+                       (SQRT(list_dot_product(q.qv, q.qv))
+                        * SQRT(list_dot_product(r.rv, r.rv))), 6) DESC,
+                 r.vec_id) AS srn
+        FROM q CROSS JOIN recon r
+      ) WHERE srn <= 100
+    ), rerank AS (
+      SELECT s.query_id, s.vec_id,
+             ROUND(list_dot_product(s.qv, c.v) /
+                   (SQRT(list_dot_product(s.qv, s.qv))
+                    * SQRT(list_dot_product(c.v, c.v))), 6) AS cos_sim
+      FROM short s JOIN base c ON c.vec_id = s.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM rerank) WHERE rank <= 5
+    """,
+    group="pipeline",
+)
+def pipe_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, the two-stage shape a 100 TB vector corpus
+    runs: PQ codes (8 subspaces x 16-entry sampled codebook = 8 bytes per
+    vector, 32x less than float32) score every corpus row against each
+    query via codebook reconstruction, a 100-row shortlist per query is
+    exact-cosine re-ranked to the final top-5. The oracle replays the
+    whole thing in SQL — per-subspace argmin encoding (ties to lowest
+    entry), reconstruction, shortlist selection, and re-rank are all
+    hash-checked, the same determinism discipline as the IVF oracles.
+    Measured recall@5 ~0.95 vs the exact baseline (tests)."""
+    from flink_ci_flink_spark.pipeline.similarity import pq_ann_topk
+
+    t = load_tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_ann_topk(t.embeddings, queries, k=5)
+
+
 def _ivf_oracle_sql(
     n_cells: int = 16, nprobe: int = 4, k: int = 5, iterations: int = 3, dim: int = 64
 ) -> str:

@@ -233,6 +233,76 @@ def test_wav_decode_roundtrip(spark):
         decode_audio(df, kind="mp3")
 
 
+def test_codec_property_roundtrip():
+    """Hypothesis: for arbitrary doc ids, the BMP bytes parse back to the
+    exact synthesis dimensions/pixels (stride + bottom-up order + padding
+    all exercised as width varies 1..13), and the WAV data chunk decodes to
+    the exact sample series."""
+    import struct
+
+    from hypothesis import given, settings, strategies as st
+
+    from flink_ci_flink_spark.pipeline.multimodal import (
+        _bmp_bytes,
+        _parse_bmp,
+        _wav_bytes,
+    )
+
+    @given(st.integers(min_value=0, max_value=10**9))
+    @settings(max_examples=200, deadline=None)
+    def check(did):
+        w, h = 1 + did % 13, 1 + did % 7
+        b = _bmp_bytes(did)
+        stride = (w * 3 + 3) & ~3
+        assert len(b) == 54 + stride * h
+        pw, ph, rows = _parse_bmp(b, did)
+        assert (pw, ph) == (w, h)
+        for y, row in enumerate(rows):
+            for x in range(w):
+                assert row[x * 3] == (did * 7 + x * 13 + y * 31) % 256
+                assert row[x * 3 + 1] == (did * 11 + x * 17 + y * 5) % 256
+                assert row[x * 3 + 2] == (did * 3 + x * 19 + y * 23) % 256
+        wb = _wav_bytes(did)
+        n = 16 + did % 17
+        assert wb[:4] == b"RIFF" and wb[8:12] == b"WAVE"
+        data_off = wb.index(b"data") + 8
+        samples = struct.unpack_from(f"<{n}h", wb, data_off)
+        assert list(samples) == [
+            ((did * 13 + i * 7919) % 65536) - 32768 for i in range(n)
+        ]
+
+    check()
+
+
+def test_pq_ann_recall(spark, sf_dir):
+    """Two-stage PQ (shortlist=100 + exact re-rank) reaches high recall vs
+    the exact baseline; the compressed codes really are m=8 small ints."""
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline.similarity import (
+        cosine_topk,
+        pq_ann_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    t = load_tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id) for r in cosine_topk(t.embeddings, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in pq_ann_topk(t.embeddings, queries, k=5).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, f"pq recall {recall:.2f}"
+    cb = pq_codebook(t.embeddings)
+    codes = pq_encode(t.embeddings, cb).collect()
+    assert all(len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes) for r in codes)
+
+
 def test_quantized_ann_recall(spark, sf_dir):
     """Int8-quantized cosine top-5 keeps high recall vs the exact float
     baseline (systematic quantization error, not noise: >=80% overlap),
