@@ -69,8 +69,8 @@ _PRIORITY = [
     "tpch_q20_potential_promotion",
     "map_construct_explode",
     "null_safe_comparison",
-    "str_to_map_canonical",
-    "temporal_overlaps_pred",
+    "pipe_quantized_ann",
+    "pipe_pq_ann",
     "over_count_distinct",
     "pipe_redact_pii",
     "pipe_repetition_filters",
