@@ -263,3 +263,95 @@ def over_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_mo", "mo", "cum_custs")
         .orderBy("n_mo", "mo")
     )
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents_sum,
+           CAST(MIN(user_id) AS BIGINT) AS dummy_min
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    group="agg",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level salted aggregation for hot grouping keys (the events table
+    has only a handful of event_type values — every key is hot). The salt
+    splits each key across 16 partial groups, so no single reducer holds a
+    whole hot key at 100 TB; partials merge exactly because every aggregate
+    is integer-mergeable (counts sum, integer cent-sums sum, min merges by
+    min — float sums would be order-sensitive and are deliberately NOT
+    offered by the operator's merge table). Ref: the Blink planner's
+    distinct-agg split / two-phase agg (`SplitAggregateRule.scala`,
+    `TwoStageOptimizedAggregateRule.scala`)."""
+    from flink_ci_flink_spark.operators.skew import salted_agg
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "cents"),
+            "cents_sum": ("sum", "cents"),
+            "dummy_min": ("min", "user_id"),
+        },
+        n_salts=16,
+        salt_source="user_id",
+    )
+    return out.select(
+        "event_type", "n", "cents_sum", F.col("dummy_min").cast("long").alias("dummy_min")
+    ).orderBy("event_type")
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             CONCAT('cat_', SUBSTR(event_type, 1, 2)) AS category
+      FROM events
+    )
+    SELECT e.event_type, d.category, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    GROUP BY e.event_type, d.category
+    ORDER BY e.event_type
+    """,
+    group="join",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant equi-join: the fact's join key is hot (a few
+    event_type values cover the whole events table), so the salted join
+    replicates the tiny dim once per salt and joins on (key, salt) —
+    every partition gets a bounded slice of each hot key. Results are
+    identical to the plain join by construction (the oracle IS the plain
+    join); AQE's skew-join covers this automatically when it can, the
+    operator covers the stages it can't re-plan."""
+    from flink_ci_flink_spark.operators.skew import salted_broadcast_left
+
+    t = load_tables(spark, sf_dir)
+    dim = (
+        t.events.select("event_type")
+        .distinct()
+        .withColumn("category", F.concat(F.lit("cat_"), F.substring("event_type", 1, 2)))
+    )
+    joined = salted_broadcast_left(t.events, dim, "event_type", n_salts=8)
+    return (
+        joined.groupBy("event_type", "category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents"),
+        )
+        .orderBy("event_type")
+    )
