@@ -76,7 +76,7 @@ _PRIORITY = [
     "pipe_repetition_filters",
     "pipe_contamination_overlap",
     "pipe_chunk_documents",
-    "pipe_token_count_by_source",
+    "pipe_semdedup",
     "pipe_cosine_near_dup",
     "pipe_decode_bmp",
     "graph_degrees_triangles",

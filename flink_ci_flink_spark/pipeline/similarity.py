@@ -346,6 +346,61 @@ def ivf_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    n_cells: int = 8,
+    eps: float = 0.85,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    deterministic: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then within each
+    cluster flag every vector that has a LOWER-id cluster-mate with cosine
+    ≥ ``eps`` as a semantic duplicate (keep-lowest-id policy — the paper
+    keeps one representative per ε-ball; lowest id makes the choice
+    deterministic and oracle-replayable).
+
+    Scale shape: cell assignment is the same map-only argmin projection IVF
+    uses (no shuffle of vectors); the candidate join is WITHIN-cluster only,
+    so its cost is Σ|cell|² — at 100 TB `n_cells` grows with the corpus
+    (the paper runs ~100k clusters for billions of docs) keeping cells
+    small, and only (id, id) scalar pairs reach the dedup-flag shuffle.
+    ``deterministic=True`` trains with bitwise-reproducible sorted-order
+    means (see `ivf_centroids`) so a SQL oracle can replay training,
+    assignment, and screening exactly.
+
+    Output: (id_col, cell, kept) — one row per input vector.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(
+            emb, n_cells, iterations, id_col, vec_col, deterministic
+        )
+    c = emb.select(F.col(id_col).alias("__id"), _to_double(vec_col).alias("__v"))
+    assigned = c.select(
+        "__id", "__v", _assign_cells(F.col("__v"), centroids).alias("cell")
+    )
+    dups = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.__id") < F.col("a.__id")),
+        )
+        .filter(F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6) >= eps)
+        .select(F.col("a.__id").alias("__id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return assigned.join(dups, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.col("cell"),
+        F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept"),
+    )
+
+
 def quantize_embeddings(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

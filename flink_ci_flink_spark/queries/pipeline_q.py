@@ -673,17 +673,15 @@ def pipe_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ann_topk(t.embeddings, queries, k=5)
 
 
-def _ivf_oracle_sql(
-    n_cells: int = 16, nprobe: int = 4, k: int = 5, iterations: int = 3, dim: int = 64
-) -> str:
-    """EXACT oracle for the trained-IVF query: the k-means training itself
-    is unrolled into SQL — init = `n_cells` lowest-id vectors, then per
-    iteration an argmin-L2 assignment (elementwise squared-difference sum,
-    the same ascending-index fold Spark's `_l2sq` performs) and a per
-    (cell, position) mean computed by summing the group's values in SORTED
-    order, mirroring `ivf_centroids(deterministic=True)` bit-for-bit
-    (floating-point addition is order-sensitive; fixing the order makes
-    training a pure function of the data on both engines)."""
+def _kmeans_parts(n_cells: int, iterations: int, dim: int):
+    """Shared CTE builder unrolling deterministic Lloyd k-means into SQL:
+    init = `n_cells` lowest-id vectors, then per iteration an argmin-L2
+    assignment (elementwise squared-difference sum, the same ascending-index
+    fold Spark's `_l2sq` performs) and a per (cell, position) mean computed
+    by summing the group's values in SORTED order, mirroring
+    `ivf_centroids(deterministic=True)` bit-for-bit (floating-point addition
+    is order-sensitive; fixing the order makes training a pure function of
+    the data on both engines). Returns (parts, assign, final_cte_name)."""
     l2 = (
         "list_sum(list_transform(generate_series(1, {d}), "
         "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
@@ -718,7 +716,15 @@ def _ivf_oracle_sql(
             f"LEFT JOIN (SELECT cell, list(mx ORDER BY pos) AS cv FROM m{it} "
             f"GROUP BY cell) g ON g.cell = p.cell)"
         )
-    final = f"c{iterations}"
+    return parts, assign, f"c{iterations}", l2
+
+
+def _ivf_oracle_sql(
+    n_cells: int = 16, nprobe: int = 4, k: int = 5, iterations: int = 3, dim: int = 64
+) -> str:
+    """EXACT oracle for the trained-IVF query: k-means training unrolled via
+    `_kmeans_parts`, then probe selection and in-cell scoring in SQL."""
+    parts, assign, final, l2 = _kmeans_parts(n_cells, iterations, dim)
     parts.append(assign("e", final, "afin"))
     parts.append("q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8)")
     dq = l2.format(d=dim, a="s.qv", b="ct.cv")
@@ -810,6 +816,49 @@ def pipe_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return ivf_ann_topk(
         t.embeddings, queries, n_cells=8, nprobe=8, k=5, centroids=cents
+    )
+
+
+def _semdedup_oracle_sql(
+    n_cells: int = 8, eps: float = 0.4, iterations: int = 2, dim: int = 64
+) -> str:
+    """EXACT oracle for SemDeDup: deterministic k-means training unrolled
+    via `_kmeans_parts`, final assignment, then the within-cluster
+    lower-id cosine screen replayed in SQL."""
+    parts, assign, final, _l2 = _kmeans_parts(n_cells, iterations, dim)
+    parts.append(assign("e", final, "afin"))
+    parts.append(
+        "dup AS (SELECT DISTINCT a.vec_id FROM afin a JOIN afin b "
+        "ON a.cell = b.cell AND b.vec_id < a.vec_id "
+        "WHERE ROUND(list_dot_product(a.v, b.v) / "
+        "(SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6)"
+        f" >= {eps})"
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + """
+    SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+           (d.vec_id IS NULL) AS kept
+    FROM afin a LEFT JOIN dup d ON d.vec_id = a.vec_id
+    """
+    )
+
+
+@query("pipe_semdedup", oracle=_semdedup_oracle_sql(), group="pipeline")
+def pipe_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    deduplication by k-means clustering + within-cluster cosine screening
+    with keep-lowest-id policy. The third dedup family next to MinHash/LSH
+    (lexical) and SimHash (bitwise): catches paraphrases that share no
+    shingles. Deterministic training (sorted-order means) makes the ENTIRE
+    pipeline — Lloyd iterations, cell assignment, the ε=0.4 screen —
+    hash-checked against a DuckDB oracle that unrolls it in SQL. At 100 TB
+    the candidate join is within-cluster only (Σ|cell|²; n_cells grows with
+    the corpus keeping cells small) and cell assignment is map-only."""
+    from flink_ci_flink_spark.pipeline.similarity import semantic_dedup
+
+    t = load_tables(spark, sf_dir)
+    return semantic_dedup(
+        t.embeddings, n_cells=8, eps=0.4, iterations=2, deterministic=True
     )
 
 

@@ -385,6 +385,60 @@ def test_cosine_near_dup_lsh_recall(spark, sf_dir):
         assert len(approx) / len(exact) >= 0.5
 
 
+def test_semantic_dedup_semantics(spark, sf_dir):
+    """SemDeDup flags exactly the vectors that have a lower-id cluster-mate
+    with cosine >= eps (keep-lowest-id policy): verified against a local
+    numpy recomputation of the within-cell screen using the SAME trained
+    centroids, so the check isolates the screening logic."""
+    import numpy as np
+
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline.similarity import (
+        ivf_centroids,
+        semantic_dedup,
+    )
+
+    emb = load_tables(spark, sf_dir).embeddings
+    eps = 0.4
+    cents = ivf_centroids(emb, n_cells=8, iterations=2, deterministic=True)
+    out = semantic_dedup(emb, n_cells=8, eps=eps, centroids=cents).collect()
+    rows = emb.select("vec_id", "embedding").collect()
+    assert len(out) == len(rows)
+
+    V = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    C = np.array(cents)
+    cell_of = {
+        vid: int(np.argmin(((v - C) ** 2).sum(axis=1))) for vid, v in V.items()
+    }
+    by_cell: dict[int, list[int]] = {}
+    for vid in sorted(V):
+        by_cell.setdefault(cell_of[vid], []).append(vid)
+
+    expected_kept = {}
+    for vid in sorted(V):
+        v = V[vid]
+        dup = False
+        for other in by_cell[cell_of[vid]]:
+            if other >= vid:
+                break
+            o = V[other]
+            cos = round(
+                float(v @ o) / (np.linalg.norm(v) * np.linalg.norm(o)), 6
+            )
+            if cos >= eps:
+                dup = True
+                break
+        expected_kept[vid] = not dup
+
+    for r in out:
+        assert r.cell == cell_of[r.vec_id], r
+        assert r.kept == expected_kept[r.vec_id], r
+    # the screen actually fires on this corpus, and lowest ids survive
+    assert any(not r.kept for r in out)
+    for cell, members in by_cell.items():
+        assert expected_kept[members[0]]
+
+
 def test_hash_sample_reproducible_across_partitioning(spark, sf_dir):
     """Deterministic sampling selects the identical row set regardless of
     partitioning — the property engine-native df.sample() cannot promise."""
