@@ -85,7 +85,7 @@ _PRIORITY = [
     "cep_error_burst",
     "cep_match_recognize_view_run",
     "udf_cogroup",
-    "udf_map_partitions",
+    "fn_json",
 ]
 
 

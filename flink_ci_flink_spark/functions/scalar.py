@@ -81,6 +81,14 @@ FLINK_TO_SPARK = {
     "CAST": "cast", "REINTERPRET_CAST": "cast",
     # aggregate-adjacent scalar helpers (SUM0 = null-as-zero sum)
     "SUM0": "custom:sum0", "INCR_SUM": "custom:sum0",
+    # SQL/JSON (Flink 1.15+; BuiltInFunctionDefinitions JSON_* entries,
+    # runtime flink-table-runtime/.../functions/SqlJsonUtils.java)
+    "JSON_VALUE": "get_json_object", "JSON_QUERY": "custom:json_query",
+    "JSON_EXISTS": "custom:json_exists", "JSON_STRING": "custom:json_string",
+    "JSON_OBJECT": "custom:json_object", "JSON_ARRAY": "custom:json_array",
+    "JSON_OBJECTAGG": "custom:json_objectagg",
+    "JSON_ARRAYAGG": "custom:json_arrayagg",
+    "IS JSON": "custom:is_json",
 }
 
 
@@ -174,6 +182,100 @@ def epoch_seconds(df, col) -> Column:
         )
     c = F.col(name) if name is not None else col
     return c.cast("double")
+
+
+# ---------------------------------------------------------------------------
+# SQL/JSON function family (Flink 1.15+).
+# Ref: BuiltInFunctionDefinitions JSON_VALUE/JSON_QUERY/JSON_EXISTS/
+# JSON_STRING/JSON_OBJECT/JSON_ARRAY/JSON_OBJECTAGG/JSON_ARRAYAGG + IS JSON;
+# runtime flink-table-runtime/.../functions/SqlJsonUtils.java. All pure JVM
+# expressions (Jackson-backed to_json / get_json_object) — no Python UDFs.
+# ---------------------------------------------------------------------------
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def json_value(col, path: str) -> Column:
+    """JSON_VALUE(json, path): extract a SCALAR as its string value
+    (unquoted — '"hi"' -> 'hi'), NULL when absent. Spark's get_json_object
+    has exactly these semantics for scalar paths."""
+    return F.get_json_object(_c(col), path)
+
+
+def json_query(col, path: str) -> Column:
+    """JSON_QUERY(json, path): extract an OBJECT/ARRAY subtree as JSON text.
+    Spark's get_json_object returns the compact JSON of non-scalar matches;
+    scalar matches come back unquoted (JSON_VALUE flavor) — use json_value
+    for scalars, as Flink's WITHOUT ARRAY WRAPPER default returns NULL
+    there anyway."""
+    return F.get_json_object(_c(col), path)
+
+
+def json_exists(col, path: str) -> Column:
+    """JSON_EXISTS(json, path). Divergence note: a path whose value is JSON
+    null reads as absent here (get_json_object returns NULL for both);
+    Flink distinguishes them. FALSE (not NULL) on missing input, matching
+    Flink's FALSE ON ERROR default."""
+    return F.get_json_object(_c(col), path).isNotNull()
+
+
+def json_string(col) -> Column:
+    """JSON_STRING(any): serialize one value to JSON text (strings quoted
+    and escaped, numerics bare). Spark's to_json refuses bare scalars, so
+    wrap in a 1-element array and strip the brackets — escaping inside is
+    identical."""
+    arr = F.to_json(F.array(_c(col)))
+    return arr.substr(F.lit(2), F.length(arr) - 2)
+
+
+def json_object(*pairs, on_null: str = "null") -> Column:
+    """JSON_OBJECT('k1', v1, 'k2', v2, ...): construct a JSON object.
+    ``on_null='null'`` (Flink/SQL-standard default NULL ON NULL) keeps null
+    fields as JSON null; ``'absent'`` drops them (ABSENT ON NULL)."""
+    cols = []
+    for i, p in enumerate(pairs):
+        cols.append(F.lit(p) if i % 2 == 0 else _c(p))
+    return F.to_json(
+        F.named_struct(*cols),
+        {"ignoreNullFields": "true" if on_null == "absent" else "false"},
+    )
+
+
+def json_array(*cols, on_null: str = "absent") -> Column:
+    """JSON_ARRAY(v1, v2, ...): construct a JSON array. Default ABSENT ON
+    NULL (SQL standard / Flink): null elements are dropped; ``'null'``
+    keeps them as JSON nulls."""
+    arr = F.array(*[_c(c) for c in cols])
+    if on_null == "absent":
+        arr = F.filter(arr, lambda x: x.isNotNull())
+    return F.to_json(arr, {"ignoreNullFields": "false"})
+
+
+def json_objectagg(key, value) -> Column:
+    """JSON_OBJECTAGG(KEY k VALUE v): aggregate rows into one JSON object.
+    Key order is unspecified in Flink; here entries are SORTED BY KEY so the
+    result is deterministic (and oracle-checkable) under any partitioning —
+    the collect_list -> array_sort -> map_from_entries chain keeps
+    everything JVM-side."""
+    return F.to_json(
+        F.map_from_entries(F.array_sort(F.collect_list(F.struct(_c(key), _c(value)))))
+    )
+
+
+def json_arrayagg(col, *, sort: bool = True) -> Column:
+    """JSON_ARRAYAGG(v): aggregate rows into one JSON array. Element order
+    is unspecified in Flink; sorted here for cross-partitioning determinism
+    (pass sort=False for arrival order in a single-partition stream)."""
+    lst = F.collect_list(_c(col))
+    return F.to_json(F.array_sort(lst) if sort else lst)
+
+
+def is_json(col) -> Column:
+    """value IS JSON: does the string parse as JSON? get_json_object('$')
+    round-trips any valid document and returns NULL on malformed input."""
+    return F.get_json_object(_c(col), "$").isNotNull()
 
 
 def register_all(spark: SparkSession) -> None:

@@ -308,3 +308,91 @@ def fn_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("row_get"),
         F.element_at(F.create_map(F.lit("nk"), F.col("n_nationkey")), "nk").alias("map_at"),
     )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    WITH agg AS (
+      SELECT n_regionkey,
+             '{' || string_agg(to_json(n_name) || ':' || to_json(n_nationkey),
+                               ',' ORDER BY n_name) || '}'      AS oa,
+             to_json(list(n_nationkey ORDER BY n_nationkey))     AS aa
+      FROM nation GROUP BY n_regionkey
+    )
+    SELECT n.n_name,
+           json_object('name', n.n_name, 'rkey', n.n_regionkey,
+                       'maybe', NULLIF(n.n_regionkey, 0))        AS obj,
+           json_extract_string(
+             json_object('name', n.n_name, 'rkey', n.n_regionkey,
+                         'maybe', NULLIF(n.n_regionkey, 0)), '$.name') AS jv,
+           CAST(json_extract(
+             json_object('ks', [n.n_nationkey, n.n_regionkey]), '$.ks')
+             AS VARCHAR)                                         AS jq,
+           (json_extract(
+             json_object('name', n.n_name, 'rkey', n.n_regionkey,
+                         'maybe', NULLIF(n.n_regionkey, 0)), '$.rkey')
+             IS NOT NULL)                                        AS je_hit,
+           (json_extract(
+             json_object('name', n.n_name, 'rkey', n.n_regionkey,
+                         'maybe', NULLIF(n.n_regionkey, 0)), '$.nope')
+             IS NOT NULL)                                        AS je_miss,
+           to_json(n.n_nationkey)                                AS js_num,
+           to_json(n.n_name)                                     AS js_str,
+           to_json(list_filter([n.n_nationkey, NULLIF(n.n_regionkey, 0)],
+                               x -> x IS NOT NULL))              AS ja,
+           json_valid(json_object('name', n.n_name, 'rkey', n.n_regionkey,
+                                  'maybe', NULLIF(n.n_regionkey, 0))) AS valid,
+           json_valid(n.n_name)                                  AS invalid,
+           a.oa, a.aa
+    FROM nation n JOIN agg a USING (n_regionkey)
+    """,
+    group="functions",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL/JSON function family (Flink 1.15+): JSON_OBJECT (NULL ON NULL
+    default — the 'maybe' field stays as JSON null for region 0),
+    JSON_VALUE (scalar, unquoted), JSON_QUERY (subtree as JSON text),
+    JSON_EXISTS (FALSE ON ERROR), JSON_STRING (scalar serialization),
+    JSON_ARRAY (ABSENT ON NULL default — null element dropped), IS JSON,
+    and the two aggregates JSON_OBJECTAGG / JSON_ARRAYAGG (sorted for
+    cross-partition determinism). Ref: BuiltInFunctionDefinitions JSON_*;
+    runtime SqlJsonUtils.java. All Jackson-backed JVM expressions."""
+    from flink_ci_flink_spark.functions.scalar import (
+        is_json,
+        json_array,
+        json_arrayagg,
+        json_exists,
+        json_object,
+        json_objectagg,
+        json_query,
+        json_string,
+        json_value,
+    )
+
+    t = load_tables(spark, sf_dir)
+    n = t.nation
+    maybe = F.when(F.col("n_regionkey") != 0, F.col("n_regionkey"))
+    obj = json_object(
+        "name", F.col("n_name"), "rkey", F.col("n_regionkey"), "maybe", maybe
+    )
+    obj2 = json_object("ks", F.array(F.col("n_nationkey"), F.col("n_regionkey")))
+    agg = n.groupBy("n_regionkey").agg(
+        json_objectagg("n_name", "n_nationkey").alias("oa"),
+        json_arrayagg("n_nationkey").alias("aa"),
+    )
+    return n.join(F.broadcast(agg), "n_regionkey").select(
+        "n_name",
+        obj.alias("obj"),
+        json_value(obj, "$.name").alias("jv"),
+        json_query(obj2, "$.ks").alias("jq"),
+        json_exists(obj, "$.rkey").alias("je_hit"),
+        json_exists(obj, "$.nope").alias("je_miss"),
+        json_string(F.col("n_nationkey")).alias("js_num"),
+        json_string(F.col("n_name")).alias("js_str"),
+        json_array(F.col("n_nationkey"), maybe).alias("ja"),
+        is_json(obj).alias("valid"),
+        is_json(F.col("n_name")).alias("invalid"),
+        "oa",
+        "aa",
+    )
