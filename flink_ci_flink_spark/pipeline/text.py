@@ -281,3 +281,62 @@ def repetition_features(
             & (F.col("dup_bigram_frac") <= max_dup_bigram_frac),
         )
     )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate screen — the C4/RefinedWeb line-dedup idea
+    generalized to token n-grams: an n-gram is *boilerplate* when it occurs
+    in ≥ ``min_docs`` distinct documents (headers, footers, license blurbs,
+    navigation chrome); each document reports its exposure.
+
+    Scale shape: per-doc DISTINCT n-grams (map-side), one shuffle to count
+    document frequency per gram, one join back gram→doc. At 100 TB the
+    frequent-gram set is tiny relative to the corpus, so AQE turns the
+    join-back into a broadcast; nothing ever collects to the driver.
+    Documents shorter than ``n`` tokens have no n-grams (guarded — no
+    out-of-range indexing) and report 0 exposure.
+
+    Output: (id_col, n_grams, n_boiler, boiler_frac) — one row per doc.
+    """
+    t = tokens(text_col)
+    grams = F.when(
+        F.size(t) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = docs.select(F.col(id_col), grams.alias("__gs"))
+    exploded = per_doc.select(id_col, F.explode("__gs").alias("__g"))
+    boiler = (
+        exploded.groupBy("__g")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__g")
+    )
+    exposure = (
+        exploded.join(boiler, "__g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    base = per_doc.select(id_col, F.size("__gs").cast("long").alias("n_grams"))
+    nb = F.coalesce(F.col("n_boiler"), F.lit(0).cast("long"))
+    return base.join(exposure, id_col, "left").select(
+        id_col,
+        "n_grams",
+        nb.alias("n_boiler"),
+        F.when(
+            F.col("n_grams") > 0,
+            _roundn(nb.cast("double") / F.col("n_grams"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("boiler_frac"),
+    )

@@ -819,6 +819,51 @@ def pipe_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipe_boilerplate_screen",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), gr AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 4, 0)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS gs
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, UNNEST(gs) AS g FROM gr
+    ), boiler AS (
+      SELECT g FROM (SELECT g, COUNT(*) AS df FROM ex GROUP BY g) WHERE df >= 2
+    ), nb AS (
+      SELECT e.doc_id, COUNT(*) AS n_boiler
+      FROM ex e JOIN boiler b USING (g) GROUP BY e.doc_id
+    ), base AS (
+      SELECT doc_id, len(gs) AS n_grams FROM gr
+    )
+    SELECT b.doc_id, b.n_grams,
+           COALESCE(nb.n_boiler, CAST(0 AS BIGINT)) AS n_boiler,
+           CASE WHEN b.n_grams > 0
+                THEN FLOOR((CAST(COALESCE(nb.n_boiler, 0) AS DOUBLE) / b.n_grams)
+                           * 1000000.0 + 0.5) / 1000000.0
+                ELSE 0.0 END AS boiler_frac
+    FROM base b LEFT JOIN nb USING (doc_id)
+    """,
+    group="pipeline",
+)
+def pipe_boilerplate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate screen: the C4/RefinedWeb line-dedup idea
+    generalized to 5-grams — an n-gram occurring in >= 2 documents is
+    boilerplate (headers/footers/license blurbs at web scale); every doc
+    reports its exposure count and fraction. Two shuffles (gram
+    document-frequency, join-back) + map-side distinct n-grams; at 100 TB
+    the frequent-gram set is small so AQE broadcasts the join-back.
+    Short docs (< 5 tokens) are guarded to zero exposure."""
+    from flink_ci_flink_spark.pipeline.text import boilerplate_ngrams
+
+    t = load_tables(spark, sf_dir)
+    return boilerplate_ngrams(t.documents, n=5, min_docs=2)
+
+
 def _semdedup_oracle_sql(
     n_cells: int = 8, eps: float = 0.4, iterations: int = 2, dim: int = 64
 ) -> str:

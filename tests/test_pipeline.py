@@ -385,6 +385,30 @@ def test_cosine_near_dup_lsh_recall(spark, sf_dir):
         assert len(approx) / len(exact) >= 0.5
 
 
+def test_boilerplate_ngrams_semantics(spark):
+    """Shared n-grams across docs are flagged; short docs are guarded to
+    zero exposure; fractions are over DISTINCT per-doc n-grams."""
+    from flink_ci_flink_spark.pipeline.text import boilerplate_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e unique1 tail"),  # shares "a b c d e" with doc 2
+            (2, "a b c d e other words here"),
+            (3, "completely different text with no overlap at all"),
+            (4, "tiny"),  # < n tokens -> no n-grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in boilerplate_ngrams(docs, n=5, min_docs=2).collect()}
+    assert len(out) == 4
+    # doc1: 3 grams ("a b c d e", "b c d e unique1", "c d e unique1 tail")
+    assert out[1].n_grams == 3 and out[1].n_boiler == 1
+    assert out[1].boiler_frac == round(1 / 3, 6)
+    assert out[2].n_boiler == 1
+    assert out[3].n_boiler == 0 and out[3].boiler_frac == 0.0
+    assert out[4].n_grams == 0 and out[4].n_boiler == 0 and out[4].boiler_frac == 0.0
+
+
 def test_semantic_dedup_semantics(spark, sf_dir):
     """SemDeDup flags exactly the vectors that have a lower-id cluster-mate
     with cosine >= eps (keep-lowest-id policy): verified against a local
