@@ -315,3 +315,78 @@ def json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("long").alias("k"),
         F.get_json_object("props", "$.k").alias("k_str"),
     )
+
+
+@query(
+    "window_topn",
+    oracle="""
+    SELECT ws_s, event_type, event_id, ROUND(value, 2) AS value, rn FROM (
+      SELECT CAST(FLOOR(EPOCH(ts) / 21600) * 21600 AS BIGINT) AS ws_s,
+             event_type, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY CAST(FLOOR(EPOCH(ts) / 21600) * 21600 AS BIGINT),
+                            event_type
+               ORDER BY value DESC, event_id) AS rn
+      FROM events) WHERE rn <= 3
+    """,
+    group="window",
+)
+def window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window Top-N: top-3 events by value per (6h tumble window, type) —
+    the reference's dedicated WindowRank node
+    (`StreamExecWindowRank.scala`, runtime
+    `operators/rank/window/WindowRankOperatorBuilder.java`), expressed as
+    window assignment + the shared top_n operator. Catalyst's
+    WindowGroupLimit keeps it a bounded per-key heap; the window start
+    joins the partition key, so state is scoped per window exactly like
+    the reference's windowed rank state."""
+    from flink_ci_flink_spark.operators.topn import top_n
+
+    t = load_tables(spark, sf_dir)
+    windowed = t.events.withColumn(
+        "ws_s", F.unix_timestamp(F.window("ts", "6 hours").start)
+    )
+    out = top_n(
+        windowed,
+        ["ws_s", "event_type"],
+        [F.desc("value"), F.asc("event_id")],
+        3,
+    )
+    return out.select(
+        "ws_s", "event_type", "event_id", F.round("value", 2).alias("value"), "rn"
+    )
+
+
+@query(
+    "window_dedup",
+    oracle="""
+    SELECT CAST(FLOOR(EPOCH(ts) / 21600) * 21600 AS BIGINT) AS ws_s,
+           user_id, event_id, event_type
+    FROM (
+      SELECT ts, user_id, event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY CAST(FLOOR(EPOCH(ts) / 21600) * 21600 AS BIGINT),
+                            user_id
+               ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+    group="window",
+)
+def window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window Deduplication: first event per (6h tumble window, user) —
+    the reference's WindowDeduplicate node
+    (`StreamExecWindowDeduplicate.scala`, runtime
+    `operators/deduplicate/window/WindowDeduplicateOperatorBuilder.java`),
+    expressed as window assignment + the shared deduplicate operator
+    (keep-first under (ts, event_id) total order). One shuffle on
+    (window, user); per-window state scoping for free via the key."""
+    from flink_ci_flink_spark.operators.dedup import deduplicate
+
+    t = load_tables(spark, sf_dir)
+    windowed = t.events.withColumn(
+        "ws_s", F.unix_timestamp(F.window("ts", "6 hours").start)
+    )
+    out = deduplicate(
+        windowed, ["ws_s", "user_id"], [F.col("ts"), F.col("event_id")], keep="first"
+    )
+    return out.select("ws_s", "user_id", "event_id", "event_type")
