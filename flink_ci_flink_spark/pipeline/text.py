@@ -340,3 +340,74 @@ def boilerplate_ngrams(
         .otherwise(F.lit(0.0))
         .alias("boiler_frac"),
     )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed BPE-style tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909): start from characters (+ end-of-word marker '_'),
+    repeat k times {count adjacent symbol pairs weighted by word frequency,
+    merge the most frequent pair corpus-wide}.
+
+    Scale shape — the part that matters at 100 TB: each iteration is one
+    map-side pair expansion + ONE shuffle (pair-count aggregation); only the
+    single winning pair row ever reaches the driver (the model), and the
+    merge itself is a map-only string rewrite on the distributed word table.
+    Ties break lexicographically; symbols are space-separated with sentinel
+    padding, so the merge REPLACE is engine-portable (both Spark and DuckDB
+    replace left-to-right non-overlapping — consecutive identical pairs
+    like 'a b a b' merge once per scan, a documented divergence from
+    canonical BPE's position-list merge that keeps the oracle exact).
+
+    Output: (step, pair, freq) — the k merge rules in training order.
+    """
+    spark = docs.sparkSession
+    toks = tokens(text_col)
+    words = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            # ' t h e _ ' — chars spaced, end-of-word marker, sentinel pads
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.filter(F.split(F.lower("w"), ""), lambda c: c != ""), " "),
+                F.lit(" _ "),
+            ).alias("sym"),
+            "cnt",
+        )
+    )
+    words = words.localCheckpoint()  # cut the growing replace lineage
+    merges: list[tuple[int, str, int]] = []
+    for step in range(1, k + 1):
+        syms = F.filter(F.split(F.trim(F.col("sym")), " "), lambda s: s != "")
+        pair = F.explode(
+            F.zip_with(
+                F.slice(syms, 1, F.size(syms) - 1),
+                F.slice(syms, 2, F.size(syms) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        )
+        counts = (
+            words.select(pair.alias("p"), "cnt")
+            .groupBy("p")
+            .agg(F.sum("cnt").alias("freq"))
+        )
+        best = counts.orderBy(F.desc("freq"), F.asc("p")).limit(1).collect()
+        if not best:
+            break
+        p, freq = best[0].p, int(best[0].freq)
+        merges.append((step, p, freq))
+        words = words.withColumn(
+            "sym",
+            F.replace(
+                F.col("sym"),
+                F.lit(f" {p} "),
+                F.lit(" " + p.replace(" ", "") + " "),
+            ),
+        ).localCheckpoint()
+    return spark.createDataFrame(merges, "step int, pair string, freq bigint")

@@ -819,6 +819,64 @@ def pipe_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle_sql(k: int = 3) -> str:
+    """EXACT oracle for distributed BPE training: the k merge iterations
+    unrolled into CTEs — weighted adjacent-pair counting, best-pair
+    selection (freq desc, pair asc), sentinel-padded REPLACE merge (both
+    engines scan left-to-right non-overlapping, so the rewrite is
+    portable)."""
+    parts = [
+        f"""w0 AS (
+      SELECT ' ' || array_to_string(
+               list_filter(str_split(lower(w), ''), c -> c != ''), ' ')
+             || ' _ ' AS sym, cnt
+      FROM (SELECT w, COUNT(*) AS cnt
+            FROM (SELECT UNNEST({_TOKS}) AS w FROM documents) GROUP BY w)
+    )"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""p{i} AS (
+      SELECT p, SUM(cnt) AS freq FROM (
+        SELECT UNNEST(list_transform(generate_series(1, len(s) - 1),
+                      j -> s[j] || ' ' || s[j+1])) AS p, cnt
+        FROM (SELECT list_filter(str_split(trim(sym), ' '), x -> x != '') AS s,
+                     cnt FROM w{i - 1})
+      ) GROUP BY p
+    )"""
+        )
+        parts.append(f"b{i} AS (SELECT p, freq FROM p{i} ORDER BY freq DESC, p LIMIT 1)")
+        if i < k:
+            parts.append(
+                f"""w{i} AS (
+      SELECT REPLACE(sym, ' ' || (SELECT p FROM b{i}) || ' ',
+                     ' ' || REPLACE((SELECT p FROM b{i}), ' ', '') || ' ') AS sym,
+             cnt FROM w{i - 1}
+    )"""
+            )
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS step, p AS pair, CAST(freq AS BIGINT) AS freq FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + finals
+
+
+@query("pipe_bpe_train", oracle=_bpe_oracle_sql(3), group="pipeline")
+def pipe_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909), 3 merge steps over the corpus word-frequency table.
+    Each iteration: map-side adjacent-pair expansion, ONE pair-count
+    shuffle, a 1-row best-pair collect (the model), and a map-only REPLACE
+    merge — the exact shape a 100 TB corpus trains with (the word table
+    stays distributed; only k winning pairs reach the driver). The oracle
+    unrolls all 3 iterations in SQL, so pair counting, tie-breaks, and the
+    merge rewrites are all hash-checked."""
+    from flink_ci_flink_spark.pipeline.text import bpe_merges
+
+    t = load_tables(spark, sf_dir)
+    return bpe_merges(t.documents, k=3)
+
+
 @query(
     "pipe_boilerplate_screen",
     oracle=f"""

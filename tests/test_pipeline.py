@@ -385,6 +385,23 @@ def test_cosine_near_dup_lsh_recall(spark, sf_dir):
         assert len(approx) / len(exact) >= 0.5
 
 
+def test_bpe_merges_hand_corpus(spark):
+    """BPE merge training on a corpus small enough to verify by hand:
+    weighted pair counts, lexicographic tie-breaks, and the sentinel-padded
+    merge rewrite."""
+    from flink_ci_flink_spark.pipeline.text import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa ab")], "doc_id long, text string"
+    )
+    got = [(r.step, r.pair, r.freq) for r in bpe_merges(docs, k=3).collect()]
+    # step1: 'a _' and 'a a' both weigh 2; '_' < 'a' so 'a _' wins ->
+    #        'aa' becomes ' a a_ '. step2: 'a a_' (2). step3: 'aa_' is a
+    #        single symbol; 'ab' contributes 'a b' and 'b _' (1 each),
+    #        'a b' wins lexicographically.
+    assert got == [(1, "a _", 2), (2, "a a_", 2), (3, "a b", 1)]
+
+
 def test_boilerplate_ngrams_semantics(spark):
     """Shared n-grams across docs are flagged; short docs are guarded to
     zero exposure; fractions are over DISTINCT per-doc n-grams."""
