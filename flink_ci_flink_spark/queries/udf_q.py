@@ -152,3 +152,45 @@ def udf_map_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return p.mapInPandas(op, "p_partkey long, name_u string, size_class string")
+
+
+@query(
+    "udf_python_udtf",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(UNNEST(generate_series(1, LEN(t))) AS INT) AS pos,
+           UNNEST(t) AS word
+    FROM (SELECT doc_id,
+                 list_filter(str_split_regex(text, '\s+'), x -> x != '') AS t
+          FROM documents WHERE doc_id % 97 = 0)
+    """,
+    group="udf",
+)
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True user-defined TABLE function: a Python UDTF class (Spark 4
+    `@udtf`) applied via SQL LATERAL — one input row fans out to N output
+    rows with their own schema, the exact TableFunction.eval/collect
+    contract (`TableFunction.java:40,139`; registration parity with
+    `StreamTableEnvironment.registerFunction`). Unlike the posexplode
+    mapping in `unnest_with_ordinality`, the row expansion here runs in
+    the Python worker (Arrow-batched), proving the full UDTF execution
+    path; the oracle zips two UNNESTs for the ordinal."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string")
+    class SplitWords:
+        def eval(self, text: str):
+            import re
+
+            for i, w in enumerate(x for x in re.split(r"\s+", text or "") if x):
+                yield (i + 1, w)
+
+    spark.udtf.register("split_words_udtf", SplitWords)
+    t = load_tables(spark, sf_dir)
+    t.documents.filter(F.col("doc_id") % 97 == 0).createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, s.pos, s.word "
+        "FROM __udtf_docs d, LATERAL split_words_udtf(d.text) s"
+    )
