@@ -65,7 +65,7 @@ _PRIORITY = [
     "tpch_q7_volume_shipping",
     "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity",
+    "pipe_boilerplate_screen",
     "tpch_q20_potential_promotion",
     "map_construct_explode",
     "null_safe_comparison",
@@ -81,9 +81,9 @@ _PRIORITY = [
     "pipe_decode_bmp",
     "graph_degrees_triangles",
     "graph_sssp_nations",
-    "graph_adamic_adar",
+    "pipe_bpe_train",
     "cep_error_burst",
-    "cep_match_recognize_view_run",
+    "udf_python_udtf",
     "udf_cogroup",
     "fn_json",
 ]

@@ -411,3 +411,43 @@ def bpe_merges(
             ),
         ).localCheckpoint()
     return spark.createDataFrame(merges, "step int, pair string, freq bigint")
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    merges: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply trained BPE merge rules (see `bpe_merges`) and count resulting
+    tokens per document — the APPLY side of tokenizer training: the merge
+    list is a tiny driver-side model inlined as literals, so encoding is a
+    pure map-only projection over the corpus (no joins, no shuffles except
+    the final per-doc count) at any scale.
+
+    ``merges``: 'left right' pair strings in training order; rewrites are
+    applied sequentially so later rules can consume earlier merges' output
+    symbols, exactly as in training.
+
+    Output: (id_col, n_words, n_bpe_tokens).
+    """
+    word = F.explode(tokens(text_col)).alias("w")
+    sym = F.concat(
+        F.lit(" "),
+        F.array_join(F.filter(F.split(F.lower("w"), ""), lambda c: c != ""), " "),
+        F.lit(" _ "),
+    )
+    for p in merges:
+        sym = F.replace(
+            sym, F.lit(f" {p} "), F.lit(" " + p.replace(" ", "") + " ")
+        )
+    n_sym = F.size(F.filter(F.split(F.trim(sym), " "), lambda s: s != ""))
+    return (
+        docs.select(F.col(id_col), word)
+        .select(id_col, n_sym.alias("__ns"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("__ns").cast("long").alias("n_bpe_tokens"),
+        )
+    )

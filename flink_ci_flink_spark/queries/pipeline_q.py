@@ -819,11 +819,11 @@ def pipe_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_sql(k: int = 3) -> str:
-    """EXACT oracle for distributed BPE training: the k merge iterations
-    unrolled into CTEs — weighted adjacent-pair counting, best-pair
-    selection (freq desc, pair asc), sentinel-padded REPLACE merge (both
-    engines scan left-to-right non-overlapping, so the rewrite is
+def _bpe_parts(k: int = 3) -> list[str]:
+    """Shared CTE list unrolling k BPE merge iterations: w0 (spaced-symbol
+    word-frequency table), p{i} (weighted adjacent-pair counts), b{i}
+    (best pair: freq desc, pair asc), w{i} (sentinel-padded REPLACE merge
+    — both engines scan left-to-right non-overlapping, so the rewrite is
     portable)."""
     parts = [
         f"""w0 AS (
@@ -854,11 +854,48 @@ def _bpe_oracle_sql(k: int = 3) -> str:
              cnt FROM w{i - 1}
     )"""
             )
+    return parts
+
+
+def _bpe_oracle_sql(k: int = 3) -> str:
+    """EXACT oracle for distributed BPE training: the k merge rules in
+    training order, from the shared `_bpe_parts` unrolling."""
+    parts = _bpe_parts(k)
     finals = " UNION ALL ".join(
         f"SELECT {i} AS step, p AS pair, CAST(freq AS BIGINT) AS freq FROM b{i}"
         for i in range(1, k + 1)
     )
     return "WITH " + ",\n    ".join(parts) + "\n    " + finals
+
+
+def _bpe_encode_oracle_sql(k: int = 3) -> str:
+    """EXACT oracle for BPE application: re-derive the k merge rules
+    (shared `_bpe_parts`), then re-tokenize every document token by
+    nesting the k REPLACE rewrites and count resulting symbols per doc."""
+    parts = _bpe_parts(k)
+    sym = (
+        "' ' || array_to_string("
+        "list_filter(str_split(lower(w), ''), c -> c != ''), ' ') || ' _ '"
+    )
+    for i in range(1, k + 1):
+        sym = (
+            f"REPLACE({sym}, ' ' || (SELECT p FROM b{i}) || ' ', "
+            f"' ' || REPLACE((SELECT p FROM b{i}), ' ', '') || ' ')"
+        )
+    parts.append(
+        f"""enc AS (
+      SELECT doc_id,
+             len(list_filter(str_split(trim({sym}), ' '), x -> x != '')) AS ns
+      FROM (SELECT doc_id, UNNEST({_TOKS}) AS w FROM documents)
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + """
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(ns) AS BIGINT) AS n_bpe_tokens
+    FROM enc GROUP BY doc_id
+    """
+    )
 
 
 @query("pipe_bpe_train", oracle=_bpe_oracle_sql(3), group="pipeline")
@@ -1391,3 +1428,19 @@ def pipe_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return repetition_features(t.documents)
+
+
+@query("pipe_bpe_encode", oracle=_bpe_encode_oracle_sql(3), group="pipeline")
+def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION: train 3 merges (`bpe_merges`), then
+    re-tokenize the whole corpus with the learned rules and report per-doc
+    word and BPE-token counts. The model (3 pair strings) inlines as
+    literals, so encoding is map-only — the shape a 100 TB pretokenization
+    pass has: broadcast vocab, zero joins, one final per-doc count
+    shuffle. The oracle re-derives training AND replays the nested
+    rewrites, hash-checking both phases end-to-end."""
+    from flink_ci_flink_spark.pipeline.text import bpe_encode_counts, bpe_merges
+
+    t = load_tables(spark, sf_dir)
+    merges = [r.pair for r in bpe_merges(t.documents, k=3).collect()]
+    return bpe_encode_counts(t.documents, merges)
