@@ -385,6 +385,64 @@ def test_cosine_near_dup_lsh_recall(spark, sf_dir):
         assert len(approx) / len(exact) >= 0.5
 
 
+def _bpe_reference(texts: list[str], k: int) -> list[tuple[int, str, int]]:
+    """Independent pure-Python BPE trainer mirroring the operator's policy:
+    weighted adjacent pair counts over the word-frequency table, best pair
+    by (freq desc, pair asc), left-to-right non-overlapping merge."""
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t):
+            if w:
+                words[tuple(w.lower()) + ("_",)] += 1
+    merges = []
+    for step in range(1, k + 1):
+        pairs: Counter = Counter()
+        for syms, cnt in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((step, f"{best[0]} {best[1]}", pairs[best]))
+        # merge via padded str.replace — the operator's documented policy
+        # (left-to-right non-overlapping; consecutive identical pairs that
+        # share a separator merge once per scan)
+        new_words: Counter = Counter()
+        pat = f" {best[0]} {best[1]} "
+        rep = f" {best[0]}{best[1]} "
+        for syms, cnt in words.items():
+            s = (" " + " ".join(syms) + " ").replace(pat, rep)
+            new_words[tuple(s.split())] += cnt
+        words = new_words
+    return merges
+
+
+def test_bpe_merges_property_vs_reference(spark):
+    """Distributed BPE == the independent in-memory trainer on random
+    corpora (pair counting, weighting, tie-breaks, and merge rewrites)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_ci_flink_spark.pipeline.text import bpe_merges
+
+    word = st.text(alphabet="abc", min_size=1, max_size=4)
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=4))
+    def run(texts):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = [(r.step, r.pair, r.freq) for r in bpe_merges(docs, k=2).collect()]
+        assert got == _bpe_reference(texts, 2)
+
+    run()
+
+
 def test_bpe_merges_hand_corpus(spark):
     """BPE merge training on a corpus small enough to verify by hand:
     weighted pair counts, lexicographic tie-breaks, and the sentinel-padded
