@@ -84,6 +84,10 @@ def _bench_stateful(spark, sf_dir: str) -> dict:
     from flink_ci_flink_spark.streaming import file_stream, run_to_completion
     from flink_ci_flink_spark.streaming.process import streaming_top_n
 
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.streaming.process import streaming_top_n_jvm
+
     ev_path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(ev_path).schema
     n_rows = spark.read.parquet(ev_path).count()
@@ -97,6 +101,23 @@ def _bench_stateful(spark, sf_dir: str) -> dict:
         t0 = time.perf_counter()
         run_to_completion(out, name, "update")
         dt = time.perf_counter() - t0
+
+        # same contract, JVM-only execution (foreachBatch merge — the
+        # per-key Python tax removed); state_dir holds <= keys*n rows
+        st2 = file_stream(spark, tmp, schema)
+        state = tempfile.mkdtemp(prefix="bench_topn_jvm_")
+        t1 = time.perf_counter()
+        streaming_top_n_jvm(
+            st2,
+            partition_by=["user_id"],
+            order_by=[F.desc("value"), F.asc("event_id")],
+            n=5,
+            select_cols=["user_id", "value", "event_id"],
+            state_dir=state,
+            query_name=f"bench_tnj_{uuid.uuid4().hex[:8]}",
+        ).count()
+        dt_jvm = time.perf_counter() - t1
+        shutil.rmtree(state, ignore_errors=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
@@ -104,6 +125,8 @@ def _bench_stateful(spark, sf_dir: str) -> dict:
         "input_rows": n_rows,
         "sec": round(dt, 3),
         "rows_per_sec": round(n_rows / dt),
+        "jvm_foreachbatch_sec": round(dt_jvm, 3),
+        "jvm_foreachbatch_rows_per_sec": round(n_rows / dt_jvm),
     }
 
 

@@ -383,3 +383,54 @@ class MapStateView:
 
     def clear(self) -> None:
         self._bag._vals[self._i] = {}
+
+
+def streaming_top_n_jvm(
+    stream: DataFrame,
+    partition_by: list[str],
+    order_by: list,
+    n: int,
+    select_cols: list[str],
+    state_dir: str,
+    query_name: str = "topn_jvm",
+) -> DataFrame:
+    """Streaming top-n with NO per-key Python path: per micro-batch, the
+    batch's per-key top-n (JVM window function) is unioned with the
+    persisted top-n state (parquet, ≤ n rows per key) and re-topped — the
+    whole operator is Catalyst plans; Python appears only as the per-BATCH
+    foreachBatch orchestration on the driver, never per key or per row.
+
+    This is the engineered alternative to `streaming_top_n`
+    (applyInPandasWithState): where a hot keyed stream pays Arrow
+    serialization per key-batch there, this path pays one bounded parquet
+    read+write per micro-batch (state is top-n-per-key, so its size is
+    keys × n regardless of input volume). State versions by batch_id —
+    each batch writes `v{batch_id}` and reads the previous version, so a
+    replayed batch (failure recovery) regenerates its output
+    idempotently rather than double-merging.
+
+    Runs the bounded stream to completion and returns the final per-key
+    top-n as a batch DataFrame. Ref: `AppendOnlyTopNFunction.java:46` —
+    same keep-top-n state contract, JVM execution.
+    """
+    from flink_ci_flink_spark.operators.topn import top_n
+
+    spark = stream.sparkSession
+    last = {"v": None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        cand = batch_df.select(*select_cols)
+        if last["v"] is not None:
+            cand = spark.read.parquet(f"{state_dir}/v{last['v']}").unionByName(cand)
+        new = top_n(cand, partition_by, order_by, n, rank_col=None)
+        new.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        last["v"] = batch_id
+
+    q = stream.writeStream.foreachBatch(merge).start(queryName=query_name)
+    q.processAllAvailable()
+    q.stop()
+    if last["v"] is None:
+        return stream.sparkSession.createDataFrame(
+            [], stream.select(*select_cols).schema
+        )
+    return spark.read.parquet(f"{state_dir}/v{last['v']}")

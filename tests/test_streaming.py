@@ -271,6 +271,42 @@ def test_streaming_top_n(spark, events_stream_dir):
     assert got == want
 
 
+def test_streaming_top_n_jvm_matches_batch(spark, events_stream_dir):
+    """The JVM-only foreachBatch top-n (no per-key Python state) converges
+    to exactly the batch top-3 per user — same contract as the
+    applyInPandasWithState path, different execution."""
+    from flink_ci_flink_spark.streaming.process import streaming_top_n_jvm
+
+    stream = _events_stream(spark, events_stream_dir, per_trigger=1)
+    state = tempfile.mkdtemp(prefix="topn_jvm_")
+    try:
+        final = streaming_top_n_jvm(
+            stream,
+            partition_by=["user_id"],
+            order_by=[F.desc("value"), F.asc("event_id")],
+            n=3,
+            select_cols=["user_id", "value", "event_id"],
+            state_dir=state,
+            query_name=f"tnj_{uuid.uuid4().hex[:8]}",
+        )
+        got = {(r.user_id, r.event_id): r.value for r in final.collect()}
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+    path, schema = events_stream_dir
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    batch = (
+        spark.read.schema(schema)
+        .parquet(path)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    want = {(r.user_id, r.event_id): r.value for r in batch.collect()}
+    assert got == want
+
+
 def test_streaming_semi_join(spark, events_stream_dir):
     """Stream-stream LEFT SEMI join (time-bounded): clicks that were followed
     by a purchase from the same user within 2h — final rows == batch leftsemi.
