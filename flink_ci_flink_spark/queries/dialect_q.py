@@ -1,0 +1,123 @@
+"""Reference-dialect SQL queries: Flink group-window SQL text executed
+verbatim through the `dialect.flink_sql` shim (TUMBLE/HOP/SESSION grouping
+functions + `_START` auxiliaries rewritten to Spark's window TVFs).
+
+These intentionally reuse the SAME oracles as the DataFrame-API window
+queries (`window_tumble` / `window_hop` / `window_session_native`), proving
+the SQL-text front door produces identical results to the native API."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_ci_flink_spark.catalog import load_tables
+from flink_ci_flink_spark.dialect import flink_sql
+from flink_ci_flink_spark.queries.registry import query
+
+
+def _events_view(spark: SparkSession, sf_dir: str) -> None:
+    load_tables(spark, sf_dir).events.createOrReplaceTempView("events")
+
+
+@query(
+    "flinksql_tumble",
+    oracle="""
+    SELECT CAST(FLOOR(EPOCH(ts) / 21600) * 21600 AS BIGINT) AS ws_s,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+    group="dialect",
+)
+def flinksql_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's TUMBLE group-window SQL, verbatim
+    (`FlinkSqlOperatorTable` TUMBLE/TUMBLE_START; planner
+    `LogicalWindowAggregateRuleBase`), run through the dialect shim."""
+    _events_view(spark, sf_dir)
+    return flink_sql(
+        spark,
+        """
+        SELECT unix_timestamp(TUMBLE_START(ts, INTERVAL '6' HOUR)) AS ws_s,
+               event_type,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total
+        FROM events
+        GROUP BY TUMBLE(ts, INTERVAL '6' HOUR), event_type
+        """,
+    )
+
+
+@query(
+    "flinksql_hop",
+    oracle="""
+    SELECT ws_s, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM (
+      SELECT (CAST(FLOOR((EPOCH(ts) - 43200) / 21600) AS BIGINT) + 1 + u.i) * 21600 AS ws_s,
+             value
+      FROM events
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 1)) AS i) u
+      WHERE (CAST(FLOOR((EPOCH(ts) - 43200) / 21600) AS BIGINT) + 1 + u.i)
+            <= CAST(FLOOR(EPOCH(ts) / 21600) AS BIGINT)
+    )
+    GROUP BY ws_s
+    """,
+    group="dialect",
+)
+def flinksql_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOP group-window SQL, verbatim — note the shim swaps Flink's
+    (slide, size) argument order into Spark's (size, slide)."""
+    _events_view(spark, sf_dir)
+    return flink_sql(
+        spark,
+        """
+        SELECT unix_timestamp(
+                 HOP_START(ts, INTERVAL '6' HOUR, INTERVAL '12' HOUR)) AS ws_s,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total
+        FROM events
+        GROUP BY HOP(ts, INTERVAL '6' HOUR, INTERVAL '12' HOUR)
+        """,
+    )
+
+
+@query(
+    "flinksql_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start_s,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    group="dialect",
+)
+def flinksql_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION group-window SQL, verbatim (gap-merge semantics identical to
+    the native session_window path)."""
+    _events_view(spark, sf_dir)
+    return flink_sql(
+        spark,
+        """
+        SELECT user_id,
+               unix_timestamp(SESSION_START(ts, INTERVAL '30' MINUTE)) AS session_start_s,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total
+        FROM events
+        GROUP BY SESSION(ts, INTERVAL '30' MINUTE), user_id
+        """,
+    )

@@ -1,0 +1,53 @@
+"""Flink SQL dialect shim: string-rewrite unit tests (execution parity is
+covered by the flinksql_* oracle queries in test_oracle_parity)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_ci_flink_spark.dialect import translate
+
+
+def test_tumble_rewrite():
+    got = translate(
+        "SELECT TUMBLE_START(ts, INTERVAL '6' HOUR) AS ws, COUNT(*) n "
+        "FROM events GROUP BY TUMBLE(ts, INTERVAL '6' HOUR)"
+    )
+    assert "window(ts, '6 hours')" in got
+    assert "window.start AS ws" in got
+    assert "TUMBLE" not in got.upper()
+
+
+def test_hop_swaps_argument_order():
+    got = translate(
+        "SELECT HOP_END(ts, INTERVAL '5' MINUTE, INTERVAL '1' HOUR) "
+        "FROM events GROUP BY HOP(ts, INTERVAL '5' MINUTE, INTERVAL '1' HOUR)"
+    )
+    # Flink (slide=5m, size=1h) -> Spark window(ts, size, slide)
+    assert "window(ts, '1 hours', '5 minutes')" in got
+    assert "window.end" in got
+
+
+def test_session_rewrite():
+    got = translate(
+        "SELECT user_id, SESSION_START(ts, INTERVAL '30' MINUTE) s "
+        "FROM events GROUP BY SESSION(ts, INTERVAL '30' MINUTE), user_id"
+    )
+    assert "session_window(ts, '30 minutes')" in got
+    assert "session_window.start s" in got
+
+
+def test_passthrough_untouched():
+    sql = "SELECT a <> b, `weird col` FROM t WHERE x BETWEEN 1 AND 2"
+    assert translate(sql) == sql
+
+
+def test_rowtime_auxiliary_rejected():
+    with pytest.raises(ValueError, match="TUMBLE_ROWTIME"):
+        translate("SELECT TUMBLE_ROWTIME(ts, INTERVAL '1' HOUR) FROM events")
+
+
+def test_case_insensitive():
+    got = translate("select tumble_start(ts, interval '1' day) from e group by tumble(ts, interval '1' day)")
+    assert "window(ts, '1 days')" in got
+    assert "window.start" in got
