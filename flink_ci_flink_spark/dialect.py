@@ -24,8 +24,8 @@ Rewrite table (case-insensitive; `INTERVAL 'n' UNIT` durations):
 `*_ROWTIME`/`*_PROCTIME` auxiliaries and processing-time windows are not
 expressible (no per-row processing-time in the micro-batch model) and raise.
 Statements containing MATCH_RECOGNIZE are delegated to
-`cep.match_recognize.match_recognize_sql`'s parser by the caller — this shim
-covers the group-window surface.
+`cep.match_recognize.match_recognize_sql` (its own parser + NFA/compiled
+execution), so one front door covers both surfaces.
 """
 
 from __future__ import annotations
@@ -111,4 +111,8 @@ def flink_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Execute reference-dialect SQL on Spark (see module docstring).
     Tables must already be registered as views (e.g. via
     `catalog.load_tables(...).events.createOrReplaceTempView("events")`)."""
+    if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
+        from flink_ci_flink_spark.cep.match_recognize import match_recognize_sql
+
+        return match_recognize_sql(spark, sql)
     return spark.sql(translate(sql))

@@ -47,6 +47,29 @@ def test_rowtime_auxiliary_rejected():
         translate("SELECT TUMBLE_ROWTIME(ts, INTERVAL '1' HOUR) FROM events")
 
 
+def test_match_recognize_delegates(spark, sf_dir):
+    """A MATCH_RECOGNIZE statement through the dialect front door returns
+    the same rows as calling the CEP SQL parser directly."""
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.cep.match_recognize import match_recognize_sql
+    from flink_ci_flink_spark.dialect import flink_sql
+
+    load_tables(spark, sf_dir).events.createOrReplaceTempView("events")
+    sql = """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      MEASURES FIRST(A.ts) AS start_ts, LAST(B.ts) AS end_ts
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B)
+      DEFINE A AS A.event_type = 'view', B AS B.event_type = 'purchase'
+    )
+    """
+    via_dialect = {tuple(r) for r in flink_sql(spark, sql).collect()}
+    direct = {tuple(r) for r in match_recognize_sql(spark, sql).collect()}
+    assert via_dialect == direct and via_dialect
+
+
 def test_case_insensitive():
     got = translate("select tumble_start(ts, interval '1' day) from e group by tumble(ts, interval '1' day)")
     assert "window(ts, '1 days')" in got
