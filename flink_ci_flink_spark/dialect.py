@@ -116,3 +116,141 @@ def flink_sql(spark: SparkSession, sql: str) -> DataFrame:
 
         return match_recognize_sql(spark, sql)
     return spark.sql(translate(sql))
+
+
+# ---------------------------------------------------------------------------
+# DDL translation: CREATE TABLE ... WITH ('connector' = ...) → Spark readers.
+# Ref: flink-table SQL DDL (`SqlCreateTable.java`), factory options of the
+# filesystem / kafka / datagen connectors. The reference's catalog DDL maps
+# onto Spark reader + temp-view registration; WATERMARK FOR clauses become
+# withWatermark on streaming reads.
+# ---------------------------------------------------------------------------
+
+_TYPE_REWRITES = [
+    (r"\bTIMESTAMP_LTZ\s*(\(\d+\))?", "TIMESTAMP"),
+    (r"\bTIMESTAMP\s*(\(\d+\))?", "TIMESTAMP"),
+    (r"\bTIME\s*(\(\d+\))?\b", "STRING"),  # no TIME type in Spark
+    (r"\bBYTES\b", "BINARY"),
+    (r"\bROW\s*<", "STRUCT<"),
+    (r"\bMULTISET\s*<", "MAP<"),
+]
+
+
+def _spark_type(flink_type: str) -> str:
+    t = flink_type.strip()
+    for pat, rep in _TYPE_REWRITES:
+        t = re.sub(pat, rep, t, flags=re.IGNORECASE)
+    return t
+
+
+def _split_top_level(body: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in body:
+        if ch in "(<[":
+            depth += 1
+        elif ch in ")>]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur))
+    return out
+
+
+def parse_ddl(ddl: str) -> dict:
+    """Parse a reference-dialect CREATE TABLE into {name, columns, computed,
+    watermark, options}. Columns are (name, spark_type); computed columns
+    are (name, sql_expr); watermark is (column, 'n units') or None."""
+    m = re.match(
+        r"\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"`?([\w.]+)`?\s*\((.*)\)\s*WITH\s*\((.*?)\)\s*;?\s*$",
+        ddl,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError("not a CREATE TABLE ... WITH (...) statement")
+    name, body, opts_s = m.group(1), m.group(2), m.group(3)
+    columns: list[tuple[str, str]] = []
+    computed: list[tuple[str, str]] = []
+    watermark = None
+    for item in _split_top_level(body):
+        item = item.strip()
+        if not item:
+            continue
+        wm = re.match(
+            rf"WATERMARK\s+FOR\s+`?(\w+)`?\s+AS\s+`?\w+`?\s*-\s*{_INTERVAL}",
+            item,
+            re.IGNORECASE,
+        )
+        if wm:
+            watermark = (wm.group(1), _dur(wm.group(2), wm.group(3)))
+            continue
+        if re.match(r"(PRIMARY\s+KEY|CONSTRAINT)\b", item, re.IGNORECASE):
+            continue  # advisory in the reference's connectors; no-op here
+        cm = re.match(r"`?(\w+)`?\s+AS\s+(.+)$", item, re.IGNORECASE | re.DOTALL)
+        if cm:
+            expr = cm.group(2).strip()
+            if re.search(r"\bPROCTIME\s*\(\s*\)", expr, re.IGNORECASE):
+                raise ValueError(
+                    "PROCTIME() computed columns are not expressible "
+                    "(no per-row processing time in the micro-batch model)"
+                )
+            computed.append((cm.group(1), expr))
+            continue
+        nm, _, ty = item.partition(" ")
+        columns.append((nm.strip("`"), _spark_type(ty)))
+    options = dict(
+        re.findall(r"'([^']+)'\s*=\s*'([^']*)'", opts_s)
+    )
+    return {
+        "name": name,
+        "columns": columns,
+        "computed": computed,
+        "watermark": watermark,
+        "options": options,
+    }
+
+
+def flink_ddl(spark: SparkSession, ddl: str, streaming: bool = False) -> DataFrame:
+    """Execute a reference-dialect CREATE TABLE: build the matching Spark
+    reader (filesystem → read/readStream of the declared format, kafka →
+    the option-mapped kafka source, datagen → rate source), apply computed
+    columns and the WATERMARK clause (streaming), and register the result
+    as a temp view under the table name. Returns the DataFrame."""
+    from pyspark.sql import functions as F
+
+    spec = parse_ddl(ddl)
+    opts = spec["options"]
+    connector = opts.get("connector", "filesystem").lower()
+    schema_ddl = ", ".join(f"`{n}` {t}" for n, t in spec["columns"])
+
+    if connector == "filesystem":
+        fmt = opts.get("format", "parquet").lower()
+        path = opts["path"]
+        if streaming:
+            df = spark.readStream.schema(schema_ddl).format(fmt).load(path)
+        else:
+            df = spark.read.schema(schema_ddl).format(fmt).load(path)
+    elif connector == "kafka":
+        from flink_ci_flink_spark.sources import read_kafka
+
+        df = read_kafka(spark, opts, streaming=streaming)
+    elif connector == "datagen":
+        rps = int(opts.get("rows-per-second", 10))
+        if streaming:
+            df = spark.readStream.format("rate").option("rowsPerSecond", rps).load()
+        else:
+            df = spark.range(int(opts.get("number-of-rows", 1000)))
+    else:
+        raise ValueError(f"unsupported connector {connector!r} (doc-note scope)")
+
+    for cname, expr in spec["computed"]:
+        df = df.withColumn(cname, F.expr(expr))
+    if streaming and spec["watermark"] is not None:
+        col, delay = spec["watermark"]
+        df = df.withWatermark(col, delay)
+    df.createOrReplaceTempView(spec["name"])
+    return df

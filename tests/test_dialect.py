@@ -74,3 +74,123 @@ def test_case_insensitive():
     got = translate("select tumble_start(ts, interval '1' day) from e group by tumble(ts, interval '1' day)")
     assert "window(ts, '1 days')" in got
     assert "window.start" in got
+
+
+def test_ddl_filesystem_parquet_roundtrip(spark, sf_dir):
+    from flink_ci_flink_spark.dialect import flink_ddl
+
+    df = flink_ddl(
+        spark,
+        f"""
+        CREATE TABLE ddl_events (
+          event_id BIGINT,
+          ts TIMESTAMP(3),
+          user_id BIGINT,
+          event_type STRING,
+          value DOUBLE,
+          props STRING,
+          WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) WITH (
+          'connector' = 'filesystem',
+          'path' = '{sf_dir}/events.parquet',
+          'format' = 'parquet'
+        )
+        """,
+    )
+    assert spark.table("ddl_events").count() == df.count() > 0
+    assert [f.name for f in df.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
+
+
+def test_ddl_computed_column_and_types(spark, sf_dir):
+    from flink_ci_flink_spark.dialect import flink_ddl, parse_ddl
+
+    spec = parse_ddl(
+        "CREATE TABLE t (a TIMESTAMP_LTZ(3), b BYTES, c ROW<x INT, y STRING>, "
+        "d MULTISET<STRING, INT>) WITH ('connector' = 'filesystem', 'path' = '/x')"
+    )
+    assert dict(spec["columns"])["a"] == "TIMESTAMP"
+    assert dict(spec["columns"])["b"] == "BINARY"
+    assert dict(spec["columns"])["c"].startswith("STRUCT<")
+    assert dict(spec["columns"])["d"].startswith("MAP<")
+
+    df = flink_ddl(
+        spark,
+        f"""
+        CREATE TABLE ddl_ev2 (
+          event_id BIGINT,
+          value DOUBLE,
+          doubled AS value * 2
+        ) WITH ('connector' = 'filesystem',
+                'path' = '{sf_dir}/events.parquet', 'format' = 'parquet')
+        """,
+    )
+    row = df.filter("value IS NOT NULL").select("value", "doubled").first()
+    assert row.doubled == row.value * 2
+
+
+def test_ddl_proctime_rejected(spark):
+    import pytest as _pytest
+
+    from flink_ci_flink_spark.dialect import flink_ddl
+
+    with _pytest.raises(ValueError, match="PROCTIME"):
+        flink_ddl(
+            spark,
+            "CREATE TABLE t (a BIGINT, p AS PROCTIME()) "
+            "WITH ('connector' = 'filesystem', 'path' = '/x')",
+        )
+
+
+def test_ddl_datagen_batch(spark):
+    from flink_ci_flink_spark.dialect import flink_ddl
+
+    df = flink_ddl(
+        spark,
+        "CREATE TABLE gen (id BIGINT) WITH "
+        "('connector' = 'datagen', 'number-of-rows' = '7')",
+    )
+    assert df.count() == 7
+
+
+def test_ddl_streaming_watermark_tumble(spark, sf_dir):
+    """flink_ddl(streaming=True) yields a watermarked stream; a tumbling
+    aggregate over it converges to the batch result on the same file."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.dialect import flink_ddl
+    from flink_ci_flink_spark.streaming import run_to_completion
+
+    tmp = tempfile.mkdtemp(prefix="ddl_stream_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
+        ddl = f"""
+        CREATE TABLE ddl_stream_ev (
+          event_id BIGINT, ts TIMESTAMP(3), user_id BIGINT,
+          event_type STRING, value DOUBLE, props STRING,
+          WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) WITH ('connector' = 'filesystem', 'path' = '{tmp}',
+                'format' = 'parquet')
+        """
+        st = flink_ddl(spark, ddl, streaming=True)
+        assert st.isStreaming
+        out = st.groupBy(F.window("ts", "6 hours")).count()
+        name = f"ddl_{uuid.uuid4().hex[:8]}"
+        run_to_completion(out, name, "update")
+        got = {
+            (r.window.start, r["count"]) for r in spark.table(name).collect()
+        }
+        batch = (
+            spark.read.parquet(f"{tmp}/events.parquet")
+            .groupBy(F.window("ts", "6 hours"))
+            .count()
+        )
+        want = {(r.window.start, r["count"]) for r in batch.collect()}
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
