@@ -233,7 +233,14 @@ def flink_ddl(spark: SparkSession, ddl: str, streaming: bool = False) -> DataFra
         if streaming:
             df = spark.readStream.schema(schema_ddl).format(fmt).load(path)
         else:
-            df = spark.read.schema(schema_ddl).format(fmt).load(path)
+            import os
+
+            if os.path.exists(path):
+                df = spark.read.schema(schema_ddl).format(fmt).load(path)
+            else:
+                # sink-table declaration: nothing to read yet — register an
+                # empty, schema-correct view; flink_insert writes to it
+                df = spark.createDataFrame([], schema_ddl)
     elif connector == "kafka":
         from flink_ci_flink_spark.sources import read_kafka
 
@@ -247,6 +254,7 @@ def flink_ddl(spark: SparkSession, ddl: str, streaming: bool = False) -> DataFra
     else:
         raise ValueError(f"unsupported connector {connector!r} (doc-note scope)")
 
+    _DDL_REGISTRY[spec["name"]] = spec
     for cname, expr in spec["computed"]:
         df = df.withColumn(cname, F.expr(expr))
     if streaming and spec["watermark"] is not None:
@@ -254,3 +262,41 @@ def flink_ddl(spark: SparkSession, ddl: str, streaming: bool = False) -> DataFra
         df = df.withWatermark(col, delay)
     df.createOrReplaceTempView(spec["name"])
     return df
+
+
+#: DDL-registered table specs (name → parse_ddl dict) so INSERT INTO can
+#: resolve a sink's connector/options. Process-wide, like a catalog.
+_DDL_REGISTRY: dict[str, dict] = {}
+
+
+def flink_insert(spark: SparkSession, sql: str) -> None:
+    """Execute a reference-dialect INSERT INTO/OVERWRITE statement against a
+    table previously declared with `flink_ddl`: the SELECT runs through
+    `flink_sql` (group-window rewrites included) and the rows land in the
+    sink the DDL's connector options describe — filesystem writes the
+    declared format, `print` shows on the driver, `blackhole` materializes
+    and discards (the reference's test sinks). Ref: `SqlToOperationConverter`
+    INSERT handling + filesystem/print/blackhole table factories."""
+    m = re.match(
+        r"\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?`?([\w.]+)`?\s+(.*)$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError("not an INSERT INTO/OVERWRITE statement")
+    mode = "overwrite" if m.group(1).upper() == "OVERWRITE" else "append"
+    name, select = m.group(2), m.group(3)
+    spec = _DDL_REGISTRY.get(name)
+    if spec is None:
+        raise ValueError(f"table {name!r} was not declared via flink_ddl")
+    df = flink_sql(spark, select)
+    connector = spec["options"].get("connector", "filesystem").lower()
+    if connector == "filesystem":
+        fmt = spec["options"].get("format", "parquet").lower()
+        df.write.mode(mode).format(fmt).save(spec["options"]["path"])
+    elif connector == "print":
+        df.show(truncate=False)
+    elif connector == "blackhole":
+        df.foreach(lambda _row: None)
+    else:
+        raise ValueError(f"unsupported sink connector {connector!r}")

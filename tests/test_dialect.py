@@ -194,3 +194,60 @@ def test_ddl_streaming_watermark_tumble(spark, sf_dir):
         assert got == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ddl_insert_pipeline_end_to_end(spark, sf_dir):
+    """Reference DDL + INSERT INTO + group-window SQL, verbatim: source
+    table, sink table, tumbling aggregate — results land in the sink's
+    parquet and match the direct computation."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.dialect import flink_ddl, flink_insert
+
+    sink_dir = tempfile.mkdtemp(prefix="ddl_sink_") + "/out"
+    try:
+        flink_ddl(
+            spark,
+            f"""
+            CREATE TABLE ddl_src (
+              event_id BIGINT, ts TIMESTAMP(3), user_id BIGINT,
+              event_type STRING, value DOUBLE, props STRING
+            ) WITH ('connector' = 'filesystem',
+                    'path' = '{sf_dir}/events.parquet', 'format' = 'parquet')
+            """,
+        )
+        flink_ddl(
+            spark,
+            f"""
+            CREATE TABLE ddl_sink (
+              ws TIMESTAMP(3), event_type STRING, n BIGINT
+            ) WITH ('connector' = 'filesystem',
+                    'path' = '{sink_dir}', 'format' = 'parquet')
+            """,
+        )
+        flink_insert(
+            spark,
+            """
+            INSERT INTO ddl_sink
+            SELECT TUMBLE_START(ts, INTERVAL '6' HOUR) AS ws, event_type,
+                   COUNT(*) AS n
+            FROM ddl_src GROUP BY TUMBLE(ts, INTERVAL '6' HOUR), event_type
+            """,
+        )
+        got = {
+            (r.ws, r.event_type, r.n)
+            for r in spark.read.parquet(sink_dir).collect()
+        }
+        want = {
+            (r["window"].start, r.event_type, r["count"])
+            for r in spark.table("ddl_src")
+            .groupBy(F.window("ts", "6 hours"), "event_type")
+            .count()
+            .collect()
+        }
+        assert got == want and got
+    finally:
+        shutil.rmtree(sink_dir.rsplit("/", 1)[0], ignore_errors=True)
