@@ -107,15 +107,122 @@ def translate(sql: str) -> str:
     return _rewrite_group_windows(_rewrite_aux(sql))
 
 
-def flink_sql(spark: SparkSession, sql: str) -> DataFrame:
+def flink_sql(
+    spark: SparkSession, sql: str, versioned: dict[str, str] | None = None
+) -> DataFrame:
     """Execute reference-dialect SQL on Spark (see module docstring).
     Tables must already be registered as views (e.g. via
-    `catalog.load_tables(...).events.createOrReplaceTempView("events")`)."""
+    `catalog.load_tables(...).events.createOrReplaceTempView("events")`).
+
+    ``versioned``: version-time column per versioned table, for temporal
+    (`FOR SYSTEM_TIME AS OF`) joins against tables not declared via
+    `flink_ddl` (a DDL-declared table's WATERMARK column is used
+    automatically, matching the reference's "event-time attribute of the
+    versioned table" rule)."""
     if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
         from flink_ci_flink_spark.cep.match_recognize import match_recognize_sql
 
         return match_recognize_sql(spark, sql)
+    if re.search(r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b", sql, re.IGNORECASE):
+        sql = _rewrite_temporal_join(spark, sql, versioned or {})
     return spark.sql(translate(sql))
+
+
+# ---------------------------------------------------------------------------
+# Temporal table join: JOIN dim FOR SYSTEM_TIME AS OF fact.t AS d ON ...
+# Ref: `LogicalCorrelateToJoinFromTemporalTableRule` + runtime
+# `TemporalRowTimeJoinOperator.java:71` (latest right-side version with
+# version-time <= the left row's time, per join key; javadoc :50-69). Flink
+# syntax: FLIP-132 `FOR SYSTEM_TIME AS OF <left time attribute>`. Spark has
+# no ASOF join in SQL, so the join block executes through
+# `operators.joins.asof_join` (union + forward-fill — one shuffle, no cross
+# product) and the surrounding statement is rewritten to select from the
+# joined view.
+# ---------------------------------------------------------------------------
+
+_TEMPORAL_RE = re.compile(
+    r"FROM\s+`?(\w+)`?(?:\s+AS)?\s+(\w+)\s+"
+    r"(LEFT\s+)?JOIN\s+`?(\w+)`?\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+"
+    r"(\w+)\.(\w+)\s+(?:AS\s+)?(\w+)\s+"
+    r"ON\s+(.+?)(?=\s+(?:WHERE|GROUP|ORDER|LIMIT|HAVING|UNION)\b|\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_TEMPORAL_SEQ = [0]
+
+
+def _rewrite_temporal_join(
+    spark: SparkSession, sql: str, versioned: dict[str, str]
+) -> str:
+    from flink_ci_flink_spark.operators.joins import asof_join
+
+    m = _TEMPORAL_RE.search(sql)
+    if not m:
+        raise ValueError(
+            "FOR SYSTEM_TIME AS OF present but the join block does not match "
+            "the supported shape: FROM fact [AS] f [LEFT] JOIN dim "
+            "FOR SYSTEM_TIME AS OF f.t [AS] d ON f.k = d.k [AND ...]"
+        )
+    ltab, lalias, left_kw, rtab, of_alias, of_col, ralias, on_text = m.groups()
+    if of_alias.lower() != lalias.lower():
+        raise ValueError(
+            f"FOR SYSTEM_TIME AS OF must reference the left table's time "
+            f"attribute ({lalias}.<col>), got {of_alias}.{of_col}"
+        )
+    # versioned table's version-time column: explicit map, else DDL WATERMARK
+    rtime = versioned.get(rtab)
+    if rtime is None and rtab in _DDL_REGISTRY:
+        wm = _DDL_REGISTRY[rtab].get("watermark")
+        rtime = wm[0] if wm else None
+    if rtime is None:
+        raise ValueError(
+            f"versioned table {rtab!r} needs a version-time column: declare "
+            "it via flink_ddl with a WATERMARK clause or pass "
+            "versioned={'" + rtab + "': '<time_col>'}"
+        )
+
+    left_keys, right_keys = [], []
+    for cond in re.split(r"\bAND\b", on_text, flags=re.IGNORECASE):
+        cm = re.match(r"\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", cond)
+        if not cm:
+            raise ValueError(f"unsupported temporal-join ON condition: {cond!r}")
+        a_al, a_col, b_al, b_col = cm.groups()
+        if a_al.lower() == lalias.lower() and b_al.lower() == ralias.lower():
+            left_keys.append(a_col), right_keys.append(b_col)
+        elif a_al.lower() == ralias.lower() and b_al.lower() == lalias.lower():
+            left_keys.append(b_col), right_keys.append(a_col)
+        else:
+            raise ValueError(f"ON condition references unknown alias: {cond!r}")
+
+    left_df, right_df = spark.table(ltab), spark.table(rtab)
+    # align right key names onto the left's (asof_join joins on shared names)
+    for rk, lk in zip(right_keys, left_keys):
+        if rk != lk:
+            right_df = right_df.withColumnRenamed(rk, lk)
+    rvals = [c for c in right_df.columns if c not in left_keys and c != rtime]
+    clash = set(rvals) & {c for c in left_df.columns if c not in left_keys}
+    if clash:
+        raise ValueError(
+            f"column name collision between fact and versioned table: "
+            f"{sorted(clash)} — alias them apart before the temporal join"
+        )
+    joined = asof_join(
+        left_df,
+        right_df,
+        on=left_keys,
+        left_time=of_col,
+        right_time=rtime,
+        right_values=rvals,
+        how="left" if left_kw else "inner",
+    )
+    _TEMPORAL_SEQ[0] += 1
+    view = f"__temporal_join_{_TEMPORAL_SEQ[0]}"
+    joined.createOrReplaceTempView(view)
+    rewritten = sql[: m.start()] + f"FROM {view} AS {lalias} " + sql[m.end() :]
+    # the versioned side's columns now live on the joined view
+    return re.sub(
+        rf"\b{ralias}\.", f"{lalias}.", rewritten, flags=re.IGNORECASE
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -9,6 +9,7 @@ the SQL-text front door produces identical results to the native API."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flink_ci_flink_spark.catalog import load_tables
 from flink_ci_flink_spark.dialect import flink_sql
@@ -120,4 +121,46 @@ def flinksql_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         GROUP BY SESSION(ts, INTERVAL '30' MINUTE), user_id
         """,
+    )
+
+
+@query(
+    "flinksql_temporal_join",
+    oracle="""
+    SELECT c.event_id, c.user_id,
+           CAST(FLOOR(EPOCH(c.ts)) AS BIGINT) AS ts_s,
+           ROUND(p.value, 3) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+    group="dialect",
+)
+def flinksql_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's temporal table join SQL, verbatim: `JOIN dim FOR
+    SYSTEM_TIME AS OF fact.t ON ...` (FLIP-132 syntax; planner rule
+    `LogicalCorrelateToJoinFromTemporalTableRule`, runtime
+    `TemporalRowTimeJoinOperator.java:71` — latest version at-or-before the
+    fact row's time, inner semantics drop version-less facts). The dialect
+    shim routes the join block through `operators.joins.asof_join` (union +
+    forward-fill, one shuffle) and rewrites the rest of the statement.
+    DuckDB's native ASOF JOIN (inner) is the oracle."""
+    t = load_tables(spark, sf_dir)
+    t.events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    ).createOrReplaceTempView("clicks")
+    t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    ).createOrReplaceTempView("purchases")
+    return flink_sql(
+        spark,
+        """
+        SELECT c.event_id, c.user_id,
+               unix_timestamp(c.ts) AS ts_s,
+               ROUND(p.value, 3) AS purchase_value
+        FROM clicks AS c
+        JOIN purchases FOR SYSTEM_TIME AS OF c.ts AS p
+          ON c.user_id = p.user_id
+        """,
+        versioned={"purchases": "ts"},
     )

@@ -251,3 +251,65 @@ def test_ddl_insert_pipeline_end_to_end(spark, sf_dir):
         assert got == want and got
     finally:
         shutil.rmtree(sink_dir.rsplit("/", 1)[0], ignore_errors=True)
+
+
+# -- temporal (FOR SYSTEM_TIME AS OF) joins ---------------------------------
+
+
+def _temporal_views(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.catalog import load_tables
+
+    t = load_tables(spark, sf_dir)
+    t.events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    ).createOrReplaceTempView("tj_clicks")
+    t.events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("uid"), "ts", "value"
+    ).createOrReplaceTempView("tj_purchases")
+
+
+def test_temporal_join_left_keeps_versionless(spark, sf_dir):
+    """LEFT JOIN FOR SYSTEM_TIME keeps facts with no prior version (null
+    value); inner drops them — and inner rows are a subset of left rows."""
+    from flink_ci_flink_spark.dialect import flink_sql
+
+    _temporal_views(spark, sf_dir)
+    base = """
+        SELECT c.event_id, p.value AS v
+        FROM tj_clicks AS c
+        {how} JOIN tj_purchases FOR SYSTEM_TIME AS OF c.ts AS p
+          ON c.user_id = p.uid
+    """
+    left = flink_sql(spark, base.format(how="LEFT"), versioned={"tj_purchases": "ts"}).toPandas()
+    inner = flink_sql(spark, base.format(how=""), versioned={"tj_purchases": "ts"}).toPandas()
+    n_clicks = spark.table("tj_clicks").count()
+    assert len(left) == n_clicks
+    assert len(inner) == left["v"].notna().sum()
+    assert inner["v"].notna().all()
+
+
+def test_temporal_join_requires_version_time(spark, sf_dir):
+    from flink_ci_flink_spark.dialect import flink_sql
+
+    _temporal_views(spark, sf_dir)
+    with pytest.raises(ValueError, match="version-time"):
+        flink_sql(
+            spark,
+            "SELECT c.event_id FROM tj_clicks AS c JOIN tj_purchases "
+            "FOR SYSTEM_TIME AS OF c.ts AS p ON c.user_id = p.uid",
+        )
+
+
+def test_temporal_join_rejects_right_side_of_expr(spark, sf_dir):
+    from flink_ci_flink_spark.dialect import flink_sql
+
+    _temporal_views(spark, sf_dir)
+    with pytest.raises(ValueError, match="left table's time"):
+        flink_sql(
+            spark,
+            "SELECT c.event_id FROM tj_clicks AS c JOIN tj_purchases "
+            "FOR SYSTEM_TIME AS OF p.ts AS p ON c.user_id = p.uid",
+            versioned={"tj_purchases": "ts"},
+        )
