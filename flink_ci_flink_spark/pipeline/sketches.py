@@ -1,0 +1,191 @@
+"""Cardinality / frequency sketches with engine-portable hashing.
+
+At 100 TB, ``COUNT(DISTINCT x)`` over a high-cardinality column shuffles
+every distinct value; these sketches bound per-group state to KBs and keep
+the aggregation map-side combinable — the standard corpus-stats pass of a
+training-data pipeline (distinct URLs/users/tokens per shard, heavy-hitter
+screens). Reference parity: the reference's planner *splits* distinct
+aggregates rather than sketching them
+(`flink-table-planner-blink/.../rules/logical/SplitAggregateRule.java` — the
+partial/final distinct split); sketches are the sub-linear-state answer to
+the same problem, so they register under the pipeline family.
+
+Engine-portable construction (the repo-wide rule): every hash derives from
+md5 hex (`pipeline.text.token_hash` — 60-bit), all sketch state stays in
+exact BIGINT arithmetic (shifts, not ``pow(2.0, ...)``; scaled-integer
+harmonic sums, not float accumulation), and the only floating-point ops are
+the final estimate's one division / one ``ln`` — so the DuckDB oracles
+replay every sketch bit-for-bit.
+
+Scale notes per sketch:
+
+- **HLL**: ``groupBy(keys, register).agg(max(rho))`` — map-side combine
+  reduces each partition to ≤ m rows per group before the shuffle; final
+  state is exactly m=2^b rows per group. The canonical 100 TB distinct.
+- **KMV**: k smallest distinct hashes per group via window row_number —
+  one shuffle of distinct (group, hash) pairs. (At extreme scale, pre-filter
+  ``hash < 2^60 * k * safety / est_rows`` to cut the shuffle; the estimator
+  only needs the k minima.)
+- **Count-min**: ``groupBy(depth, bucket).agg(sum(cnt))`` — map-side
+  combinable; the sketch is a fixed d×w integer grid regardless of input
+  size, and point queries are a broadcast join against it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_ci_flink_spark.pipeline.text import token_hash
+
+HASH_BITS = 60  # token_hash yields 60-bit positive ints (15 md5 hex chars)
+
+# Standard HLL bias-correction constants (Flajolet et al. 2007, fig. 3).
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _hll_alpha(m: int) -> float:
+    return _HLL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def _bit_length(col: Column) -> Column:
+    """Bit length of a non-negative BIGINT (0 -> 1), via base-2 string —
+    portable: DuckDB's ``length(format('{:b}', x))`` computes the same."""
+    return F.length(F.conv(col.cast("string"), 10, 2))
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str | Column,
+    group_cols: Sequence[str],
+    b: int = 6,
+) -> DataFrame:
+    """HyperLogLog register table: one row per (group, register) with the
+    max rho observed. register = top ``b`` bits of the 60-bit hash; rho =
+    1 + leading zeros of the remaining w = 60-b bits (empty remainder ->
+    w+1). Map-side combinable; ≤ 2^b rows per group survive the shuffle."""
+    w = HASH_BITS - b
+    h = token_hash(F.col(value_col) if isinstance(value_col, str) else value_col)
+    # shiftright, not `/` — float division would lose low bits of a 60-bit hash
+    reg = F.shiftright(h, w).alias("reg")
+    rem = (h % F.lit(2**w)).alias("rem")
+    rho = F.when(F.col("rem") == 0, F.lit(w + 1)).otherwise(
+        F.lit(w) - _bit_length(F.col("rem")) + 1
+    )
+    return (
+        df.select(*group_cols, reg, rem)
+        .withColumn("rho", rho)
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str | Column,
+    group_cols: Sequence[str],
+    b: int = 6,
+) -> DataFrame:
+    """HLL distinct-count estimate per group.
+
+    Output: group cols + ``v_zero`` (empty registers), ``s_scaled`` (the
+    harmonic-sum denominator as an EXACT scaled integer: sum over registers
+    of 2^(w+1-rho), empty registers contributing 2^(w+1)), ``est_distinct``
+    (rounded estimate; linear counting below the 2.5m threshold, standard
+    bias-corrected raw estimate above). Everything before the final
+    division/ln is exact BIGINT, so the DuckDB oracle replays it
+    bit-for-bit."""
+    m, w, q = 2**b, HASH_BITS - b, HASH_BITS - b + 1
+    alpha = _hll_alpha(m)
+    regs = hll_registers(df, value_col, group_cols, b)
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("n_present"),
+        # F.shiftleft needs a Python-int bit count; SQL shiftleft takes a column
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {q} - max_rho)")).alias(
+            "s_present"
+        ),
+    )
+    v_zero = (F.lit(m) - F.col("n_present")).alias("v_zero")
+    s_scaled = (
+        F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(2**q)
+    ).alias("s_scaled")
+    out = per_group.select(*group_cols, v_zero, s_scaled)
+    raw = F.lit(alpha * m * m * float(2**q)) / F.col("s_scaled")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero"))
+    est = F.when((raw <= 2.5 * m) & (F.col("v_zero") > 0), linear).otherwise(raw)
+    # portable rounding (the repo-wide floor(x*100+0.5) rule)
+    return out.withColumn(
+        "est_distinct", F.floor(est * 100 + F.lit(0.5)).cast("long") / 100.0
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str | Column,
+    group_cols: Sequence[str],
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct estimate per group (Bar-Yossef et al.):
+    keep the k smallest distinct 60-bit hashes; if fewer than k exist the
+    count is exact, else est = (k-1) * 2^60 / kth_min. Output: group cols +
+    ``n_kept``, ``kth_min`` (exact BIGINTs) + ``est_distinct``."""
+    h = token_hash(F.col(value_col) if isinstance(value_col, str) else value_col)
+    hashes = df.select(*group_cols, h.alias("h")).distinct()
+    wn = Window.partitionBy(*group_cols).orderBy("h")
+    kept = hashes.withColumn("rn", F.row_number().over(wn)).filter(F.col("rn") <= k)
+    agg = kept.groupBy(*group_cols).agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("kth_min")
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(2**HASH_BITS)) / F.col("kth_min")
+    )
+    return agg.withColumn(
+        "est_distinct", F.floor(est * 100 + F.lit(0.5)).cast("long") / 100.0
+    )
+
+
+def countmin_sketch(
+    df: DataFrame,
+    value_col: str | Column,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Count-min sketch of value frequencies: a fixed depth×width integer
+    grid. Row-i bucket of v = token_hash(i || ':' || v) % width. Output:
+    (i, bucket, cnt) — ≤ depth*width rows however large the input."""
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast("string")
+    rows = df.select(
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i"),
+        v.alias("v"),
+    )
+    bucket = token_hash(F.concat_ws(":", F.col("i"), F.col("v"))) % width
+    return (
+        rows.withColumn("bucket", bucket)
+        .groupBy("i", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-query the sketch: est(v) = min over rows i of the bucket count
+    (an over-estimate by construction, tight for heavy hitters). ``probes``
+    is small — the sketch side is too (d×w) — so Catalyst broadcasts."""
+    p = probes.select(
+        F.col(probe_col),
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i"),
+    )
+    bucket = token_hash(F.concat_ws(":", F.col("i"), F.col(probe_col).cast("string"))) % width
+    p = p.withColumn("bucket", bucket)
+    joined = p.join(F.broadcast(sketch), ["i", "bucket"], "left").fillna(
+        {"cnt": 0}
+    )
+    return joined.groupBy(probe_col).agg(F.min("cnt").alias("est_count"))

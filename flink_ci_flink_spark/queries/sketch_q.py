@@ -1,0 +1,168 @@
+"""Sketch queries: HLL / KMV cardinality and count-min frequency, each with
+an exact DuckDB oracle that replays the full sketch construction in SQL
+(md5-portable hashing + exact BIGINT sketch state make this possible —
+see pipeline/sketches.py module docstring for the 100 TB rationale).
+
+Reference parity: the reference answers high-cardinality distincts by
+splitting the aggregate (`SplitAggregateRule.java` partial/final distinct);
+sketches are the bounded-state alternative a corpus-stats pass needs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_ci_flink_spark.catalog import load_tables
+from flink_ci_flink_spark.pipeline.sketches import (
+    countmin_estimate,
+    countmin_sketch,
+    hll_distinct,
+    kmv_distinct,
+)
+from flink_ci_flink_spark.pipeline.text import tokens
+from flink_ci_flink_spark.queries.registry import query
+
+_TOKS = r"list_filter(str_split_regex(text, '\s+'), x -> x != '')"
+_H = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+# HLL constants for b=6: m=64 registers, w=54 remainder bits, q=w+1=55.
+_HLL_RAW_NUM = repr(0.709 * 64 * 64 * float(2**55))  # alpha_64 * m^2 * 2^q
+_POW2_54 = 2**54
+_POW2_60F = repr(float(2**60))
+
+
+@query(
+    "pipe_hll_distinct",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest({_TOKS}) AS tok FROM documents
+    ), hashed AS (
+      SELECT lang, {_H.format(x='tok')} AS h FROM toks
+    ), regs AS (
+      SELECT lang, h >> 54 AS reg,
+             CASE WHEN h % {_POW2_54} = 0 THEN 55
+                  ELSE 55 - length(format('{{:b}}', h % {_POW2_54})) END AS rho
+      FROM hashed
+    ), maxed AS (
+      SELECT lang, reg, MAX(rho) AS max_rho FROM regs GROUP BY 1, 2
+    ), grp AS (
+      SELECT lang, COUNT(*) AS n_present,
+             CAST(SUM(CAST(1 AS BIGINT) << (55 - max_rho)) AS BIGINT) AS s_present
+      FROM maxed GROUP BY 1
+    ), stats AS (
+      SELECT lang, CAST(64 - n_present AS BIGINT) AS v_zero,
+             CAST(s_present + (64 - n_present) * (CAST(1 AS BIGINT) << 55)
+                  AS BIGINT) AS s_scaled
+      FROM grp
+    ), est AS (
+      SELECT lang, v_zero, s_scaled,
+             CASE WHEN ({_HLL_RAW_NUM} / s_scaled) <= 160.0 AND v_zero > 0
+                  THEN 64.0 * ln(64.0 / v_zero)
+                  ELSE {_HLL_RAW_NUM} / s_scaled END AS e
+      FROM stats
+    )
+    SELECT s.lang, s.v_zero, s.s_scaled,
+           CAST(FLOOR(s.e * 100 + 0.5) AS BIGINT) / 100.0 AS est_distinct,
+           x.exact_distinct
+    FROM est s
+    JOIN (SELECT lang, COUNT(DISTINCT tok) AS exact_distinct FROM toks GROUP BY 1) x
+      USING (lang)
+    """,
+    group="pipeline",
+)
+def pipe_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog vocabulary estimate: distinct tokens per language over
+    the document corpus (m=64 registers), alongside the exact distinct for
+    error inspection. The register table is map-side combinable — at 100 TB
+    the shuffle carries ≤ 64 rows per language, vs every distinct token for
+    the exact path. Sketch state is exact BIGINT (v_zero, s_scaled), so the
+    oracle replays it bit-for-bit."""
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select("lang", F.explode(tokens("text")).alias("tok"))
+    sk = hll_distinct(toks, "tok", ["lang"], b=6)
+    exact = toks.groupBy("lang").agg(F.countDistinct("tok").alias("exact_distinct"))
+    return sk.join(exact, "lang").select(
+        "lang", "v_zero", "s_scaled", "est_distinct", "exact_distinct"
+    )
+
+
+@query(
+    "pipe_kmv_distinct",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             {_H.format(x='CAST(user_id AS VARCHAR)')} AS h
+      FROM events
+    ), ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashed
+    ), kept AS (
+      SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS kth_min
+      FROM ranked WHERE rn <= 32 GROUP BY 1
+    )
+    SELECT event_type, n_kept, kth_min,
+           CAST(FLOOR((CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
+                            ELSE 31.0 * {_POW2_60F} / kth_min END) * 100 + 0.5)
+                AS BIGINT) / 100.0 AS est_distinct
+    FROM kept
+    """,
+    group="pipeline",
+)
+def pipe_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct estimate: users per event type (k=32).
+    Exact below k (the estimator's defined fallback), (k-1)*2^60/kth_min
+    above. n_kept/kth_min are exact BIGINT sketch state — the oracle
+    replays the identical k-minima."""
+    t = load_tables(spark, sf_dir)
+    return kmv_distinct(
+        t.events, F.col("user_id").cast("string"), ["event_type"], k=32
+    ).select("event_type", "n_kept", "kth_min", "est_distinct")
+
+
+@query(
+    "pipe_countmin_freq",
+    oracle=f"""
+    WITH grid AS (SELECT unnest(generate_series(0, 3)) AS i),
+    sketch AS (
+      SELECT i,
+             {_H.format(x="CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % 512 AS bucket,
+             COUNT(*) AS cnt
+      FROM events CROSS JOIN grid
+      GROUP BY 1, 2
+    ), probes AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id < 10
+    ), pb AS (
+      SELECT p.user_id, g.i,
+             {_H.format(x="CAST(g.i AS VARCHAR) || ':' || CAST(p.user_id AS VARCHAR)")} % 512 AS bucket
+      FROM probes p CROSS JOIN grid g
+    ), est AS (
+      SELECT pb.user_id, MIN(COALESCE(s.cnt, 0)) AS est_count
+      FROM pb LEFT JOIN sketch s ON s.i = pb.i AND s.bucket = pb.bucket
+      GROUP BY 1
+    )
+    SELECT e.user_id, e.est_count, x.exact_count
+    FROM est e
+    JOIN (SELECT user_id, COUNT(*) AS exact_count FROM events
+          WHERE user_id < 10 GROUP BY 1) x
+      USING (user_id)
+    """,
+    group="pipeline",
+)
+def pipe_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (d=4, w=512) over event user_ids, point-
+    queried for ten users against their exact counts. The sketch is a fixed
+    2048-row integer grid however large the stream — the heavy-hitter
+    screen shape. Estimates are exact-arithmetic min-of-bucket-sums, so the
+    oracle reproduces them precisely."""
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id")
+    sk = countmin_sketch(ev, "user_id", depth=4, width=512)
+    probes = ev.distinct().filter(F.col("user_id") < 10)
+    est = countmin_estimate(sk, probes, "user_id", depth=4, width=512)
+    exact = (
+        ev.filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return est.join(exact, "user_id").select("user_id", "est_count", "exact_count")

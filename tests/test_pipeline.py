@@ -600,3 +600,80 @@ def test_token_budget_mix_budget_share(spark, sf_dir):
     n_full = docs.where(F.col("source").isin("src0", "src1")).count()
     assert mixed.count() == n_full  # rate clamped to 1.0 keeps everything
     assert mixed.select(F.min("mix_rate")).first()[0] == 1.0
+
+
+# -- sketches (pipeline/sketches.py) ----------------------------------------
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    """HLL with m=64 has relative standard error 1.04/sqrt(64) = 13%; the
+    deterministic fixture estimates must land within ~3 sigma of exact."""
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline.sketches import hll_distinct
+    from flink_ci_flink_spark.pipeline.text import tokens
+
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select("lang", F.explode(tokens("text")).alias("tok"))
+    est = {
+        r["lang"]: r["est_distinct"]
+        for r in hll_distinct(toks, "tok", ["lang"], b=6).collect()
+    }
+    exact = {
+        r["lang"]: r["n"]
+        for r in toks.groupBy("lang").agg(F.countDistinct("tok").alias("n")).collect()
+    }
+    for lang, n in exact.items():
+        assert abs(est[lang] - n) <= max(0.4 * n, 10), (lang, est[lang], n)
+
+
+def test_kmv_exact_below_k_and_bounded_above(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline.sketches import kmv_distinct
+
+    t = load_tables(spark, sf_dir)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in t.events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k in (8, 1000):
+        rows = kmv_distinct(
+            t.events, F.col("user_id").cast("string"), ["event_type"], k=k
+        ).collect()
+        for r in rows:
+            n = exact[r["event_type"]]
+            if n < k:  # below k the sketch IS the exact distinct count
+                assert r["est_distinct"] == n
+            else:
+                assert abs(r["est_distinct"] - n) <= 0.8 * n
+
+
+def test_countmin_overestimates_never_under(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline.sketches import countmin_estimate, countmin_sketch
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id")
+    sk = countmin_sketch(ev, "user_id", depth=4, width=512)
+    probes = ev.distinct()
+    est = {
+        r["user_id"]: r["est_count"]
+        for r in countmin_estimate(sk, probes, "user_id", depth=4, width=512).collect()
+    }
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for u, n in exact.items():
+        assert est[u] >= n  # count-min never underestimates
+    # and with w=512 >> distinct users, most estimates are exact
+    exact_hits = sum(1 for u in exact if est[u] == exact[u])
+    assert exact_hits >= 0.9 * len(exact)
