@@ -98,27 +98,25 @@ def hll_distinct(
     bias-corrected raw estimate above). Everything before the final
     division/ln is exact BIGINT, so the DuckDB oracle replays it
     bit-for-bit."""
-    m, w, q = 2**b, HASH_BITS - b, HASH_BITS - b + 1
-    alpha = _hll_alpha(m)
     regs = hll_registers(df, value_col, group_cols, b)
-    per_group = regs.groupBy(*group_cols).agg(
-        F.count("*").alias("n_present"),
-        # F.shiftleft needs a Python-int bit count; SQL shiftleft takes a column
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {q} - max_rho)")).alias(
-            "s_present"
-        ),
-    )
-    v_zero = (F.lit(m) - F.col("n_present")).alias("v_zero")
-    s_scaled = (
-        F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(2**q)
-    ).alias("s_scaled")
-    out = per_group.select(*group_cols, v_zero, s_scaled)
-    raw = F.lit(alpha * m * m * float(2**q)) / F.col("s_scaled")
-    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero"))
-    est = F.when((raw <= 2.5 * m) & (F.col("v_zero") > 0), linear).otherwise(raw)
-    # portable rounding (the repo-wide floor(x*100+0.5) rule)
-    return out.withColumn(
-        "est_distinct", F.floor(est * 100 + F.lit(0.5)).cast("long") / 100.0
+    return hll_estimate_from_registers(regs, group_cols, b)
+
+
+def kmv_minima(
+    df: DataFrame,
+    value_col: str | Column,
+    group_cols: Sequence[str],
+    k: int = 64,
+) -> DataFrame:
+    """The KMV sketch itself: the k smallest distinct hashes per group
+    (group cols + ``h``). Shard sketches merge losslessly via `kmv_merge`."""
+    h = token_hash(F.col(value_col) if isinstance(value_col, str) else value_col)
+    hashes = df.select(*group_cols, h.alias("h")).distinct()
+    wn = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashes.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
     )
 
 
@@ -132,10 +130,7 @@ def kmv_distinct(
     keep the k smallest distinct 60-bit hashes; if fewer than k exist the
     count is exact, else est = (k-1) * 2^60 / kth_min. Output: group cols +
     ``n_kept``, ``kth_min`` (exact BIGINTs) + ``est_distinct``."""
-    h = token_hash(F.col(value_col) if isinstance(value_col, str) else value_col)
-    hashes = df.select(*group_cols, h.alias("h")).distinct()
-    wn = Window.partitionBy(*group_cols).orderBy("h")
-    kept = hashes.withColumn("rn", F.row_number().over(wn)).filter(F.col("rn") <= k)
+    kept = kmv_minima(df, value_col, group_cols, k)
     agg = kept.groupBy(*group_cols).agg(
         F.count("*").alias("n_kept"), F.max("h").alias("kth_min")
     )
@@ -189,3 +184,76 @@ def countmin_estimate(
         {"cnt": 0}
     )
     return joined.groupBy(probe_col).agg(F.min("cnt").alias("est_count"))
+
+
+# ---------------------------------------------------------------------------
+# Sketch merges — the distributed-aggregation property. A 1000-executor job
+# sketches each shard independently and merges the tiny sketch tables;
+# merged state is IDENTICAL to sketching the union (proven by the
+# partition-invariance tests), so shard-parallel corpus stats need no
+# second pass over the data.
+# ---------------------------------------------------------------------------
+
+
+def hll_merge(*register_tables: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Merge HLL register tables (outputs of `hll_registers` over disjoint
+    shards): union + per-(group, register) max. Lossless — HLL's register
+    max is associative/commutative."""
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy(*group_cols, "reg").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: Sequence[str], b: int = 6
+) -> DataFrame:
+    """Estimate from a (merged) register table — the tail of `hll_distinct`,
+    exposed so shard-merged sketches finish identically."""
+    m, q = 2**b, HASH_BITS - b + 1
+    alpha = _hll_alpha(m)
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {q} - max_rho)")).alias(
+            "s_present"
+        ),
+    )
+    out = per_group.select(
+        *group_cols,
+        (F.lit(m) - F.col("n_present")).alias("v_zero"),
+        (F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(2**q)).alias(
+            "s_scaled"
+        ),
+    )
+    raw = F.lit(alpha * m * m * float(2**q)) / F.col("s_scaled")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero"))
+    est = F.when((raw <= 2.5 * m) & (F.col("v_zero") > 0), linear).otherwise(raw)
+    return out.withColumn(
+        "est_distinct", F.floor(est * 100 + F.lit(0.5)).cast("long") / 100.0
+    )
+
+
+def kmv_merge(
+    *kept_tables: DataFrame, group_cols: Sequence[str], k: int = 64
+) -> DataFrame:
+    """Merge per-shard k-minima tables (schema: group cols + ``h``): union,
+    distinct, re-take the k smallest per group. The k smallest of a union
+    are among the per-shard k smallest, so this is lossless."""
+    out = kept_tables[0]
+    for t in kept_tables[1:]:
+        out = out.unionByName(t)
+    wn = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        out.distinct()
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def countmin_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min grids: cell-wise sum (counts are linear)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("i", "bucket").agg(F.sum("cnt").alias("cnt"))

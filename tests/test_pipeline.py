@@ -677,3 +677,58 @@ def test_countmin_overestimates_never_under(spark, sf_dir):
     # and with w=512 >> distinct users, most estimates are exact
     exact_hits = sum(1 for u in exact if est[u] == exact[u])
     assert exact_hits >= 0.9 * len(exact)
+
+
+def test_sketch_merges_equal_whole_data_sketch(spark, sf_dir):
+    """Shard-and-merge == sketch-the-union, for all three sketches — the
+    property that lets a 1000-executor job sketch shards independently."""
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline.sketches import (
+        countmin_merge,
+        countmin_sketch,
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+        kmv_merge,
+        kmv_minima,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("event_type", "user_id")
+    shard_a = ev.filter(F.col("user_id") % 2 == 0)
+    shard_b = ev.filter(F.col("user_id") % 2 == 1)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    # HLL: merged registers == whole-data registers, and so do estimates
+    whole = hll_registers(ev, F.col("user_id").cast("string"), ["event_type"])
+    merged = hll_merge(
+        hll_registers(shard_a, F.col("user_id").cast("string"), ["event_type"]),
+        hll_registers(shard_b, F.col("user_id").cast("string"), ["event_type"]),
+        group_cols=["event_type"],
+    )
+    assert rows(whole) == rows(merged)
+    assert rows(hll_estimate_from_registers(whole, ["event_type"])) == rows(
+        hll_estimate_from_registers(merged, ["event_type"])
+    )
+
+    # KMV: merged per-shard minima == whole-data minima
+    k = 16
+    assert rows(
+        kmv_minima(ev, F.col("user_id").cast("string"), ["event_type"], k=k)
+    ) == rows(
+        kmv_merge(
+            kmv_minima(shard_a, F.col("user_id").cast("string"), ["event_type"], k=k),
+            kmv_minima(shard_b, F.col("user_id").cast("string"), ["event_type"], k=k),
+            group_cols=["event_type"],
+            k=k,
+        )
+    )
+
+    # Count-min: cell-wise-summed shard grids == whole-data grid
+    assert rows(countmin_sketch(ev, "user_id")) == rows(
+        countmin_merge(countmin_sketch(shard_a, "user_id"), countmin_sketch(shard_b, "user_id"))
+    )
