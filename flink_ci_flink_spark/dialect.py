@@ -100,11 +100,39 @@ def _rewrite_group_windows(sql: str) -> str:
     return sql
 
 
+def _rewrite_lateral_table(sql: str) -> str:
+    """`LATERAL TABLE(f(args))` (the reference's table-function invocation,
+    `SqlToOperationConverter` correlate handling) → Spark's `LATERAL f(args)`.
+    Trailing `[AS] T(c1, ...)` aliases and the `LEFT JOIN ... ON TRUE` form
+    are shared syntax and pass through. Balanced-paren scan — the argument
+    can itself contain calls."""
+    out = []
+    i = 0
+    pat = re.compile(r"\bLATERAL\s+TABLE\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        out.append(sql[i : m.start()])
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise ValueError("unbalanced parentheses in LATERAL TABLE(...)")
+        out.append("LATERAL " + sql[m.end() : j - 1].strip())
+        i = j
+
+
 def translate(sql: str) -> str:
     """Rewrite Flink group-window SQL text to Spark SQL text (pure string →
     string; no session needed). Auxiliaries first so `TUMBLE_START(` is
     consumed before the bare `TUMBLE(` rule could see it."""
-    return _rewrite_group_windows(_rewrite_aux(sql))
+    return _rewrite_lateral_table(_rewrite_group_windows(_rewrite_aux(sql)))
 
 
 def flink_sql(

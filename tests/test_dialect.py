@@ -313,3 +313,29 @@ def test_temporal_join_rejects_right_side_of_expr(spark, sf_dir):
             "FOR SYSTEM_TIME AS OF p.ts AS p ON c.user_id = p.uid",
             versioned={"tj_purchases": "ts"},
         )
+
+
+def test_lateral_table_rewrite():
+    from flink_ci_flink_spark.dialect import translate
+
+    got = translate(
+        "SELECT id, T.word FROM t, LATERAL TABLE(split_fn(concat(a, b))) AS T(word)"
+    )
+    assert "LATERAL split_fn(concat(a, b)) AS T(word)" in got
+    assert "TABLE(" not in got
+    # LEFT JOIN ... ON TRUE form survives
+    got2 = translate(
+        "SELECT * FROM t LEFT JOIN LATERAL TABLE(f(x)) T(c) ON TRUE"
+    )
+    assert "LEFT JOIN LATERAL f(x) T(c) ON TRUE" in got2
+
+
+def test_lateral_table_executes(spark):
+    from flink_ci_flink_spark.dialect import flink_sql
+
+    spark.sql("SELECT 1 AS id, 'a b c' AS line").createOrReplaceTempView("lt_t")
+    out = flink_sql(
+        spark,
+        "SELECT id, S.word FROM lt_t, LATERAL TABLE(explode(split(line, ' '))) AS S(word)",
+    )
+    assert [r["word"] for r in out.collect()] == ["a", "b", "c"]
