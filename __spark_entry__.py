@@ -33,14 +33,16 @@ FLAGSHIP = "tpch_q3_shipping_priority"
 # go to queries never driver-checked in any prior round (cumulative proven
 # set grows monotonically; rounds 1-3 covered 76/140).
 _PRIORITY = [
-    # group anchors, driver-green in prior rounds
-    "tpch_q1_pricing_summary",
+    # group anchors, driver-green in prior rounds (tpch/pipe/cep/udf remain
+    # spanned by the never-checked rows below)
     "tpch_q3_shipping_priority",
     "sessionize_ordinal",
-    "pipe_exact_dedup",
     "graph_dedup_clusters",
-    "cep_click_click_purchase",
-    "udf_pandas_scalar",
+    # round-4 features, never driver-checked: temporal-join SQL + sketches
+    "flinksql_temporal_join",
+    "pipe_hll_distinct",
+    "pipe_kmv_distinct",
+    "pipe_countmin_freq",
     # HUGEINT-cast oracles (r3 reds + latent class) — prove green
     "pipe_simhash",
     "tpcds_shape_frequent_best",
