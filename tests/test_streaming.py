@@ -365,3 +365,24 @@ def test_streaming_anti_join_static(spark, events_stream_dir):
         for r in ev_batch.join(purchasers, "user_id", "left_anti").select("event_id").collect()
     }
     assert got == want
+
+
+def test_streaming_hll_registers_match_batch(spark, events_stream_dir):
+    """The HLL register aggregation (pipeline/sketches.py) runs as an
+    unbounded streaming groupBy — bounded state (≤ m rows per group) makes
+    it the streaming-native distinct; final registers == batch registers."""
+    from flink_ci_flink_spark.pipeline.sketches import hll_registers
+    from flink_ci_flink_spark.streaming import run_to_completion
+
+    stream = _events_stream(spark, events_stream_dir)
+    regs = hll_registers(stream, F.col("user_id").cast("string"), ["event_type"])
+    name = f"hll_{uuid.uuid4().hex[:8]}"
+    run_to_completion(regs, name, "complete")
+    got = sorted(map(tuple, spark.table(name).collect()))
+    path, schema = events_stream_dir
+    batch = hll_registers(
+        spark.read.schema(schema).parquet(path),
+        F.col("user_id").cast("string"),
+        ["event_type"],
+    )
+    assert got == sorted(map(tuple, batch.collect()))
