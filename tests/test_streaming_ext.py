@@ -644,3 +644,37 @@ def test_transform_with_state_running_agg(spark, events_stream_dir):  # noqa: F8
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_bloom_screen_no_false_negatives_and_prunes(spark, sf_dir):
+    """Screen keeps every true match (no false negatives), prunes most
+    non-matches, and the composed semi join is exactly the plain semi join.
+    The k probe joins must be broadcast (map-only on the big side)."""
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.operators.bloom import (
+        bloom_build,
+        bloom_screen,
+        bloom_semi_join,
+    )
+
+    t = load_tables(spark, sf_dir)
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    keys = urgent.select(F.col("o_orderkey").alias("l_orderkey"))
+    bitmap = bloom_build(keys, "l_orderkey")
+    screened = bloom_screen(t.lineitem, "l_orderkey", bitmap)
+
+    exact = t.lineitem.join(keys.distinct(), "l_orderkey", "left_semi")
+    n_exact, n_screen, n_big = exact.count(), screened.count(), t.lineitem.count()
+    assert n_screen >= n_exact  # zero false negatives
+    # urgent is ~1/5 of orders; with m=2^16 the FP rate is tiny at this SF
+    assert n_screen < 0.5 * n_big
+    got = sorted(
+        map(tuple, bloom_semi_join(
+            t.lineitem, urgent, on="l_orderkey", small_key="o_orderkey"
+        ).collect())
+    )
+    assert got == sorted(map(tuple, exact.collect()))
+    plan = screened._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
