@@ -389,3 +389,73 @@ def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
     )
+
+
+@query(
+    "cdc_debezium_materialize",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS okey, o_orderstatus AS status,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), final AS (
+      SELECT okey, status,
+             CASE WHEN okey % 3 = 0 THEN cents + 1 ELSE cents END AS cents
+      FROM base WHERE okey % 7 <> 0
+    )
+    SELECT status, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM final GROUP BY status
+    """,
+    group="sources",
+)
+def cdc_debezium_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC ingestion end-to-end (FLIP-105 / `DebeziumJsonDeserializationSchema
+    .java`): a deterministic Debezium stream synthesized from orders (every
+    row inserted, every 3rd key updated (+1 cent), every 7th deleted) is
+    DECODED from real JSON envelopes (from_json), exploded to the
+    reference's RowKind changelog (+I/-U/+U/-D — `RowKind.java:32-55`), and
+    materialized to the latest surviving state (one key-window shuffle).
+    The oracle states the expected final snapshot directly over orders."""
+    from flink_ci_flink_spark.sources.cdc import (
+        materialize,
+        parse_debezium,
+        to_changelog,
+    )
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))).cast("long").alias("cents"),
+    )
+    row = F.struct("okey", "status", "cents")
+    null_row = F.lit(None).cast("struct<okey:bigint,status:string,cents:bigint>")
+
+    def msg(before, after, op, seq):
+        return F.to_json(
+            F.struct(
+                before.alias("before"),
+                after.alias("after"),
+                F.lit(op).alias("op"),
+                F.lit(seq).cast("long").alias("ts_ms"),
+            )
+        ).alias("value")
+
+    ins = base.select(msg(null_row, row, "c", 1))
+    upd = base.filter(F.col("okey") % 3 == 0).select(
+        msg(
+            row,
+            F.struct(
+                F.col("okey"), F.col("status"), (F.col("cents") + 1).alias("cents")
+            ),
+            "u",
+            2,
+        )
+    )
+    dels = base.filter(F.col("okey") % 7 == 0).select(msg(row, null_row, "d", 3))
+    msgs = ins.unionByName(upd).unionByName(dels)
+    parsed = parse_debezium(msgs, "value", "okey bigint, status string, cents bigint")
+    final = materialize(to_changelog(parsed), ["okey"])
+    return final.groupBy("status").agg(
+        F.count("*").alias("n_rows"), F.sum("cents").alias("total_cents")
+    )

@@ -207,3 +207,48 @@ def test_catalog_table_roundtrip(spark, sf_dir):
         "partition column must be pruned from the read schema (metadata col)"
     )
     spark.sql("DROP TABLE IF EXISTS nations_tbl")
+
+
+# -- CDC formats (sources/cdc.py) -------------------------------------------
+
+
+def test_canal_decode_matches_debezium_changelog(spark):
+    """The same logical history encoded as Canal and Debezium envelopes
+    decodes to the identical RowKind changelog and final state."""
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.sources.cdc import (
+        materialize,
+        parse_canal,
+        parse_debezium,
+        to_changelog,
+    )
+
+    schema = "id bigint, v string"
+    dbz = spark.createDataFrame(
+        [
+            ('{"before": null, "after": {"id": 1, "v": "a"}, "op": "c", "ts_ms": 1}',),
+            ('{"before": null, "after": {"id": 2, "v": "b"}, "op": "c", "ts_ms": 1}',),
+            ('{"before": {"id": 1, "v": "a"}, "after": {"id": 1, "v": "a2"}, "op": "u", "ts_ms": 2}',),
+            ('{"before": {"id": 2, "v": "b"}, "after": null, "op": "d", "ts_ms": 3}',),
+        ],
+        "value string",
+    )
+    canal = spark.createDataFrame(
+        [
+            ('{"data": [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}], "old": null, "type": "INSERT", "ts": 1}',),
+            ('{"data": [{"id": 1, "v": "a2"}], "old": [{"id": 1, "v": "a"}], "type": "UPDATE", "ts": 2}',),
+            ('{"data": [{"id": 2, "v": "b"}], "old": null, "type": "DELETE", "ts": 3}',),
+        ],
+        "value string",
+    )
+    cl_d = to_changelog(parse_debezium(dbz, "value", schema))
+    cl_c = to_changelog(parse_canal(canal, "value", schema))
+    as_rows = lambda df: sorted(
+        (r["row_kind"], r["ts_ms"], tuple(r["row"])) for r in df.collect()
+    )
+    assert as_rows(cl_d) == as_rows(cl_c)
+    # update-before rows carry the PRE-image (reference RowKind mapping)
+    assert ("-U", 2, (1, "a")) in as_rows(cl_d)
+    final = sorted(map(tuple, materialize(cl_d, ["id"]).collect()))
+    assert final == [(1, "a2")]  # id 2 deleted, id 1 at updated value
