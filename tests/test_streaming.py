@@ -386,3 +386,78 @@ def test_streaming_hll_registers_match_batch(spark, events_stream_dir):
         ["event_type"],
     )
     assert got == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_cdc_upsert_matches_batch_materialize(spark, sf_dir):
+    """Debezium changelog consumed as a stream through foreachBatch upserts
+    (sources/cdc.py + foreach_batch_upsert) converges to the same snapshot
+    as batch materialization — the reference's CDC-consumption semantics
+    (`DebeziumJsonDeserializationSchema` feeding a changelog sink)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from flink_ci_flink_spark.sources.cdc import (
+        materialize,
+        parse_debezium,
+        to_changelog,
+    )
+    from flink_ci_flink_spark.streaming import file_stream, foreach_batch_upsert
+
+    rows = [
+        ('{"before": null, "after": {"id": %d, "v": "v%d"}, "op": "c", "ts_ms": 1}' % (i, i), 0)
+        for i in range(20)
+    ]
+    rows += [
+        ('{"before": {"id": %d, "v": "v%d"}, "after": {"id": %d, "v": "u%d"}, "op": "u", "ts_ms": 2}' % (i, i, i, i), 1)
+        for i in range(0, 20, 3)
+    ]
+    rows += [
+        ('{"before": {"id": %d, "v": "v%d"}, "after": null, "op": "d", "ts_ms": 3}' % (i, i), 2)
+        for i in range(0, 20, 7)
+    ]
+    tmp = tempfile.mkdtemp(prefix="cdc_stream_")
+    ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
+    try:
+        # three time-ordered files -> three micro-batches (insert/update/delete)
+        for phase in range(3):
+            batch = [(v,) for v, p in rows if p == phase]
+            spark.createDataFrame(batch, "value string").coalesce(1).write.mode(
+                "overwrite"
+            ).format("text").save(f"{tmp}/stage")
+            (part,) = glob.glob(f"{tmp}/stage/part-*.txt")
+            os.rename(part, f"{tmp}/{phase:03d}.txt")
+        shutil.rmtree(f"{tmp}/stage")
+
+        state: dict[int, tuple] = {}
+
+        def merge(batch_df, batch_id):
+            cl = to_changelog(parse_debezium(batch_df, "value", "id bigint, v string"))
+            for r in cl.orderBy("ts_ms").collect():  # tiny per-batch changelog
+                if r["row_kind"] in ("+I", "+U"):
+                    state[r["row"]["id"]] = tuple(r["row"])
+                elif r["row_kind"] == "-D":
+                    state.pop(r["row"]["id"], None)
+
+        stream = file_stream(
+            spark, tmp, "value string", max_files_per_trigger=1, fmt="text"
+        )
+        q = foreach_batch_upsert(stream, merge, ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+        batch_msgs = spark.createDataFrame([(v,) for v, _ in rows], "value string")
+        want = sorted(
+            map(
+                tuple,
+                materialize(
+                    to_changelog(parse_debezium(batch_msgs, "value", "id bigint, v string")),
+                    ["id"],
+                ).collect(),
+            )
+        )
+        assert sorted(state.values()) == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
