@@ -732,3 +732,115 @@ def test_sketch_merges_equal_whole_data_sketch(spark, sf_dir):
     assert rows(countmin_sketch(ev, "user_id")) == rows(
         countmin_merge(countmin_sketch(shard_a, "user_id"), countmin_sketch(shard_b, "user_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (span) dedup — pipeline/spans.py
+# ---------------------------------------------------------------------------
+
+_SPAN_DOCS = [
+    # A and B share the 8-token span "q w e r t y u i"; C unique; D short.
+    (1, "alpha beta q w e r t y u i gamma delta"),
+    (2, "zzz q w e r t y u i yyy xxx www vvv"),
+    (3, "one two three four five six seven eight nine ten"),
+    (4, "too short doc"),
+]
+
+
+def test_span_dedup_stats_semantics(spark):
+    from flink_ci_flink_spark.pipeline.spans import span_dedup_stats
+
+    df = spark.createDataFrame(_SPAN_DOCS, ["doc_id", "text"])
+    rows = {r.doc_id: r for r in span_dedup_stats(df, w=8).collect()}
+    # only the two docs sharing the span appear
+    assert set(rows) == {1, 2}
+    for d in (1, 2):
+        assert rows[d].dup_windows == 1
+        assert rows[d].dup_tokens == 8
+    assert rows[1].n_tokens == 12
+    # doc1 has 12 tokens -> 5 windows of 8
+    assert rows[1].n_windows == 5
+    assert abs(rows[1].dup_frac - round(8 / 12, 6)) < 1e-9
+
+
+def test_strip_spans_keep_first(spark):
+    from flink_ci_flink_spark.pipeline.spans import strip_duplicated_spans
+
+    df = spark.createDataFrame(_SPAN_DOCS, ["doc_id", "text"])
+    out = {r.doc_id: r for r in strip_duplicated_spans(df, w=8).collect()}
+    # every doc present; doc 1 (lowest id) keeps the span, doc 2 loses it
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].clean_text == _SPAN_DOCS[0][1]
+    assert out[2].clean_text == "zzz yyy xxx www vvv"
+    assert out[2].n_kept_tokens == 5
+    assert out[3].clean_text == _SPAN_DOCS[2][1]
+    assert out[4].clean_text == "too short doc"
+
+
+def test_span_dedup_single_token_doc_safe(spark):
+    from flink_ci_flink_spark.pipeline.spans import span_dedup_stats
+
+    df = spark.createDataFrame([(1, "word"), (2, "")], ["doc_id", "text"])
+    assert span_dedup_stats(df, w=8).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Sharding — pipeline/sharding.py
+# ---------------------------------------------------------------------------
+
+
+def test_balanced_shards_round_robin_exact(spark):
+    from flink_ci_flink_spark.pipeline.sharding import balanced_shards
+
+    rows = [(i, 100 - i) for i in range(1, 21)]  # weights 99..80, ids 1..20
+    df = spark.createDataFrame(rows, ["doc_id", "wt"])
+    got = {
+        r.doc_id: r.shard for r in balanced_shards(df, 4, "wt").collect()
+    }
+    # rank by weight desc == id asc here, so shard = (id-1) % 4
+    assert got == {i: (i - 1) % 4 for i in range(1, 21)}
+
+
+def test_balanced_shards_partitioning_invariant(spark):
+    from flink_ci_flink_spark.pipeline.sharding import balanced_shards
+
+    rows = [(i, (i * 37) % 50) for i in range(1, 101)]
+    a = spark.createDataFrame(rows, ["doc_id", "wt"])
+    b = spark.createDataFrame(rows, ["doc_id", "wt"]).repartition(7)
+    ga = sorted(
+        (r.doc_id, r.shard) for r in balanced_shards(a, 5, "wt").collect()
+    )
+    gb = sorted(
+        (r.doc_id, r.shard) for r in balanced_shards(b, 5, "wt").collect()
+    )
+    assert ga == gb
+
+
+def test_balanced_shards_token_spread_tight(spark):
+    from flink_ci_flink_spark.pipeline.sharding import balanced_shards
+    from pyspark.sql import functions as F  # noqa: F811
+
+    rows = [(i, (i * 13) % 97 + 1) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, ["doc_id", "wt"])
+    sums = [
+        r.s
+        for r in balanced_shards(df, 8, "wt")
+        .groupBy("shard")
+        .agg(F.sum("wt").alias("s"))
+        .collect()
+    ]
+    assert len(sums) == 8
+    # LPT round-robin keeps the spread within one max-weight of perfect
+    assert max(sums) - min(sums) <= 97
+
+
+def test_hash_shards_deterministic_and_map_only(spark):
+    from flink_ci_flink_spark.pipeline.sharding import hash_shards
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = hash_shards(df, 16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: no shuffle anywhere
+    a = {r.doc_id: r.shard for r in out.collect()}
+    b = {r.doc_id: r.shard for r in hash_shards(df.repartition(5), 16).collect()}
+    assert a == b
