@@ -99,33 +99,45 @@ def span_dedup_stats(
     where dup_tokens is the size of the union of flagged windows' token
     positions and dup_frac = dup_tokens / n_tokens (portable 6-digit
     rounding). A training pipeline filters on dup_frac or cuts the spans.
+
+    Physical shape — ONE corpus scan, two shuffles:
+    1. the cross-doc screen is min/max-over-window partitioned by whash
+       (no groupBy + join-back, which would re-scan and re-tokenize);
+    2. position coverage is the analytic interval-union: windows sorted by
+       start within a doc contribute min(w, gap-to-previous) tokens each —
+       no w-fold explode, no distinct;
+    3. n_windows is arithmetic (n_tokens - w + 1; flagged docs always
+       have >= w tokens), not a third aggregation over the corpus.
+    The coverage window is partitioned by doc id and the final groupBy
+    uses the same key, so stage 2's exchange satisfies the aggregation —
+    no extra shuffle.
     """
+    from pyspark.sql import Window
+
     wt = window_table(df, text_col, id_col, w)
-    dup = duplicated_windows(wt, id_col)
-    flagged = wt.join(dup, "whash")
-    per_doc = flagged.groupBy(id_col).agg(
-        F.max("n_tokens").alias("n_tokens"),
-        F.count(F.lit(1)).alias("dup_windows"),
+    by_hash = Window.partitionBy("whash")
+    flagged = (
+        wt.withColumn("__min_id", F.min(id_col).over(by_hash))
+        .withColumn("__max_id", F.max(id_col).over(by_hash))
+        .filter(F.col("__min_id") != F.col("__max_id"))
     )
-    coverage = (
-        flagged.select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + (w - 1))
-            ).alias("tok_pos"),
-        )
-        .distinct()
+    by_doc = Window.partitionBy(id_col).orderBy("pos")
+    contrib = F.coalesce(
+        F.least(F.lit(w).cast("bigint"), F.col("pos") - F.lag("pos").over(by_doc)),
+        F.lit(w).cast("bigint"),
+    )
+    return (
+        flagged.withColumn("__contrib", contrib)
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("dup_tokens"))
-    )
-    totals = wt.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_windows"))
-    out = (
-        per_doc.join(totals, id_col)
-        .join(coverage, id_col)
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("dup_windows"),
+            F.sum("__contrib").alias("dup_tokens"),
+        )
         .select(
             F.col(id_col),
             F.col("n_tokens"),
-            F.col("n_windows"),
+            (F.col("n_tokens") - (w - 1)).alias("n_windows"),
             F.col("dup_windows"),
             F.col("dup_tokens"),
             (
@@ -134,7 +146,6 @@ def span_dedup_stats(
             ).alias("dup_frac"),
         )
     )
-    return out
 
 
 def strip_duplicated_spans(
@@ -151,11 +162,12 @@ def strip_duplicated_spans(
     anti-join token positions -> re-assemble with concat_ws over the
     surviving tokens in order (array_sort on position, zero driver work).
     """
+    from pyspark.sql import Window
+
     wt = window_table(df, text_col, id_col, w)
-    keeper = wt.groupBy("whash").agg(F.min(id_col).alias("__keep_id"))
-    flagged = wt.join(keeper, "whash").filter(
-        F.col(id_col) != F.col("__keep_id")
-    )
+    flagged = wt.withColumn(
+        "__keep_id", F.min(id_col).over(Window.partitionBy("whash"))
+    ).filter(F.col(id_col) != F.col("__keep_id"))
     covered = flagged.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("pos"), F.col("pos") + (w - 1))).alias(
