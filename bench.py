@@ -210,6 +210,27 @@ def main() -> None:
     except Exception as ex:  # pragma: no cover - defensive bench guard
         result["stateful_streaming_error"] = f"{type(ex).__name__}: {ex}"[:300]
 
+    # Round-4 operator rung (separate from the headline so the 22-query
+    # total stays round-over-round comparable): span dedup, span stripping,
+    # export sharding, and the three sketches, single timed run each.
+    NEW_OPS = [
+        "pipe_span_dedup",
+        "pipe_strip_spans",
+        "pipe_shard_assignment",
+        "pipe_hll_distinct",
+        "pipe_kmv_distinct",
+        "pipe_countmin_freq",
+    ]
+    new_ops_t: dict[str, float] = {}
+    for name in NEW_OPS:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        n = QUERIES[name].fn(spark, sf_dir).count()
+        new_ops_t[name] = round(time.perf_counter() - t0, 3)
+        print(f"# new_op {name}: {new_ops_t[name]:.3f}s ({n} rows)", file=sys.stderr)
+    result["new_ops"] = new_ops_t
+
     # Scale rung (sf1 = 10x) + skew fixtures: the 100-TB proof points.
     # Fixture dirs are built once and cached under .benchdata/ (gitignored).
     # Failures here must never lose the headline numbers.

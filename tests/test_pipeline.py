@@ -844,3 +844,58 @@ def test_hash_shards_deterministic_and_map_only(spark):
     a = {r.doc_id: r.shard for r in out.collect()}
     b = {r.doc_id: r.shard for r in hash_shards(df.repartition(5), 16).collect()}
     assert a == b
+
+
+def test_span_dedup_property_vs_bruteforce(spark):
+    """Property test: over random small-vocabulary corpora (duplicate spans
+    arise naturally), span_dedup_stats equals an independent brute-force
+    computation of flagged windows and position coverage."""
+    from hypothesis import given, settings, strategies as st
+
+    from flink_ci_flink_spark.pipeline.spans import span_dedup_stats
+
+    W = 3
+
+    def brute(docs):
+        windows: dict[tuple, set] = {}
+        per_doc: dict[int, list] = {}
+        for did, text in docs:
+            toks = text.split()
+            wins = [tuple(toks[i : i + W]) for i in range(len(toks) - W + 1)]
+            per_doc[did] = wins
+            for win in wins:
+                windows.setdefault(win, set()).add(did)
+        out = {}
+        for did, wins in per_doc.items():
+            flagged = [i for i, win in enumerate(wins) if len(windows[win]) >= 2]
+            if not flagged:
+                continue
+            covered: set[int] = set()
+            for i in flagged:
+                covered.update(range(i, i + W))
+            out[did] = (
+                len(wins) + W - 1,  # n_tokens
+                len(wins),  # n_windows
+                len(flagged),  # dup_windows
+                len(covered),  # dup_tokens
+            )
+        return out
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        corpus=st.lists(
+            st.lists(st.sampled_from("abcde"), min_size=3, max_size=12),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    def run(corpus):
+        docs = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            r.doc_id: (r.n_tokens, r.n_windows, r.dup_windows, r.dup_tokens)
+            for r in span_dedup_stats(df, w=W).collect()
+        }
+        assert got == brute(docs)
+
+    run()
