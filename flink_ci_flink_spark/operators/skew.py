@@ -84,3 +84,32 @@ def salted_broadcast_left(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("__salt", F.col("__salt").cast("long"))
     return big_s.join(F.broadcast(small_r), [on, "__salt"], how).drop("__salt")
+
+
+def split_distinct_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    distinct_col: str,
+    n_buckets: int = 16,
+    out_name: str | None = None,
+) -> DataFrame:
+    """Exact two-level COUNT(DISTINCT) for skewed grouping keys — the
+    `SplitAggregateRule.scala` rewrite (knob
+    `table.optimizer.distinct-agg.split.enabled`,
+    `OptimizerConfigOptions.java:57`).
+
+    Level 1 groups by (keys, hash(distinct_col) % N): bucketing by the
+    DISTINCT column (not by a salt) makes each bucket's distinct-value set
+    disjoint, so per-bucket distinct counts ADD exactly; level 2 sums
+    them. A hot grouping key's distinct expansion is spread over N
+    reducers instead of one. Both shuffles are balanced; result is exact,
+    not approximate.
+    """
+    out = out_name or f"distinct_{distinct_col}"
+    bucket = F.pmod(F.hash(F.col(distinct_col)), F.lit(n_buckets))
+    partial = df.groupBy(
+        *[F.col(k) for k in keys], bucket.alias("__bucket")
+    ).agg(F.count_distinct(distinct_col).alias("__pd"))
+    return partial.groupBy(*keys).agg(
+        F.sum("__pd").cast("bigint").alias(out)
+    )

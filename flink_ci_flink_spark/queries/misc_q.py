@@ -459,3 +459,31 @@ def cdc_debezium_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.groupBy("status").agg(
         F.count("*").alias("n_rows"), F.sum("cents").alias("total_cents")
     )
+
+
+@query(
+    "skew_split_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    group="agg",
+)
+def skew_split_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-level COUNT(DISTINCT) under key skew — the Blink
+    planner's `SplitAggregateRule.scala` rewrite (knob
+    `table.optimizer.distinct-agg.split.enabled`,
+    `OptimizerConfigOptions.java:57`): bucket by hash(user_id) % 16 so
+    each bucket's distinct set is disjoint (partial distinct counts add
+    exactly), then sum buckets per key. The hot key's distinct expansion
+    is spread over 16 reducers; both shuffles are balanced."""
+    from flink_ci_flink_spark.operators.skew import split_distinct_agg
+
+    t = load_tables(spark, sf_dir)
+    return split_distinct_agg(
+        t.events, ["event_type"], "user_id", n_buckets=16,
+        out_name="distinct_users",
+    ).orderBy("event_type")

@@ -678,3 +678,27 @@ def test_bloom_screen_no_false_negatives_and_prunes(spark, sf_dir):
     assert got == sorted(map(tuple, exact.collect()))
     plan = screened._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_split_distinct_agg_matches_plain(spark, sf_dir):
+    """Two-level distinct split == plain COUNT(DISTINCT), including under
+    a different input partitioning (bucket disjointness is the invariant)."""
+    from flink_ci_flink_spark.operators.skew import split_distinct_agg
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plain = {
+        r.event_type: r.d
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    for frame in (ev, ev.repartition(7, "user_id")):
+        got = {
+            r.event_type: r.distinct_users
+            for r in split_distinct_agg(
+                frame, ["event_type"], "user_id", n_buckets=5,
+                out_name="distinct_users",
+            ).collect()
+        }
+        assert got == plain
