@@ -61,6 +61,7 @@ SCALE_RUNG = [
     "tpch_q3_shipping_priority",
     "tpch_q21_suppliers_who_kept_waiting",
     "tpcds_shape_anti_ratio",
+    "pipe_span_dedup",
 ]
 
 #: skewed-fixture rung (hot events user_id, hot document shingle):
@@ -276,10 +277,11 @@ def main() -> None:
                 print(f"# skew {name}: {skew_t[name]:.3f}s ({n} rows)", file=sys.stderr)
             result["sf1_queries"] = sf1_t
             result["sf1_total"] = round(sum(sf1_t.values()), 3)
+            sf01_ref = {**new_ops_t, **timings}
             result["sf1_scaleup_vs_sf01"] = {
-                name: round(sf1_t[name] / timings[name], 2)
+                name: round(sf1_t[name] / sf01_ref[name], 2)
                 for name in SCALE_RUNG
-                if timings.get(name)
+                if sf01_ref.get(name)
             }
             result["skew_queries"] = skew_t
             s01 = result.get("cc_supersteps_sf01", {})
