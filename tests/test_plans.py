@@ -54,3 +54,80 @@ def test_scan_schema_pruned_for_calc(spark):
     assert schemas, "expected a parquet scan with ReadSchema"
     # projection pruning: the 16-column lineitem scan must be narrowed
     assert all(s.count(",") < 12 for s in schemas)
+
+
+class TestPartitioning:
+    """Contract tests for the physical-partitioning verbs
+    (operators/partitioning.py): each verb's promise is checked against
+    the actual partition layout or exchange type, not just the API call."""
+
+    def test_key_by_colocates_keys(self, spark):
+        from flink_ci_flink_spark.operators.partitioning import key_by
+        from pyspark.sql import functions as F
+
+        df = spark.range(1000).select((F.col("id") % 13).alias("k"), "id")
+        parts_per_key = (
+            key_by(df, "k")
+            .select("k", F.spark_partition_id().alias("p"))
+            .groupBy("k")
+            .agg(F.count_distinct("p").alias("np"))
+            .agg(F.max("np").alias("m"))
+            .collect()[0]
+            .m
+        )
+        assert parts_per_key == 1
+
+    def test_rebalance_partition_count_and_balance(self, spark):
+        from flink_ci_flink_spark.operators.partitioning import rebalance
+        from pyspark.sql import functions as F
+
+        out = rebalance(spark.range(1000), 8)
+        assert out.rdd.getNumPartitions() == 8
+        sizes = [
+            r.n
+            for r in out.select(F.spark_partition_id().alias("p"))
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        # round-robin within each input split (each split picks its own
+        # start offset): spread bounded by the input partition count
+        assert max(sizes) - min(sizes) <= 8
+
+    def test_rescale_is_narrow(self, spark):
+        from flink_ci_flink_spark.operators.partitioning import rescale
+
+        df = spark.range(1000).repartition(8)
+        out = rescale(df, 2)
+        assert out.rdd.getNumPartitions() == 2
+        # narrow: the coalesce must not introduce a new shuffle on top of
+        # the existing one
+        plan = _final_plan(out)
+        assert "Coalesce" in plan
+        assert plan.count("Exchange") == 1  # only the upstream repartition
+
+    def test_range_partition_orders_boundaries(self, spark):
+        from flink_ci_flink_spark.operators.partitioning import range_partition
+        from pyspark.sql import functions as F
+
+        df = spark.range(0, 1000).select(F.col("id"))
+        out = range_partition(df, "id").select(
+            F.spark_partition_id().alias("p"), "id"
+        )
+        rows = (
+            out.groupBy("p")
+            .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+            .orderBy("p")
+            .collect()
+        )
+        for a, b in zip(rows, rows[1:]):
+            assert a.hi < b.lo  # disjoint, ordered ranges
+
+    def test_sort_partition_no_exchange(self, spark):
+        from flink_ci_flink_spark.operators.partitioning import sort_partition
+
+        df = spark.range(1000).repartition(4)
+        out = sort_partition(df, "id")
+        plan = _final_plan(out)
+        assert plan.count("Exchange") == 1  # only the explicit repartition
+        assert "Sort" in plan
