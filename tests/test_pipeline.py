@@ -899,3 +899,20 @@ def test_span_dedup_property_vs_bruteforce(spark):
         assert got == brute(docs)
 
     run()
+
+
+def test_write_sharded_prunes_to_one_shard(spark, tmp_path):
+    """write_sharded partitions by shard; a shard-filtered read must prune
+    to that shard's directory (PartitionFilters, not a full scan)."""
+    from flink_ci_flink_spark.pipeline.sharding import hash_shards, write_sharded
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    path = str(tmp_path / "sharded")
+    write_sharded(df, path, 4)
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    one = back.filter("shard = 2")
+    expected = hash_shards(df, 4).filter("shard = 2").count()
+    assert one.count() == expected
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan.replace("#", "")[:10000] or "shard" in plan.split("PartitionFilters:")[1][:80]
