@@ -72,6 +72,9 @@ SKEW_RUNG = [
     "window_session_native",
     "graph_dedup_clusters",
     "pipe_minhash_lsh",
+    # span dedup is skew-safe by construction (min/max over the hot window
+    # hash is linear — no pair blow-up); the fixture's hot shingle proves it
+    "pipe_span_dedup",
 ]
 
 
