@@ -301,6 +301,8 @@ def main() -> None:
                     "is one postings-capped shuffle and scales with data, "
                     "not iterations."
                 )
+        except Exception as ex:  # pragma: no cover - defensive bench guard
+            result["scale_rung_error"] = f"{type(ex).__name__}: {ex}"[:300]
 
     print(json.dumps(result))
 
