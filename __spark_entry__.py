@@ -85,7 +85,7 @@ _PRIORITY = [
     "fn_json",
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
-    "map_construct_explode",
+    "cep_mr_all_rows",
     "graph_degrees_triangles",
     "cep_error_burst",
 ]

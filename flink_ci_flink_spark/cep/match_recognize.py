@@ -129,14 +129,33 @@ def match_recognize(
     streaming: bool = False,
     delay_seconds: float = 0.0,
     define_expr: dict[str, str] | None = None,
+    rows_per_match: str = "one",
 ) -> DataFrame:
-    """One row per match, with MEASURES computed per pattern variable.
+    """One row per match (default), with MEASURES computed per pattern
+    variable; ``rows_per_match="all"`` emits ALL ROWS PER MATCH (payload +
+    per-row CLASSIFIER + match_seq + RUNNING measures — beyond reference
+    parity: `StreamExecMatch.scala:192` throws on this mode).
 
     Pass ``define_expr`` (variable -> Spark SQL boolean expr) to unlock the
     compiled lead() plan for fixed-length patterns and JVM predicate
     pushdown otherwise."""
     keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     pat = compile_pattern(pattern, define, within, after_match, define_expr=define_expr)
+    if rows_per_match == "all":
+        if streaming:
+            raise NotImplementedError(
+                "ALL ROWS PER MATCH is batch-only (the streaming operator "
+                "emits one row per closed match)"
+            )
+        from flink_ci_flink_spark.cep.operator import all_rows_select
+
+        payload = [
+            c for c in df.columns if c not in keys and not c.startswith("__")
+        ]
+        flat = all_rows_select(measures, keys, payload)
+        return cep(
+            df, pat, keys, order_by, None, output_schema, flat_select=flat
+        )
     select = _measure_select(measures, keys)
     if streaming:
         return cep_stream(
@@ -349,17 +368,20 @@ def parse_match_recognize_sql(sql: str) -> dict:
     Supported (the reference's common surface): PARTITION BY cols, ORDER BY
     one ascending column, MEASURES with
     FIRST/LAST/COUNT/SUM/AVG/MIN/MAX(V.f | V.*), bare V.f (= FIRST), and
-    CLASSIFIER() / FIRST|LAST(CLASSIFIER()), ONE ROW PER MATCH, AFTER MATCH
+    CLASSIFIER() / FIRST|LAST(CLASSIFIER()), ONE ROW PER MATCH, ALL ROWS
+    PER MATCH (batch; payload + per-row CLASSIFIER + match_seq + RUNNING
+    measures — beyond reference parity, `StreamExecMatch.scala:192` throws
+    on it), AFTER MATCH
     SKIP {PAST LAST ROW | TO NEXT ROW | TO [FIRST|LAST] V}, PATTERN with
     ? + * {m}/{m,n} quantifiers, WITHIN INTERVAL 'n' unit, DEFINE with
     row-local predicates, PREV/NEXT physical navigation (compiled to
     lag/lead columns), FIRST/LAST logical navigation, running aggregates
     (SUM/COUNT/AVG/MIN/MAX over a variable), and cross-variable references
     (bare ``A.f`` in B's DEFINE = LAST(A.f), per SQL).
-    Not supported (loud errors): ALL ROWS PER MATCH, CASE/BETWEEN/IN/LIKE/
-    subqueries inside navigated DEFINEs, PREV/NEXT physical navigation in
-    the STREAMING operator (needs window functions; logical navigation and
-    aggregates stream fine)."""
+    Not supported (loud errors): ALL ROWS PER MATCH on streams,
+    CASE/BETWEEN/IN/LIKE/subqueries inside navigated DEFINEs, PREV/NEXT
+    physical navigation in the STREAMING operator (needs window functions;
+    logical navigation and aggregates stream fine)."""
     m = re.search(r"MATCH_RECOGNIZE\s*\(", sql, re.I)
     if not m:
         raise ValueError("no MATCH_RECOGNIZE clause found")
@@ -379,8 +401,7 @@ def parse_match_recognize_sql(sql: str) -> dict:
     sections: dict[str, str] = {}
     for hdr, content in zip(pieces[1::2], pieces[2::2]):
         sections[re.sub(r"\s+", " ", hdr.upper())] = content.strip()
-    if "ALL ROWS PER MATCH" in sections:
-        raise NotImplementedError("ALL ROWS PER MATCH is not supported (ONE ROW PER MATCH only)")
+    rows_per_match = "all" if "ALL ROWS PER MATCH" in sections else "one"
     for required in ("PARTITION BY", "ORDER BY", "MEASURES", "PATTERN", "DEFINE"):
         if required not in sections:
             raise ValueError(f"MATCH_RECOGNIZE clause missing {required}")
@@ -492,6 +513,7 @@ def parse_match_recognize_sql(sql: str) -> dict:
         "define_expr": define_expr,
         "define_ctx": define_ctx,
         "nav_specs": nav_specs,
+        "rows_per_match": rows_per_match,
     }
 
 
@@ -547,6 +569,16 @@ def match_recognize_sql(
     cols = []
     for c in keys:
         cols.append(f"{c} {types[c]}")
+    payload_cols = [
+        c for c in df.columns if c not in keys and not c.startswith("__")
+    ]
+    if parsed["rows_per_match"] == "all":
+        # ALL ROWS: payload columns + implicit per-row CLASSIFIER and
+        # MATCH_NUMBER precede the (RUNNING-semantics) measures
+        for c in payload_cols:
+            cols.append(f"{c} {types[c]}")
+        cols.append("classifier string")
+        cols.append("match_seq bigint")
     for out_name, (var, kind, field) in parsed["measures"].items():
         if kind in ("classifier", "classifier_first"):
             t = "string"
@@ -571,6 +603,19 @@ def match_recognize_sql(
     )
     if parsed["skip_stage"] is not None:
         pat = pat.after_match_skip(parsed["after_match"], parsed["skip_stage"])
+    if parsed["rows_per_match"] == "all":
+        if streaming:
+            raise NotImplementedError(
+                "ALL ROWS PER MATCH is batch-only (the streaming operator "
+                "emits one row per closed match)"
+            )
+        from flink_ci_flink_spark.cep.operator import all_rows_select
+
+        flat = all_rows_select(parsed["measures"], keys, payload_cols)
+        return cep(
+            df, pat, keys, parsed["order_by"], None, output_schema,
+            flat_select=flat,
+        )
     select = _measure_select(parsed["measures"], keys)
     if streaming:
         return cep_stream(

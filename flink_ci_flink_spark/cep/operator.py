@@ -119,6 +119,56 @@ def _relevance_prefilter(df: DataFrame, pattern: Pattern) -> DataFrame:
     return df.filter(F.expr(" OR ".join(exprs)))
 
 
+def all_rows_select(
+    measures: dict[str, tuple], keys: list[str], payload_cols: list[str]
+):
+    """ALL ROWS PER MATCH flat-select: one output row PER MATCHED EVENT in
+    match order, carrying the event's payload columns, the per-row
+    CLASSIFIER (the pattern variable that matched it), a per-key
+    MATCH_NUMBER (`match_seq`, 1-based in match order), and every measure
+    with RUNNING semantics (aggregated over the match's rows up to and
+    including the current one — the SQL-standard default for ALL ROWS).
+
+    The reference THROWS on this mode (`StreamExecMatch.scala:192` — "All
+    rows per match mode is not supported yet"), so this is a capability
+    beyond reference parity, implemented to the SQL standard."""
+
+    def flat(key_tuple, match_no, match, events):
+        idx2var: dict[int, str] = {}
+        for var, idxs in match.groups.items():
+            for i in idxs:
+                idx2var[i] = var
+        ordered = sorted(idx2var)
+        rows = []
+        for i in ordered:
+            out = {k: key_tuple[j] for j, k in enumerate(keys)}
+            ev = events[i]
+            for c in payload_cols:
+                out[c] = ev.get(c)
+            out["classifier"] = idx2var[i]
+            out["match_seq"] = match_no
+            for out_name, (var, kind, field) in measures.items():
+                if kind == "classifier":
+                    out[out_name] = idx2var[i]  # running CLASSIFIER()
+                    continue
+                if kind == "classifier_first":
+                    out[out_name] = idx2var[ordered[0]]
+                    continue
+                run_idxs = [j for j in match.groups.get(var, []) if j <= i]
+                if kind == "count":
+                    out[out_name] = len(run_idxs)
+                else:
+                    out[out_name] = (
+                        MEASURE_FNS[kind](events, run_idxs, field)
+                        if run_idxs
+                        else None
+                    )
+            rows.append(out)
+        return rows
+
+    return flat
+
+
 def cep(
     df: DataFrame,
     pattern: Pattern,
@@ -127,17 +177,20 @@ def cep(
     select: SelectFn | None = None,
     output_schema: str = "",
     measures: dict[str, tuple] | None = None,
+    flat_select=None,
 ) -> DataFrame:
     """Batch CEP: find all pattern matches per key over event-time order.
 
     `select` maps each match to an output row (dict); alternatively pass
     declarative `measures` ((variable, first|last|count|sum, field)) — which
-    also unlocks the compiled lead() path for qualifying patterns. Events
-    are passed to predicates as plain dicts; ts is converted to epoch
-    seconds under the key `__ts`. Ties in ts are broken by original row
-    order (stable sort)."""
+    also unlocks the compiled lead() path for qualifying patterns. Pass
+    `flat_select(key_tuple, match_no, match, events) -> list[dict]` instead
+    to emit multiple rows per match (ALL ROWS PER MATCH). Events are passed
+    to predicates as plain dicts; ts is converted to epoch seconds under
+    the key `__ts`. Ties in ts are broken by original row order (stable
+    sort)."""
     pattern.validate()
-    if measures is not None:
+    if measures is not None and flat_select is None:
         from flink_ci_flink_spark.cep.compiled import try_compile
 
         compiled = try_compile(df, pattern, keys, ts_col, measures, output_schema)
@@ -145,7 +198,9 @@ def cep(
             return compiled
         if select is None:
             select = measure_select(measures, keys)
-    assert select is not None, "cep() needs select= or measures="
+    assert select is not None or flat_select is not None, (
+        "cep() needs select=, measures=, or flat_select="
+    )
 
     df = _relevance_prefilter(df, pattern)
     df, pattern = _jvm_predicate_columns(df, pattern)
@@ -155,10 +210,15 @@ def cep(
         for e in events:
             t = e[ts_col]
             e["__ts"] = t.timestamp() if hasattr(t, "timestamp") else float(t)
-        out = [
-            select(key_tuple, m, events)
-            for m in find_matches(pattern, events, ts_field="__ts")
-        ]
+        matches = find_matches(pattern, events, ts_field="__ts")
+        if flat_select is not None:
+            out = [
+                row
+                for mi, m in enumerate(matches, 1)
+                for row in flat_select(key_tuple, mi, m, events)
+            ]
+        else:
+            out = [select(key_tuple, m, events) for m in matches]
         return pd.DataFrame(out) if out else None
 
     from flink_ci_flink_spark.operators.grouped import grouped_apply

@@ -354,3 +354,71 @@ def cep_mr_price_dip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """,
     )
+
+
+@query(
+    "cep_mr_all_rows",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, ts, user_id, event_type, value, props,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    ), m AS (
+      SELECT a.user_id, a.rn,
+             a.event_id AS id1, a.ts AS ts1, a.value AS v1, a.props AS pr1,
+             b.event_id AS id2, b.ts AS ts2, b.value AS v2, b.props AS pr2,
+             c.event_id AS id3, c.ts AS ts3, c.value AS v3, c.props AS pr3
+      FROM e a
+      JOIN e b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+      JOIN e c ON c.user_id = a.user_id AND c.rn = a.rn + 2
+      WHERE a.event_type = 'click' AND b.event_type = 'click'
+        AND c.event_type = 'purchase'
+    ), n AS (
+      SELECT m.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn)
+               AS match_seq
+      FROM m
+    )
+    SELECT user_id, id1 AS event_id, ts1 AS ts, 'click' AS event_type,
+           v1 AS value, pr1 AS props, 'A' AS classifier, match_seq,
+           CAST(1 AS BIGINT) AS n_clicks, v1 AS click_value,
+           CAST(NULL AS DOUBLE) AS purchase_value
+    FROM n
+    UNION ALL
+    SELECT user_id, id2, ts2, 'click', v2, pr2, 'A', match_seq,
+           CAST(2 AS BIGINT), v1 + v2, CAST(NULL AS DOUBLE)
+    FROM n
+    UNION ALL
+    SELECT user_id, id3, ts3, 'purchase', v3, pr3, 'B', match_seq,
+           CAST(2 AS BIGINT), v1 + v2, v3
+    FROM n
+    """,
+    group="cep",
+)
+def cep_mr_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with ALL ROWS PER MATCH — BEYOND reference parity
+    (the reference throws: `StreamExecMatch.scala:192` "All rows per match
+    mode is not supported yet"). SQL-standard semantics: one output row
+    per matched event carrying its payload, per-row CLASSIFIER(), a
+    per-key match number, and RUNNING-semantics measures (count/sum over
+    the match's rows so far; LAST(B.value) is NULL until B matches). The
+    oracle enumerates click-click-purchase runs relationally and replays
+    the running measures per emitted row; matches of this fixed pattern
+    cannot overlap, so SKIP PAST LAST ROW equals plain candidate
+    enumeration."""
+    from flink_ci_flink_spark.cep import match_recognize_sql
+
+    t = load_tables(spark, sf_dir)
+    return match_recognize_sql(
+        t.events,
+        """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES COUNT(A.*) AS n_clicks, SUM(A.value) AS click_value,
+                   LAST(B.value) AS purchase_value
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A A B)
+          DEFINE A AS event_type = 'click', B AS event_type = 'purchase'
+        )
+        """,
+    )

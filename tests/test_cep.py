@@ -515,8 +515,14 @@ def test_parse_match_recognize_sql_rejects_unsupported():
 
     base = """FROM t MATCH_RECOGNIZE (PARTITION BY k ORDER BY ts
         MEASURES A.x AS x {extra} PATTERN (A) DEFINE A AS A.x > 0)"""
-    with _pytest.raises(NotImplementedError):
-        parse_match_recognize_sql(base.format(extra="ALL ROWS PER MATCH"))
+    # ALL ROWS PER MATCH is now supported (batch): the parser records the
+    # mode; streaming execution still rejects loudly (covered in
+    # test_match_recognize_all_rows_per_match)
+    parsed_all = parse_match_recognize_sql(base.format(extra="ALL ROWS PER MATCH"))
+    assert parsed_all["rows_per_match"] == "all"
+    assert parse_match_recognize_sql(base.format(extra="ONE ROW PER MATCH"))[
+        "rows_per_match"
+    ] == "one"
     # navigation DEFINE is now supported: LAST() routes to a ctx predicate,
     # PREV() to a lag-column rewrite
     parsed = parse_match_recognize_sql(
@@ -1025,3 +1031,56 @@ def test_times_or_more():
         seq("A", "B"),
         "__ts",
     ) == []
+
+
+def test_match_recognize_all_rows_per_match(spark):
+    """ALL ROWS PER MATCH (beyond reference parity — StreamExecMatch.scala
+    :192 throws): per-row payload + CLASSIFIER + match_seq + RUNNING
+    measures."""
+    from flink_ci_flink_spark.cep.match_recognize import match_recognize_sql
+
+    rows = [
+        (1, 1.0, "click", 10.0), (1, 2.0, "click", 20.0),
+        (1, 3.0, "purchase", 5.0), (1, 4.0, "click", 7.0),
+        (1, 5.0, "purchase", 3.0), (2, 1.0, "click", 1.0),
+        (2, 2.0, "view", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts double, event_type string, value double"
+    )
+    out = match_recognize_sql(
+        df,
+        """
+        SELECT * FROM t MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES COUNT(A.*) AS n_clicks, SUM(A.value) AS click_value,
+                   LAST(B.value) AS purchase_value
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A A B)
+          DEFINE A AS event_type = 'click', B AS event_type = 'purchase'
+        )
+        """,
+    ).orderBy("ts").collect()
+    assert [
+        (r.ts, r.classifier, r.match_seq, r.n_clicks, r.click_value,
+         r.purchase_value)
+        for r in out
+    ] == [
+        (1.0, "A", 1, 1, 10.0, None),
+        (2.0, "A", 1, 2, 30.0, None),
+        (3.0, "B", 1, 2, 30.0, 5.0),
+    ]
+    # streaming mode stays a loud, honest gate
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        match_recognize_sql(df, """
+        SELECT * FROM t MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES COUNT(A.*) AS n
+          ALL ROWS PER MATCH
+          PATTERN (A B)
+          DEFINE A AS event_type = 'click', B AS event_type = 'purchase'
+        )
+        """, streaming=True)
