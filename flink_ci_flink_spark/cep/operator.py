@@ -131,7 +131,10 @@ def all_rows_select(
 
     The reference THROWS on this mode (`StreamExecMatch.scala:192` — "All
     rows per match mode is not supported yet"), so this is a capability
-    beyond reference parity, implemented to the SQL standard."""
+    beyond reference parity, implemented to the SQL standard. Runs on the
+    NFA operator (JVM-evaluated predicates + relevance prefilter); a
+    lead()-compiled ALL-ROWS plan for fixed-length strict patterns is a
+    possible future fast path."""
 
     def flat(key_tuple, match_no, match, events):
         idx2var: dict[int, str] = {}

@@ -67,7 +67,12 @@ def balanced_shards(
     win = Window.partitionBy("__pid").orderBy(
         F.col(weight_col).desc(), F.col(id_col).asc()
     )
-    local = ordered.withColumn("__lrn", F.row_number().over(win))
+    # materialize the ranked frame ONCE: the counts collect below and the
+    # returned DataFrame both read the checkpointed partitions instead of
+    # re-executing the range shuffle + sort twice
+    local = ordered.withColumn(
+        "__lrn", F.row_number().over(win)
+    ).localCheckpoint(eager=True)
     # bounded collect: one row per shuffle partition (<= 32 in tests,
     # <= a few thousand on a real cluster) — never corpus rows
     counts = {
