@@ -451,3 +451,69 @@ def bpe_encode_counts(
             F.sum("__ns").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic corpus-indexing /
+    keyword-extraction pass of a text pipeline.
+
+    Scoring uses the RATIONAL idf variant, exact in integer arithmetic:
+    ``score = tf * floor(1e6 * (N + 1) / (df + 1))`` with N = corpus doc
+    count and df = the term's document frequency. The floor-of-ratio
+    replaces ln((N+1)/(df+1)) deliberately: IEEE double division of
+    integers is bit-identical across engines while ``ln`` can differ in
+    the last ULP (a hash-parity land mine); the rational weight keeps the
+    same df-monotonicity. Ties break by term ascending — fully
+    deterministic output.
+
+    Physical shape: one corpus scan feeds both the (doc, term) tf counts
+    and the per-term df counts (same exploded frame, two aggregations);
+    N is a 1-row broadcast; top-k is one window over the doc key.
+    """
+    from pyspark.sql.window import Window
+
+    terms = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        terms.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+    )
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("bigint").alias("__n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf_scaled",
+            F.floor(
+                F.lit(1e6)
+                * (F.col("__n_docs") + 1)
+                / (F.col("df_count") + 1)
+            ).cast("bigint"),
+        )
+        .withColumn("score", (F.col("tf") * F.col("idf_scaled")).cast("bigint"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df_count").cast("bigint").alias("df_count"),
+            "score",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -1622,3 +1622,46 @@ def pipe_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bal.join(hsh, "shard")
+
+
+@query(
+    "pipe_tfidf_top_terms",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM terms GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df_count
+      FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_count,
+             CAST(tf.tf * CAST(FLOOR(1e6 * (n.n_docs + 1) / (dfreq.df_count + 1))
+                              AS BIGINT) AS BIGINT) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df_count, score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT scored.*,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    )
+    WHERE rank <= 5
+    """,
+    group="pipeline",
+)
+def pipe_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (rational-idf variant — exact
+    integer scoring, no cross-engine ln() ULP risk; see
+    `pipeline/text.py::tfidf_top_terms`). One corpus scan feeds both tf
+    and df aggregations; N broadcasts as a 1-row frame; deterministic
+    (score desc, term asc) tie-break."""
+    from flink_ci_flink_spark.pipeline.text import tfidf_top_terms
+
+    t = load_tables(spark, sf_dir)
+    return tfidf_top_terms(t.documents, k=5)

@@ -916,3 +916,32 @@ def test_write_sharded_prunes_to_one_shard(spark, tmp_path):
     assert one.count() == expected
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(shard" in plan.replace("#", "")[:10000] or "shard" in plan.split("PartitionFilters:")[1][:80]
+
+
+def test_tfidf_top_terms_semantics(spark):
+    """Rational-idf TF-IDF: rare terms outrank common ones; ties break by
+    term; k bounds output per doc."""
+    from flink_ci_flink_spark.pipeline.text import tfidf_top_terms
+
+    docs = [
+        (1, "common rare1 common common"),
+        (2, "common rare2"),
+        (3, "common common"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.tf, r.df_count, r.score))
+    # doc 1: rare1 (df=1, idf=1e6*4/2=2e6, tf=1 -> 2e6) beats common
+    # (df=3, idf=1e6, tf=3 -> 3e6)... tf weighting: common tf=3 scores 3e6
+    # and wins; rare1 second
+    assert sorted(by_doc[1])[0][1] == "common" and sorted(by_doc[1])[1][1] == "rare1"
+    assert by_doc[1][0][4] == 3 * 1_000_000
+    # doc 2: rare2 (2e6) beats common (1e6)
+    assert sorted(by_doc[2]) == [
+        (1, "rare2", 1, 1, 2_000_000),
+        (2, "common", 1, 3, 1_000_000),
+    ]
+    # doc 3 has one distinct term -> one row
+    assert len(by_doc[3]) == 1
