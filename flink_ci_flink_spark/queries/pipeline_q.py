@@ -1665,3 +1665,40 @@ def pipe_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return tfidf_top_terms(t.documents, k=5)
+
+
+@query(
+    "pipe_jaccard_prefix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, UNNEST({_SHINGLES}) AS s FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5
+    """,
+    group="pipeline",
+)
+def pipe_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered AllPairs similarity join (Bayardo et al. 2007):
+    IDENTICAL results to the full inverted-index join — the oracle is the
+    full join, so the driver hash-proves the filter lossless — but only
+    prefix shingles (rarest-first canonical order) enter the candidate
+    self-join, so hot boilerplate shingles never hit the quadratic path.
+    The 100 TB-preferred formulation of `pipe_jaccard_pairs`."""
+    from flink_ci_flink_spark.pipeline.dedup import jaccard_pairs_prefix
+
+    t = load_tables(spark, sf_dir)
+    return jaccard_pairs_prefix(t.documents, threshold=0.5)

@@ -945,3 +945,43 @@ def test_tfidf_top_terms_semantics(spark):
     ]
     # doc 3 has one distinct term -> one row
     assert len(by_doc[3]) == 1
+
+
+def test_jaccard_prefix_filter_equals_full_join(spark, sf_dir):
+    """Prefix-filtered AllPairs == the full inverted-index join (both
+    uncapped) on the real corpus AND on a hand corpus with exact-integer
+    t*|S| boundaries — the filter must be lossless."""
+    from flink_ci_flink_spark.pipeline.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(docs, max_postings=None).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs_prefix(docs).collect()
+    }
+    assert pref == full and len(full) > 0
+
+    hand = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # 4 shingles
+            (2, "a b c d e zz"),       # shares a 3-gram prefix region
+            (3, "q w e r t y"),
+            (4, "a b c d e f"),        # exact dup of 1
+        ],
+        ["doc_id", "text"],
+    )
+    f2 = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(hand, max_postings=None, threshold=0.25).collect()
+    }
+    p2 = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs_prefix(hand, threshold=0.25).collect()
+    }
+    assert p2 == f2 and len(f2) > 0
