@@ -471,9 +471,11 @@ def tfidf_top_terms(
     same df-monotonicity. Ties break by term ascending — fully
     deterministic output.
 
-    Physical shape: one corpus scan feeds both the (doc, term) tf counts
-    and the per-term df counts (same exploded frame, two aggregations);
-    N is a 1-row broadcast; top-k is one window over the doc key.
+    Physical shape: one exploded (doc, term) frame feeds both the tf and
+    df aggregations (Catalyst re-reads the 2-column pruned projection per
+    branch — cheap relative to the aggregations); N is a 1-row broadcast;
+    top-k is one window over the doc key, and the tf groupBy's doc-hash
+    exchange satisfies that window's partitioning.
     """
     from pyspark.sql.window import Window
 

@@ -1658,8 +1658,8 @@ def pipe_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipe_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (rational-idf variant — exact
     integer scoring, no cross-engine ln() ULP risk; see
-    `pipeline/text.py::tfidf_top_terms`). One corpus scan feeds both tf
-    and df aggregations; N broadcasts as a 1-row frame; deterministic
+    `pipeline/text.py::tfidf_top_terms`). One exploded frame feeds both
+    tf and df aggregations; N broadcasts as a 1-row frame; deterministic
     (score desc, term asc) tie-break."""
     from flink_ci_flink_spark.pipeline.text import tfidf_top_terms
 
