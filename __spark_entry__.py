@@ -81,7 +81,7 @@ _PRIORITY = [
     "window_topn",
     "window_dedup",
     "udf_python_udtf",
-    "udf_cogroup",
+    "pipe_jaccard_prefix",
     "fn_json",
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
