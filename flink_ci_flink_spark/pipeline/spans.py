@@ -8,9 +8,10 @@ is covered by such duplicated spans. The suffix-array formulation of the
 paper is replaced by the shuffle-friendly rolling-window formulation: every
 w-token window is hashed, windows are grouped on the hash (ONE shuffle),
 and windows seen in >= 2 distinct documents are flagged. Coverage is the
-union of flagged windows' token positions — computed relationally by
-exploding flagged windows into positions and de-duplicating, never by
-driver-side interval merging.
+union of flagged windows' token positions — computed relationally via the
+analytic interval-union (each window contributes min(w, gap-to-previous)
+tokens within its doc's sorted window sequence), never by driver-side
+interval merging.
 
 Scale design (100 TB):
 - window table is a map-only projection + explode (rows = token count);
@@ -198,5 +199,103 @@ def strip_duplicated_spans(
                 " ", F.transform("__pairs", lambda s: s["tok"])
             ).alias("clean_text"),
             F.size("__pairs").cast("bigint").alias("n_kept_tokens"),
+        )
+    )
+
+
+def streaming_span_dedup(
+    stream_df,
+    windows_dir: str,
+    registry_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+):
+    """Continuous corpus ingest for span dedup: per micro-batch, append the
+    batch's positional window table and MERGE the duplicate-window registry
+    (per whash: min/max doc id seen so far — the same min!=max screen as
+    the batch operator, maintained incrementally). After the stream drains,
+    `finalize_span_stats(spark, windows_dir, registry_dir)` equals the
+    batch `span_dedup_stats` over the full corpus (asserted in
+    tests/test_streaming_curation.py).
+
+    State is bounded by DISTINCT windows (registry: one row per whash),
+    not by corpus size; the windows store is the exploded corpus itself —
+    the same data a batch pass would scan, laid down once at ingest.
+    Returns the started StreamingQuery."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from flink_ci_flink_spark.streaming.core import foreach_batch_upsert
+
+    def merge(batch_df, epoch_id: int) -> None:
+        wt = window_table(batch_df, text_col, id_col, w)
+        if not wt.take(1):
+            return
+        wt.write.mode("append").parquet(windows_dir)
+        spark = batch_df.sparkSession
+        delta = wt.groupBy("whash").agg(
+            F.min(id_col).alias("__min_id"), F.max(id_col).alias("__max_id")
+        )
+        if os.path.exists(registry_dir):
+            old = spark.read.parquet(registry_dir)
+            merged = (
+                old.unionByName(delta)
+                .groupBy("whash")
+                .agg(
+                    F.min("__min_id").alias("__min_id"),
+                    F.max("__max_id").alias("__max_id"),
+                )
+            )
+        else:
+            merged = delta
+        tmp = registry_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(registry_dir)
+
+    return foreach_batch_upsert(stream_df, merge, checkpoint)
+
+
+def finalize_span_stats(spark, windows_dir: str, registry_dir: str, w: int = 8):
+    """Close the streaming ingest: join the accumulated window store
+    against the registry's cross-doc duplicate screen and compute the same
+    per-doc stats as `span_dedup_stats` — one batch job over
+    already-materialized state, no re-tokenization of the corpus."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    wt = spark.read.parquet(windows_dir)
+    dup = (
+        spark.read.parquet(registry_dir)
+        .filter(F.col("__min_id") != F.col("__max_id"))
+        .select("whash")
+    )
+    flagged = wt.join(dup, "whash")
+    from pyspark.sql import Window
+
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    contrib = F.coalesce(
+        F.least(F.lit(w).cast("bigint"), F.col("pos") - F.lag("pos").over(by_doc)),
+        F.lit(w).cast("bigint"),
+    )
+    return (
+        flagged.withColumn("__contrib", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("dup_windows"),
+            F.sum("__contrib").alias("dup_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - (w - 1)).alias("n_windows"),
+            "dup_windows",
+            "dup_tokens",
+            (
+                F.floor(F.col("dup_tokens") / F.col("n_tokens") * 1e6 + 0.5)
+                / 1e6
+            ).alias("dup_frac"),
         )
     )

@@ -117,3 +117,41 @@ def test_streaming_curation_matches_batch(spark, docs_stream_dir):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_span_dedup_matches_batch(spark, docs_stream_dir):
+    """Streaming span-dedup ingest (per-batch window append + incremental
+    min/max registry merge) finalizes to EXACTLY the batch
+    span_dedup_stats over the full corpus — cross-batch duplicate windows
+    included (the chunks split the corpus, so most duplicate pairs span
+    micro-batches)."""
+    import tempfile
+
+    from flink_ci_flink_spark.pipeline.spans import (
+        finalize_span_stats,
+        span_dedup_stats,
+        streaming_span_dedup,
+    )
+    from flink_ci_flink_spark.streaming import file_stream
+
+    path, schema = docs_stream_dir
+    base = tempfile.mkdtemp(prefix="span_stream_")
+    windows_dir = f"{base}/windows"
+    registry_dir = f"{base}/registry"
+    stream = file_stream(spark, path, schema, max_files_per_trigger=1)
+    q = streaming_span_dedup(
+        stream, windows_dir, registry_dir, checkpoint=f"{base}/ckpt"
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        tuple(r)
+        for r in finalize_span_stats(spark, windows_dir, registry_dir).collect()
+    }
+    batch_docs = spark.read.parquet(
+        *glob.glob(f"{path}/*.parquet")
+    )
+    want = {tuple(r) for r in span_dedup_stats(batch_docs).collect()}
+    assert got == want and len(want) > 0
+    shutil.rmtree(base, ignore_errors=True)
