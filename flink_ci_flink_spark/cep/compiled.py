@@ -63,9 +63,13 @@ def try_compile(
     if not _compilable(pattern):
         return None
 
-    # flatten stages to row offsets relative to the anchor
+    # flatten stages to row offsets relative to the anchor. A variable
+    # name may label SEVERAL stages (PATTERN (A A B)); per-variable
+    # offsets MERGE across them (setdefault+extend, not overwrite) while
+    # the match condition iterates stages by index.
     offset = 0
     occ_offsets: dict[str, list[int]] = {}
+    stage_offsets: list[tuple[int, list[int]]] = []  # (stage idx, offsets)
     neg_checks: list[tuple[int, int]] = []  # (offset, stage index) — strict
     trailing_neg: int | None = None  # stage index of final not_followed_by
     for i, st in enumerate(pattern.stages):
@@ -75,7 +79,9 @@ def try_compile(
             else:
                 trailing_neg = i
         else:
-            occ_offsets[st.name] = list(range(offset, offset + st.max_times))
+            offs = list(range(offset, offset + st.max_times))
+            occ_offsets.setdefault(st.name, []).extend(offs)
+            stage_offsets.append((i, offs))
             offset += st.max_times
     last_off = offset - 1
 
@@ -97,8 +103,7 @@ def try_compile(
         return F.col(col) if off == 0 else F.lead(col, off).over(w)
 
     conds: list[Column] = []
-    for st_name, offs in occ_offsets.items():
-        i = next(j for j, s in enumerate(pattern.stages) if s.name == st_name)
+    for i, offs in stage_offsets:
         for o in offs:
             conds.append(F.coalesce(at(f"__p{i}", o), F.lit(False)))
     if pattern.within_seconds is not None and last_off > 0:
@@ -175,3 +180,160 @@ def try_compile(
         .drop("__match")
     )
     return result.to(StructType.fromDDL(output_schema))
+
+
+def try_compile_all_rows(
+    df: DataFrame,
+    pattern: Pattern,
+    keys: list[str],
+    ts_col: str,
+    measures: dict[str, tuple],
+    payload_cols: list[str],
+    output_schema: str,
+) -> DataFrame | None:
+    """Whole-JVM ALL ROWS PER MATCH for fixed-length strict NO_SKIP
+    patterns: the anchor-row match condition is the same lead() conjunction
+    as the one-row compile; emission builds one struct per consumed offset
+    — payload via lead(col, off), the statically-known per-offset
+    CLASSIFIER, and RUNNING measures unrolled to lead() sums over offsets
+    <= the emitted one — and explodes the array. One shuffle, whole-stage
+    codegen, zero Python (the NFA path handles every other pattern).
+    MATCH_NUMBER (`match_seq`) is a row_number over matched anchors per
+    key. Returns None when the pattern doesn't qualify."""
+    if not _compilable(pattern):
+        return None
+
+    schema = StructType.fromDDL(output_schema)
+    types = {f.name: f.dataType for f in schema.fields}
+
+    offset = 0
+    occ_offsets: dict[str, list[int]] = {}
+    stage_offsets: list[tuple[int, list[int]]] = []
+    neg_checks: list[tuple[int, int]] = []
+    trailing_neg: int | None = None
+    for i, st in enumerate(pattern.stages):
+        if st.negated:
+            if st.contiguity == "strict":
+                neg_checks.append((offset, i))
+            else:
+                trailing_neg = i
+        else:
+            offs = list(range(offset, offset + st.max_times))
+            occ_offsets.setdefault(st.name, []).extend(offs)
+            stage_offsets.append((i, offs))
+            offset += st.max_times
+    last_off = offset - 1
+    off2var = {o: v for v, offs in occ_offsets.items() for o in offs}
+
+    work = df
+    for i, st in enumerate(pattern.stages):
+        work = work.withColumn(f"__p{i}", F.coalesce(F.expr(st.expr), F.lit(False)))
+    from flink_ci_flink_spark.functions.scalar import epoch_seconds
+
+    work = work.withColumn("__tsec", epoch_seconds(work, ts_col))
+    measure_cols: dict[str, str] = {}
+    for mi, (out_name, (var, kind, fieldexpr)) in enumerate(measures.items()):
+        if kind in ("first", "last", "sum", "avg", "min", "max") and fieldexpr is not None:
+            measure_cols[out_name] = f"__m{mi}"
+            work = work.withColumn(f"__m{mi}", F.expr(fieldexpr))
+
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+
+    def at(col: str, off: int) -> Column:
+        return F.col(col) if off == 0 else F.lead(col, off).over(w)
+
+    conds: list[Column] = []
+    for i, offs in stage_offsets:
+        for o in offs:
+            conds.append(F.coalesce(at(f"__p{i}", o), F.lit(False)))
+    if pattern.within_seconds is not None and last_off > 0:
+        conds.append(
+            (at("__tsec", last_off) - F.col("__tsec")) <= F.lit(pattern.within_seconds)
+        )
+    for o, i in neg_checks:
+        neg_hit = F.coalesce(at(f"__p{i}", o), F.lit(False))
+        if pattern.within_seconds is not None and o > 0:
+            neg_hit = neg_hit & (
+                (at("__tsec", o) - F.col("__tsec")) <= F.lit(pattern.within_seconds)
+            )
+        conds.append(~neg_hit)
+    if trailing_neg is not None:
+        i = trailing_neg
+        wf = w.rowsBetween(last_off + 1, Window.unboundedFollowing)
+        next_neg = F.min(F.when(F.col(f"__p{i}"), F.col("__tsec"))).over(wf)
+        conds.append(
+            F.coalesce(
+                next_neg > F.col("__tsec") + F.lit(pattern.within_seconds),
+                F.lit(True),
+            )
+        )
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+
+    def running_measure(out_name: str, spec: tuple, j: int) -> Column:
+        var, kind, fieldexpr = spec
+        if kind == "classifier":
+            return F.lit(off2var[j]).alias(out_name)
+        if kind == "classifier_first":
+            return F.lit(off2var[0]).alias(out_name)
+        run_offs = [o for o in occ_offsets.get(var, []) if o <= j]
+        if kind == "count":
+            return F.lit(len(run_offs)).cast("long").alias(out_name)
+        if not run_offs:
+            return F.lit(None).cast(types[out_name]).alias(out_name)
+        mcol = measure_cols[out_name]
+        if kind == "first":
+            return at(mcol, run_offs[0]).cast(types[out_name]).alias(out_name)
+        if kind == "last":
+            return at(mcol, run_offs[-1]).cast(types[out_name]).alias(out_name)
+        if kind in ("sum", "avg"):
+            total = at(mcol, run_offs[0])
+            for o in run_offs[1:]:
+                total = total + at(mcol, o)
+            if kind == "avg":
+                total = total.cast("double") / F.lit(float(len(run_offs)))
+            return total.cast(types[out_name]).alias(out_name)
+        cols = [at(mcol, o) for o in run_offs]
+        c = cols[0] if len(cols) == 1 else (
+            F.least(*cols) if kind == "min" else F.greatest(*cols)
+        )
+        return c.cast(types[out_name]).alias(out_name)
+
+    structs = []
+    for j in range(last_off + 1):
+        fields = [
+            at(c, j).cast(types[c]).alias(c) for c in payload_cols
+        ] + [
+            F.lit(off2var[j]).alias("classifier")
+        ] + [
+            running_measure(out_name, spec, j)
+            for out_name, spec in measures.items()
+        ]
+        structs.append(F.struct(*fields))
+
+    anchors = (
+        work.select(
+            *[F.col(k) for k in keys],
+            F.col(ts_col).alias("__anchor_ts"),
+            cond.alias("__match"),
+            F.array(*structs).alias("__rows"),
+        )
+        .filter("__match")
+        .withColumn(
+            "match_seq",
+            F.row_number().over(
+                Window.partitionBy(*keys).orderBy("__anchor_ts")
+            ).cast("long"),
+        )
+    )
+    exploded = anchors.select(
+        *[F.col(k) for k in keys], "match_seq", F.explode("__rows").alias("__r")
+    )
+    out_cols = []
+    for f in schema.fields:
+        if f.name in keys or f.name == "match_seq":
+            out_cols.append(F.col(f.name))
+        else:
+            out_cols.append(F.col(f"__r.{f.name}").alias(f.name))
+    return exploded.select(*out_cols).to(schema)

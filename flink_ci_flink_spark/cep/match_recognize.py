@@ -147,11 +147,17 @@ def match_recognize(
                 "ALL ROWS PER MATCH is batch-only (the streaming operator "
                 "emits one row per closed match)"
             )
+        from flink_ci_flink_spark.cep.compiled import try_compile_all_rows
         from flink_ci_flink_spark.cep.operator import all_rows_select
 
         payload = [
             c for c in df.columns if c not in keys and not c.startswith("__")
         ]
+        compiled = try_compile_all_rows(
+            df, pat, keys, order_by, measures, payload, output_schema
+        )
+        if compiled is not None:
+            return compiled
         flat = all_rows_select(measures, keys, payload)
         return cep(
             df, pat, keys, order_by, None, output_schema, flat_select=flat
@@ -609,8 +615,15 @@ def match_recognize_sql(
                 "ALL ROWS PER MATCH is batch-only (the streaming operator "
                 "emits one row per closed match)"
             )
+        from flink_ci_flink_spark.cep.compiled import try_compile_all_rows
         from flink_ci_flink_spark.cep.operator import all_rows_select
 
+        compiled = try_compile_all_rows(
+            df, pat, keys, parsed["order_by"], parsed["measures"],
+            payload_cols, output_schema,
+        )
+        if compiled is not None:
+            return compiled
         flat = all_rows_select(parsed["measures"], keys, payload_cols)
         return cep(
             df, pat, keys, parsed["order_by"], None, output_schema,

@@ -403,8 +403,12 @@ def cep_mr_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the match's rows so far; LAST(B.value) is NULL until B matches). The
     oracle enumerates click-click-purchase runs relationally and replays
     the running measures per emitted row; matches of this fixed pattern
-    cannot overlap, so SKIP PAST LAST ROW equals plain candidate
-    enumeration."""
+    cannot overlap, so SKIP TO NEXT ROW (NO_SKIP) equals SKIP PAST LAST —
+    and NO_SKIP lets the fixed-length strict pattern take the COMPILED
+    all-rows plan (`cep/compiled.py::try_compile_all_rows`): payload +
+    running measures unrolled to lead() expressions, struct-array explode,
+    one shuffle, zero Python (asserted in
+    `test_all_rows_compiled_equals_nfa`)."""
     from flink_ci_flink_spark.cep import match_recognize_sql
 
     t = load_tables(spark, sf_dir)
@@ -416,7 +420,7 @@ def cep_mr_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
           MEASURES COUNT(A.*) AS n_clicks, SUM(A.value) AS click_value,
                    LAST(B.value) AS purchase_value
           ALL ROWS PER MATCH
-          AFTER MATCH SKIP PAST LAST ROW
+          AFTER MATCH SKIP TO NEXT ROW
           PATTERN (A A B)
           DEFINE A AS event_type = 'click', B AS event_type = 'purchase'
         )

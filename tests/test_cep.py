@@ -1084,3 +1084,43 @@ def test_match_recognize_all_rows_per_match(spark):
           DEFINE A AS event_type = 'click', B AS event_type = 'purchase'
         )
         """, streaming=True)
+
+
+def test_all_rows_compiled_equals_nfa(spark):
+    """Compiled ALL-ROWS (NO_SKIP fixed pattern — lead() unrolling +
+    struct-array explode) == the NFA flat path, with zero Python in the
+    compiled plan; duplicate variable names (PATTERN (A A B)) merge
+    offsets correctly in both paths."""
+    from flink_ci_flink_spark.cep.match_recognize import match_recognize_sql
+
+    rows = [
+        (1, 1.0, "click", 10.0), (1, 2.0, "click", 20.0),
+        (1, 3.0, "purchase", 5.0), (1, 4.0, "click", 7.0),
+        (1, 5.0, "purchase", 3.0), (1, 6.0, "click", 2.0),
+        (1, 7.0, "click", 4.0), (1, 8.0, "purchase", 1.0),
+        (2, 1.0, "click", 1.0), (2, 2.0, "view", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts double, event_type string, value double"
+    )
+    tpl = """
+    SELECT * FROM t MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      MEASURES COUNT(A.*) AS n_clicks, SUM(A.value) AS click_value,
+               LAST(B.value) AS purchase_value
+      ALL ROWS PER MATCH
+      AFTER MATCH {skip}
+      PATTERN (A A B)
+      DEFINE A AS event_type = 'click', B AS event_type = 'purchase'
+    )"""
+    compiled = match_recognize_sql(df, tpl.format(skip="SKIP TO NEXT ROW"))
+    plan = compiled._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan and "Python" not in plan
+    got = sorted(tuple(r) for r in compiled.collect())
+    # non-overlapping pattern: SKIP PAST LAST (NFA path) emits the same set
+    nfa = match_recognize_sql(df, tpl.format(skip="SKIP PAST LAST ROW"))
+    want = sorted(tuple(r) for r in nfa.collect())
+    assert got == want
+    # two matches for user 1, six emitted rows + none for user 2
+    assert len(got) == 6
+    assert {r[5] for r in got} == {1, 2}  # match_seq values
