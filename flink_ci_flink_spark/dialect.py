@@ -153,6 +153,10 @@ def flink_sql(
         return match_recognize_sql(spark, sql)
     if re.search(r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b", sql, re.IGNORECASE):
         sql = _rewrite_temporal_join(spark, sql, versioned or {})
+    if _TEMPORAL_FN_REGISTRY and re.search(
+        r"\bLATERAL\s+TABLE\b", sql, re.IGNORECASE
+    ):
+        sql = _rewrite_temporal_table_function(spark, sql)
     return spark.sql(translate(sql))
 
 
@@ -435,3 +439,72 @@ def flink_insert(spark: SparkSession, sql: str) -> None:
         df.foreach(lambda _row: None)
     else:
         raise ValueError(f"unsupported sink connector {connector!r}")
+
+
+# ---------------------------------------------------------------------------
+# Temporal table FUNCTIONS — the reference release's own temporal-join
+# surface (Flink 1.11 predates FOR SYSTEM_TIME joins; users call
+# `Table.createTemporalTableFunction(timeAttribute, primaryKey)`
+# (`TemporalTableFunction.java:35`) and join with
+# `FROM fact f, LATERAL TABLE (Rates(f.ts)) AS r WHERE f.k = r.k`).
+# The registry mirrors createTemporalTableFunction; the rewrite executes
+# the same asof_join as the FOR SYSTEM_TIME path and folds the versioned
+# side into the fact view. The WHERE's key-equality predicate survives as
+# `f.k = f.k` — a tautology that (exactly like the reference's equi-join)
+# still drops NULL-keyed fact rows.
+# ---------------------------------------------------------------------------
+
+_TEMPORAL_FN_REGISTRY: dict[str, tuple[str, str, str]] = {}
+
+
+def create_temporal_table_function(
+    name: str, table: str, time_attribute: str, primary_key: str
+) -> None:
+    """Register `name` as a temporal table function over view `table`
+    (`Table.createTemporalTableFunction` analog): at lookup time t it
+    yields the latest version (max `time_attribute` <= t) per
+    `primary_key`."""
+    _TEMPORAL_FN_REGISTRY[name.lower()] = (table, time_attribute, primary_key)
+
+
+def _rewrite_temporal_table_function(spark: SparkSession, sql: str) -> str:
+    from flink_ci_flink_spark.operators.joins import asof_join
+
+    pat = re.compile(
+        r"FROM\s+`?(\w+)`?(?:\s+AS)?\s+(\w+)\s*,\s*"
+        r"LATERAL\s+TABLE\s*\(\s*(\w+)\s*\(\s*(\w+)\.(\w+)\s*\)\s*\)"
+        r"(?:\s+AS)?\s+(\w+)",
+        re.IGNORECASE,
+    )
+    m = pat.search(sql)
+    if not m or m.group(3).lower() not in _TEMPORAL_FN_REGISTRY:
+        return sql  # a plain UDTF LATERAL TABLE — handled by translate()
+    ltab, lalias, fn, of_alias, of_col, ralias = m.groups()
+    if of_alias.lower() != lalias.lower():
+        raise ValueError(
+            f"temporal table function argument must be the fact's time "
+            f"attribute ({lalias}.<col>), got {of_alias}.{of_col}"
+        )
+    rtab, rtime, rkey = _TEMPORAL_FN_REGISTRY[fn.lower()]
+    left_df, right_df = spark.table(ltab), spark.table(rtab)
+    if rkey not in left_df.columns:
+        raise ValueError(
+            f"temporal table function join key {rkey!r} must exist on the "
+            f"fact table (shared-name equi-key, as in the reference's "
+            "WHERE f.k = r.k)"
+        )
+    rvals = [c for c in right_df.columns if c not in (rkey, rtime)]
+    joined = asof_join(
+        left_df,
+        right_df,
+        on=[rkey],
+        left_time=of_col,
+        right_time=rtime,
+        right_values=rvals,
+        how="inner",
+    )
+    _TEMPORAL_SEQ[0] += 1
+    view = f"__temporal_fn_{_TEMPORAL_SEQ[0]}"
+    joined.createOrReplaceTempView(view)
+    rewritten = sql[: m.start()] + f"FROM {view} AS {lalias}" + sql[m.end() :]
+    return re.sub(rf"\b{ralias}\.", f"{lalias}.", rewritten, flags=re.IGNORECASE)

@@ -164,3 +164,50 @@ def flinksql_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         versioned={"purchases": "ts"},
     )
+
+
+@query(
+    "flinksql_temporal_fn",
+    oracle="""
+    SELECT c.event_id, c.user_id,
+           CAST(FLOOR(EPOCH(c.ts)) AS BIGINT) AS ts_s,
+           ROUND(p.value, 3) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+    group="dialect",
+)
+def flinksql_temporal_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RELEASE-NATIVE temporal-join surface of the reference: Flink
+    1.11 predates FOR SYSTEM_TIME joins — users register a temporal table
+    FUNCTION (`Table.createTemporalTableFunction(timeAttribute, key)`,
+    `TemporalTableFunction.java:35`) and join with
+    `FROM fact f, LATERAL TABLE (Rates(f.ts)) AS r WHERE f.k = r.k`.
+    The dialect registry mirrors createTemporalTableFunction; the rewrite
+    executes the same asof_join plan as the FLIP-132 path, so both the
+    1.11 syntax and the successor syntax run on one operator. Same DuckDB
+    ASOF oracle as `flinksql_temporal_join` — same semantics, the
+    release's own spelling."""
+    from flink_ci_flink_spark.dialect import create_temporal_table_function
+
+    t = load_tables(spark, sf_dir)
+    t.events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    ).createOrReplaceTempView("clicks")
+    t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    ).createOrReplaceTempView("purchases")
+    create_temporal_table_function(
+        "LatestPurchase", "purchases", time_attribute="ts", primary_key="user_id"
+    )
+    return flink_sql(
+        spark,
+        """
+        SELECT c.event_id, c.user_id,
+               unix_timestamp(c.ts) AS ts_s,
+               ROUND(p.value, 3) AS purchase_value
+        FROM clicks AS c, LATERAL TABLE (LatestPurchase(c.ts)) AS p
+        WHERE c.user_id = p.user_id
+        """,
+    )
