@@ -215,3 +215,31 @@ def insert_into_table(df: DataFrame, name: str, overwrite: bool = False) -> None
     """INSERT INTO / INSERT OVERWRITE a catalog table (dynamic partition
     insert when the table is partitioned)."""
     df.write.insertInto(name, overwrite=overwrite)
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a BUCKETED (and optionally sorted) managed table.
+
+    The 100 TB co-located-join lever: two tables bucketed on the join key
+    with the same bucket count join WITHOUT a shuffle on either side
+    (Catalyst sees the hash-distribution from the bucket spec), and a
+    bucket-sorted layout removes the sort from sort-merge joins. The
+    plan-level guarantee is asserted in
+    tests/test_plans.py::test_bucketed_join_no_shuffle.
+
+    Reference analog: Flink's batch planner relies on shuffle-by-key for
+    every co-location (`FlinkBatchRuleSets` exchange insertion — no
+    persistent bucketing in 1.11); pre-bucketed storage is how the same
+    join becomes exchange-free on Spark."""
+    w = df.write.format("parquet").mode("overwrite").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -131,3 +131,33 @@ class TestPartitioning:
         plan = _final_plan(out)
         assert plan.count("Exchange") == 1  # only the explicit repartition
         assert "Sort" in plan
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts join
+    with ZERO Exchange operators — the persistent co-location lever that
+    replaces per-query shuffles at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.sources import save_bucketed
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(10000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        )
+        b = spark.range(10000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+        )
+        save_bucketed(a, "bkt_a", ["k"], 8, sort_cols=["k"])
+        save_bucketed(b, "bkt_b", ["k"], 8, sort_cols=["k"])
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        assert j.count() == 10000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
