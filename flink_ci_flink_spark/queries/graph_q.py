@@ -241,3 +241,55 @@ def graph_summarize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_edges",
         F.col("n_vertices").alias("src_group_size"),
     )
+
+
+def _minhash_cc_oracle() -> str:
+    from flink_ci_flink_spark.queries.pipeline_q import _BANDS_SQL, _MINHASH_BASE
+
+    base = _MINHASH_BASE.replace("WITH ", "WITH RECURSIVE ", 1)
+    return (
+        base
+        + f""", banded AS ({_BANDS_SQL}),
+    pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    undirected AS (
+      SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ), verts AS (
+      SELECT DISTINCT src AS id FROM undirected
+    ), reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT u.dst, reach.r FROM reach JOIN undirected u ON u.src = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS component
+    FROM reach GROUP BY id
+    """
+    )
+
+
+@query(
+    "graph_dedup_clusters_minhash",
+    oracle=_minhash_cc_oracle(),
+    group="graph",
+)
+def graph_dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over MINHASH-LSH candidate edges — the edge
+    construction a 100 TB dedup pass actually runs (one band-key shuffle,
+    bucket-capped; vs the exact-jaccard inverted-index join of
+    `graph_dedup_clusters`, whose postings join dominates its sf1 cost).
+    Same min-id CC loop; the oracle replays the full MinHash(32)/LSH(8x4)
+    construction AND the recursive-CTE components."""
+    from flink_ci_flink_spark.pipeline.dedup import minhash_lsh_pairs
+
+    t = load_tables(spark, sf_dir)
+    edges = minhash_lsh_pairs(t.documents, num_hashes=32, bands=8).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return connected_components(None, edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )
