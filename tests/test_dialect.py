@@ -339,3 +339,53 @@ def test_lateral_table_executes(spark):
         "SELECT id, S.word FROM lt_t, LATERAL TABLE(explode(split(line, ' '))) AS S(word)",
     )
     assert [r["word"] for r in out.collect()] == ["a", "b", "c"]
+
+
+def test_temporal_fn_error_shapes_and_passthrough(spark, sf_dir):
+    """Temporal table FUNCTION rewrite: wrong time-attribute alias and a
+    missing shared join key reject loudly; a plain-UDTF LATERAL TABLE
+    passes through untouched even while the registry is non-empty."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.dialect import (
+        create_temporal_table_function,
+        flink_sql,
+    )
+
+    t = load_tables(spark, sf_dir)
+    t.events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    ).createOrReplaceTempView("tfn_clicks")
+    t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    ).createOrReplaceTempView("tfn_purchases")
+    create_temporal_table_function(
+        "TfnRates", "tfn_purchases", time_attribute="ts", primary_key="user_id"
+    )
+    # wrong alias in the function argument
+    with _pytest.raises(ValueError, match="time attribute"):
+        flink_sql(spark, """
+            SELECT c.event_id FROM tfn_clicks AS c,
+            LATERAL TABLE (TfnRates(x.ts)) AS p
+        """)
+    # key column absent from the fact side
+    create_temporal_table_function(
+        "TfnBadKey", "tfn_purchases", time_attribute="ts", primary_key="value"
+    )
+    t.events.select("event_id", "ts").createOrReplaceTempView("tfn_nokey")
+    with _pytest.raises(ValueError, match="join key"):
+        flink_sql(spark, """
+            SELECT c.event_id FROM tfn_nokey AS c,
+            LATERAL TABLE (TfnBadKey(c.ts)) AS p
+        """)
+    # unregistered function name → the generic UDTF LATERAL path
+    nation = load_tables(spark, sf_dir).nation
+    nation.createOrReplaceTempView("tfn_nation")
+    out = flink_sql(spark, """
+        SELECT n.n_nationkey, w.word
+        FROM tfn_nation AS n,
+        LATERAL TABLE (explode(split(n.n_name, '_'))) AS w(word)
+    """)
+    assert out.count() > 0
