@@ -62,6 +62,12 @@ SCALE_RUNG = [
     "tpch_q21_suppliers_who_kept_waiting",
     "tpcds_shape_anti_ratio",
     "pipe_span_dedup",
+    # identical results, different asymptotics: the full inverted-index
+    # join (postings-capped) vs the prefix-filtered AllPairs candidate
+    # path — the sf1 pair is the direct measurement of what prefix
+    # filtering buys as density grows
+    "pipe_jaccard_pairs",
+    "pipe_jaccard_prefix",
 ]
 
 #: skewed-fixture rung (hot events user_id, hot document shingle):
@@ -214,9 +220,11 @@ def main() -> None:
     except Exception as ex:  # pragma: no cover - defensive bench guard
         result["stateful_streaming_error"] = f"{type(ex).__name__}: {ex}"[:300]
 
-    # Round-4 operator rung (separate from the headline so the 22-query
-    # total stays round-over-round comparable): span dedup, span stripping,
-    # export sharding, and the three sketches, single timed run each.
+    # Extra-ops rung (separate from the headline so the 22-query total
+    # stays round-over-round comparable): span dedup, span stripping,
+    # export sharding, the three sketches, and the jaccard full-vs-prefix
+    # pair (sf0.1 baselines for the sf1 scale-up ratios), one timed run
+    # each.
     NEW_OPS = [
         "pipe_span_dedup",
         "pipe_strip_spans",
@@ -224,6 +232,8 @@ def main() -> None:
         "pipe_hll_distinct",
         "pipe_kmv_distinct",
         "pipe_countmin_freq",
+        "pipe_jaccard_pairs",
+        "pipe_jaccard_prefix",
     ]
     new_ops_t: dict[str, float] = {}
     for name in NEW_OPS:

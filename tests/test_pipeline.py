@@ -985,3 +985,34 @@ def test_jaccard_prefix_filter_equals_full_join(spark, sf_dir):
         for r in jaccard_pairs_prefix(hand, threshold=0.25).collect()
     }
     assert p2 == f2 and len(f2) > 0
+
+
+def test_balanced_shards_property_vs_python(spark):
+    """Property test: balanced_shards equals the plain Python round-robin
+    over (weight desc, id asc) order for random weight multisets and shard
+    counts — the distributed two-phase ranking must be rank-exact."""
+    from hypothesis import given, settings, strategies as st
+
+    from flink_ci_flink_spark.pipeline.sharding import balanced_shards
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        weights=st.lists(st.integers(0, 30), min_size=3, max_size=40),
+        n_shards=st.integers(2, 6),
+    )
+    def run(weights, n_shards):
+        rows = [(i, w) for i, w in enumerate(weights)]
+        expect = {
+            doc_id: rank % n_shards
+            for rank, (doc_id, _) in enumerate(
+                sorted(rows, key=lambda r: (-r[1], r[0]))
+            )
+        }
+        df = spark.createDataFrame(rows, ["doc_id", "wt"]).repartition(5)
+        got = {
+            r.doc_id: r.shard
+            for r in balanced_shards(df, n_shards, "wt").collect()
+        }
+        assert got == expect
+
+    run()
