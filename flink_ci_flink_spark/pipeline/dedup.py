@@ -361,6 +361,7 @@ def jaccard_pairs_prefix(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    positional: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via PREFIX FILTERING (the AllPairs /
     SSJoin optimization — Bayardo et al. 2007 "Scaling Up All Pairs
@@ -384,6 +385,15 @@ def jaccard_pairs_prefix(
     re-joining candidates against the FULL index (cost ~ |candidates| x
     avg set size, not postings^2). Verification stays exact — the filter
     is lossless by the prefix principle.
+
+    ``positional`` adds the PPJoin positional filter (Xiao et al. 2008,
+    "Efficient Similarity Joins for Near Duplicate Detection"): the
+    smallest shared element of a qualifying pair sits in BOTH prefixes
+    (prefix-principle proof), and every other shared element follows it
+    canonically — so overlap <= 1 + min(|A| - posA, |B| - posB) at that
+    element. Candidates whose bound falls below the required overlap
+    ceil(t/(1+t) * (|A|+|B|)) are pruned BEFORE the exact-count join.
+    Lossless (the bound over-counts), cheaper verification.
     """
     import math
 
@@ -412,15 +422,37 @@ def jaccard_pairs_prefix(
         <= F.col("n_sh")
         - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
         + 1
-    ).select(id_col, "shingle")
-    a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
-    b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
-    cand = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    ).select(id_col, "shingle", "__df", "__pos", "n_sh")
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle", "__df",
+        F.col("__pos").alias("__pa"), F.col("n_sh").alias("__na"),
     )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "shingle",
+        F.col("__pos").alias("__pb"), F.col("n_sh").alias("__nb"),
+    )
+    matched = a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
+    if positional:
+        # per pair: the canonically-smallest shared prefix element -> the
+        # PPJoin overlap upper bound; prune before the exact-count join
+        first = matched.groupBy("id_a", "id_b").agg(
+            F.min_by(
+                F.struct("__pa", "__pb", "__na", "__nb"),
+                F.struct("__df", "shingle"),
+            ).alias("__f")
+        )
+        required = F.ceil(
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("__f.__na") + F.col("__f.__nb"))
+            - F.lit(1e-9)
+        )
+        ubound = F.lit(1) + F.least(
+            F.col("__f.__na") - F.col("__f.__pa"),
+            F.col("__f.__nb") - F.col("__f.__pb"),
+        )
+        cand = first.filter(ubound >= required).select("id_a", "id_b")
+    else:
+        cand = matched.select("id_a", "id_b").distinct()
     # exact intersection for candidates only: candidate pairs re-join the
     # full index on (id_a) then semi-match (id_b, shingle)
     sta = st.select(F.col(id_col).alias("id_a"), "shingle")

@@ -961,11 +961,12 @@ def test_jaccard_prefix_filter_equals_full_join(spark, sf_dir):
         (r.id_a, r.id_b, r.jaccard)
         for r in jaccard_pairs(docs, max_postings=None).collect()
     }
-    pref = {
-        (r.id_a, r.id_b, r.jaccard)
-        for r in jaccard_pairs_prefix(docs).collect()
-    }
-    assert pref == full and len(full) > 0
+    for positional in (True, False):
+        pref = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in jaccard_pairs_prefix(docs, positional=positional).collect()
+        }
+        assert pref == full and len(full) > 0
 
     hand = spark.createDataFrame(
         [
