@@ -224,6 +224,23 @@ def minhash_lsh_pairs(
     representative and connected-components dedup still collapses the whole
     cluster. Default 1000 (never binds at test SFs, so oracle hashes are
     unaffected); None disables the guard."""
+    banded = minhash_band_table(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    return _pairs_from_bands(banded, id_col, max_bucket)
+
+
+def minhash_band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, key) LSH band rows — the per-document (cross-doc-free)
+    half of minhash_lsh_pairs, exposed so a STREAMING ingest can append
+    band rows per micro-batch and generate pairs once at finalize."""
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_cols = []
@@ -237,9 +254,14 @@ def minhash_lsh_pairs(
                 ),
             )
         )
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def _pairs_from_bands(
+    banded: DataFrame, id_col: str = "doc_id", max_bucket: int | None = 1000
+) -> DataFrame:
     # Pairs via groupBy + in-bucket combination generation, NOT a self-join:
     # a self-join would run the whole signature pipeline twice (broadcast
     # exchange isn't reusable). One shuffle on the band key; bucket sizes are
@@ -477,3 +499,43 @@ def jaccard_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def streaming_minhash_dedup(
+    stream_df,
+    bands_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+):
+    """Continuous corpus ingest for MinHash-LSH dedup: signatures and band
+    keys are per-document (no cross-doc dependency), so each micro-batch
+    appends its band rows; `finalize_minhash_pairs` then generates the
+    candidate pairs from the accumulated store — equal to running
+    `minhash_lsh_pairs` over the whole corpus (asserted in
+    tests/test_streaming_curation.py). State = bands x docs rows of
+    (id, band, key), laid down once at ingest; the expensive
+    tokenize/shingle/signature work never re-runs. Returns the started
+    StreamingQuery."""
+    from flink_ci_flink_spark.streaming.core import foreach_batch_upsert
+
+    def merge(batch_df, epoch_id: int) -> None:
+        bt = minhash_band_table(
+            batch_df, text_col, id_col, num_hashes, bands, shingle_n
+        )
+        if bt.take(1):
+            bt.write.mode("append").parquet(bands_dir)
+
+    return foreach_batch_upsert(stream_df, merge, checkpoint)
+
+
+def finalize_minhash_pairs(
+    spark, bands_dir: str, id_col: str = "doc_id", max_bucket: int | None = 1000
+) -> DataFrame:
+    """Close the streaming ingest: one band-key shuffle over the
+    accumulated band store — identical plan and results to the batch
+    pair generation."""
+    return _pairs_from_bands(spark.read.parquet(bands_dir), id_col, max_bucket)

@@ -155,3 +155,38 @@ def test_streaming_span_dedup_matches_batch(spark, docs_stream_dir):
     want = {tuple(r) for r in span_dedup_stats(batch_docs).collect()}
     assert got == want and len(want) > 0
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_minhash_dedup_matches_batch(spark, docs_stream_dir):
+    """Streaming MinHash-LSH ingest (per-batch band-row append) finalizes
+    to EXACTLY the batch minhash_lsh_pairs over the full corpus — the
+    signature work happens once at ingest, pair generation once at
+    finalize."""
+    import tempfile
+
+    from flink_ci_flink_spark.pipeline.dedup import (
+        finalize_minhash_pairs,
+        minhash_lsh_pairs,
+        streaming_minhash_dedup,
+    )
+    from flink_ci_flink_spark.streaming import file_stream
+
+    path, schema = docs_stream_dir
+    base = tempfile.mkdtemp(prefix="mh_stream_")
+    stream = file_stream(spark, path, schema, max_files_per_trigger=1)
+    q = streaming_minhash_dedup(
+        stream, f"{base}/bands", checkpoint=f"{base}/ckpt"
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.id_a, r.id_b, r.n_bands_shared)
+        for r in finalize_minhash_pairs(spark, f"{base}/bands").collect()
+    }
+    batch_docs = spark.read.parquet(*glob.glob(f"{path}/*.parquet"))
+    want = {
+        (r.id_a, r.id_b, r.n_bands_shared)
+        for r in minhash_lsh_pairs(batch_docs).collect()
+    }
+    assert got == want and len(want) > 0
+    shutil.rmtree(base, ignore_errors=True)
