@@ -103,10 +103,24 @@ def balanced_shards(
 
 
 def write_sharded(
-    df: DataFrame, path: str, n_shards: int, id_col: str = "doc_id"
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    compression: str = "zstd",
+    max_records_per_file: int | None = None,
 ) -> None:
     """Export with hash sharding: one parquet directory per shard
-    (partitioned write -> downstream readers prune to their shard)."""
-    hash_shards(df, n_shards, id_col).write.partitionBy("shard").mode(
+    (partitioned write -> downstream readers prune to their shard).
+
+    Training-export knobs: ``compression`` defaults to zstd (the archival
+    ratio/speed point for write-once corpora); ``max_records_per_file``
+    caps rows per output file so dataloader work units stay uniform — at
+    100 TB this, not partition count, is what controls shard-file
+    granularity."""
+    w = hash_shards(df, n_shards, id_col).write.partitionBy("shard").mode(
         "overwrite"
-    ).parquet(path)
+    ).option("compression", compression)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)

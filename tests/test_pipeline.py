@@ -1017,3 +1017,24 @@ def test_balanced_shards_property_vs_python(spark):
         assert got == expect
 
     run()
+
+
+def test_write_sharded_file_granularity(spark, tmp_path):
+    """Export knobs: zstd codec reaches the files; maxRecordsPerFile caps
+    rows per output file within each shard directory."""
+    import glob as _glob
+
+    from flink_ci_flink_spark.pipeline.sharding import write_sharded
+
+    df = spark.range(400).withColumnRenamed("id", "doc_id").coalesce(1)
+    path = str(tmp_path / "granular")
+    write_sharded(df, path, 2, max_records_per_file=50)
+    files = _glob.glob(f"{path}/shard=*/*.parquet")
+    assert files and all(".zstd." in f for f in files)
+    # ~200 rows per shard / 50 per file -> >= 4 files per shard
+    per_shard = {}
+    for f in files:
+        shard = f.split("shard=")[1].split("/")[0]
+        per_shard[shard] = per_shard.get(shard, 0) + 1
+    assert all(v >= 3 for v in per_shard.values())
+    assert spark.read.parquet(path).count() == 400
