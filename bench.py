@@ -68,6 +68,7 @@ SCALE_RUNG = [
     # filtering buys as density grows
     "pipe_jaccard_pairs",
     "pipe_jaccard_prefix",
+    "pipe_tfidf_top_terms",
 ]
 
 #: skewed-fixture rung (hot events user_id, hot document shingle):
@@ -234,6 +235,7 @@ def main() -> None:
         "pipe_countmin_freq",
         "pipe_jaccard_pairs",
         "pipe_jaccard_prefix",
+        "pipe_tfidf_top_terms",
     ]
     new_ops_t: dict[str, float] = {}
     for name in NEW_OPS:
