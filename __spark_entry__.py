@@ -26,68 +26,61 @@ from flink_ci_flink_spark.queries import QUERIES  # noqa: E402
 FLAGSHIP = "tpch_q3_shipping_priority"
 
 # The driver samples a 50-query prefix of queries() for its sf0.01
-# correctness check. Round-4 prefix = exactly 50 rows: the 18 oracles whose
-# final aggregate was re-cast to BIGINT this round (proves the r3 red-row
-# fix driver-green and defuses the latent class), then 32 queries never
-# driver-checked in rounds 1-3, spanning every group (tpch / tpcds /
-# pipeline / window / graph / cep / udf / functions / relational / dialect /
-# sketch / cdc). Rounds 1-3 cumulatively proved 76/168; this prefix takes
-# the cumulative driver-proven set to 124/168.
+# correctness check. Round-5 prefix = the EXACT complement of the 124
+# queries already driver-proven green across rounds 1-4 (computed from
+# CORRECTNESS_r01..r04.json): all never-driver-checked names. Green here
+# completes 174/174 cumulative driver proof of the full registry.
 _PRIORITY = [
-    # HUGEINT-cast oracles (r3 reds + latent class) — prove green
-    "pipe_simhash",
-    "tpcds_shape_frequent_best",
-    "tpch_q11_important_stock",
-    "tpcds_shape_returns_above_avg",
-    "tpcds_shape_channel_rollup",
-    "tpcds_shape_cross_year_parts",
-    "tpcds_shape_rank_over_rollup",
-    "tpcds_shape_yoy_growth",
-    "tpcds_shape_union_channel_agg",
-    "tpcds_shape_cumulative_crossover",
-    "tpcds_shape_full_outer_overlap",
-    "tpcds_shape_moving_dev",
-    "tpcds_shape_grouping_rank",
-    "tpcds_shape_pivot_months",
-    "tpcds_shape_net_after_returns",
-    "tpcds_shape_channel_band",
-    "tpcds_shape_anti_ratio",
-    "tpcds_shape_revenue_bands",
-    # round-4 features, never driver-checked: dialect SQL, sketches, CDC,
-    # bloom semi-join, span dedup, sharding, codecs, BPE
-    "flinksql_temporal_join",
-    "flinksql_tumble",
-    "flinksql_session",
-    "pipe_hll_distinct",
-    "pipe_kmv_distinct",
-    "pipe_countmin_freq",
-    "cdc_debezium_materialize",
-    "join_bloom_semi",
-    "pipe_span_dedup",
-    "pipe_strip_spans",
-    "pipe_shard_assignment",
-    "pipe_decode_bmp",
-    "pipe_decode_wav",
-    "pipe_bpe_train",
-    "pipe_bpe_encode",
-    # never driver-checked before round 4 — breadth across groups
-    "pipe_quantized_ann",
-    "pipe_pq_ann",
-    "pipe_semdedup",
-    "pipe_redact_pii",
-    "pipe_repetition_filters",
-    "pipe_contamination_overlap",
-    "pipe_chunk_documents",
-    "window_topn",
-    "window_dedup",
-    "udf_python_udtf",
-    "pipe_jaccard_prefix",
-    "fn_json",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "cep_mr_all_rows",
-    "graph_degrees_triangles",
-    "cep_error_burst",
+    "pipe_token_count_by_source",
+    "pipe_cosine_near_dup",
+    "pipe_multimodal_features",
+    "pipe_resize_bmp",
+    "pipe_frame_sample",
+    "pipe_ivf_full_probe",
+    "pipe_boilerplate_screen",
+    "pipe_sample_k_per_source",
+    "pipe_tfidf_top_terms",
+    "graph_sssp_nations",
+    "graph_adamic_adar",
+    "graph_summarize_sources",
+    "graph_dedup_clusters_minhash",
+    "cep_match_recognize_view_run",
+    "udf_cogroup",
+    "udf_map_partitions",
+    "tpch_q4_order_priority",
+    "tpch_q12_priority_shipping",
+    "tpch_q14_promo_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q22_global_sales",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_parts_supplier_relationship",
+    "tpch_q20_potential_promotion",
+    "tpcds_shape_multi_bucket_counts",
+    "tpcds_shape_threeway_intersect",
+    "tpcds_shape_exists_either",
+    "tpcds_shape_having_count_between",
+    "tpcds_shape_quarter_share",
+    "tpcds_shape_sale_return_rebuy",
+    "tpcds_shape_dual_rank_union",
+    "tpcds_shape_part_or_filter",
+    "tpcds_shape_before_after_band",
+    "tpcds_shape_scalar_ratio",
+    "tpcds_shape_histogram_buckets",
+    "tpcds_shape_topn_intersection",
+    "tpcds_shape_exists_over_avg",
+    "map_construct_explode",
+    "null_safe_comparison",
+    "str_to_map_canonical",
+    "temporal_overlaps_pred",
+    "over_count_distinct",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "skew_split_distinct",
+    "flinksql_hop",
+    "flinksql_temporal_fn",
 ]
 
 

@@ -327,7 +327,33 @@ def main() -> None:
         except Exception as ex:  # pragma: no cover - defensive bench guard
             result["scale_rung_error"] = f"{type(ex).__name__}: {ex}"[:300]
 
-    print(json.dumps(result))
+    # The driver captures only the last ~2000 chars of stdout; r4's full
+    # result blob outgrew that and BENCH_r04.json recorded "parsed": null.
+    # Emit the FULL detail to bench_detail.json + stderr, and keep the
+    # final stdout line a compact headline guaranteed to fit.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+    except OSError:
+        pass
+    print("# full detail -> bench_detail.json", file=sys.stderr)
+    print(json.dumps(result), file=sys.stderr)
+
+    headline = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": result["queries"],
+        "runs": result["runs"],
+        "sf": result["sf"],
+    }
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1900:  # hard guarantee: drop per-query detail before truncating
+        headline.pop("queries", None)
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -7,8 +7,20 @@ from flink_ci_flink_spark.cep.pattern import (  # noqa: F401
     SKIP_TO_LAST,
     Pattern,
 )
-from flink_ci_flink_spark.cep.nfa import Match, find_matches  # noqa: F401
-from flink_ci_flink_spark.cep.operator import cep, cep_stream, measure_select  # noqa: F401
+from flink_ci_flink_spark.cep.nfa import (  # noqa: F401
+    Match,
+    TimedOutPartial,
+    find_matches,
+    find_matches_and_timeouts,
+)
+from flink_ci_flink_spark.cep.operator import (  # noqa: F401
+    cep,
+    cep_stream,
+    cep_stream_timed_out,
+    cep_timed_out,
+    measure_select,
+    timeout_measure_select,
+)
 from flink_ci_flink_spark.cep.match_recognize import (  # noqa: F401
     compile_pattern,
     match_recognize,

@@ -122,10 +122,20 @@ def _stage_matches(
 
 
 def _iter_matches(
-    pattern: Pattern, events: list[dict], start: int, ts_field: str
+    pattern: Pattern,
+    events: list[dict],
+    start: int,
+    ts_field: str,
+    partial_sink: list | None = None,
 ) -> Iterator[dict]:
     """Yield every match (as a groups dict) anchored at index `start`,
-    in preference order (greedy branches first)."""
+    in preference order (greedy branches first).
+
+    When `partial_sink` (a 1-slot mutable holder) is given, the deepest
+    partial consumption reached during the search is recorded into it as
+    ``(stage_progress, total_consumed, groups)`` — the NFA run that
+    survived longest before failing. Used for timed-out partial matches
+    (`TimedOutPartialMatchHandler` semantics)."""
     stages = pattern.stages
     n = len(events)
     t0 = events[start][ts_field]
@@ -235,9 +245,37 @@ def _iter_matches(
 
         yield from pick(0, ei, [])
 
+    def _record_partial(si: int, ei: int, groups: dict, pending_neg: list[Stage]):
+        """Candidate timed-out partial: a run waiting at positive stage si.
+
+        A run whose pending negative matches before the window expires is
+        STOPPED (NFA stop state), not timed out — `NFA.java` stop
+        transitions discard the computation without reaching
+        `TimedOutPartialMatchHandler`. `trailing_neg_violated` performs
+        exactly that forward scan (strict: the adjacent event; relaxed:
+        the rest of the window)."""
+        if partial_sink is None or not groups:
+            return
+        n_consumed = sum(len(v) for v in groups.values())
+        best = partial_sink[0]
+        # deepest stage progress, then most events; first-seen wins ties
+        # (preference order = the NFA's surviving-branch order)
+        if best is not None and (si, n_consumed) <= (best[0], best[1]):
+            return
+        if trailing_neg_violated(pending_neg, ei, groups):
+            return  # stopped by a negative, not timed out
+        partial_sink[0] = (si, n_consumed, groups)
+
     def rec(
         si: int, ei: int, groups: dict, consumed: bool, pending_neg: list[Stage]
     ) -> Iterator[dict]:
+        if (
+            partial_sink is not None
+            and consumed
+            and si < len(stages)
+            and not stages[si].negated
+        ):
+            _record_partial(si, ei, groups, pending_neg)
         if si == len(stages):
             if not consumed:
                 return
@@ -267,6 +305,21 @@ def _iter_matches(
         streak = (
             strict_streak(st, ei, groups, st.max_times) if all_strict else None
         )
+        if (
+            partial_sink is not None
+            and streak is not None
+            and 0 < streak < st.min_times
+            and (consumed or ei == start)
+        ):
+            # partially-consumed strict loop (e.g. times(3) saw 2): the
+            # timed-out partial carries the loop events consumed so far,
+            # as the reference's SharedBuffer extraction would
+            _record_partial(
+                si,
+                ei + streak,
+                {**groups, st.name: groups.get(st.name, []) + list(range(ei, ei + streak))},
+                pending_neg,
+            )
         for take in options:
             if take == 0:
                 yield from rec(si + 1, ei, groups, consumed, pending_neg)
@@ -300,8 +353,48 @@ def _match_key(groups: dict) -> tuple:
     return tuple(sorted((k, tuple(v)) for k, v in groups.items()))
 
 
+@dataclass
+class TimedOutPartial:
+    """A partial match pruned by within() expiry.
+
+    Reference: `PatternStream.java:173-189` (select/flatSelect with a
+    timeout function) + `TimedOutPartialMatchHandler.java` — when the
+    within window of a partial computation expires, the (variable ->
+    events-so-far) map and the timeout timestamp are exposed on a side
+    output instead of being silently discarded."""
+
+    groups: dict
+    start_idx: int
+    end_idx: int
+    timeout_ts: float
+
+
+def find_matches_and_timeouts(
+    pattern: Pattern, events: list[dict], ts_field: str = "ts"
+) -> tuple[list[Match], list[TimedOutPartial]]:
+    """Matches plus timed-out partial matches in one scan.
+
+    A timed-out partial exists for an anchor when (a) the pattern has a
+    within() bound, (b) at least one event was consumed at the anchor,
+    (c) no full match anchored there exists over the bounded input, and
+    (d) the surviving run died waiting for a positive stage (not stopped
+    by a matched negative). Deterministic-branch semantics: the deepest
+    surviving partial per anchor is reported (the reference NFA reports
+    one per pruned computation; with deterministic contiguity there is
+    exactly one). timeout_ts = anchor ts + within — when the window
+    expired. Anchors inside an after-match skip region are pruned runs,
+    not timeouts (aftermatch/ strategies discard them silently)."""
+    return _scan(pattern, events, ts_field, want_timeouts=True)
+
+
 def find_matches(pattern: Pattern, events: list[dict], ts_field: str = "ts") -> list[Match]:
     """All matches over an ordered sequence under the after-match strategy."""
+    return _scan(pattern, events, ts_field, want_timeouts=False)[0]
+
+
+def _scan(
+    pattern: Pattern, events: list[dict], ts_field: str, want_timeouts: bool
+) -> tuple[list[Match], list[TimedOutPartial]]:
     pattern.validate()
     # deterministic patterns yield one match per anchor (the preferred
     # branch); non-deterministic contiguity (followed_by_any /
@@ -309,19 +402,33 @@ def find_matches(pattern: Pattern, events: list[dict], ts_field: str = "ts") -> 
     multi = any(
         st.contiguity == "any" or st.inner_contiguity == "any" for st in pattern.stages
     )
+    collect = want_timeouts and pattern.within_seconds is not None
     matches: list[Match] = []
+    timeouts: list[TimedOutPartial] = []
     seen: set[tuple] = set()
     i = 0
     n = len(events)
     while i < n:
         found: list[Match] = []
-        for groups in _iter_matches(pattern, events, i, ts_field):
+        sink: list | None = [None] if collect else None
+        for groups in _iter_matches(pattern, events, i, ts_field, partial_sink=sink):
             key = _match_key(groups)
             if key not in seen:
                 seen.add(key)
                 found.append(_make_match(groups))
             if not multi:
                 break
+        if collect and not found and sink[0] is not None:
+            _si, _nc, pgroups = sink[0]
+            all_idx = [j for idxs in pgroups.values() for j in idxs]
+            timeouts.append(
+                TimedOutPartial(
+                    pgroups,
+                    min(all_idx),
+                    max(all_idx),
+                    events[i][ts_field] + pattern.within_seconds,
+                )
+            )
         matches.extend(found)
         if found and pattern.after_match != NO_SKIP:
             m0 = found[0]
@@ -337,4 +444,4 @@ def find_matches(pattern: Pattern, events: list[dict], ts_field: str = "ts") -> 
                 i = nxt if nxt > i else i + 1
             continue
         i += 1
-    return matches
+    return matches, timeouts

@@ -38,7 +38,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_ci_flink_spark.cep.nfa import Match, find_matches
+from flink_ci_flink_spark.cep.nfa import (
+    Match,
+    TimedOutPartial,
+    find_matches,
+    find_matches_and_timeouts,
+)
 from flink_ci_flink_spark.cep.pattern import Pattern
 
 #: A select function: (key_tuple, match, events) -> dict of output columns.
@@ -74,6 +79,26 @@ def measure_select(measures: dict[str, tuple], keys: list[str]) -> SelectFn:
                 continue
             idxs = match.groups.get(var, [])
             out[out_name] = MEASURE_FNS[kind](events, idxs, field) if idxs else None
+        return out
+
+    return select
+
+
+def timeout_measure_select(measures: dict[str, tuple], keys: list[str]) -> SelectFn:
+    """measure_select for timed-out partials: variables the partial never
+    reached yield NULL; the extra measure kind ``("", "timeout", "")``
+    emits the window-expiry timestamp (epoch seconds) —
+    `TimedOutPartialMatchHandler.processTimedOutMatch`'s (match, timestamp)
+    pair flattened into columns."""
+    base = measure_select(
+        {k: v for k, v in measures.items() if v[1] != "timeout"}, keys
+    )
+
+    def select(key_tuple, tm: TimedOutPartial, events):
+        out = base(key_tuple, tm, events)
+        for out_name, (_var, kind, _field) in measures.items():
+            if kind == "timeout":
+                out[out_name] = tm.timeout_ts
         return out
 
     return select
@@ -231,6 +256,55 @@ def cep(
     return grouped_apply(df, keys, [ts_col], run, output_schema)
 
 
+def cep_timed_out(
+    df: DataFrame,
+    pattern: Pattern,
+    keys: list[str],
+    ts_col: str,
+    select: SelectFn | None = None,
+    output_schema: str = "",
+    measures: dict[str, tuple] | None = None,
+) -> DataFrame:
+    """Batch CEP timeout SIDE OUTPUT: the partial matches that within()
+    expiry pruned, instead of silently discarding them.
+
+    Reference: `PatternStream.java:173-189` (select/flatSelect overloads
+    taking a `PatternTimeoutFunction` + side-output tag) and
+    `TimedOutPartialMatchHandler.java`. Flink tags these onto a side
+    output of the main match stream; here — like DataStream side outputs
+    elsewhere in this repo — the side output is materialized by a second
+    operator over the same input, sharing the scan logic
+    (`find_matches_and_timeouts`). Bounded-input semantics: the final
+    watermark advances past every window, so every never-completed
+    anchored partial times out (timeout_ts = anchor ts + within).
+
+    `select` receives a `TimedOutPartial` (groups hold only the variables
+    reached); or pass declarative `measures` — unreached variables emit
+    NULL, and kind ``"timeout"`` emits the expiry timestamp."""
+    pattern.validate()
+    if pattern.within_seconds is None:
+        raise ValueError("timeout side output requires pattern.within(...)")
+    if select is None:
+        assert measures is not None, "cep_timed_out needs select= or measures="
+        select = timeout_measure_select(measures, keys)
+
+    df = _relevance_prefilter(df, pattern)
+    df, pattern = _jvm_predicate_columns(df, pattern)
+
+    def run(key_tuple, pdf: pd.DataFrame):
+        events = pdf.to_dict("records")
+        for e in events:
+            t = e[ts_col]
+            e["__ts"] = t.timestamp() if hasattr(t, "timestamp") else float(t)
+        _matches, timeouts = find_matches_and_timeouts(pattern, events, ts_field="__ts")
+        out = [select(key_tuple, tm, events) for tm in timeouts]
+        return pd.DataFrame(out) if out else None
+
+    from flink_ci_flink_spark.operators.grouped import grouped_apply
+
+    return grouped_apply(df, keys, [ts_col], run, output_schema)
+
+
 def _match_closed(pattern: Pattern, m: Match, events: list[dict], emit_upto: float) -> bool:
     """A match may be emitted only when no later in-window event could extend
     or invalidate it (reference NFA defers greedy emission the same way):
@@ -368,6 +442,95 @@ def cep_stream(
         state.update(
             ([t for t, _ in kept], [p for _, p in kept], kept_idents)
         )
+        yield pd.DataFrame(out) if out else pd.DataFrame(
+            {c: [] for c in _schema_cols(output_schema)}
+        )
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        run, output_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def cep_stream_timed_out(
+    df: DataFrame,
+    pattern: Pattern,
+    keys: list[str],
+    ts_col: str,
+    select: SelectFn,
+    output_schema: str,
+    delay_seconds: float = 0.0,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming CEP timeout side output (the stream analog of
+    `cep_timed_out`; `PatternStream.flatSelect(outputTag, timeoutFn, ...)`).
+
+    Same keyed buffer as `cep_stream`; a timed-out partial becomes FINAL
+    once its window provably expired at the per-key frontier
+    (timeout_ts <= max event time − delay): with out-of-orderness bounded
+    by `delay_seconds`, every event that could still have completed the
+    run has already arrived, so the no-match verdict cannot be revised.
+    Exactly-once via anchored content identities held while the anchor
+    stays buffered (entries at exactly the expiry boundary survive one
+    more batch)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pattern.validate()
+    if pattern.within_seconds is None:
+        raise ValueError("timeout side output requires pattern.within(...)")
+    df, pattern = _jvm_predicate_columns(df, pattern)
+    payload_cols = payload_cols or [c for c in df.columns if c not in keys]
+    within = pattern.within_seconds
+    state_schema = "ts array<double>, payload array<string>, emitted array<string>"
+
+    def run(key_tuple, pdf_iter, state):
+        if state.exists:
+            ts_list, payload, emitted = state.get
+            ts_list, payload, emitted = list(ts_list), list(payload), list(emitted)
+        else:
+            ts_list, payload, emitted = [], [], []
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            tvals = pdf[ts_col].map(
+                lambda t: t.timestamp() if hasattr(t, "timestamp") else float(t)
+            )
+            recs = [
+                {k: _jsonable(v) for k, v in r.items()}
+                for r in pdf[payload_cols].to_dict("records")
+            ]
+            ts_list.extend(float(t) for t in tvals)
+            payload.extend(json.dumps(r) for r in recs)
+        order = sorted(range(len(ts_list)), key=lambda i: ts_list[i])
+        ts_list = [ts_list[i] for i in order]
+        payload = [payload[i] for i in order]
+        max_ts = ts_list[-1] if ts_list else float("-inf")
+        emit_upto = max_ts - delay_seconds
+
+        events = []
+        for tsec, pj in zip(ts_list, payload):
+            e = json.loads(pj)
+            e["__ts"] = tsec
+            events.append(e)
+        _matches, timeouts = find_matches_and_timeouts(pattern, events, ts_field="__ts")
+        emitted_set = set(emitted)
+        out = []
+        new_idents: list[tuple[float, str]] = []
+        for tm in timeouts:
+            if tm.timeout_ts > emit_upto:
+                continue  # window not yet expired at the frontier
+            t0 = events[tm.start_idx]["__ts"]
+            ident = f"{t0}:{_match_identity(tm, events, payload)}"
+            if ident in emitted_set:
+                continue
+            emitted_set.add(ident)
+            new_idents.append((t0, ident))
+            out.append(select(key_tuple, tm, events))
+        keep_from = emit_upto - within
+        kept = [(t, p) for t, p in zip(ts_list, payload) if t >= keep_from]
+        kept_idents = [
+            ident for ident in emitted if float(ident.split(":", 1)[0]) >= keep_from
+        ] + [ident for t0, ident in new_idents if t0 >= keep_from]
+        state.update(([t for t, _ in kept], [p for _, p in kept], kept_idents))
         yield pd.DataFrame(out) if out else pd.DataFrame(
             {c: [] for c in _schema_cols(output_schema)}
         )

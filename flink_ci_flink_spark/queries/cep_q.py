@@ -426,3 +426,63 @@ def cep_mr_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """,
     )
+
+
+@query(
+    "cep_timeout_click_purchase",
+    oracle="""
+    SELECT e.user_id, e.event_id AS click_id,
+           CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) AS click_ts_s,
+           CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) + 86400 AS timeout_ts_s
+    FROM events e
+    WHERE e.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+          AND p.ts > e.ts AND EPOCH(p.ts) - EPOCH(e.ts) <= 86400
+      )
+    """,
+    group="cep",
+)
+def cep_timeout_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed-out partial matches as a SIDE OUTPUT: pattern click
+    ->(relaxed) purchase within 24h; every click whose window expired
+    before a purchase arrived is emitted from the timeout side output
+    with its expiry timestamp — the fraud/abandonment use-case the
+    reference serves via `PatternStream.select(timeoutTag,
+    PatternTimeoutFunction, ...)` (`PatternStream.java:173-189`,
+    `TimedOutPartialMatchHandler.java`). Bounded input = final watermark
+    past every window, so all never-completed anchors time out. Oracle:
+    NOT EXISTS anti-join; timeout_ts = click ts + within by definition."""
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.cep import cep_timed_out
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.withColumn(
+        "ts_s", F.floor(epoch_seconds(t.events, "ts")).cast("long")
+    )
+    pat = (
+        Pattern.begin(
+            "a", where=lambda e: e["event_type"] == "click", expr="event_type = 'click'"
+        )
+        .followed_by(
+            "b",
+            where=lambda e: e["event_type"] == "purchase",
+            expr="event_type = 'purchase'",
+        )
+        .within(86400)
+        .after_match_skip(NO_SKIP)
+    )
+    out = cep_timed_out(
+        ev,
+        pat,
+        keys=["user_id"],
+        ts_col="ts",
+        measures={
+            "click_id": ("a", "first", "event_id"),
+            "click_ts_s": ("a", "first", "ts_s"),
+        },
+        output_schema="user_id long, click_id long, click_ts_s long",
+    )
+    return out.withColumn("timeout_ts_s", (F.col("click_ts_s") + F.lit(86400)).cast("long"))

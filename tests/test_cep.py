@@ -1124,3 +1124,246 @@ def test_all_rows_compiled_equals_nfa(spark):
     # two matches for user 1, six emitted rows + none for user 2
     assert len(got) == 6
     assert {r[5] for r in got} == {1, 2}  # match_seq values
+
+
+# -- timed-out partial matches (round 5): PatternStream.java:173-189, --------
+# -- TimedOutPartialMatchHandler.java ----------------------------------------
+
+
+def _tev(t, ty):
+    return {"__ts": float(t), "event_type": ty}
+
+
+def test_timeout_basic_partial():
+    """click ->(relaxed) purchase within 10: anchors that never complete
+    emit a timed-out partial with timeout_ts = anchor ts + within."""
+    from flink_ci_flink_spark.cep import find_matches_and_timeouts
+
+    p = (
+        Pattern.begin("a", where=lambda e: e["event_type"] == "click")
+        .followed_by("b", where=lambda e: e["event_type"] == "purchase")
+        .within(10)
+        .after_match_skip(NO_SKIP)
+    )
+    events = [_tev(0, "click"), _tev(5, "purchase"), _tev(20, "click")]
+    ms, ts = find_matches_and_timeouts(p, events, "__ts")
+    assert [(m.start_idx, m.end_idx) for m in ms] == [(0, 1)]
+    assert [(t.groups, t.timeout_ts) for t in ts] == [({"a": [2]}, 30.0)]
+
+
+def test_timeout_multi_stage_partial_carries_prefix():
+    from flink_ci_flink_spark.cep import find_matches_and_timeouts
+
+    p = (
+        Pattern.begin("a", where=lambda e: e["event_type"] == "A")
+        .followed_by("b", where=lambda e: e["event_type"] == "B")
+        .followed_by("c", where=lambda e: e["event_type"] == "C")
+        .within(10)
+        .after_match_skip(NO_SKIP)
+    )
+    ms, ts = find_matches_and_timeouts(
+        p, [_tev(0, "A"), _tev(2, "B"), _tev(30, "X")], "__ts"
+    )
+    assert ms == []
+    assert [(t.groups, t.timeout_ts) for t in ts] == [({"a": [0], "b": [1]}, 10.0)]
+
+
+def test_timeout_stopped_by_negative_is_silent():
+    """A run killed by a matched negative is a STOP state (NFA.java stop
+    transitions), not a timeout — no side output for it."""
+    from flink_ci_flink_spark.cep import find_matches_and_timeouts
+
+    p = (
+        Pattern.begin("a", where=lambda e: e["event_type"] == "A")
+        .not_followed_by("nb", where=lambda e: e["event_type"] == "B")
+        .followed_by("c", where=lambda e: e["event_type"] == "C")
+        .within(10)
+        .after_match_skip(NO_SKIP)
+    )
+    # first A: B arrives in-window -> stopped, silent. second A: times out.
+    ms, ts = find_matches_and_timeouts(
+        p, [_tev(0, "A"), _tev(1, "B"), _tev(50, "A")], "__ts"
+    )
+    assert ms == []
+    assert [(t.groups, t.timeout_ts) for t in ts] == [({"a": [2]}, 60.0)]
+
+
+def test_timeout_trailing_absence_is_match_not_timeout():
+    """Trailing notFollowedBy + within: window expiry with absence held is
+    a MATCH (emitted at expiry), never a timeout; presence is a stop."""
+    from flink_ci_flink_spark.cep import find_matches_and_timeouts
+
+    p = (
+        Pattern.begin("a", where=lambda e: e["event_type"] == "A")
+        .not_followed_by("nb", where=lambda e: e["event_type"] == "B")
+        .within(10)
+        .after_match_skip(NO_SKIP)
+    )
+    ms, ts = find_matches_and_timeouts(
+        p, [_tev(0, "A"), _tev(1, "B"), _tev(50, "A")], "__ts"
+    )
+    assert [(m.start_idx, m.end_idx) for m in ms] == [(2, 2)]
+    assert ts == []
+
+
+def test_timeout_partial_loop_consumption():
+    """times(3) consecutive that saw only 2: the timed-out partial carries
+    both consumed loop events (SharedBuffer extraction semantics)."""
+    from flink_ci_flink_spark.cep import find_matches_and_timeouts
+
+    p = (
+        Pattern.begin("e", where=lambda ev: ev["event_type"] == "E")
+        .times(3)
+        .consecutive_()
+        .within(10)
+        .after_match_skip(NO_SKIP)
+    )
+    ms, ts = find_matches_and_timeouts(
+        p, [_tev(0, "E"), _tev(1, "E"), _tev(5, "X")], "__ts"
+    )
+    assert ms == []
+    assert [(t.groups, t.timeout_ts) for t in ts] == [
+        ({"e": [0, 1]}, 10.0),
+        ({"e": [1]}, 11.0),
+    ]
+
+
+def test_timeout_skip_region_runs_are_pruned_not_timed_out():
+    """Anchors inside an after-match skip region are discarded runs
+    (aftermatch/ strategies), producing neither matches nor timeouts."""
+    from flink_ci_flink_spark.cep import find_matches_and_timeouts
+    from flink_ci_flink_spark.cep.pattern import SKIP_PAST_LAST
+
+    mk = lambda skip: (
+        Pattern.begin("a", where=lambda e: e["event_type"] == "A")
+        .followed_by("b", where=lambda e: e["event_type"] == "B")
+        .within(10)
+        .after_match_skip(skip)
+    )
+    events = [_tev(0, "A"), _tev(1, "A"), _tev(2, "B")]
+    ms, ts = find_matches_and_timeouts(mk(SKIP_PAST_LAST), events, "__ts")
+    assert [(m.start_idx, m.end_idx) for m in ms] == [(0, 2)]
+    assert ts == []  # anchor 1 skipped: pruned run, no timeout
+    ms2, ts2 = find_matches_and_timeouts(mk(NO_SKIP), events, "__ts")
+    assert len(ms2) == 2 and ts2 == []
+
+
+def test_timeout_requires_within():
+    """No within() -> windows never expire -> no timeouts ever."""
+    from flink_ci_flink_spark.cep import find_matches_and_timeouts
+
+    p = Pattern.begin("a", where=lambda e: e["event_type"] == "A").followed_by(
+        "b", where=lambda e: e["event_type"] == "B"
+    )
+    ms, ts = find_matches_and_timeouts(p, [_tev(0, "A"), _tev(1, "X")], "__ts")
+    assert ms == [] and ts == []
+
+
+def test_batch_cep_timed_out_operator(spark):
+    """cep_timed_out over a DataFrame: unreached measure vars are NULL,
+    'timeout' measure kind carries the expiry epoch."""
+    from flink_ci_flink_spark.cep import cep_timed_out
+
+    rows = [
+        (1, 10, 0.0, "A"),
+        (1, 11, 2.0, "B"),          # a,b partial; c never arrives
+        (2, 20, 0.0, "A"),
+        (2, 21, 1.0, "B"),
+        (2, 22, 3.0, "C"),          # full match -> no timeout
+        (3, 30, 5.0, "X"),          # no run at all
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts double, event_type string")
+    p = (
+        Pattern.begin("a", where=lambda e: e["event_type"] == "A", expr="event_type = 'A'")
+        .followed_by("b", where=lambda e: e["event_type"] == "B", expr="event_type = 'B'")
+        .followed_by("c", where=lambda e: e["event_type"] == "C", expr="event_type = 'C'")
+        .within(10)
+        .after_match_skip(NO_SKIP)
+    )
+    out = cep_timed_out(
+        df,
+        p,
+        keys=["user_id"],
+        ts_col="ts",
+        measures={
+            "a_id": ("a", "first", "event_id"),
+            "b_id": ("b", "last", "event_id"),
+            "c_id": ("c", "last", "event_id"),
+            "timeout_ts": ("", "timeout", ""),
+        },
+        output_schema="user_id long, a_id long, b_id long, c_id long, timeout_ts double",
+    ).collect()
+    got = {(r.user_id, r.a_id, r.b_id, r.c_id, r.timeout_ts) for r in out}
+    assert got == {(1, 10, 11, None, 10.0)}
+
+
+def test_streaming_timeout_matches_batch(spark, sf_dir):
+    """cep_stream_timed_out over micro-batch replay == batch cep_timed_out
+    restricted to windows that expired at the final per-key frontier."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.cep import cep_timed_out, cep_stream_timed_out
+    from flink_ci_flink_spark.streaming import file_stream, run_to_completion
+
+    t = load_tables(spark, sf_dir)
+    ev_df = t.events.select("user_id", "event_id", "ts", "event_type").orderBy("ts")
+    tmp = tempfile.mkdtemp(prefix="cep_timeout_stream_")
+    try:
+        rows = ev_df.collect()
+        third = len(rows) // 3
+        for i, chunk in enumerate(
+            [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+        ):
+            spark.createDataFrame(chunk, ev_df.schema).coalesce(1).write.parquet(
+                f"{tmp}/f{i}"
+            )
+        for i in range(3):
+            (part,) = glob.glob(f"{tmp}/f{i}/part-*.parquet")
+            os.rename(part, f"{tmp}/{i:03d}.parquet")
+            shutil.rmtree(f"{tmp}/f{i}")
+
+        pat = (
+            Pattern.begin("a", where=lambda e: e["event_type"] == "click")
+            .followed_by("b", where=lambda e: e["event_type"] == "purchase")
+            .within(259200)
+            .after_match_skip(NO_SKIP)
+        )
+
+        def select(key, tm, events):
+            return {
+                "user_id": int(key[0]),
+                "click_id": int(events[tm.groups["a"][0]]["event_id"]),
+                "timeout_ts": float(tm.timeout_ts),
+            }
+
+        schema_out = "user_id long, click_id long, timeout_ts double"
+        batch_df = cep_timed_out(ev_df, pat, ["user_id"], "ts", select, schema_out)
+        # streaming can only finalize windows expired at the key's frontier
+        frontier = ev_df.groupBy("user_id").agg(
+            F.max(F.col("ts").cast("double")).alias("max_ts")
+        )
+        batch = {
+            (r.user_id, r.click_id, r.timeout_ts)
+            for r in batch_df.join(frontier, "user_id")
+            .filter(F.col("timeout_ts") <= F.col("max_ts"))
+            .collect()
+        }
+
+        stream = file_stream(spark, tmp, ev_df.schema, max_files_per_trigger=1)
+        out = cep_stream_timed_out(stream, pat, ["user_id"], "ts", select, schema_out)
+        name = f"cep_to_{uuid.uuid4().hex[:8]}"
+        run_to_completion(out, name, "append")
+        streamed = {
+            (r.user_id, r.click_id, r.timeout_ts) for r in spark.table(name).collect()
+        }
+        assert streamed == batch
+        assert len(streamed) > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
