@@ -91,13 +91,18 @@ def try_compile(
     from flink_ci_flink_spark.functions.scalar import epoch_seconds
 
     work = work.withColumn("__tsec", epoch_seconds(work, ts_col))
+    # stable tie-break for equal timestamps within a key: the NFA path
+    # sorts by ts with original row order preserved (stable sort), so the
+    # compiled lead()/row_number() windows must order identically or
+    # tied-anchor numbering diverges between the two implementations
+    work = work.withColumn("__seq", F.monotonically_increasing_id())
     measure_cols: dict[str, str] = {}
     for mi, (out_name, (var, kind, fieldexpr)) in enumerate(measures.items()):
         if kind in ("first", "last", "sum", "avg", "min", "max") and fieldexpr is not None:
             measure_cols[out_name] = f"__m{mi}"
             work = work.withColumn(f"__m{mi}", F.expr(fieldexpr))
 
-    w = Window.partitionBy(*keys).orderBy(ts_col)
+    w = Window.partitionBy(*keys).orderBy(ts_col, "__seq")
 
     def at(col: str, off: int) -> Column:
         return F.col(col) if off == 0 else F.lead(col, off).over(w)
@@ -231,13 +236,18 @@ def try_compile_all_rows(
     from flink_ci_flink_spark.functions.scalar import epoch_seconds
 
     work = work.withColumn("__tsec", epoch_seconds(work, ts_col))
+    # stable tie-break for equal timestamps within a key: the NFA path
+    # sorts by ts with original row order preserved (stable sort), so the
+    # compiled lead()/row_number() windows must order identically or
+    # tied-anchor numbering diverges between the two implementations
+    work = work.withColumn("__seq", F.monotonically_increasing_id())
     measure_cols: dict[str, str] = {}
     for mi, (out_name, (var, kind, fieldexpr)) in enumerate(measures.items()):
         if kind in ("first", "last", "sum", "avg", "min", "max") and fieldexpr is not None:
             measure_cols[out_name] = f"__m{mi}"
             work = work.withColumn(f"__m{mi}", F.expr(fieldexpr))
 
-    w = Window.partitionBy(*keys).orderBy(ts_col)
+    w = Window.partitionBy(*keys).orderBy(ts_col, "__seq")
 
     def at(col: str, off: int) -> Column:
         return F.col(col) if off == 0 else F.lead(col, off).over(w)
@@ -316,6 +326,7 @@ def try_compile_all_rows(
         work.select(
             *[F.col(k) for k in keys],
             F.col(ts_col).alias("__anchor_ts"),
+            F.col("__seq").alias("__anchor_seq"),
             cond.alias("__match"),
             F.array(*structs).alias("__rows"),
         )
@@ -323,7 +334,7 @@ def try_compile_all_rows(
         .withColumn(
             "match_seq",
             F.row_number().over(
-                Window.partitionBy(*keys).orderBy("__anchor_ts")
+                Window.partitionBy(*keys).orderBy("__anchor_ts", "__anchor_seq")
             ).cast("long"),
         )
     )

@@ -467,7 +467,21 @@ def create_temporal_table_function(
     _TEMPORAL_FN_REGISTRY[name.lower()] = (table, time_attribute, primary_key)
 
 
+def _sub_outside_literals(pattern: str, repl: str, sql: str) -> str:
+    """re.sub applied only to identifier context — segments outside
+    single-quoted SQL string literals (a literal like 'r.name' must not
+    be rewritten)."""
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    return "".join(
+        p if i % 2 else re.sub(pattern, repl, p, flags=re.IGNORECASE)
+        for i, p in enumerate(parts)
+    )
+
+
 def _rewrite_temporal_table_function(spark: SparkSession, sql: str) -> str:
+    """Rewrite every registered-function `f, LATERAL TABLE (Fn(f.t)) AS r`
+    occurrence (looped — a query may join several temporal functions);
+    unregistered LATERAL TABLEs are left for translate()'s UDTF path."""
     from flink_ci_flink_spark.operators.joins import asof_join
 
     pat = re.compile(
@@ -476,35 +490,55 @@ def _rewrite_temporal_table_function(spark: SparkSession, sql: str) -> str:
         r"(?:\s+AS)?\s+(\w+)",
         re.IGNORECASE,
     )
-    m = pat.search(sql)
-    if not m or m.group(3).lower() not in _TEMPORAL_FN_REGISTRY:
-        return sql  # a plain UDTF LATERAL TABLE — handled by translate()
-    ltab, lalias, fn, of_alias, of_col, ralias = m.groups()
-    if of_alias.lower() != lalias.lower():
-        raise ValueError(
-            f"temporal table function argument must be the fact's time "
-            f"attribute ({lalias}.<col>), got {of_alias}.{of_col}"
+    for _ in range(10):  # safety cap; each pass folds one occurrence
+        m = next(
+            (
+                mm
+                for mm in pat.finditer(sql)
+                if mm.group(3).lower() in _TEMPORAL_FN_REGISTRY
+            ),
+            None,
         )
-    rtab, rtime, rkey = _TEMPORAL_FN_REGISTRY[fn.lower()]
-    left_df, right_df = spark.table(ltab), spark.table(rtab)
-    if rkey not in left_df.columns:
-        raise ValueError(
-            f"temporal table function join key {rkey!r} must exist on the "
-            f"fact table (shared-name equi-key, as in the reference's "
-            "WHERE f.k = r.k)"
+        if m is None:
+            return sql
+        ltab, lalias, fn, of_alias, of_col, ralias = m.groups()
+        if of_alias.lower() != lalias.lower():
+            raise ValueError(
+                f"temporal table function argument must be the fact's time "
+                f"attribute ({lalias}.<col>), got {of_alias}.{of_col}"
+            )
+        rtab, rtime, rkey = _TEMPORAL_FN_REGISTRY[fn.lower()]
+        left_df, right_df = spark.table(ltab), spark.table(rtab)
+        if rkey not in left_df.columns:
+            raise ValueError(
+                f"temporal table function join key {rkey!r} must exist on the "
+                f"fact table (shared-name equi-key, as in the reference's "
+                "WHERE f.k = r.k)"
+            )
+        # expose the matched version's time attribute too (a `r.<rtime>`
+        # reference in SELECT must resolve), unless its name collides with
+        # a fact column — then the fold cannot disambiguate
+        rvals = [c for c in right_df.columns if c not in (rkey, rtime)]
+        if rtime not in left_df.columns:
+            rvals.append(rtime)
+        elif re.search(rf"\b{ralias}\.{rtime}\b", sql, re.IGNORECASE):
+            raise ValueError(
+                f"cannot fold {ralias}.{rtime}: the versioned side's time "
+                f"attribute collides with a fact column of the same name — "
+                "rename one side"
+            )
+        joined = asof_join(
+            left_df,
+            right_df,
+            on=[rkey],
+            left_time=of_col,
+            right_time=rtime,
+            right_values=rvals,
+            how="inner",
         )
-    rvals = [c for c in right_df.columns if c not in (rkey, rtime)]
-    joined = asof_join(
-        left_df,
-        right_df,
-        on=[rkey],
-        left_time=of_col,
-        right_time=rtime,
-        right_values=rvals,
-        how="inner",
-    )
-    _TEMPORAL_SEQ[0] += 1
-    view = f"__temporal_fn_{_TEMPORAL_SEQ[0]}"
-    joined.createOrReplaceTempView(view)
-    rewritten = sql[: m.start()] + f"FROM {view} AS {lalias}" + sql[m.end() :]
-    return re.sub(rf"\b{ralias}\.", f"{lalias}.", rewritten, flags=re.IGNORECASE)
+        _TEMPORAL_SEQ[0] += 1
+        view = f"__temporal_fn_{_TEMPORAL_SEQ[0]}"
+        joined.createOrReplaceTempView(view)
+        rewritten = sql[: m.start()] + f"FROM {view} AS {lalias}" + sql[m.end() :]
+        sql = _sub_outside_literals(rf"\b{ralias}\.", f"{lalias}.", rewritten)
+    raise ValueError("too many temporal table function joins in one statement")

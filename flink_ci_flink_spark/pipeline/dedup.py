@@ -157,13 +157,13 @@ def jaccard_pairs(
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-            ),
+            "__ratio", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        # threshold the UNROUNDED ratio (matching the SQL oracles); round
+        # only the projected column — boundary values in [t-5e-7, t) would
+        # otherwise pass here but fail the oracle's unrounded filter
+        .filter(F.col("__ratio") >= threshold)
+        .select("id_a", "id_b", F.round("__ratio", 6).alias("jaccard"))
     )
 
 
@@ -417,8 +417,6 @@ def jaccard_pairs_prefix(
     ceil(t/(1+t) * (|A|+|B|)) are pruned BEFORE the exact-count join.
     Lossless (the bound over-counts), cheaper verification.
     """
-    import math
-
     from pyspark.sql.window import Window
 
     st = shingle_table(df, text_col, id_col, n).repartition("shingle")
@@ -491,13 +489,13 @@ def jaccard_pairs_prefix(
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-            ),
+            "__ratio", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        # threshold the UNROUNDED ratio (matching the SQL oracles); round
+        # only the projected column — boundary values in [t-5e-7, t) would
+        # otherwise pass here but fail the oracle's unrounded filter
+        .filter(F.col("__ratio") >= threshold)
+        .select("id_a", "id_b", F.round("__ratio", 6).alias("jaccard"))
     )
 
 
@@ -527,7 +525,14 @@ def streaming_minhash_dedup(
             batch_df, text_col, id_col, num_hashes, bands, shingle_n
         )
         if bt.take(1):
-            bt.write.mode("append").parquet(bands_dir)
+            # foreachBatch is at-least-once: a replayed epoch after a
+            # failure/restart appends its band rows AGAIN. Stamp the epoch
+            # so finalize can collapse replays exactly (a duplicated id in
+            # a bucket would otherwise emit id_a==id_b self-pairs and
+            # inflate n_bands_shared).
+            bt.withColumn("__epoch", F.lit(int(epoch_id))).write.mode(
+                "append"
+            ).parquet(bands_dir)
 
     return foreach_batch_upsert(stream_df, merge, checkpoint)
 
@@ -537,5 +542,11 @@ def finalize_minhash_pairs(
 ) -> DataFrame:
     """Close the streaming ingest: one band-key shuffle over the
     accumulated band store — identical plan and results to the batch
-    pair generation."""
-    return _pairs_from_bands(spark.read.parquet(bands_dir), id_col, max_bucket)
+    pair generation. Replay-safe: (id, band) rows are unique in the
+    corpus, so dropDuplicates collapses any at-least-once re-appends
+    before pair generation (map-side combinable — partial aggregation
+    absorbs the duplicates before the shuffle)."""
+    bt = spark.read.parquet(bands_dir).drop("__epoch")
+    return _pairs_from_bands(
+        bt.dropDuplicates([id_col, "band"]), id_col, max_bucket
+    )

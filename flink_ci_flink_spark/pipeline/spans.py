@@ -224,8 +224,6 @@ def streaming_span_dedup(
     not by corpus size; the windows store is the exploded corpus itself —
     the same data a batch pass would scan, laid down once at ingest.
     Returns the started StreamingQuery."""
-    import os
-
     from pyspark.sql import functions as F  # noqa: F811
 
     from flink_ci_flink_spark.streaming.core import foreach_batch_upsert
@@ -234,12 +232,21 @@ def streaming_span_dedup(
         wt = window_table(batch_df, text_col, id_col, w)
         if not wt.take(1):
             return
-        wt.write.mode("append").parquet(windows_dir)
+        # foreachBatch is at-least-once: stamp the epoch so a replayed
+        # batch's re-appended rows are collapsible at finalize ((doc, pos)
+        # windows are unique in the corpus — see finalize_span_stats).
+        wt.withColumn("__epoch", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).parquet(windows_dir)
         spark = batch_df.sparkSession
         delta = wt.groupBy("whash").agg(
             F.min(id_col).alias("__min_id"), F.max(id_col).alias("__max_id")
         )
-        if os.path.exists(registry_dir):
+        # existence probe must work on hdfs:///s3:// too (os.path.exists
+        # only sees the local filesystem — it would silently reset the
+        # registry every batch on a remote store); min/max re-merge of a
+        # replayed delta is idempotent, so at-least-once is safe here.
+        try:
             old = spark.read.parquet(registry_dir)
             merged = (
                 old.unionByName(delta)
@@ -249,7 +256,7 @@ def streaming_span_dedup(
                     F.max("__max_id").alias("__max_id"),
                 )
             )
-        else:
+        except Exception:  # AnalysisException: path does not exist (first batch)
             merged = delta
         tmp = registry_dir + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
@@ -265,7 +272,14 @@ def finalize_span_stats(spark, windows_dir: str, registry_dir: str, w: int = 8):
     already-materialized state, no re-tokenization of the corpus."""
     from pyspark.sql import functions as F  # noqa: F811
 
-    wt = spark.read.parquet(windows_dir)
+    # collapse at-least-once replays: each (doc, pos) window is unique in
+    # the corpus, so this dropDuplicates is exact idempotence, absorbed
+    # map-side by partial aggregation before the per-doc shuffle below
+    wt = (
+        spark.read.parquet(windows_dir)
+        .drop("__epoch")
+        .dropDuplicates(["doc_id", "pos"])
+    )
     dup = (
         spark.read.parquet(registry_dir)
         .filter(F.col("__min_id") != F.col("__max_id"))

@@ -389,3 +389,55 @@ def test_temporal_fn_error_shapes_and_passthrough(spark, sf_dir):
         LATERAL TABLE (explode(split(n.n_name, '_'))) AS w(word)
     """)
     assert out.count() > 0
+
+
+def test_temporal_fn_rtime_literal_and_multi(spark, sf_dir):
+    """Round-5 rewrite hardening: (a) the versioned side's time attribute
+    is resolvable as r.<rtime> in SELECT; (b) string literals containing
+    '<ralias>.' survive untouched; (c) two registered temporal functions
+    in one statement both fold (the loop, not just the first match)."""
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.dialect import (
+        create_temporal_table_function,
+        flink_sql,
+    )
+
+    t = load_tables(spark, sf_dir)
+    t.events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    ).createOrReplaceTempView("tf5_clicks")
+    t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("rate_ts"), "value"
+    ).createOrReplaceTempView("tf5_rates")
+    create_temporal_table_function(
+        "Tf5Rates", "tf5_rates", time_attribute="rate_ts", primary_key="user_id"
+    )
+    out = flink_sql(spark, """
+        SELECT c.event_id, p.value, p.rate_ts, 'p. literal' AS tag
+        FROM tf5_clicks AS c,
+        LATERAL TABLE (Tf5Rates(c.ts)) AS p
+    """)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.tag == "p. literal" for r in rows)  # literal not rewritten
+    assert all(r.rate_ts is not None for r in rows)  # version time resolves
+
+    # two temporal functions in one statement: self-consistency — the pair
+    # of folds equals running each fold separately and joining
+    create_temporal_table_function(
+        "Tf5Rates2", "tf5_rates", time_attribute="rate_ts", primary_key="user_id"
+    )
+    two = flink_sql(spark, """
+        SELECT a.event_id, a.v1, b.v2 FROM
+          (SELECT c.event_id, p.value AS v1
+           FROM tf5_clicks AS c, LATERAL TABLE (Tf5Rates(c.ts)) AS p) AS a
+        JOIN
+          (SELECT c.event_id, q.value AS v2
+           FROM tf5_clicks AS c, LATERAL TABLE (Tf5Rates2(c.ts)) AS q) AS b
+        ON a.event_id = b.event_id
+    """)
+    got = {(r.event_id, r.v1, r.v2) for r in two.collect()}
+    assert len(got) > 0
+    assert all(v1 == v2 for _, v1, v2 in got)  # same registry source

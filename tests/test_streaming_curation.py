@@ -190,3 +190,79 @@ def test_streaming_minhash_dedup_matches_batch(spark, docs_stream_dir):
     }
     assert got == want and len(want) > 0
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_span_finalize_is_replay_idempotent(spark, docs_stream_dir):
+    """foreachBatch is at-least-once: a replayed epoch re-appends its
+    window rows. Finalize must collapse the duplicates — stats equal the
+    batch result even when a whole chunk's windows land twice."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.pipeline.spans import (
+        finalize_span_stats,
+        span_dedup_stats,
+        window_table,
+    )
+
+    path, schema = docs_stream_dir
+    base = tempfile.mkdtemp(prefix="span_replay_")
+    windows_dir = f"{base}/windows"
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    for i, f in enumerate(files):
+        chunk = spark.read.schema(schema).parquet(f)
+        wt = window_table(chunk).withColumn("__epoch", F.lit(i))
+        wt.write.mode("append").parquet(windows_dir)
+        if i == 0:  # replay: epoch 0 is delivered twice
+            wt.write.mode("append").parquet(windows_dir)
+    # registry derivation is min/max-idempotent; rebuild it directly
+    all_w = spark.read.parquet(windows_dir)
+    all_w.groupBy("whash").agg(
+        F.min("doc_id").alias("__min_id"), F.max("doc_id").alias("__max_id")
+    ).write.mode("overwrite").parquet(f"{base}/registry")
+
+    got = {
+        tuple(r)
+        for r in finalize_span_stats(spark, windows_dir, f"{base}/registry").collect()
+    }
+    batch_docs = spark.read.parquet(*files)
+    want = {tuple(r) for r in span_dedup_stats(batch_docs).collect()}
+    assert got == want and len(want) > 0
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_minhash_finalize_is_replay_idempotent(spark, docs_stream_dir):
+    """A replayed epoch's re-appended band rows must not produce
+    id_a==id_b self-pairs or inflate n_bands_shared."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.pipeline.dedup import (
+        finalize_minhash_pairs,
+        minhash_band_table,
+        minhash_lsh_pairs,
+    )
+
+    path, schema = docs_stream_dir
+    base = tempfile.mkdtemp(prefix="mh_replay_")
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    for i, f in enumerate(files):
+        chunk = spark.read.schema(schema).parquet(f)
+        bt = minhash_band_table(chunk, "text", "doc_id", 32, 8, 3).withColumn(
+            "__epoch", F.lit(i)
+        )
+        bt.write.mode("append").parquet(f"{base}/bands")
+        if i == len(files) - 1:  # replay the last epoch
+            bt.write.mode("append").parquet(f"{base}/bands")
+    pairs = finalize_minhash_pairs(spark, f"{base}/bands")
+    got = {(r.id_a, r.id_b, r.n_bands_shared) for r in pairs.collect()}
+    assert all(a != b for a, b, _ in got)
+    batch_docs = spark.read.parquet(*files)
+    want = {
+        (r.id_a, r.id_b, r.n_bands_shared)
+        for r in minhash_lsh_pairs(batch_docs).collect()
+    }
+    assert got == want and len(want) > 0
+    shutil.rmtree(base, ignore_errors=True)
