@@ -143,3 +143,39 @@ def ensure_skewed_dir(
     doc_hot.write.mode("overwrite").parquet(os.path.join(dst_dir, "documents.parquet"))
     open(_marker(dst_dir), "w").close()
     return dst_dir
+
+
+def ensure_dense_dir(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    boiler_frac: float = 0.4,
+    n_boiler_tokens: int = 25,
+) -> str:
+    """Build (once) a DENSE near-dup corpus: the sf documents with a
+    shared boilerplate sentence appended to `boiler_frac` of them.
+
+    This is the regime prefix-filtered AllPairs exists for (VERDICT r4
+    'prove the crossover'): every boilerplate 3-gram's postings list has
+    ~boiler_frac x n_docs entries, so the plain inverted-index self-join
+    pays (frac x n_docs)^2 rows PER hot shingle, while rare-first
+    canonical prefixes never index them (document frequency ranks them
+    into the suffix). Boilerplate alone cannot push an unrelated pair
+    over threshold 0.5 (23 shared shingles / ~123 union = 0.19), so the
+    exact result set stays the corpus's true near-dup pairs — both
+    operators must return identical pairs, one of them much faster."""
+    if os.path.exists(_marker(dst_dir)):
+        return dst_dir
+    os.makedirs(dst_dir, exist_ok=True)
+    doc = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
+    boiler = " ".join(f"boiler{i:02d}" for i in range(n_boiler_tokens))
+    dense = doc.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.xxhash64("doc_id"), 1000) < int(boiler_frac * 1000),
+            F.concat(F.col("text"), F.lit(" " + boiler)),
+        ).otherwise(F.col("text")),
+    )
+    dense.write.mode("overwrite").parquet(os.path.join(dst_dir, "documents.parquet"))
+    open(_marker(dst_dir), "w").close()
+    return dst_dir

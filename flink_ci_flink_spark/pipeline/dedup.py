@@ -419,12 +419,21 @@ def jaccard_pairs_prefix(
     """
     from pyspark.sql.window import Window
 
+    # Constant-overhead-minimized formulation (round 5): document
+    # frequency and canonical rank are WINDOW counts riding two exchanges
+    # (by shingle, then by doc) instead of two groupBy+join-back pairs,
+    # and verification intersects per-doc shingle ARRAYS (map-only
+    # projection, array_intersect in codegen) instead of re-exploding the
+    # full inverted index through a three-shuffle join-count.
     st = shingle_table(df, text_col, id_col, n).repartition("shingle")
-    sizes = st.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    dfreq = st.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    doc_sets = _tokenized(df, text_col, id_col).select(
+        F.col(id_col), shingles_from_tokens(F.col("__toks"), n).alias("__set")
+    )
     ranked = (
-        st.join(dfreq, "shingle")
-        .join(sizes, id_col)
+        st.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
         .withColumn(
             "__pos",
             F.row_number().over(
@@ -473,21 +482,33 @@ def jaccard_pairs_prefix(
         cand = first.filter(ubound >= required).select("id_a", "id_b")
     else:
         cand = matched.select("id_a", "id_b").distinct()
-    # exact intersection for candidates only: candidate pairs re-join the
-    # full index on (id_a) then semi-match (id_b, shingle)
-    sta = st.select(F.col(id_col).alias("id_a"), "shingle")
-    stb = st.select(F.col(id_col).alias("id_b"), "shingle")
+    # exact intersection for candidates only: two hash joins onto the
+    # map-only per-doc shingle arrays, then array_intersect (JVM codegen;
+    # sets are doc-sized, so the per-pair cost is |A|+|B| string compares,
+    # and NO inverted-index re-explode or pair-count shuffle is needed)
     inter = (
-        cand.join(sta, "id_a")
-        .join(stb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        cand.join(
+            doc_sets.select(
+                F.col(id_col).alias("id_a"), F.col("__set").alias("__sa")
+            ),
+            "id_a",
+        )
+        .join(
+            doc_sets.select(
+                F.col(id_col).alias("id_b"), F.col("__set").alias("__sb")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("n_inter"),
+            F.size("__sa").alias("n_a"),
+            F.size("__sb").alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter
         .withColumn(
             "__ratio", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         )

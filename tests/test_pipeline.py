@@ -1038,3 +1038,40 @@ def test_write_sharded_file_granularity(spark, tmp_path):
         per_shard[shard] = per_shard.get(shard, 0) + 1
     assert all(v >= 3 for v in per_shard.values())
     assert spark.read.parquet(path).count() == 400
+
+
+def test_jaccard_prefix_equals_plain_on_dense_corpus(spark, sf_dir):
+    """Crossover-regime exactness: with a hot boilerplate sentence shared
+    by 80% of docs (long postings lists — the regime prefix filtering
+    exists for), prefix+positional returns EXACTLY the plain uncapped
+    join's pairs, while the capped plain join is lossy here (the cap
+    drops hot shingles from intersections)."""
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.pipeline.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    boiler = " ".join(f"boiler{i:02d}" for i in range(25))
+    dense = docs.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.xxhash64("doc_id"), 1000) < 800,
+            F.concat(F.col("text"), F.lit(" " + boiler)),
+        ).otherwise(F.col("text")),
+    )
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(dense, threshold=0.5, max_postings=None).collect()
+    }
+    for positional in (True, False):
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in jaccard_pairs_prefix(
+                dense, threshold=0.5, positional=positional
+            ).collect()
+        }
+        assert got == want
+    assert len(want) > 0
