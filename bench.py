@@ -129,6 +129,42 @@ def _bench_stateful(spark, sf_dir: str) -> dict:
         ).count()
         dt_jvm = time.perf_counter() - t1
         shutil.rmtree(state, ignore_errors=True)
+
+        # the round-5 JVM foreachBatch family beyond top-n: keep-last
+        # dedup and running aggregates, same no-per-key-Python contract
+        from flink_ci_flink_spark.streaming.process import (
+            streaming_dedup_keep_last_jvm,
+            streaming_running_agg_jvm,
+        )
+
+        state2 = tempfile.mkdtemp(prefix="bench_dedup_jvm_")
+        t2 = time.perf_counter()
+        streaming_dedup_keep_last_jvm(
+            file_stream(spark, tmp, schema),
+            keys=["user_id"],
+            ts_col="ts",
+            select_cols=["user_id", "ts", "event_id", "event_type"],
+            state_dir=state2,
+            query_name=f"bench_dj_{uuid.uuid4().hex[:8]}",
+        ).count()
+        dt_dedup = time.perf_counter() - t2
+        shutil.rmtree(state2, ignore_errors=True)
+
+        state3 = tempfile.mkdtemp(prefix="bench_runagg_jvm_")
+        t3 = time.perf_counter()
+        streaming_running_agg_jvm(
+            file_stream(spark, tmp, schema),
+            keys=["user_id"],
+            agg_specs={
+                "n": ("count", ""),
+                "total": ("sum", "value"),
+                "vmax": ("max", "value"),
+            },
+            state_dir=state3,
+            query_name=f"bench_ra_{uuid.uuid4().hex[:8]}",
+        ).count()
+        dt_agg = time.perf_counter() - t3
+        shutil.rmtree(state3, ignore_errors=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
@@ -138,6 +174,10 @@ def _bench_stateful(spark, sf_dir: str) -> dict:
         "rows_per_sec": round(n_rows / dt),
         "jvm_foreachbatch_sec": round(dt_jvm, 3),
         "jvm_foreachbatch_rows_per_sec": round(n_rows / dt_jvm),
+        "jvm_dedup_keep_last_sec": round(dt_dedup, 3),
+        "jvm_dedup_keep_last_rows_per_sec": round(n_rows / dt_dedup),
+        "jvm_running_agg_sec": round(dt_agg, 3),
+        "jvm_running_agg_rows_per_sec": round(n_rows / dt_agg),
     }
 
 

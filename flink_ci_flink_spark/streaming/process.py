@@ -20,6 +20,7 @@ from typing import Any
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -433,4 +434,119 @@ def streaming_top_n_jvm(
         return stream.sparkSession.createDataFrame(
             [], stream.select(*select_cols).schema
         )
+    return spark.read.parquet(f"{state_dir}/v{last['v']}")
+
+
+def streaming_dedup_keep_last_jvm(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    select_cols: list[str],
+    state_dir: str,
+    query_name: str = "dedup_jvm",
+) -> DataFrame:
+    """Streaming keep-last dedup with NO per-key Python path — the
+    foreachBatch-merge analog of `streaming_dedup_keep_last`
+    (`DeduplicateFunctionHelper.processLastRowOnChangelog` semantics):
+    per micro-batch, the batch's latest row per key is unioned with the
+    persisted one-row-per-key state and re-reduced, entirely as Catalyst
+    plans. State is keys x 1 rows regardless of input volume; versions by
+    batch_id so a replayed batch regenerates its merge idempotently.
+
+    Ties on ts resolve to the EARLIER arrival (state beats batch, earlier
+    batch row beats later), matching the Python path's strictly-greater
+    state replacement. Runs the bounded stream to completion and returns
+    the final per-key latest rows."""
+    from pyspark.sql.window import Window
+
+    spark = stream.sparkSession
+    last = {"v": None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        cand = batch_df.select(*select_cols).withColumn(
+            "__arr", F.monotonically_increasing_id()
+        )
+        if last["v"] is not None:
+            prev = spark.read.parquet(f"{state_dir}/v{last['v']}").withColumn(
+                "__arr", F.lit(-1).cast("long")  # state wins ts ties
+            )
+            cand = prev.unionByName(cand)
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(ts_col).desc(), F.col("__arr").asc()
+        )
+        new = (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*select_cols)
+        )
+        new.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        last["v"] = batch_id
+
+    q = stream.writeStream.foreachBatch(merge).start(queryName=query_name)
+    q.processAllAvailable()
+    q.stop()
+    if last["v"] is None:
+        return spark.createDataFrame([], stream.select(*select_cols).schema)
+    return spark.read.parquet(f"{state_dir}/v{last['v']}")
+
+
+def streaming_running_agg_jvm(
+    stream: DataFrame,
+    keys: list[str],
+    agg_specs: dict[str, tuple[str, str]],
+    state_dir: str,
+    query_name: str = "runagg_jvm",
+) -> DataFrame:
+    """Streaming per-key running aggregates with NO per-key Python path —
+    the foreachBatch-merge analog of a keyed_process running aggregate
+    (`GroupAggFunction.java` accumulator semantics, JVM execution).
+
+    ``agg_specs``: out_name -> (fn, col) with fn in count/sum/min/max —
+    the decomposable aggregates whose partial states merge by the same
+    function (count merges by sum). Per micro-batch: aggregate the batch
+    (map-side partials -> one shuffle on the keys), union with the
+    persisted keys x 1 state, re-merge. State versions by batch_id for
+    idempotent replay. Returns the final aggregate DataFrame."""
+    spark = stream.sparkSession
+    last = {"v": None}
+
+    def batch_agg(df: DataFrame) -> DataFrame:
+        aggs = []
+        for out, (fn, col) in agg_specs.items():
+            if fn == "count":
+                aggs.append(F.count(F.lit(1)).cast("long").alias(out))
+            elif fn == "sum":
+                aggs.append(F.sum(col).alias(out))
+            elif fn == "min":
+                aggs.append(F.min(col).alias(out))
+            elif fn == "max":
+                aggs.append(F.max(col).alias(out))
+            else:
+                raise ValueError(f"non-decomposable aggregate {fn!r}")
+        return df.groupBy(*keys).agg(*aggs)
+
+    def remerge(df: DataFrame) -> DataFrame:
+        aggs = []
+        for out, (fn, _col) in agg_specs.items():
+            merge_fn = F.sum if fn in ("count", "sum") else (F.min if fn == "min" else F.max)
+            c = merge_fn(out)
+            if fn == "count":
+                c = c.cast("long")
+            aggs.append(c.alias(out))
+        return df.groupBy(*keys).agg(*aggs)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_agg(batch_df)
+        if last["v"] is not None:
+            part = remerge(
+                spark.read.parquet(f"{state_dir}/v{last['v']}").unionByName(part)
+            )
+        part.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        last["v"] = batch_id
+
+    q = stream.writeStream.foreachBatch(merge).start(queryName=query_name)
+    q.processAllAvailable()
+    q.stop()
+    if last["v"] is None:
+        return batch_agg(spark.createDataFrame([], stream.schema))
     return spark.read.parquet(f"{state_dir}/v{last['v']}")

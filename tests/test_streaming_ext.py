@@ -702,3 +702,90 @@ def test_split_distinct_agg_matches_plain(spark, sf_dir):
             ).collect()
         }
         assert got == plain
+
+
+# -- JVM foreachBatch-merge family (round 5): beyond top-n -------------------
+
+
+def test_streaming_dedup_keep_last_jvm_matches_batch(spark, events_stream_dir):  # noqa: F811
+    """JVM keep-last dedup (foreachBatch merge, no per-key Python) ==
+    batch latest-row-per-key over the replayed corpus, and == the
+    Python applyInPandasWithState path's final state."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from flink_ci_flink_spark.streaming.process import (
+        streaming_dedup_keep_last_jvm,
+    )
+
+    path, schema = events_stream_dir
+    stream = _events_stream(spark, events_stream_dir, per_trigger=1)
+    state = tempfile.mkdtemp(prefix="dedup_jvm_")
+    try:
+        got_df = streaming_dedup_keep_last_jvm(
+            stream,
+            keys=["user_id"],
+            ts_col="ts",
+            select_cols=["user_id", "ts", "event_id", "event_type"],
+            state_dir=state,
+            query_name=f"dj_{uuid.uuid4().hex[:8]}",
+        )
+        got = {(r.user_id): (r.ts, r.event_id, r.event_type) for r in got_df.collect()}
+        ev = spark.read.schema(schema).parquet(path)
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").asc())
+        want_rows = (
+            ev.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").collect()
+        )
+        want = {r.user_id: (r.ts, r.event_id, r.event_type) for r in want_rows}
+        # ties on (user_id, ts) would make the batch tie-break differ from
+        # arrival order; the events fixture has unique max-ts rows per user
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+def test_streaming_running_agg_jvm_matches_batch(spark, events_stream_dir):  # noqa: F811
+    """JVM running aggregate (foreachBatch partial-merge) == one batch
+    groupBy over the full corpus for every decomposable aggregate."""
+    import shutil
+    import tempfile
+
+    from flink_ci_flink_spark.streaming.process import streaming_running_agg_jvm
+
+    path, schema = events_stream_dir
+    stream = _events_stream(spark, events_stream_dir, per_trigger=1)
+    state = tempfile.mkdtemp(prefix="runagg_jvm_")
+    try:
+        got_df = streaming_running_agg_jvm(
+            stream,
+            keys=["user_id"],
+            agg_specs={
+                "n": ("count", ""),
+                "total": ("sum", "value"),
+                "vmin": ("min", "value"),
+                "vmax": ("max", "value"),
+            },
+            state_dir=state,
+            query_name=f"ra_{uuid.uuid4().hex[:8]}",
+        )
+        got = {
+            r.user_id: (r.n, round(r.total, 6), round(r.vmin, 6), round(r.vmax, 6))
+            for r in got_df.collect()
+        }
+        ev = spark.read.schema(schema).parquet(path)
+        want = {
+            r.user_id: (r.n, round(r.total, 6), round(r.vmin, 6), round(r.vmax, 6))
+            for r in ev.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("total"),
+                F.min("value").alias("vmin"),
+                F.max("value").alias("vmax"),
+            )
+            .collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
