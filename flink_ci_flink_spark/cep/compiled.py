@@ -195,6 +195,7 @@ def try_compile_all_rows(
     measures: dict[str, tuple],
     payload_cols: list[str],
     output_schema: str,
+    anchor_meta: bool = False,
 ) -> DataFrame | None:
     """Whole-JVM ALL ROWS PER MATCH for fixed-length strict NO_SKIP
     patterns: the anchor-row match condition is the same lead() conjunction
@@ -327,6 +328,10 @@ def try_compile_all_rows(
             *[F.col(k) for k in keys],
             F.col(ts_col).alias("__anchor_ts"),
             F.col("__seq").alias("__anchor_seq"),
+            # last consumed row's event time — the streaming wrapper's
+            # emission frontier check needs it (a match is final once its
+            # last row is at/behind the per-key frontier)
+            at(ts_col, last_off).alias("__last_ts"),
             cond.alias("__match"),
             F.array(*structs).alias("__rows"),
         )
@@ -339,7 +344,11 @@ def try_compile_all_rows(
         )
     )
     exploded = anchors.select(
-        *[F.col(k) for k in keys], "match_seq", F.explode("__rows").alias("__r")
+        *[F.col(k) for k in keys],
+        "match_seq",
+        "__anchor_ts",
+        "__last_ts",
+        F.explode("__rows").alias("__r"),
     )
     out_cols = []
     for f in schema.fields:
@@ -347,4 +356,156 @@ def try_compile_all_rows(
             out_cols.append(F.col(f.name))
         else:
             out_cols.append(F.col(f"__r.{f.name}").alias(f.name))
+    if anchor_meta:
+        return exploded.select(
+            *out_cols, F.col("__anchor_ts"), F.col("__last_ts")
+        )
     return exploded.select(*out_cols).to(schema)
+
+
+def stream_all_rows_jvm(
+    stream: DataFrame,
+    pattern: Pattern,
+    keys: list[str],
+    ts_col: str,
+    measures: dict[str, tuple],
+    payload_cols: list[str],
+    output_schema: str,
+    state_dir: str,
+    delay_seconds: float = 0.0,
+    query_name: str = "cep_allrows_jvm",
+) -> DataFrame | None:
+    """Streaming ALL ROWS PER MATCH for compiled patterns — zero per-key
+    Python (beyond reference parity twice over: `StreamExecMatch.scala:192`
+    throws on ALL ROWS even in batch).
+
+    foreachBatch merge over a versioned parquet buffer: per micro-batch,
+    the key's buffered suffix is re-planned through the SAME lead()/explode
+    compile as batch (`try_compile_all_rows`), and a match emits exactly
+    once — in the first batch where its last row falls at/behind the
+    per-key frontier (max event time − delay, the `cep_stream` closed-match
+    rule; fixed-length strict patterns close exactly when their last row is
+    final). No identity state: emission is the frontier-interval predicate
+    ``prev_frontier < last_ts <= frontier`` — matches are monotone in both
+    anchor and last-row order for fixed-length patterns, so per-key
+    MATCH_NUMBER continues as a stored offset + rank within the batch.
+
+    Buffer pruning keeps rows above the frontier plus the trailing
+    max(L-1, 1) finalized rows per key (a contiguous suffix — strict
+    adjacency inside the kept region is exact; any match spanning further
+    back has already emitted). State is keys x (in-flight + L) rows.
+
+    Assumes out-of-orderness <= delay_seconds and distinct event times per
+    key (the repo-wide streaming assumptions). Runs the bounded stream to
+    completion and returns the emitted rows as a batch DataFrame; returns
+    None without consuming the stream when the pattern doesn't compile."""
+    if not _compilable(pattern):
+        return None
+    from flink_ci_flink_spark.functions.scalar import epoch_seconds
+
+    L = sum(st.max_times for st in pattern.stages if not st.negated)
+    keep_tail = max(L - 1, 1)
+    spark = stream.sparkSession
+    schema = StructType.fromDDL(output_schema)
+    cols = list(dict.fromkeys([*keys, ts_col, *payload_cols]))
+    last = {"v": None, "emitted": False}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        buf = batch_df.select(*cols)
+        if last["v"] is not None:
+            buf = spark.read.parquet(f"{state_dir}/buf_v{last['v']}").unionByName(buf)
+        buf = buf.localCheckpoint()  # one materialization feeds 4 plans
+        fr = buf.withColumn("__tsec", epoch_seconds(buf, ts_col)).groupBy(
+            *keys
+        ).agg((F.max("__tsec") - F.lit(delay_seconds)).alias("__frontier"))
+        if last["v"] is not None:
+            meta = spark.read.parquet(f"{state_dir}/meta_v{last['v']}")
+        else:
+            meta = fr.select(
+                *keys,
+                F.lit(float("-inf")).alias("__frontier_prev"),
+                F.lit(0).cast("long").alias("__n_matches"),
+            ).limit(0)
+        m = try_compile_all_rows(
+            buf, pattern, keys, ts_col, measures, payload_cols,
+            output_schema, anchor_meta=True,
+        )
+        m = (
+            m.withColumn("__last_sec", epoch_seconds(m, "__last_ts"))
+            .join(fr, keys)
+            .join(
+                meta.select(
+                    *keys, "__frontier_prev", "__n_matches"
+                ),
+                keys,
+                "left",
+            )
+            .withColumn(
+                "__fp", F.coalesce("__frontier_prev", F.lit(float("-inf")))
+            )
+        )
+        newly = m.filter(
+            (F.col("__last_sec") <= F.col("__frontier"))
+            & (F.col("__last_sec") > F.col("__fp"))
+        )
+        # MATCH_NUMBER continuation: stored per-key count + rank of this
+        # batch's newly-final anchors in anchor order
+        rank_w = Window.partitionBy(*keys).orderBy("__anchor_ts")
+        out = newly.withColumn(
+            "match_seq",
+            (
+                F.coalesce("__n_matches", F.lit(0))
+                + F.dense_rank().over(rank_w)
+            ).cast("long"),
+        ).select(*[f.name for f in schema.fields])
+        out.write.mode("append").parquet(f"{state_dir}/out")
+        # advance meta: new frontier + emitted-match count per key
+        emitted_counts = (
+            newly.groupBy(*keys)
+            .agg(F.countDistinct("__anchor_ts").alias("__new"))
+        )
+        new_meta = (
+            fr.join(meta.select(*keys, "__n_matches"), keys, "left")
+            .join(emitted_counts, keys, "left")
+            .select(
+                *keys,
+                F.col("__frontier").alias("__frontier_prev"),
+                (
+                    F.coalesce("__n_matches", F.lit(0))
+                    + F.coalesce("__new", F.lit(0))
+                ).cast("long").alias("__n_matches"),
+            )
+        )
+        new_meta.write.mode("overwrite").parquet(f"{state_dir}/meta_v{batch_id}")
+        # prune: in-flight rows + the trailing finalized suffix
+        tw = Window.partitionBy(*keys).orderBy(F.col(ts_col).desc())
+        pruned = (
+            buf.withColumn("__tsec", epoch_seconds(buf, ts_col))
+            .join(fr, keys)
+            .withColumn(
+                "__keep",
+                (F.col("__tsec") > F.col("__frontier"))
+                | (
+                    F.row_number().over(tw) <= keep_tail + F.sum(
+                        F.when(F.col("__tsec") > F.col("__frontier"), 1).otherwise(0)
+                    ).over(Window.partitionBy(*keys))
+                ),
+            )
+            .filter("__keep")
+            .select(*cols)
+        )
+        pruned.write.mode("overwrite").parquet(f"{state_dir}/buf_v{batch_id}")
+        last["v"] = batch_id
+        last["emitted"] = True
+
+    q = stream.writeStream.foreachBatch(merge).start(queryName=query_name)
+    q.processAllAvailable()
+    q.stop()
+    if not last["emitted"]:
+        return spark.createDataFrame([], schema)
+    # full-row distinct absorbs at-least-once re-appends of a replayed batch
+    return (
+        spark.read.parquet(f"{state_dir}/out")
+        .dropDuplicates()
+        .to(schema)
+    )

@@ -1367,3 +1367,88 @@ def test_streaming_timeout_matches_batch(spark, sf_dir):
         assert len(streamed) > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -- streaming ALL ROWS PER MATCH, compiled JVM path (round 5) ---------------
+
+
+def test_stream_all_rows_jvm_matches_batch(spark):
+    """stream_all_rows_jvm (foreachBatch re-plan of the compiled
+    lead()/explode ALL-ROWS plan over a pruned keyed buffer) == the batch
+    compiled plan over the full data, including cross-micro-batch matches
+    and continued per-key MATCH_NUMBERs."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from flink_ci_flink_spark.cep.compiled import (
+        stream_all_rows_jvm,
+        try_compile_all_rows,
+    )
+    from flink_ci_flink_spark.streaming import file_stream
+
+    rows = [
+        (1, 1.0, "click", 10.0), (1, 2.0, "click", 20.0),
+        (1, 3.0, "purchase", 5.0), (1, 4.0, "click", 7.0),
+        (1, 5.0, "purchase", 3.0), (1, 6.0, "click", 2.0),
+        (1, 7.0, "click", 4.0), (1, 8.0, "purchase", 1.0),
+        (2, 1.0, "click", 1.0), (2, 2.0, "view", 9.0),
+        (2, 3.0, "click", 6.0), (2, 4.0, "click", 8.0),
+        (2, 5.0, "purchase", 2.0),
+    ]
+    ddl = "user_id long, ts double, event_type string, value double"
+    df = spark.createDataFrame(rows, ddl)
+    pat = (
+        Pattern.begin("A", where=lambda e: e["event_type"] == "click",
+                      expr="event_type = 'click'")
+        .times(2)
+        .consecutive_()
+        .next("B", where=lambda e: e["event_type"] == "purchase",
+              expr="event_type = 'purchase'")
+        .after_match_skip(NO_SKIP)
+    )
+    measures = {
+        "n_a": ("A", "count", None),
+        "sum_a": ("A", "sum", "value"),
+        "last_b": ("B", "last", "value"),
+    }
+    schema_out = (
+        "user_id long, ts double, event_type string, value double, "
+        "classifier string, match_seq long, n_a long, sum_a double, "
+        "last_b double"
+    )
+    payload = ["ts", "event_type", "value"]
+    batch = try_compile_all_rows(
+        df, pat, ["user_id"], "ts", measures, payload, schema_out
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    assert len(want) == 9  # 2 matches user 1 + 1 match user 2, 3 rows each
+
+    tmp = tempfile.mkdtemp(prefix="allrows_stream_")
+    state = tempfile.mkdtemp(prefix="allrows_state_")
+    try:
+        # 3 chunks split mid-match: the (6.0,7.0,8.0) match spans chunks
+        chunks = [rows[:4], rows[4:9], rows[9:]]
+        for i, chunk in enumerate(chunks):
+            spark.createDataFrame(chunk, ddl).coalesce(1).write.parquet(
+                f"{tmp}/f{i}"
+            )
+        for i in range(3):
+            (part,) = glob.glob(f"{tmp}/f{i}/part-*.parquet")
+            os.rename(part, f"{tmp}/{i:03d}.parquet")
+            shutil.rmtree(f"{tmp}/f{i}")
+        stream = file_stream(
+            spark, tmp, df.schema, max_files_per_trigger=1
+        )
+        out = stream_all_rows_jvm(
+            stream, pat, ["user_id"], "ts", measures, payload,
+            schema_out, state, delay_seconds=0.0,
+            query_name=f"ar_{uuid.uuid4().hex[:8]}",
+        )
+        got = sorted(tuple(r) for r in out.collect())
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
