@@ -433,3 +433,74 @@ def summarize(vertices: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFra
         .agg(F.count(F.lit(1)).alias("n_edges"))
     )
     return v_sum, e_sum
+
+
+def _oriented(edges: DataFrame, direction: str) -> DataFrame:
+    """Edge set oriented for message flow: OUT sends src->dst (as stored),
+    IN reverses, ALL sends both ways (Gelly EdgeDirection semantics)."""
+    if direction == "OUT":
+        return edges
+    rev = edges.withColumn("__s", F.col("dst")).withColumn(
+        "dst", F.col("src")
+    ).withColumn("src", F.col("__s")).drop("__s")
+    if direction == "IN":
+        return rev
+    if direction == "ALL":
+        return edges.unionByName(rev)
+    raise ValueError(f"direction must be OUT/IN/ALL, got {direction!r}")
+
+
+def scatter_gather_iteration(
+    vertices: DataFrame,
+    edges: DataFrame,
+    initial_state,
+    scatter_msg,
+    gather_agg,
+    gather_update,
+    max_iter: int = 10,
+    direction: str = "OUT",
+) -> DataFrame:
+    """Gelly scatter-gather iteration (`Graph.runScatterGatherIteration`,
+    `Graph.java:1730`; `spargel/ScatterGatherIteration.java`).
+
+    ScatterFunction = ``scatter_msg`` (a Column over each oriented edge
+    joined with its source vertex ``state``, delivered to ``dst``);
+    GatherFunction = ``gather_agg`` + ``gather_update``. ``direction``
+    maps `ScatterGatherConfiguration.setDirection` (OUT/IN/ALL).
+
+    Gelly's three iteration models differ in user-function granularity,
+    not execution — all three lower to the same one-shuffle-per-superstep
+    BSP loop here, so this delegates to `pregel()` over the oriented edge
+    set (equivalence asserted in tests/test_graph.py)."""
+    return pregel(
+        vertices,
+        _oriented(edges, direction),
+        initial_state,
+        scatter_msg,
+        gather_agg,
+        gather_update,
+        max_iter,
+    )
+
+
+def gather_sum_apply_iteration(
+    vertices: DataFrame,
+    edges: DataFrame,
+    initial_state,
+    gather,
+    sum_agg,
+    apply_update,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Gelly gather-sum-apply iteration (`Graph.runGatherSumApplyIteration`,
+    `Graph.java:1778`; `gsa/GatherSumApplyIteration.java`).
+
+    GatherFunction = ``gather`` evaluated per in-edge of each vertex over
+    the NEIGHBOR's ``state`` and the edge attributes (GSA gathers over
+    in-neighbors: the edge src is the neighbor, the value lands on dst);
+    SumFunction = ``sum_agg``; ApplyFunction = ``apply_update`` (receives
+    the summed value as ``msg``, NULL when a vertex had no in-edges).
+    Same BSP lowering as `pregel()` — see scatter_gather_iteration."""
+    return pregel(
+        vertices, edges, initial_state, gather, sum_agg, apply_update, max_iter
+    )

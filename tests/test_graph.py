@@ -186,3 +186,75 @@ def test_community_detection_two_cliques(spark):
     assert len({got[i] for i in range(4)}) == 1
     assert len({got[i] for i in range(10, 14)}) == 1
     assert got[0] != got[10]
+
+
+def test_scatter_gather_equals_pregel_and_cc(spark, toy_graph):
+    """runScatterGatherIteration parity (`Graph.java:1730`): the min-id
+    program over direction=ALL equals connected components; OUT vs
+    ALL orientation differ on a directed chain."""
+    from flink_ci_flink_spark.graph import (
+        connected_components,
+        scatter_gather_iteration,
+    )
+
+    vertices, edges = toy_graph
+    got = scatter_gather_iteration(
+        vertices,
+        edges,
+        initial_state=F.col("id"),
+        scatter_msg=F.col("state"),
+        gather_agg=F.min("msg"),
+        gather_update=F.least(F.col("state"), F.coalesce(F.col("msg"), F.col("state"))),
+        max_iter=6,
+        direction="ALL",
+    )
+    want = {r.id: r.component for r in connected_components(vertices, edges).collect()}
+    assert {r.id: r.state for r in got.collect()} == want
+
+    # directed chain 0->1->2: OUT propagates min ids forward only
+    chain_v = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    chain_e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    out = scatter_gather_iteration(
+        chain_v, chain_e,
+        initial_state=F.col("id"),
+        scatter_msg=F.col("state"),
+        gather_agg=F.min("msg"),
+        gather_update=F.least(F.col("state"), F.coalesce(F.col("msg"), F.col("state"))),
+        max_iter=3, direction="OUT",
+    )
+    assert {r.id: r.state for r in out.collect()} == {0: 0, 1: 0, 2: 0}
+    rev = scatter_gather_iteration(
+        chain_v, chain_e,
+        initial_state=F.col("id"),
+        scatter_msg=F.col("state"),
+        gather_agg=F.min("msg"),
+        gather_update=F.least(F.col("state"), F.coalesce(F.col("msg"), F.col("state"))),
+        max_iter=3, direction="IN",
+    )
+    assert {r.id: r.state for r in rev.collect()} == {0: 0, 1: 1, 2: 2}
+
+
+def test_gather_sum_apply_sssp_matches_specialized(spark):
+    """runGatherSumApplyIteration parity (`Graph.java:1778`): the GSA SSSP
+    program (gather = neighbor dist + edge weight, sum = min, apply =
+    min(state, msg)) reproduces the specialized sssp() distances."""
+    from flink_ci_flink_spark.graph import gather_sum_apply_iteration, sssp
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 2.0), (0, 2, 5.0), (2, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    vertices = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    INF = float("inf")
+    got_df = gather_sum_apply_iteration(
+        vertices,
+        edges,
+        initial_state=F.when(F.col("id") == 0, 0.0).otherwise(F.lit(INF)),
+        gather=F.col("state") + F.col("weight"),
+        sum_agg=F.min("msg"),
+        apply_update=F.least(F.col("state"), F.coalesce(F.col("msg"), F.col("state"))),
+        max_iter=6,
+    )
+    got = {r.id: r.state for r in got_df.collect() if r.state != INF}
+    want = {r.id: r.dist for r in sssp(edges, 0).collect()}
+    assert got == want == {0: 0.0, 1: 1.0, 2: 3.0, 3: 4.0}
