@@ -509,3 +509,89 @@ def stream_all_rows_jvm(
         .dropDuplicates()
         .to(schema)
     )
+
+
+def try_compile_timeouts(
+    df: DataFrame,
+    pattern: Pattern,
+    keys: list[str],
+    ts_col: str,
+    measures: dict[str, tuple],
+    output_schema: str,
+) -> DataFrame | None:
+    """Whole-JVM TIMEOUT side output for the abandonment shape — a single
+    anchor stage relaxed-followed-by one closing stage with within()
+    (click-no-purchase-within-T and friends, the dominant
+    `TimedOutPartialMatchHandler` use-case).
+
+    For this shape a timed-out partial is exactly absence detection: the
+    anchor matched and no closing event with ts <= anchor + within follows
+    it — the same min-over-following-rows window check the compiled
+    trailing-not_followed_by plan uses, so the whole side output is one
+    shuffle + whole-stage codegen, zero Python. Measures over the
+    never-reached closing variable are NULL (matching the NFA path); the
+    ``timeout`` measure kind emits anchor epoch + within. Patterns with
+    longer prefixes can die mid-prefix with richer partials, so they fall
+    back to the NFA scan (`find_matches_and_timeouts`). Returns None when
+    the pattern doesn't qualify."""
+    sts = pattern.stages
+    if (
+        pattern.after_match != NO_SKIP
+        or pattern.within_seconds is None
+        or len(sts) != 2
+        or any(st.negated or st.optional or st.until is not None for st in sts)
+        or any(st.expr is None or st.ctx_predicate is not None for st in sts)
+        or sts[0].max_times != 1
+        or sts[1].contiguity == "strict"
+        or sts[1].min_times < 1
+    ):
+        return None
+    schema = StructType.fromDDL(output_schema)
+    types = {f.name: f.dataType for f in schema.fields}
+    anchor_var, close_var = sts[0].name, sts[1].name
+
+    from flink_ci_flink_spark.functions.scalar import epoch_seconds
+
+    work = (
+        df.withColumn("__p0", F.coalesce(F.expr(sts[0].expr), F.lit(False)))
+        .withColumn("__p1", F.coalesce(F.expr(sts[1].expr), F.lit(False)))
+        .withColumn("__tsec", epoch_seconds(df, ts_col))
+        .withColumn("__seq", F.monotonically_increasing_id())
+    )
+    measure_cols: dict[str, str] = {}
+    for mi, (out_name, (var, kind, fieldexpr)) in enumerate(measures.items()):
+        if var == anchor_var and kind != "timeout" and fieldexpr is not None:
+            measure_cols[out_name] = f"__m{mi}"
+            work = work.withColumn(f"__m{mi}", F.expr(fieldexpr))
+
+    w = Window.partitionBy(*keys).orderBy(ts_col, "__seq")
+    wf = w.rowsBetween(1, Window.unboundedFollowing)
+    next_close = F.min(F.when(F.col("__p1"), F.col("__tsec"))).over(wf)
+    timed_out = F.col("__p0") & F.coalesce(
+        next_close > F.col("__tsec") + F.lit(pattern.within_seconds), F.lit(True)
+    )
+
+    measure_exprs: list[Column] = []
+    for out_name, (var, kind, _fieldexpr) in measures.items():
+        if kind == "timeout":
+            c = (F.col("__tsec") + F.lit(pattern.within_seconds)).cast(
+                types[out_name]
+            )
+        elif kind in ("classifier", "classifier_first"):
+            c = F.lit(anchor_var).cast(types[out_name])
+        elif var == close_var:
+            c = F.lit(None).cast(types[out_name])  # never reached
+        elif kind == "count":
+            c = F.lit(1).cast(types[out_name])
+        else:  # first/last/sum/avg/min/max over the single anchor row
+            c = F.col(measure_cols[out_name]).cast(types[out_name])
+        measure_exprs.append(c.alias(out_name))
+
+    return (
+        work.select(
+            *[F.col(k) for k in keys], timed_out.alias("__to"), *measure_exprs
+        )
+        .filter("__to")
+        .drop("__to")
+        .to(schema)
+    )

@@ -284,6 +284,14 @@ def cep_timed_out(
     pattern.validate()
     if pattern.within_seconds is None:
         raise ValueError("timeout side output requires pattern.within(...)")
+    if measures is not None and select is None:
+        from flink_ci_flink_spark.cep.compiled import try_compile_timeouts
+
+        compiled = try_compile_timeouts(
+            df, pattern, keys, ts_col, measures, output_schema
+        )
+        if compiled is not None:
+            return compiled
     if select is None:
         assert measures is not None, "cep_timed_out needs select= or measures="
         select = timeout_measure_select(measures, keys)

@@ -1452,3 +1452,50 @@ def test_stream_all_rows_jvm_matches_batch(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def test_timeout_compiled_equals_nfa_and_is_python_free(spark, sf_dir):
+    """The abandonment-shape timeout side output compiles to a pure JVM
+    plan (min-over-following absence check) identical to the NFA scan."""
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.cep import cep_timed_out, timeout_measure_select
+    from flink_ci_flink_spark.functions.scalar import epoch_seconds
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.withColumn(
+        "ts_s", F.floor(epoch_seconds(t.events, "ts")).cast("long")
+    )
+    pat = (
+        Pattern.begin(
+            "a", where=lambda e: e["event_type"] == "click", expr="event_type = 'click'"
+        )
+        .followed_by(
+            "b",
+            where=lambda e: e["event_type"] == "purchase",
+            expr="event_type = 'purchase'",
+        )
+        .within(86400)
+        .after_match_skip(NO_SKIP)
+    )
+    measures = {
+        "click_id": ("a", "first", "event_id"),
+        "click_ts_s": ("a", "first", "ts_s"),
+        "purchase_id": ("b", "last", "event_id"),
+    }
+    schema_out = "user_id long, click_id long, click_ts_s long, purchase_id long"
+    compiled = cep_timed_out(ev, pat, ["user_id"], "ts", measures=measures,
+                             output_schema=schema_out)
+    plan = compiled._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan and "Python" not in plan
+    got = sorted(tuple(r) for r in compiled.collect())
+    # NFA path: force by passing an explicit select
+    nfa = cep_timed_out(
+        ev, pat, ["user_id"], "ts",
+        select=timeout_measure_select(measures, ["user_id"]),
+        output_schema=schema_out,
+    )
+    want = sorted(tuple(r) for r in nfa.collect())
+    assert got == want and len(got) > 0
+    assert all(r[3] is None for r in got)  # unreached variable is NULL
