@@ -1499,3 +1499,61 @@ def test_timeout_compiled_equals_nfa_and_is_python_free(spark, sf_dir):
     want = sorted(tuple(r) for r in nfa.collect())
     assert got == want and len(got) > 0
     assert all(r[3] is None for r in got)  # unreached variable is NULL
+
+
+def test_timeout_compiled_equals_nfa_property(spark):
+    """Property test: over random event sequences, within bounds, and
+    anchor/close type choices, the compiled abandonment-shape timeout
+    plan equals the NFA timeout scan (rows and timeout timestamps)."""
+    from hypothesis import given, settings, strategies as st
+
+    from flink_ci_flink_spark.cep import (
+        cep_timed_out,
+        find_matches_and_timeouts,
+        timeout_measure_select,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        types=st.lists(st.sampled_from("ABX"), min_size=3, max_size=20),
+        within=st.sampled_from([1.0, 3.0, 7.0]),
+    )
+    def check(types, within):
+        events = [
+            {"user_id": 1, "ts": float(i), "event_type": t, "event_id": i}
+            for i, t in enumerate(types)
+        ]
+        pat = (
+            Pattern.begin(
+                "a", where=lambda e: e["event_type"] == "A", expr="event_type = 'A'"
+            )
+            .followed_by(
+                "b", where=lambda e: e["event_type"] == "B", expr="event_type = 'B'"
+            )
+            .within(within)
+            .after_match_skip(NO_SKIP)
+        )
+        # pure-python reference (no Spark round trip per example)
+        for e in events:
+            e["__ts"] = e["ts"]
+        _m, touts = find_matches_and_timeouts(pat, events, "__ts")
+        want = sorted(
+            (events[t.groups["a"][0]]["event_id"], t.timeout_ts) for t in touts
+        )
+        df = spark.createDataFrame(
+            [(e["user_id"], e["ts"], e["event_type"], e["event_id"]) for e in events],
+            "user_id long, ts double, event_type string, event_id long",
+        )
+        compiled = cep_timed_out(
+            df, pat, ["user_id"], "ts",
+            measures={
+                "aid": ("a", "first", "event_id"),
+                "tts": ("", "timeout", ""),
+            },
+            output_schema="user_id long, aid long, tts double",
+        )
+        plan = compiled._jdf.queryExecution().executedPlan().toString()
+        assert "InPandas" not in plan and "Python" not in plan
+        got = sorted((r.aid, r.tts) for r in compiled.collect())
+        assert got == want
+    check()
