@@ -293,3 +293,123 @@ def graph_dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(None, edges).select(
         F.col("id").alias("doc_id"), "component"
     )
+
+
+@query(
+    "graph_gsa_sssp_nations",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT a.n_nationkey AS src, b.n_nationkey AS dst,
+             CAST(ABS(a.n_nationkey - b.n_nationkey) AS DOUBLE) AS weight
+      FROM nation a JOIN nation b
+        ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+      UNION ALL
+      SELECT a.n_nationkey, b.n_nationkey, 10.0
+      FROM nation a JOIN nation b
+        ON b.n_nationkey = a.n_nationkey + 1
+    ), walk(id, dist, hops) AS (
+      SELECT 0, CAST(0.0 AS DOUBLE), 0
+      UNION
+      SELECT e.dst, walk.dist + e.weight, walk.hops + 1
+      FROM walk JOIN edges e ON e.src = walk.id
+      WHERE walk.hops < 8
+    )
+    SELECT id, MIN(dist) AS dist FROM walk GROUP BY id
+    """,
+    group="graph",
+)
+def graph_gsa_sssp_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME shortest-path problem as graph_sssp_nations, programmed
+    through the gather-sum-apply iteration surface
+    (`Graph.runGatherSumApplyIteration`, `Graph.java:1778`): gather =
+    neighbor distance + edge weight, sum = MIN, apply = min(state, msg).
+    8 GSA supersteps = Bellman-Ford over <= 8-edge walks — exactly the
+    recursive oracle's hop bound, so the two surfaces share it."""
+    from flink_ci_flink_spark.graph import gather_sum_apply_iteration
+
+    t = load_tables(spark, sf_dir)
+    n = t.nation.select("n_nationkey", "n_regionkey")
+    a, b = n.alias("a"), n.alias("b")
+    intra = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") != F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_nationkey").alias("src"),
+        F.col("b.n_nationkey").alias("dst"),
+        F.abs(F.col("a.n_nationkey") - F.col("b.n_nationkey")).cast("double").alias("weight"),
+    )
+    chain = a.join(b, F.col("b.n_nationkey") == F.col("a.n_nationkey") + 1).select(
+        F.col("a.n_nationkey").alias("src"),
+        F.col("b.n_nationkey").alias("dst"),
+        F.lit(10.0).alias("weight"),
+    )
+    edges = intra.unionByName(chain)
+    vertices = n.select(F.col("n_nationkey").alias("id"))
+    INF = float("inf")
+    out = gather_sum_apply_iteration(
+        vertices,
+        edges,
+        initial_state=F.when(F.col("id") == 0, 0.0).otherwise(F.lit(INF)),
+        gather=F.col("state") + F.col("weight"),
+        sum_agg=F.min("msg"),
+        apply_update=F.least(F.col("state"), F.coalesce(F.col("msg"), F.col("state"))),
+        max_iter=8,
+    )
+    return out.filter(F.col("state") != INF).select(
+        "id", F.col("state").alias("dist")
+    )
+
+
+@query(
+    "graph_sg_min_id_nations",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+      FROM nation a JOIN nation b
+        ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+    ), und AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), walk(v, reach, hops) AS (
+      SELECT n_nationkey, n_nationkey, 0 FROM nation
+      UNION
+      SELECT walk.v, e.dst, walk.hops + 1
+      FROM walk JOIN und e ON e.src = walk.reach
+      WHERE walk.hops < 4
+    )
+    SELECT v AS id, MIN(reach) AS min_id FROM walk GROUP BY v
+    """,
+    group="graph",
+)
+def graph_sg_min_id_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scatter-gather iteration surface (`Graph.runScatterGatherIteration`,
+    `Graph.java:1730`, direction=ALL): the min-id program over the
+    intra-region nation cliques. 4 supersteps = min id within the 4-hop
+    neighborhood — the recursive oracle replays exactly that hop bound
+    (cliques converge in 1, the bound keeps semantics exact, not
+    convergence-dependent)."""
+    from flink_ci_flink_spark.graph import scatter_gather_iteration
+
+    t = load_tables(spark, sf_dir)
+    n = t.nation.select("n_nationkey", "n_regionkey")
+    a, b = n.alias("a"), n.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") != F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_nationkey").alias("src"),
+        F.col("b.n_nationkey").alias("dst"),
+    )
+    vertices = n.select(F.col("n_nationkey").alias("id"))
+    out = scatter_gather_iteration(
+        vertices,
+        edges,
+        initial_state=F.col("id"),
+        scatter_msg=F.col("state"),
+        gather_agg=F.min("msg"),
+        gather_update=F.least(F.col("state"), F.coalesce(F.col("msg"), F.col("state"))),
+        max_iter=4,
+        direction="ALL",
+    )
+    return out.select("id", F.col("state").alias("min_id"))
