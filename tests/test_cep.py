@@ -1557,3 +1557,162 @@ def test_timeout_compiled_equals_nfa_property(spark):
         got = sorted((r.aid, r.tts) for r in compiled.collect())
         assert got == want
     check()
+
+
+def test_stream_all_rows_jvm_random_chunking_property(spark):
+    """Property: for random event sequences and random micro-batch split
+    points, streaming compiled ALL-ROWS equals the batch compiled plan.
+    Chunk boundaries are the risk surface (buffer pruning, frontier
+    emission, MATCH_NUMBER continuation)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from hypothesis import given, settings, strategies as st
+
+    from flink_ci_flink_spark.cep.compiled import (
+        stream_all_rows_jvm,
+        try_compile_all_rows,
+    )
+    from flink_ci_flink_spark.streaming import file_stream
+
+    ddl = "user_id long, ts double, event_type string, value double"
+    pat = (
+        Pattern.begin("A", where=lambda e: e["event_type"] == "A",
+                      expr="event_type = 'A'")
+        .next("B", where=lambda e: e["event_type"] == "B",
+              expr="event_type = 'B'")
+        .after_match_skip(NO_SKIP)
+    )
+    measures = {"sum_v": ("A", "sum", "value")}
+    schema_out = (
+        "user_id long, ts double, event_type string, value double, "
+        "classifier string, match_seq long, sum_v double"
+    )
+    payload = ["ts", "event_type", "value"]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        types=st.lists(st.sampled_from("ABX"), min_size=4, max_size=14),
+        cut1=st.integers(1, 6),
+        cut2=st.integers(1, 6),
+    )
+    def check(types, cut1, cut2):
+        rows = [
+            (1 + (i % 2), float(i), t, float(i * 10)) for i, t in enumerate(types)
+        ]
+        df = spark.createDataFrame(rows, ddl)
+        want = sorted(
+            tuple(r)
+            for r in try_compile_all_rows(
+                df, pat, ["user_id"], "ts", measures, payload, schema_out
+            ).collect()
+        )
+        a = min(cut1, len(rows) - 1)
+        b = min(a + cut2, len(rows))
+        chunks = [c for c in (rows[:a], rows[a:b], rows[b:]) if c]
+        tmp = tempfile.mkdtemp(prefix="arprop_")
+        state = tempfile.mkdtemp(prefix="arprop_state_")
+        try:
+            for i, chunk in enumerate(chunks):
+                spark.createDataFrame(chunk, ddl).coalesce(1).write.parquet(
+                    f"{tmp}/f{i}"
+                )
+                (part,) = glob.glob(f"{tmp}/f{i}/part-*.parquet")
+                os.rename(part, f"{tmp}/{i:03d}.parquet")
+                shutil.rmtree(f"{tmp}/f{i}")
+            out = stream_all_rows_jvm(
+                file_stream(spark, tmp, df.schema, max_files_per_trigger=1),
+                pat, ["user_id"], "ts", measures, payload, schema_out,
+                state, delay_seconds=0.0,
+                query_name=f"arp_{uuid.uuid4().hex[:8]}",
+            )
+            got = sorted(tuple(r) for r in out.collect())
+            assert got == want
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(state, ignore_errors=True)
+
+    check()
+
+
+def test_stream_timed_out_random_chunking_property(spark):
+    """Property: for random sequences/chunkings, streaming timeout side
+    output equals the batch side output restricted to windows expired at
+    the final per-key frontier (exactly-once across replays of buffered
+    boundary anchors)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from hypothesis import given, settings, strategies as st
+
+    from flink_ci_flink_spark.cep import cep_stream_timed_out, cep_timed_out
+    from flink_ci_flink_spark.streaming import file_stream, run_to_completion
+
+    ddl = "user_id long, ts double, event_type string, event_id long"
+    pat = (
+        Pattern.begin("a", where=lambda e: e["event_type"] == "A")
+        .followed_by("b", where=lambda e: e["event_type"] == "B")
+        .within(3.0)
+        .after_match_skip(NO_SKIP)
+    )
+
+    def select(key, tm, events):
+        return {
+            "user_id": int(key[0]),
+            "aid": int(events[tm.groups["a"][0]]["event_id"]),
+            "tts": float(tm.timeout_ts),
+        }
+
+    schema_out = "user_id long, aid long, tts double"
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        types=st.lists(st.sampled_from("ABX"), min_size=4, max_size=14),
+        cut1=st.integers(1, 6),
+        cut2=st.integers(1, 6),
+    )
+    def check(types, cut1, cut2):
+        rows = [(1 + (i % 2), float(i), t, i) for i, t in enumerate(types)]
+        df = spark.createDataFrame(rows, ddl)
+        batch = cep_timed_out(df, pat, ["user_id"], "ts", select, schema_out)
+        from pyspark.sql import functions as F
+
+        frontier = df.groupBy("user_id").agg(F.max("ts").alias("mx"))
+        want = {
+            (r.user_id, r.aid, r.tts)
+            for r in batch.join(frontier, "user_id")
+            .filter(F.col("tts") <= F.col("mx"))
+            .collect()
+        }
+        a = min(cut1, len(rows) - 1)
+        b = min(a + cut2, len(rows))
+        chunks = [c for c in (rows[:a], rows[a:b], rows[b:]) if c]
+        tmp = tempfile.mkdtemp(prefix="toprop_")
+        try:
+            for i, chunk in enumerate(chunks):
+                spark.createDataFrame(chunk, ddl).coalesce(1).write.parquet(
+                    f"{tmp}/f{i}"
+                )
+                (part,) = glob.glob(f"{tmp}/f{i}/part-*.parquet")
+                os.rename(part, f"{tmp}/{i:03d}.parquet")
+                shutil.rmtree(f"{tmp}/f{i}")
+            out = cep_stream_timed_out(
+                file_stream(spark, tmp, df.schema, max_files_per_trigger=1),
+                pat, ["user_id"], "ts", select, schema_out,
+            )
+            name = f"top_{uuid.uuid4().hex[:8]}"
+            run_to_completion(out, name, "append")
+            got = {
+                (r.user_id, r.aid, r.tts) for r in spark.table(name).collect()
+            }
+            assert got == want
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    check()
