@@ -495,8 +495,14 @@ def stream_all_rows_jvm(
             .select(*cols)
         )
         pruned.write.mode("overwrite").parquet(f"{state_dir}/buf_v{batch_id}")
+        prev = last["v"]
         last["v"] = batch_id
         last["emitted"] = True
+        from flink_ci_flink_spark.streaming.process import _prune_state_versions
+
+        keep = {batch_id} | ({prev} if prev is not None else set())
+        _prune_state_versions(state_dir, "buf_v", keep)
+        _prune_state_versions(state_dir, "meta_v", keep)
 
     q = stream.writeStream.foreachBatch(merge).start(queryName=query_name)
     q.processAllAvailable()

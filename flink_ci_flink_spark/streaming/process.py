@@ -386,6 +386,23 @@ class MapStateView:
         self._bag._vals[self._i] = {}
 
 
+def _prune_state_versions(state_dir: str, prefix: str, keep_ids: set[int]) -> None:
+    """Drop obsolete versioned-state directories (vN / <prefix>N) so a
+    long-running stream's disk footprint stays at ~2 versions (current +
+    previous, the replay-safety pair) instead of one per micro-batch.
+    Local-filesystem best-effort: on object stores, rely on a bucket
+    lifecycle rule instead (failure here never affects results — old
+    versions are simply never read again)."""
+    import glob as _glob
+    import re as _re
+    import shutil as _shutil
+
+    for d in _glob.glob(f"{state_dir}/{prefix}*"):
+        m = _re.search(rf"{prefix}(\d+)$", d)
+        if m and int(m.group(1)) not in keep_ids:
+            _shutil.rmtree(d, ignore_errors=True)
+
+
 def streaming_top_n_jvm(
     stream: DataFrame,
     partition_by: list[str],
@@ -425,7 +442,11 @@ def streaming_top_n_jvm(
             cand = spark.read.parquet(f"{state_dir}/v{last['v']}").unionByName(cand)
         new = top_n(cand, partition_by, order_by, n, rank_col=None)
         new.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        prev = last["v"]
         last["v"] = batch_id
+        _prune_state_versions(
+            state_dir, "v", {batch_id} | ({prev} if prev is not None else set())
+        )
 
     q = stream.writeStream.foreachBatch(merge).start(queryName=query_name)
     q.processAllAvailable()
@@ -480,7 +501,11 @@ def streaming_dedup_keep_last_jvm(
             .select(*select_cols)
         )
         new.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        prev = last["v"]
         last["v"] = batch_id
+        _prune_state_versions(
+            state_dir, "v", {batch_id} | ({prev} if prev is not None else set())
+        )
 
     q = stream.writeStream.foreachBatch(merge).start(queryName=query_name)
     q.processAllAvailable()
@@ -542,7 +567,11 @@ def streaming_running_agg_jvm(
                 spark.read.parquet(f"{state_dir}/v{last['v']}").unionByName(part)
             )
         part.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        prev = last["v"]
         last["v"] = batch_id
+        _prune_state_versions(
+            state_dir, "v", {batch_id} | ({prev} if prev is not None else set())
+        )
 
     q = stream.writeStream.foreachBatch(merge).start(queryName=query_name)
     q.processAllAvailable()
