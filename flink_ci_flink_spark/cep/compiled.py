@@ -27,7 +27,7 @@ from pyspark.sql.types import StructType
 from flink_ci_flink_spark.cep.pattern import NO_SKIP, Pattern
 
 
-def _compilable(pattern: Pattern) -> bool:
+def _compilable(pattern: Pattern, allow_variable: bool = False) -> bool:
     if pattern.after_match != NO_SKIP:
         return False
     if not pattern.stages or all(st.negated for st in pattern.stages):
@@ -42,13 +42,52 @@ def _compilable(pattern: Pattern) -> bool:
                 if i != len(pattern.stages) - 1 or pattern.within_seconds is None:
                     return False
             continue
-        if st.optional or st.min_times != st.max_times:
+        if not allow_variable and (st.optional or st.min_times != st.max_times):
             return False
         if st.max_times > 1 and st.inner_contiguity != "strict":
             return False  # relaxed repeats are not fixed-offset
         if i > 0 and st.contiguity != "strict":
             return False
     return True
+
+
+#: expansion cap — bounded-quantifier patterns compile when the product of
+#: count choices stays at or below this (each expansion adds lead() exprs)
+_MAX_EXPANSIONS = 32
+
+
+def _expansions(pattern: Pattern) -> list[tuple] | None:
+    """Count vectors (one entry per stage; None for negatives) enumerated
+    in the NFA's branch-preference order: per stage, greedy counts descend
+    and non-greedy ascend, optional appends 0 LAST (`nfa.py::rec`'s
+    options list); the cartesian product iterates stage 0 outermost —
+    exactly the matcher's depth-first preference, so the FIRST expansion
+    whose condition holds is the match the NFA emits for that anchor."""
+    import itertools
+
+    ranges: list[list] = []
+    total = 1
+    for st in pattern.stages:
+        if st.negated:
+            ranges.append([None])
+            continue
+        counts = (
+            list(range(st.max_times, st.min_times - 1, -1))
+            if st.greedy
+            else list(range(st.min_times, st.max_times + 1))
+        )
+        if st.optional and 0 not in counts:
+            counts = counts + [0]
+        ranges.append(counts)
+        total *= len(counts)
+        if total > _MAX_EXPANSIONS:
+            return None
+    exps = [
+        e
+        for e in itertools.product(*ranges)
+        if sum(c for c in e if c) > 0  # at least one consumed event
+    ]
+    return exps or None
 
 
 def try_compile(
@@ -59,31 +98,26 @@ def try_compile(
     measures: dict[str, tuple],
     output_schema: str,
 ) -> DataFrame | None:
-    """Return the compiled plan, or None when the pattern doesn't qualify."""
-    if not _compilable(pattern):
+    """Return the compiled plan, or None when the pattern doesn't qualify.
+
+    Round 5: widened from fixed-length-only to BOUNDED QUANTIFIERS and
+    OPTIONAL stages by enumerating count expansions (`_expansions`, capped
+    at _MAX_EXPANSIONS) in the NFA's branch-preference order. Each
+    expansion is a fixed-offset lead() conjunction; an anchor matches when
+    ANY expansion holds, and each measure is a preference-ordered CASE
+    over the expansions (first matching expansion wins — exactly the
+    branch the NFA would emit). A fixed-length pattern has one expansion
+    and reduces to the original compile. A variable name may label
+    SEVERAL stages (PATTERN (A A B)): per-variable offsets merge across
+    them within an expansion."""
+    if not _compilable(pattern, allow_variable=True):
+        return None
+    expansions = _expansions(pattern)
+    if expansions is None:
         return None
 
-    # flatten stages to row offsets relative to the anchor. A variable
-    # name may label SEVERAL stages (PATTERN (A A B)); per-variable
-    # offsets MERGE across them (setdefault+extend, not overwrite) while
-    # the match condition iterates stages by index.
-    offset = 0
-    occ_offsets: dict[str, list[int]] = {}
-    stage_offsets: list[tuple[int, list[int]]] = []  # (stage idx, offsets)
-    neg_checks: list[tuple[int, int]] = []  # (offset, stage index) — strict
-    trailing_neg: int | None = None  # stage index of final not_followed_by
-    for i, st in enumerate(pattern.stages):
-        if st.negated:
-            if st.contiguity == "strict":
-                neg_checks.append((offset, i))
-            else:
-                trailing_neg = i
-        else:
-            offs = list(range(offset, offset + st.max_times))
-            occ_offsets.setdefault(st.name, []).extend(offs)
-            stage_offsets.append((i, offs))
-            offset += st.max_times
-    last_off = offset - 1
+    schema = StructType.fromDDL(output_schema)
+    types = {f.name: f.dataType for f in schema.fields}
 
     work = df
     for i, st in enumerate(pattern.stages):
@@ -107,80 +141,115 @@ def try_compile(
     def at(col: str, off: int) -> Column:
         return F.col(col) if off == 0 else F.lead(col, off).over(w)
 
-    conds: list[Column] = []
-    for i, offs in stage_offsets:
-        for o in offs:
-            conds.append(F.coalesce(at(f"__p{i}", o), F.lit(False)))
-    if pattern.within_seconds is not None and last_off > 0:
-        conds.append(
-            (at("__tsec", last_off) - F.col("__tsec")) <= F.lit(pattern.within_seconds)
-        )
-    for o, i in neg_checks:
-        neg_hit = F.coalesce(at(f"__p{i}", o), F.lit(False))
-        if pattern.within_seconds is not None and o > 0:
-            neg_hit = neg_hit & (
-                (at("__tsec", o) - F.col("__tsec")) <= F.lit(pattern.within_seconds)
-            )
-        conds.append(~neg_hit)
-    if trailing_neg is not None:
-        # absence detection: no negative-matching event among the rows after
-        # the last consumed one with ts <= anchor ts + within. min() over the
-        # following rows finds the next such event; NULL = none at all.
-        i = trailing_neg
-        wf = w.rowsBetween(last_off + 1, Window.unboundedFollowing)
-        next_neg = F.min(
-            F.when(F.col(f"__p{i}"), F.col("__tsec"))
-        ).over(wf)
-        conds.append(
-            F.coalesce(
-                next_neg > F.col("__tsec") + F.lit(pattern.within_seconds),
-                F.lit(True),
-            )
-        )
+    def expansion_plan(counts: tuple):
+        """(cond, occ_offsets, last_off) for one count expansion."""
+        offset = 0
+        occ_offsets: dict[str, list[int]] = {}
+        stage_offsets: list[tuple[int, list[int]]] = []
+        neg_checks: list[tuple[int, int]] = []
+        trailing_neg: int | None = None
+        for i, st in enumerate(pattern.stages):
+            if st.negated:
+                if st.contiguity == "strict":
+                    neg_checks.append((offset, i))
+                else:
+                    trailing_neg = i
+                continue
+            c = counts[i]
+            offs = list(range(offset, offset + c))
+            occ_offsets.setdefault(st.name, []).extend(offs)
+            if offs:
+                stage_offsets.append((i, offs))
+            offset += c
+        last_off = offset - 1
 
-    cond = conds[0]
-    for c in conds[1:]:
-        cond = cond & c
+        conds: list[Column] = []
+        for i, offs in stage_offsets:
+            for o in offs:
+                conds.append(F.coalesce(at(f"__p{i}", o), F.lit(False)))
+        if pattern.within_seconds is not None and last_off > 0:
+            conds.append(
+                (at("__tsec", last_off) - F.col("__tsec"))
+                <= F.lit(pattern.within_seconds)
+            )
+        for o, i in neg_checks:
+            neg_hit = F.coalesce(at(f"__p{i}", o), F.lit(False))
+            if pattern.within_seconds is not None and o > 0:
+                neg_hit = neg_hit & (
+                    (at("__tsec", o) - F.col("__tsec"))
+                    <= F.lit(pattern.within_seconds)
+                )
+            conds.append(~neg_hit)
+        if trailing_neg is not None:
+            # absence detection: no negative-matching event among the rows
+            # after the last consumed one with ts <= anchor ts + within.
+            i = trailing_neg
+            wf = w.rowsBetween(last_off + 1, Window.unboundedFollowing)
+            next_neg = F.min(F.when(F.col(f"__p{i}"), F.col("__tsec"))).over(wf)
+            conds.append(
+                F.coalesce(
+                    next_neg > F.col("__tsec") + F.lit(pattern.within_seconds),
+                    F.lit(True),
+                )
+            )
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        return cond, occ_offsets, last_off
 
-    # measure lead()s MUST be computed in the same pre-filter projection as
-    # the match condition — after filter they'd range over matches, not rows
-    measure_exprs: list[Column] = []
-    for out_name, (var, kind, fieldexpr) in measures.items():
+    def measure_value(out_name, var, kind, occ_offsets, last_off) -> Column:
+        """One measure's value under one expansion."""
         if kind in ("classifier", "classifier_first"):
-            # fixed-length pattern: the variable at the first/last consumed
-            # offset is statically known
             want = 0 if kind == "classifier_first" else last_off
             name = next(v for v, offs in occ_offsets.items() if want in offs)
-            measure_exprs.append(F.lit(name).alias(out_name))
-            continue
-        offs = occ_offsets[var]
+            return F.lit(name)
+        offs = occ_offsets.get(var, [])
         if kind == "count":
-            measure_exprs.append(F.lit(len(offs)).cast("long").alias(out_name))
-            continue
+            return F.lit(len(offs)).cast("long")
+        if not offs:  # skipped optional / zero-count variable
+            return F.lit(None).cast(types[out_name])
         mcol = measure_cols[out_name]
         if kind == "first":
-            measure_exprs.append(at(mcol, offs[0]).alias(out_name))
-        elif kind == "last":
-            measure_exprs.append(at(mcol, offs[-1]).alias(out_name))
-        elif kind in ("sum", "avg"):
+            return at(mcol, offs[0])
+        if kind == "last":
+            return at(mcol, offs[-1])
+        if kind in ("sum", "avg"):
             total = at(mcol, offs[0])
             for o in offs[1:]:
                 total = total + at(mcol, o)
             if kind == "avg":
                 total = total.cast("double") / F.lit(float(len(offs)))
-            measure_exprs.append(total.alias(out_name))
-        elif kind in ("min", "max"):
+            return total
+        if kind in ("min", "max"):
             cols = [at(mcol, o) for o in offs]
             if len(cols) == 1:
-                c = cols[0]
-            else:
-                c = F.least(*cols) if kind == "min" else F.greatest(*cols)
-            measure_exprs.append(c.alias(out_name))
+                return cols[0]
+            return F.least(*cols) if kind == "min" else F.greatest(*cols)
+        raise ValueError(f"unknown measure kind {kind!r}")
+
+    plans = [expansion_plan(e) for e in expansions]
+    match_any = plans[0][0]
+    for cond, _oo, _lo in plans[1:]:
+        match_any = match_any | cond
+
+    # measure lead()s MUST be computed in the same pre-filter projection as
+    # the match condition — after filter they'd range over matches, not rows
+    measure_exprs: list[Column] = []
+    for out_name, (var, kind, _fieldexpr) in measures.items():
+        if len(plans) == 1:
+            c = measure_value(out_name, var, kind, plans[0][1], plans[0][2])
         else:
-            raise ValueError(f"unknown measure kind {kind!r}")
+            # preference-ordered CASE: the first matching expansion's value
+            c = F.when(
+                plans[0][0],
+                measure_value(out_name, var, kind, plans[0][1], plans[0][2]),
+            )
+            for cond, oo, lo in plans[1:]:
+                c = c.when(cond, measure_value(out_name, var, kind, oo, lo))
+        measure_exprs.append(c.cast(types[out_name]).alias(out_name))
 
     result = (
-        work.select(*[F.col(k) for k in keys], cond.alias("__match"), *measure_exprs)
+        work.select(*[F.col(k) for k in keys], match_any.alias("__match"), *measure_exprs)
         .filter("__match")
         .drop("__match")
     )

@@ -691,12 +691,33 @@ def test_compiled_equals_nfa_property(spark):
         p5 = Pattern.begin("a", pred("A"), expr=ex("A")).not_followed_by(
             "x", pred("X"), expr=ex("X")
         ).within(5.0)
-        return [p1, p2, p3, p4, p5]
+        # round-5 expansion compiler: bounded quantifiers + optional
+        p6 = (
+            Pattern.begin("a", pred("A"), expr=ex("A"))
+            .times(1, 3)
+            .consecutive_()
+            .greedy_()
+            .next("b", pred("B"), expr=ex("B"))
+        )
+        p7 = (
+            Pattern.begin("a", pred("A"), expr=ex("A"))
+            .next("b", pred("B"), expr=ex("B"))
+            .optional_()
+            .next("c", pred("A"), expr=ex("A"))
+        )
+        p8 = (
+            Pattern.begin("a", pred("A"), expr=ex("A"))
+            .times(1, 2)
+            .consecutive_()
+            .next("b", pred("B"), expr=ex("B"))
+            .within(4.0)
+        )
+        return [p1, p2, p3, p4, p5, p6, p7, p8]
 
-    @settings(max_examples=8, deadline=None)
+    @settings(max_examples=20, deadline=None)
     @given(
         types=st.lists(st.sampled_from("ABX"), min_size=4, max_size=24),
-        ti=st.integers(0, 4),
+        ti=st.integers(0, 7),
     )
     def run(types, ti):
         rows = [(1, i, float(i), t) for i, t in enumerate(types)]
