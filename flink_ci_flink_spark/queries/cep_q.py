@@ -486,3 +486,56 @@ def cep_timeout_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_schema="user_id long, click_id long, click_ts_s long",
     )
     return out.withColumn("timeout_ts_s", (F.col("click_ts_s") + F.lit(86400)).cast("long"))
+
+
+@query(
+    "cep_mr_error_run_until_purchase",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    ), seq AS (
+      SELECT *,
+             MIN(CASE WHEN event_type <> 'error' THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+      FROM base
+    )
+    SELECT e.user_id, e.event_id AS first_error_id,
+           CAST(e.nxt - e.rn AS BIGINT) AS n_errors,
+           b.event_id AS purchase_id
+    FROM seq e JOIN seq b
+      ON b.user_id = e.user_id AND b.rn = e.nxt
+    WHERE e.event_type = 'error' AND b.event_type = 'purchase'
+      AND e.nxt - e.rn <= 16
+    """,
+    group="cep",
+)
+def cep_mr_error_run_until_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE PATTERN (E{1,16} P): a strictly-consecutive error
+    run (bounded quantifier, greedy — the SQL default) closed by a
+    purchase, NO_SKIP — every suffix of a closed run matches with its own
+    count. Exercises the round-5 EXPANSION compiler: 16 fixed-offset
+    lead() conjunctions enumerated in greedy preference order, measures
+    as preference CASEs, zero Python (asserted in tests). Oracle: islands
+    formulation — for each error row the next non-error row must be a
+    purchase; run length = the row-number gap, bounded 16 on both sides.
+    Ref: `StreamExecMatch.scala:68`; greedy quantifier `Pattern.java:367`."""
+    from flink_ci_flink_spark.cep import match_recognize_sql
+
+    t = load_tables(spark, sf_dir)
+    return match_recognize_sql(
+        t.events,
+        """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES FIRST(E.event_id) AS first_error_id,
+                   COUNT(E.*) AS n_errors,
+                   LAST(P.event_id) AS purchase_id
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (E{1,16} P)
+          DEFINE E AS event_type = 'error', P AS event_type = 'purchase'
+        )
+        """,
+    )
