@@ -266,39 +266,26 @@ def try_compile_all_rows(
     output_schema: str,
     anchor_meta: bool = False,
 ) -> DataFrame | None:
-    """Whole-JVM ALL ROWS PER MATCH for fixed-length strict NO_SKIP
-    patterns: the anchor-row match condition is the same lead() conjunction
-    as the one-row compile; emission builds one struct per consumed offset
-    — payload via lead(col, off), the statically-known per-offset
-    CLASSIFIER, and RUNNING measures unrolled to lead() sums over offsets
-    <= the emitted one — and explodes the array. One shuffle, whole-stage
-    codegen, zero Python (the NFA path handles every other pattern).
-    MATCH_NUMBER (`match_seq`) is a row_number over matched anchors per
-    key. Returns None when the pattern doesn't qualify."""
-    if not _compilable(pattern):
+    """Whole-JVM ALL ROWS PER MATCH for strict NO_SKIP patterns — incl.
+    BOUNDED QUANTIFIERS and optional stages via the same count-expansion
+    enumeration as the one-row compile (round 5): per expansion, the
+    anchor condition is a fixed-offset lead() conjunction and emission is
+    one struct per consumed offset (payload via lead(col, off), the
+    expansion's per-offset CLASSIFIER, RUNNING measures unrolled to
+    lead() sums over offsets <= the emitted one); the emitted array is a
+    preference-ordered CASE over expansions and explodes. One shuffle,
+    whole-stage codegen, zero Python (the NFA flat path handles every
+    other pattern). MATCH_NUMBER (`match_seq`) is a row_number over
+    matched anchors per key. Returns None when the pattern doesn't
+    qualify."""
+    if not _compilable(pattern, allow_variable=True):
+        return None
+    expansions = _expansions(pattern)
+    if expansions is None:
         return None
 
     schema = StructType.fromDDL(output_schema)
     types = {f.name: f.dataType for f in schema.fields}
-
-    offset = 0
-    occ_offsets: dict[str, list[int]] = {}
-    stage_offsets: list[tuple[int, list[int]]] = []
-    neg_checks: list[tuple[int, int]] = []
-    trailing_neg: int | None = None
-    for i, st in enumerate(pattern.stages):
-        if st.negated:
-            if st.contiguity == "strict":
-                neg_checks.append((offset, i))
-            else:
-                trailing_neg = i
-        else:
-            offs = list(range(offset, offset + st.max_times))
-            occ_offsets.setdefault(st.name, []).extend(offs)
-            stage_offsets.append((i, offs))
-            offset += st.max_times
-    last_off = offset - 1
-    off2var = {o: v for v, offs in occ_offsets.items() for o in offs}
 
     work = df
     for i, st in enumerate(pattern.stages):
@@ -322,36 +309,62 @@ def try_compile_all_rows(
     def at(col: str, off: int) -> Column:
         return F.col(col) if off == 0 else F.lead(col, off).over(w)
 
-    conds: list[Column] = []
-    for i, offs in stage_offsets:
-        for o in offs:
-            conds.append(F.coalesce(at(f"__p{i}", o), F.lit(False)))
-    if pattern.within_seconds is not None and last_off > 0:
-        conds.append(
-            (at("__tsec", last_off) - F.col("__tsec")) <= F.lit(pattern.within_seconds)
-        )
-    for o, i in neg_checks:
-        neg_hit = F.coalesce(at(f"__p{i}", o), F.lit(False))
-        if pattern.within_seconds is not None and o > 0:
-            neg_hit = neg_hit & (
-                (at("__tsec", o) - F.col("__tsec")) <= F.lit(pattern.within_seconds)
-            )
-        conds.append(~neg_hit)
-    if trailing_neg is not None:
-        i = trailing_neg
-        wf = w.rowsBetween(last_off + 1, Window.unboundedFollowing)
-        next_neg = F.min(F.when(F.col(f"__p{i}"), F.col("__tsec"))).over(wf)
-        conds.append(
-            F.coalesce(
-                next_neg > F.col("__tsec") + F.lit(pattern.within_seconds),
-                F.lit(True),
-            )
-        )
-    cond = conds[0]
-    for c in conds[1:]:
-        cond = cond & c
+    def expansion_plan(counts: tuple):
+        """(cond, occ_offsets, off2var, last_off) for one expansion."""
+        offset = 0
+        occ_offsets: dict[str, list[int]] = {}
+        stage_offsets: list[tuple[int, list[int]]] = []
+        neg_checks: list[tuple[int, int]] = []
+        trailing_neg: int | None = None
+        for i, st in enumerate(pattern.stages):
+            if st.negated:
+                if st.contiguity == "strict":
+                    neg_checks.append((offset, i))
+                else:
+                    trailing_neg = i
+                continue
+            c = counts[i]
+            offs = list(range(offset, offset + c))
+            occ_offsets.setdefault(st.name, []).extend(offs)
+            if offs:
+                stage_offsets.append((i, offs))
+            offset += c
+        last_off = offset - 1
+        off2var = {o: v for v, offs in occ_offsets.items() for o in offs}
 
-    def running_measure(out_name: str, spec: tuple, j: int) -> Column:
+        conds: list[Column] = []
+        for i, offs in stage_offsets:
+            for o in offs:
+                conds.append(F.coalesce(at(f"__p{i}", o), F.lit(False)))
+        if pattern.within_seconds is not None and last_off > 0:
+            conds.append(
+                (at("__tsec", last_off) - F.col("__tsec"))
+                <= F.lit(pattern.within_seconds)
+            )
+        for o, i in neg_checks:
+            neg_hit = F.coalesce(at(f"__p{i}", o), F.lit(False))
+            if pattern.within_seconds is not None and o > 0:
+                neg_hit = neg_hit & (
+                    (at("__tsec", o) - F.col("__tsec"))
+                    <= F.lit(pattern.within_seconds)
+                )
+            conds.append(~neg_hit)
+        if trailing_neg is not None:
+            i = trailing_neg
+            wf = w.rowsBetween(last_off + 1, Window.unboundedFollowing)
+            next_neg = F.min(F.when(F.col(f"__p{i}"), F.col("__tsec"))).over(wf)
+            conds.append(
+                F.coalesce(
+                    next_neg > F.col("__tsec") + F.lit(pattern.within_seconds),
+                    F.lit(True),
+                )
+            )
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        return cond, occ_offsets, off2var, last_off
+
+    def running_measure(out_name, spec, j, occ_offsets, off2var) -> Column:
         var, kind, fieldexpr = spec
         if kind == "classifier":
             return F.lit(off2var[j]).alias(out_name)
@@ -380,17 +393,35 @@ def try_compile_all_rows(
         )
         return c.cast(types[out_name]).alias(out_name)
 
-    structs = []
-    for j in range(last_off + 1):
-        fields = [
-            at(c, j).cast(types[c]).alias(c) for c in payload_cols
-        ] + [
-            F.lit(off2var[j]).alias("classifier")
-        ] + [
-            running_measure(out_name, spec, j)
-            for out_name, spec in measures.items()
-        ]
-        structs.append(F.struct(*fields))
+    plans = [expansion_plan(e) for e in expansions]
+    cond = plans[0][0]
+    for c, _oo, _ov, _lo in plans[1:]:
+        cond = cond | c
+
+    def rows_array(occ_offsets, off2var, last_off) -> Column:
+        structs = []
+        for j in range(last_off + 1):
+            fields = [
+                at(c, j).cast(types[c]).alias(c) for c in payload_cols
+            ] + [
+                F.lit(off2var[j]).alias("classifier")
+            ] + [
+                running_measure(out_name, spec, j, occ_offsets, off2var)
+                for out_name, spec in measures.items()
+            ]
+            structs.append(F.struct(*fields))
+        return F.array(*structs)
+
+    if len(plans) == 1:
+        rows_col = rows_array(plans[0][1], plans[0][2], plans[0][3])
+        last_ts_col = at(ts_col, plans[0][3])
+    else:
+        # preference-ordered CASE: the first matching expansion's row set
+        rows_col = F.when(plans[0][0], rows_array(plans[0][1], plans[0][2], plans[0][3]))
+        last_ts_col = F.when(plans[0][0], at(ts_col, plans[0][3]))
+        for c, oo, ov, lo in plans[1:]:
+            rows_col = rows_col.when(c, rows_array(oo, ov, lo))
+            last_ts_col = last_ts_col.when(c, at(ts_col, lo))
 
     anchors = (
         work.select(
@@ -400,9 +431,9 @@ def try_compile_all_rows(
             # last consumed row's event time — the streaming wrapper's
             # emission frontier check needs it (a match is final once its
             # last row is at/behind the per-key frontier)
-            at(ts_col, last_off).alias("__last_ts"),
+            last_ts_col.alias("__last_ts"),
             cond.alias("__match"),
-            F.array(*structs).alias("__rows"),
+            rows_col.alias("__rows"),
         )
         .filter("__match")
         .withColumn(

@@ -1737,3 +1737,47 @@ def test_stream_timed_out_random_chunking_property(spark):
             shutil.rmtree(tmp, ignore_errors=True)
 
     check()
+
+
+def test_all_rows_compiled_quantifier_equals_nfa(spark):
+    """Round-5 expansion compiler on ALL ROWS PER MATCH: PATTERN (A{1,2} B)
+    compiles zero-Python and equals the NFA flat path exactly — greedy
+    preference per anchor, NO_SKIP suffix matches, RUNNING measures,
+    per-key match numbering."""
+    import flink_ci_flink_spark.cep.compiled as C
+    from flink_ci_flink_spark.cep.match_recognize import match_recognize_sql
+
+    rows = [
+        (1, 1.0, "click", 10.0), (1, 2.0, "click", 20.0),
+        (1, 3.0, "purchase", 5.0), (1, 4.0, "click", 7.0),
+        (1, 5.0, "purchase", 3.0),
+        (2, 1.0, "click", 1.0), (2, 2.0, "view", 9.0),
+        (2, 3.0, "click", 6.0), (2, 4.0, "click", 8.0),
+        (2, 5.0, "purchase", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts double, event_type string, value double"
+    )
+    tpl = """
+    SELECT * FROM t MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      MEASURES COUNT(A.*) AS n_a, SUM(A.value) AS sum_a, LAST(B.value) AS b_val
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (A{1,2} B)
+      DEFINE A AS event_type = 'click', B AS event_type = 'purchase'
+    )"""
+    out = match_recognize_sql(df, tpl)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan and "Python" not in plan
+    got = sorted(tuple(r) for r in out.collect())
+    cap = C._MAX_EXPANSIONS
+    try:
+        C._MAX_EXPANSIONS = 1  # force the NFA flat path
+        nfa = match_recognize_sql(df, tpl)
+        plan2 = nfa._jdf.queryExecution().executedPlan().toString()
+        assert "InPandas" in plan2 or "Python" in plan2
+        want = sorted(tuple(r) for r in nfa.collect())
+    finally:
+        C._MAX_EXPANSIONS = cap
+    assert got == want and len(got) == 12
