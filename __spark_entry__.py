@@ -26,11 +26,17 @@ from flink_ci_flink_spark.queries import QUERIES  # noqa: E402
 FLAGSHIP = "tpch_q3_shipping_priority"
 
 # The driver samples a 50-query prefix of queries() for its sf0.01
-# correctness check. Round-5 prefix = the EXACT complement of the 124
-# queries already driver-proven green across rounds 1-4 (computed from
-# CORRECTNESS_r01..r04.json): all never-driver-checked names. Green here
-# completes 174/174 cumulative driver proof of the full registry.
+# correctness check. Round-6 prefix = the complement of the 124 queries
+# already driver-proven green across rounds 1-4 (CORRECTNESS_r01..r04.json;
+# no r5 artifact was recorded), 54 names total with the four queries added
+# in round 5 (Gelly iteration models, CEP timeout, expansion-compiled
+# MATCH_RECOGNIZE run) placed first. The driver checks the first 50; the
+# remaining 4 rotate into round 7's prefix.
 _PRIORITY = [
+    "graph_gsa_sssp_nations",
+    "graph_sg_min_id_nations",
+    "cep_timeout_click_purchase",
+    "cep_mr_error_run_until_purchase",
     "pipe_token_count_by_source",
     "pipe_cosine_near_dup",
     "pipe_multimodal_features",
