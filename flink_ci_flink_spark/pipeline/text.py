@@ -519,3 +519,79 @@ def tfidf_top_terms(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def bigrams(text_col: str = "text") -> Column:
+    """Array of space-joined consecutive token pairs ("w1 w2"). Empty for
+    docs with fewer than two tokens."""
+    t = tokens(text_col)
+    n = F.size(t)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    )
+
+
+def rare_bigram_stats(
+    docs: DataFrame,
+    rare_below: int = 3,
+    train_mod: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_rare_pct: int = 20,
+) -> DataFrame:
+    """Count-based LM quality screen (the CCNet / Gopher-style "does a
+    reference language model like this text" filter, made exact): train a
+    bigram count table on a deterministic hash split of the corpus, then
+    score EVERY document by its rare-bigram rate — the fraction of its
+    bigrams whose training count is below ``rare_below`` (unseen = 0).
+    High rare-rate docs are the ones a count LM finds surprising
+    (boilerplate mangling, encoding noise, word salad); ``keep`` flags
+    docs at or below ``max_rare_pct`` percent.
+
+    Exactness: perplexity proper needs ln() (a cross-engine ULP hazard —
+    same reason tfidf uses the rational idf), so the screen thresholds on
+    INTEGER counts and compares ``100 * n_rare <= max_rare_pct *
+    n_bigrams`` in exact integer arithmetic. Same monotone signal, zero
+    float drift.
+
+    Scale: the model is one bigram-count aggregation over the training
+    split (one shuffle); scoring joins exploded bigrams to the model on
+    the bigram key (bigram vocab ≪ corpus; skew-safe — counts are
+    pre-aggregated so the join's build side is distinct bigrams), then
+    one aggregation back to the doc key. No Python, no collect: the
+    "model" never leaves the cluster.
+    """
+    from flink_ci_flink_spark.pipeline.sampling import sample_hash60
+
+    base = docs.select(F.col(id_col), bigrams(text_col).alias("__bg"))
+    train = base.filter(
+        F.pmod(sample_hash60(F.col(id_col), "lmsplit"), F.lit(train_mod)) == 0
+    )
+    model = (
+        train.select(F.explode("__bg").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("train_count"))
+    )
+    scored = (
+        base.select(F.col(id_col), F.explode_outer("__bg").alias("bigram"))
+        .join(model, "bigram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("bigram").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("train_count"), F.lit(0)) < rare_below, 1
+                ).otherwise(0)
+            ).cast("long").alias("n_rare"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        "n_rare",
+        (100 * F.col("n_rare") <= max_rare_pct * F.col("n_bigrams")).alias("keep"),
+    )

@@ -1702,3 +1702,124 @@ def pipe_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return jaccard_pairs_prefix(t.documents, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Training export: sequence packing + count-LM quality screen
+# ---------------------------------------------------------------------------
+
+def _pack_oracle_sql(budget: int = 256, n_shards: int = 8) -> str:
+    from flink_ci_flink_spark.pipeline.sampling import hash60_sql
+
+    h = hash60_sql("doc_id", "pack")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             {h} AS h
+      FROM documents
+    ), sharded AS (
+      SELECT *, CAST(h % {n_shards} AS INT) AS shard FROM toks
+    ), cum AS (
+      SELECT source, shard, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source, shard ORDER BY h, doc_id) AS BIGINT) AS cum
+      FROM sharded
+    ), spans AS (
+      SELECT source, shard, n_tokens,
+             cum - n_tokens AS start_off,
+             (cum - n_tokens) // {budget} AS first_pack,
+             GREATEST(cum - 1, cum - n_tokens) // {budget} AS last_pack
+      FROM cum
+    ), exploded AS (
+      SELECT source, shard, start_off, n_tokens, UNNEST(
+               range(first_pack, last_pack + 1)) AS pack
+      FROM spans
+    )
+    SELECT source, shard, pack,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(GREATEST(
+             LEAST(start_off + n_tokens, (pack + 1) * {budget})
+               - GREATEST(start_off, pack * {budget}), 0)) AS BIGINT)
+             AS pack_tokens
+    FROM exploded
+    GROUP BY source, shard, pack
+    """
+
+
+@query("pipe_pack_sequences", oracle=_pack_oracle_sql(), group="pipeline")
+def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing for training export (GPT-style
+    document packing, Brown et al. 2005.14165 §2.3): documents are routed
+    to deterministic (source, shard) groups, concatenated in (hash,
+    doc_id) order, and cut into 256-token context windows; output is the
+    per-pack manifest (docs touching each pack, tokens landing in it —
+    every non-final pack holds exactly 256). Shard-local packing keeps
+    the window partitions independent at 100 TB — no global order, no
+    single-partition window (`pipeline/packing.py`)."""
+    from flink_ci_flink_spark.pipeline.packing import pack_stats
+    from flink_ci_flink_spark.pipeline.text import token_count
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_stats(docs, budget=256, n_shards=8)
+
+
+def _rare_bigram_oracle_sql(
+    rare_below: int = 15, train_mod: int = 2, max_rare_pct: int = 20
+) -> str:
+    from flink_ci_flink_spark.pipeline.sampling import hash60_sql
+
+    h = hash60_sql("doc_id", "lmsplit")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {h} AS h,
+             list_transform(
+               range(1, len({_TOKS})),
+               i -> {_TOKS}[i] || ' ' || {_TOKS}[i + 1]) AS bg
+      FROM documents
+    ), model AS (
+      SELECT UNNEST(bg) AS bigram, 1 AS one
+      FROM base WHERE h % {train_mod} = 0
+    ), counts AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS train_count
+      FROM model GROUP BY bigram
+    ), exploded AS (
+      SELECT b.doc_id, u.bigram
+      FROM base b LEFT JOIN LATERAL UNNEST(b.bg) AS u(bigram) ON TRUE
+    ), scored AS (
+      SELECT e.doc_id,
+             CAST(COUNT(e.bigram) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CASE WHEN e.bigram IS NOT NULL
+                            AND COALESCE(c.train_count, 0) < {rare_below}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+      FROM exploded e LEFT JOIN counts c USING (bigram)
+      GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_bigrams, n_rare,
+           100 * n_rare <= {max_rare_pct} * n_bigrams AS keep
+    FROM scored
+    """
+
+
+@query(
+    "pipe_lm_quality_screen",
+    oracle=_rare_bigram_oracle_sql(),
+    group="pipeline",
+)
+def pipe_lm_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based LM quality screen (exact-integer CCNet/Gopher-style
+    filter): a bigram count model trained on a deterministic 50% hash
+    split scores every document by rare-bigram rate; docs whose rate
+    exceeds 20% are flagged. ln()-free — the threshold compares
+    100*n_rare against 20*n_bigrams in exact integer arithmetic, so the
+    whole screen is hash-provable against the oracle
+    (`pipeline/text.py::rare_bigram_stats`)."""
+    from flink_ci_flink_spark.pipeline.text import rare_bigram_stats
+
+    t = load_tables(spark, sf_dir)
+    return rare_bigram_stats(
+        t.documents, rare_below=15, train_mod=2, max_rare_pct=20
+    )

@@ -1075,3 +1075,87 @@ def test_jaccard_prefix_equals_plain_on_dense_corpus(spark, sf_dir):
         }
         assert got == want
     assert len(want) > 0
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Concat-and-chunk packing: every non-final pack in a shard holds
+    exactly `budget` tokens, pack ids are dense from 0, and tokens are
+    conserved (sum of pack tokens == corpus token count)."""
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.pipeline.packing import pack_stats
+    from flink_ci_flink_spark.pipeline.text import token_count
+
+    budget = 64
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", token_count("text").cast("long").alias("n_tokens"))
+    )
+    stats = pack_stats(docs, budget=budget, n_shards=4).cache()
+    total_docs_tokens = docs.agg(F.sum("n_tokens")).first()[0]
+    assert stats.agg(F.sum("pack_tokens")).first()[0] == total_docs_tokens
+
+    rows = stats.collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault((r.source, r.shard), []).append(r)
+    for (_, _), packs in by_shard.items():
+        packs.sort(key=lambda r: r.pack)
+        assert [p.pack for p in packs] == list(range(len(packs)))
+        for p in packs[:-1]:
+            assert p.pack_tokens == budget
+        assert 0 < packs[-1].pack_tokens <= budget
+    stats.unpersist()
+
+
+def test_pack_assignments_deterministic_under_repartition(spark, sf_dir):
+    """Pack assignment must not depend on physical partitioning."""
+    from flink_ci_flink_spark.pipeline.packing import pack_assignments
+    from flink_ci_flink_spark.pipeline.text import token_count
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", token_count("text").cast("long").alias("n_tokens"))
+    )
+    a = {r.doc_id: (r.shard, r.first_pack, r.last_pack, r.start_off)
+         for r in pack_assignments(docs, budget=64, n_shards=4).collect()}
+    b = {r.doc_id: (r.shard, r.first_pack, r.last_pack, r.start_off)
+         for r in pack_assignments(docs.repartition(13), budget=64, n_shards=4).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_rare_bigram_screen_exact_counts(spark, sf_dir):
+    """The LM screen's n_rare/n_bigrams reproduce a brute-force Python
+    recount of the same hash split and bigram model."""
+    import hashlib
+    import re
+
+    from flink_ci_flink_spark.pipeline.text import rare_bigram_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = docs.select("doc_id", "text").collect()
+
+    def h60(key: str, seed: str) -> int:
+        return int(hashlib.md5(f"{key}:{seed}".encode()).hexdigest()[:15], 16)
+
+    def bigs(text: str) -> list[str]:
+        t = [x for x in re.split(r"\s+", text) if x]
+        return [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    model: dict = {}
+    for r in rows:
+        if h60(str(r.doc_id), "lmsplit") % 2 == 0:
+            for b in bigs(r.text):
+                model[b] = model.get(b, 0) + 1
+    want = {}
+    for r in rows:
+        bg = bigs(r.text)
+        n_rare = sum(1 for b in bg if model.get(b, 0) < 15)
+        want[r.doc_id] = (len(bg), n_rare, 100 * n_rare <= 20 * len(bg))
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_rare, r.keep)
+        for r in rare_bigram_stats(docs, rare_below=15, train_mod=2,
+                                   max_rare_pct=20).collect()
+    }
+    assert got == want
