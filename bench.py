@@ -165,6 +165,25 @@ def _bench_stateful(spark, sf_dir: str) -> dict:
         ).count()
         dt_agg = time.perf_counter() - t3
         shutil.rmtree(state3, ignore_errors=True)
+
+        from flink_ci_flink_spark.streaming.process import (
+            streaming_sessionize_jvm,
+        )
+
+        state4 = tempfile.mkdtemp(prefix="bench_sess_jvm_")
+        t4 = time.perf_counter()
+        streaming_sessionize_jvm(
+            file_stream(spark, tmp, schema),
+            keys=["user_id"],
+            ts_col="ts",
+            gap_seconds=4 * 3600,
+            state_dir=state4,
+            value_col="value",
+            close_lateness_seconds=0,
+            query_name=f"bench_sj_{uuid.uuid4().hex[:8]}",
+        ).count()
+        dt_sess = time.perf_counter() - t4
+        shutil.rmtree(state4, ignore_errors=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
@@ -178,6 +197,8 @@ def _bench_stateful(spark, sf_dir: str) -> dict:
         "jvm_dedup_keep_last_rows_per_sec": round(n_rows / dt_dedup),
         "jvm_running_agg_sec": round(dt_agg, 3),
         "jvm_running_agg_rows_per_sec": round(n_rows / dt_agg),
+        "jvm_sessionize_sec": round(dt_sess, 3),
+        "jvm_sessionize_rows_per_sec": round(n_rows / dt_sess),
     }
 
 

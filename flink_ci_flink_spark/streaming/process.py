@@ -579,3 +579,135 @@ def streaming_running_agg_jvm(
     if last["v"] is None:
         return batch_agg(spark.createDataFrame([], stream.schema))
     return spark.read.parquet(f"{state_dir}/v{last['v']}")
+
+
+def streaming_sessionize_jvm(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    gap_seconds: int,
+    state_dir: str,
+    value_col: str | None = None,
+    close_lateness_seconds: int | None = None,
+    query_name: str = "sess_jvm",
+) -> DataFrame:
+    """Streaming session windows with NO per-key Python path — the
+    foreachBatch-merge analog of `session()` / the reference's merging
+    `SessionWindowAssigner` (`WindowOperator.java` merge path), executed
+    entirely as Catalyst plans.
+
+    State is the per-key set of merged session intervals
+    ``(sess_start, sess_end, n_events[, sum_value])``. Each micro-batch
+    unions the batch's events (as point intervals) with the stored
+    intervals and re-runs gap-merge per key: order by start, running-max
+    of preceding ends, new-session flag when the gap is exceeded,
+    re-aggregate. Interval gap-merge is associative and order-insensitive,
+    so merging incrementally per batch gives exactly the batch-over-
+    everything sessionization — including out-of-order events that BRIDGE
+    two previously separate sessions (the hard case for append-only
+    sessionizers; the reference handles it via window merging, this
+    handles it because bridged intervals re-merge on the next union).
+
+    ``close_lateness_seconds``: when set, sessions whose end is more than
+    ``gap + close_lateness`` behind the key's frontier (max end seen) are
+    emitted to an append-only closed store and leave the state — bounding
+    state size at the open tail per key, the 100 TB deployment mode
+    (requires per-key disorder bounded by that lateness, the same
+    contract as the watermarking surface). When None, all sessions stay
+    in state and the result is exact under arbitrary disorder.
+
+    State versions by batch_id (replay-idempotent); closed rows carry the
+    writing batch id and are deduplicated on their natural key at
+    finalize, so an at-least-once replayed batch cannot double-emit.
+    Returns the final sessions as a batch DataFrame.
+    """
+    from pyspark.sql.window import Window
+
+    spark = stream.sparkSession
+    last = {"v": None, "closed": False}
+    sess_cols = [*keys, "sess_start", "sess_end", "n_events"] + (
+        ["sum_value"] if value_col is not None else []
+    )
+
+    def to_points(df: DataFrame) -> DataFrame:
+        cols = [
+            *keys,
+            F.col(ts_col).alias("sess_start"),
+            F.col(ts_col).alias("sess_end"),
+            F.lit(1).cast("long").alias("n_events"),
+        ]
+        if value_col is not None:
+            cols.append(F.col(value_col).cast("double").alias("sum_value"))
+        return df.select(*cols)
+
+    def gap_merge(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("sess_start").asc(), F.col("sess_end").asc()
+        )
+        prev_max_end = F.max("sess_end").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        is_new = (
+            prev_max_end.isNull()
+            | (
+                F.col("sess_start").cast("double")
+                > prev_max_end.cast("double") + F.lit(float(gap_seconds))
+            )
+        ).cast("long")
+        sid = F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        aggs = [
+            F.min("sess_start").alias("sess_start"),
+            F.max("sess_end").alias("sess_end"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        ]
+        if value_col is not None:
+            aggs.append(F.sum("sum_value").alias("sum_value"))
+        return (
+            df.withColumn("__sid", sid)
+            .groupBy(*keys, "__sid")
+            .agg(*aggs)
+            .drop("__sid")
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        cand = to_points(batch_df)
+        if last["v"] is not None:
+            cand = spark.read.parquet(f"{state_dir}/v{last['v']}").unionByName(cand)
+        merged = gap_merge(cand)
+        if close_lateness_seconds is not None:
+            frontier = F.max(F.col("sess_end").cast("double")).over(
+                Window.partitionBy(*keys)
+            )
+            horizon = float(gap_seconds + close_lateness_seconds)
+            merged = merged.withColumn(
+                "__closed",
+                F.col("sess_end").cast("double") + horizon < frontier,
+            )
+            merged.filter("__closed").drop("__closed").withColumn(
+                "__epoch", F.lit(int(batch_id))
+            ).write.mode("append").parquet(f"{state_dir}/closed")
+            last["closed"] = True
+            merged = merged.filter(~F.col("__closed")).drop("__closed")
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        prev = last["v"]
+        last["v"] = batch_id
+        _prune_state_versions(
+            state_dir, "v", {batch_id} | ({prev} if prev is not None else set())
+        )
+
+    q = stream.writeStream.foreachBatch(merge).start(queryName=query_name)
+    q.processAllAvailable()
+    q.stop()
+    if last["v"] is None:
+        return spark.createDataFrame([], to_points(stream).schema)
+    out = spark.read.parquet(f"{state_dir}/v{last['v']}")
+    if last["closed"]:
+        closed = (
+            spark.read.parquet(f"{state_dir}/closed")
+            .dropDuplicates([*keys, "sess_start"])
+            .drop("__epoch")
+        )
+        out = out.unionByName(closed)
+    return out.select(*sess_cols)

@@ -789,3 +789,119 @@ def test_streaming_running_agg_jvm_matches_batch(spark, events_stream_dir):  # n
         assert got == want and len(got) > 0
     finally:
         shutil.rmtree(state, ignore_errors=True)
+
+
+def _batch_sessions(spark, path, schema, gap_seconds):
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.operators.windows import sessionize
+
+    ev = spark.read.schema(schema).parquet(path)
+    s = sessionize(ev, "ts", gap_seconds, ["user_id"], tiebreak=["event_id"])
+    return {
+        (r.user_id, r.sess_start, r.sess_end, r.n_events, round(r.sum_value, 6))
+        for r in s.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("sess_start"),
+            F.max("ts").alias("sess_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("double")).alias("sum_value"),
+        )
+        .collect()
+    }
+
+
+def test_streaming_sessionize_jvm_matches_batch(spark, events_stream_dir):  # noqa: F811
+    """JVM session windows (foreachBatch gap-merge, no per-key Python) ==
+    batch sessionization over the replayed corpus — exact mode (no
+    close frontier) and state-bounded mode (closed sessions emitted to
+    the append store) both."""
+    import shutil
+    import tempfile
+
+    from flink_ci_flink_spark.streaming.process import streaming_sessionize_jvm
+
+    path, schema = events_stream_dir
+    gap = 4 * 3600
+    want = _batch_sessions(spark, path, schema, gap)
+    assert len(want) > 15  # the fixture must actually produce multi-sessions
+
+    for lateness in (None, 0):
+        stream = _events_stream(spark, events_stream_dir, per_trigger=1)
+        state = tempfile.mkdtemp(prefix="sess_jvm_")
+        try:
+            got_df = streaming_sessionize_jvm(
+                stream,
+                keys=["user_id"],
+                ts_col="ts",
+                gap_seconds=gap,
+                state_dir=state,
+                value_col="value",
+                close_lateness_seconds=lateness,
+                query_name=f"sj_{uuid.uuid4().hex[:8]}",
+            )
+            got = {
+                (r.user_id, r.sess_start, r.sess_end, r.n_events,
+                 round(r.sum_value, 6))
+                for r in got_df.collect()
+            }
+            assert got == want
+        finally:
+            shutil.rmtree(state, ignore_errors=True)
+
+
+def test_streaming_sessionize_jvm_bridges_out_of_order(spark):
+    """An out-of-order event arriving in a later micro-batch that lands
+    BETWEEN two previously separate sessions must merge them into one —
+    the window-merge case (`SessionWindowAssigner` merging semantics)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from flink_ci_flink_spark.streaming import file_stream
+    from flink_ci_flink_spark.streaming.process import streaming_sessionize_jvm
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    schema = "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    batch1 = [(1, ts(0), 1.0), (1, ts(100), 2.0)]   # gap 60 -> two sessions
+    batch2 = [(1, ts(55), 4.0)]                      # bridges both
+    tmp = tempfile.mkdtemp(prefix="sess_bridge_")
+    state = tempfile.mkdtemp(prefix="sess_bridge_state_")
+    try:
+        for i, rows in enumerate([batch1, batch2]):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                f"{tmp}/f{i}"
+            )
+        import glob
+        import os
+
+        for i in range(2):
+            (part,) = glob.glob(f"{tmp}/f{i}/part-*.parquet")
+            os.rename(part, f"{tmp}/{i:03d}.parquet")
+            shutil.rmtree(f"{tmp}/f{i}")
+
+        stream = file_stream(
+            spark, tmp, spark.createDataFrame([], schema).schema,
+            max_files_per_trigger=1,
+        )
+        out = streaming_sessionize_jvm(
+            stream,
+            keys=["user_id"],
+            ts_col="ts",
+            gap_seconds=60,
+            state_dir=state,
+            value_col="value",
+            query_name=f"sb_{uuid.uuid4().hex[:8]}",
+        ).collect()
+        assert len(out) == 1
+        (r,) = out
+        assert (r.sess_start, r.sess_end, r.n_events, r.sum_value) == (
+            ts(0), ts(100), 3, 7.0,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
