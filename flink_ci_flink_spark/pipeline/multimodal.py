@@ -5,10 +5,12 @@ with a metadata struct; decode / feature-extract / resize / frame-sample run
 as Arrow-batched pandas functions over `mapInPandas` — the Spark-side
 plumbing (schema, batching, partition behavior) is real and tested.
 `decode_image` REALLY decodes uncompressed 24-bit BMP (pure stdlib: header
-parse + padded bottom-up pixel walk); compressed codecs (PNG/JPEG/ffmpeg
-formats) stay honestly gated behind NotImplementedError since the container
-has no image/audio libraries, with `decode_stub_features` keeping their
-plumbing tested.
+parse + padded bottom-up pixel walk) and `decode_png` REALLY decodes
+zlib-compressed 8-bit PNG (chunk walk + inflate + all five scanline
+filters — zlib is stdlib); codecs that need an external library (JPEG's
+DCT stack, ffmpeg video/audio formats) stay honestly gated behind
+NotImplementedError since the container has no image/audio libraries,
+with `decode_stub_features` keeping their plumbing tested.
 
 Scale notes: mapInPandas streams Arrow batches — constant memory per task;
 binary payloads never pass through the driver. Partition count follows the
@@ -323,7 +325,8 @@ def decode_image(df: DataFrame, id_col: str = "doc_id", kind: str = "bmp") -> Da
     Supports uncompressed 24-bit BMP end-to-end: parses the file +
     BITMAPINFOHEADER headers, walks the padded bottom-up pixel rows, and
     emits (width, height, bpp, n_pixels, px_sum) where px_sum totals every
-    B/G/R byte excluding row padding. Other codecs (PNG/JPEG/audio/video)
+    B/G/R byte excluding row padding. PNG has its own real decoder
+    (`decode_png`); other codecs (JPEG/audio/video)
     remain honestly gated: they need PIL/ffmpeg, absent in this container —
     `decode_stub_features` keeps their plumbing tested."""
     if kind != "bmp":
@@ -358,3 +361,211 @@ def decode_image(df: DataFrame, id_col: str = "doc_id", kind: str = "bmp") -> Da
             yield pd.DataFrame(out)
 
     return df.mapInPandas(decode, BMP_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PNG: real compressed-image codec, pure stdlib (zlib + struct)
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: Output schema of the PNG feature decoder.
+PNG_FEATURE_SCHEMA = (
+    "doc_id long, width integer, height integer, channels integer, "
+    "n_pixels long, px_sum long"
+)
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PaethPredictor from the PNG spec (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_filter_row(ftype: int, raw: bytes, prior: bytes, bpp: int) -> bytes:
+    """Apply scanline filter ``ftype`` (0-4) to a raw row (encoder side)."""
+    out = bytearray(len(raw))
+    for x in range(len(raw)):
+        left = raw[x - bpp] if x >= bpp else 0
+        up = prior[x]
+        ul = prior[x - bpp] if x >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) >> 1
+        else:
+            pred = _paeth(left, up, ul)
+        out[x] = (raw[x] - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_unfilter_row(ftype: int, filt: bytes, prior: bytes, bpp: int) -> bytes:
+    """Invert scanline filter ``ftype`` (decoder side, RFC 2083 §6)."""
+    out = bytearray(len(filt))
+    for x in range(len(filt)):
+        left = out[x - bpp] if x >= bpp else 0
+        up = prior[x]
+        ul = prior[x - bpp] if x >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) >> 1
+        elif ftype == 4:
+            pred = _paeth(left, up, ul)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[x] = (filt[x] + pred) & 0xFF
+    return bytes(out)
+
+
+def _png_bytes(doc_id: int, cycle_filters: bool = True) -> bytes:
+    """A real 8-bit RGB non-interlaced PNG (zlib-compressed IDAT, CRC'd
+    chunks — RFC 2083). Width, height, and every pixel are deterministic
+    functions of doc_id so an SQL oracle can recompute what the decoder
+    reads back. Scanline filters cycle through all five spec filter types
+    (None/Sub/Up/Average/Paeth) so a decode exercises the full
+    un-filtering path, not just the trivial one."""
+    import struct
+    import zlib
+
+    w, h = 1 + doc_id % 11, 1 + doc_id % 5
+    bpp = 3
+    rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            row += bytes(
+                (
+                    (doc_id * 3 + x * 19 + y * 23) % 256,   # R
+                    (doc_id * 11 + x * 17 + y * 5) % 256,   # G
+                    (doc_id * 7 + x * 13 + y * 31) % 256,   # B
+                )
+            )
+        rows.append(bytes(row))
+    scan = bytearray()
+    prior = bytes(w * bpp)
+    for y, raw in enumerate(rows):
+        ftype = (y % 5) if cycle_filters else 0
+        scan.append(ftype)
+        scan += _png_filter_row(ftype, raw, prior, bpp)
+        prior = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scan), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _parse_png(b: bytes, did: int):
+    """(width, height, channels, top-down raw pixel rows) from an 8-bit
+    non-interlaced PNG, color types 0 (gray), 2 (RGB), 6 (RGBA). Full
+    chunk walk + zlib inflate + scanline un-filtering (all 5 filters)."""
+    import struct
+    import zlib
+
+    if b[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError(f"doc {did}: not a PNG payload")
+    pos = len(PNG_SIG)
+    idat = bytearray()
+    w = h = depth = ctype = interlace = None
+    while pos < len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        tag = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError(f"doc {did}: PNG missing IHDR")
+    if depth != 8 or interlace != 0:
+        raise ValueError(f"doc {did}: only 8-bit non-interlaced PNG")
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"doc {did}: unsupported PNG color type {ctype}")
+    scan = zlib.decompress(bytes(idat))
+    stride = w * channels
+    rows = []
+    prior = bytes(stride)
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = scan[off]
+        raw = _png_unfilter_row(ftype, scan[off + 1 : off + 1 + stride], prior, channels)
+        rows.append(raw)
+        prior = raw
+    return w, h, channels, rows
+
+
+def synthesize_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a real zlib-compressed PNG payload per row (mapInPandas,
+    Arrow-batched; payloads built executor-side)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [_png_bytes(int(d)) for d in ids]}
+            )
+
+    return df.mapInPandas(gen, "doc_id long, payload binary")
+
+
+def decode_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real compressed-image decode over binary payloads (pure stdlib,
+    mapInPandas): chunk walk, CRC'd structure, zlib inflate, and scanline
+    un-filtering for all five PNG filter types — 8-bit gray/RGB/RGBA,
+    non-interlaced. Emits (width, height, channels, n_pixels, px_sum)
+    where px_sum totals every reconstructed sample byte. Map-only, zero
+    shuffles; payloads never pass through the driver. (Interlaced /
+    16-bit / palette PNGs and JPEG remain out of scope — JPEG needs a DCT
+    stack this container has no library for.)"""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("doc_id", "width", "height", "channels", "n_pixels", "px_sum")
+            }
+            for did, payload in zip(pdf[id_col].astype("int64"), pdf["payload"]):
+                w, h, ch, rows = _parse_png(bytes(payload), int(did))
+                out["doc_id"].append(int(did))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["n_pixels"].append(w * h)
+                out["px_sum"].append(sum(sum(r) for r in rows))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(decode, PNG_FEATURE_SCHEMA)

@@ -1823,3 +1823,44 @@ def pipe_lm_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rare_bigram_stats(
         t.documents, rare_below=15, train_mod=2, max_rare_pct=20
     )
+
+
+@query(
+    "pipe_decode_png",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 11 AS INTEGER) AS width,
+             CAST(1 + doc_id % 5 AS INTEGER) AS height
+      FROM documents
+    ), px AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 3 + x.x * 19 + y.y * 23) % 256
+              + (d.doc_id * 11 + x.x * 17 + y.y * 5) % 256
+              + (d.doc_id * 7 + x.x * 13 + y.y * 31) % 256) AS s
+      FROM dims d
+      JOIN (SELECT UNNEST(generate_series(0, 10)) AS x) x ON x.x < d.width
+      JOIN (SELECT UNNEST(generate_series(0, 4)) AS y) y ON y.y < d.height
+    )
+    SELECT dims.doc_id, width, height, CAST(3 AS INTEGER) AS channels,
+           CAST(width AS BIGINT) * height AS n_pixels,
+           CAST(SUM(px.s) AS BIGINT) AS px_sum
+    FROM dims JOIN px ON px.doc_id = dims.doc_id
+    GROUP BY dims.doc_id, width, height
+    """,
+    group="pipeline",
+)
+def pipe_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END real COMPRESSED image decode, pure stdlib: synthesize a
+    genuine zlib-compressed PNG per document (RFC 2083 — CRC'd chunks,
+    deflate IDAT, scanline filters cycling through all five spec types),
+    then decode it back: chunk walk, inflate, un-filter (None/Sub/Up/
+    Average/Paeth), pixel-sum. The oracle recomputes width/height and the
+    full pixel sum from the same deterministic formulas in SQL, so the
+    entire compression + filter + reconstruction path is hash-checked
+    exactly — a wrong Paeth tie-break or stride changes px_sum. Both
+    stages Arrow-batched mapInPandas, map-only, zero shuffles."""
+    from flink_ci_flink_spark.pipeline.multimodal import decode_png, synthesize_png
+
+    t = load_tables(spark, sf_dir)
+    return decode_png(synthesize_png(t.documents))

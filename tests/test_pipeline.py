@@ -1159,3 +1159,73 @@ def test_rare_bigram_screen_exact_counts(spark, sf_dir):
                                    max_rare_pct=20).collect()
     }
     assert got == want
+
+
+def test_png_codec_all_filters_against_filter0_ground_truth():
+    """PNG un-filtering correctness: an image encoded with the trivial
+    filter (type 0 everywhere — reconstruction is the identity, so that
+    path is ground truth) must decode to the SAME pixels as the same
+    image encoded with filters cycling Sub/Up/Average/Paeth."""
+    from flink_ci_flink_spark.pipeline.multimodal import _parse_png, _png_bytes
+
+    for did in (0, 7, 23, 54, 109):
+        plain = _parse_png(_png_bytes(did, cycle_filters=False), did)
+        cycled = _parse_png(_png_bytes(did, cycle_filters=True), did)
+        assert plain == cycled
+
+
+def test_png_decoder_gray_and_rgba():
+    """The decoder handles color types 0 (gray) and 6 (RGBA), not just
+    the RGB payloads our synthesizer emits."""
+    import struct
+    import zlib
+
+    from flink_ci_flink_spark.pipeline.multimodal import (
+        PNG_SIG,
+        _parse_png,
+        _png_chunk,
+    )
+
+    def make(ctype, channels, w, h):
+        rows = [
+            bytes((x * channels + c + y * 7) % 256 for x in range(w) for c in range(channels))
+            for y in range(h)
+        ]
+        scan = b"".join(b"\x00" + r for r in rows)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        png = (
+            PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(scan))
+            + _png_chunk(b"IEND", b"")
+        )
+        return png, rows
+
+    for ctype, ch in ((0, 1), (6, 4)):
+        png, rows = make(ctype, ch, 5, 3)
+        w, h, got_ch, got_rows = _parse_png(png, 0)
+        assert (w, h, got_ch) == (5, 3, ch)
+        assert got_rows == rows
+
+
+def test_decode_png_spark_matches_formula(spark, sf_dir):
+    """Spark-side synthesize→decode pipeline emits the formula-predicted
+    features for every document."""
+    from flink_ci_flink_spark.pipeline.multimodal import decode_png, synthesize_png
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    got = {
+        r.doc_id: (r.width, r.height, r.channels, r.n_pixels, r.px_sum)
+        for r in decode_png(synthesize_png(docs)).collect()
+    }
+    for did, row in got.items():
+        w, h = 1 + did % 11, 1 + did % 5
+        px = sum(
+            (did * 3 + x * 19 + y * 23) % 256
+            + (did * 11 + x * 17 + y * 5) % 256
+            + (did * 7 + x * 13 + y * 31) % 256
+            for x in range(w)
+            for y in range(h)
+        )
+        assert row == (w, h, 3, w * h, px)
+    assert len(got) == 50
