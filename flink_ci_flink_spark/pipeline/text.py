@@ -565,26 +565,44 @@ def rare_bigram_stats(
     one aggregation back to the doc key. No Python, no collect: the
     "model" never leaves the cluster.
     """
+    base = docs.select(F.col(id_col), bigrams(text_col).alias("__bg"))
+    exploded = base.select(F.col(id_col), F.explode_outer("__bg").alias("bigram"))
+    return score_bigram_rows(
+        exploded, rare_below, train_mod, id_col=id_col, max_rare_pct=max_rare_pct
+    )
+
+
+def score_bigram_rows(
+    exploded: DataFrame,
+    rare_below: int,
+    train_mod: int,
+    id_col: str = "doc_id",
+    max_rare_pct: int = 20,
+) -> DataFrame:
+    """Score from the exploded (id, bigram) form — the shared tail of the
+    batch screen and the streaming-ingest finalize. ``bigram`` is null for
+    docs with fewer than two tokens (they keep one null marker row so they
+    stay present with n_bigrams = 0)."""
     from flink_ci_flink_spark.pipeline.sampling import sample_hash60
 
-    base = docs.select(F.col(id_col), bigrams(text_col).alias("__bg"))
-    train = base.filter(
+    in_train = (
         F.pmod(sample_hash60(F.col(id_col), "lmsplit"), F.lit(train_mod)) == 0
     )
     model = (
-        train.select(F.explode("__bg").alias("bigram"))
+        exploded.filter(in_train & F.col("bigram").isNotNull())
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).cast("long").alias("train_count"))
     )
     scored = (
-        base.select(F.col(id_col), F.explode_outer("__bg").alias("bigram"))
-        .join(model, "bigram", "left")
+        exploded.join(model, "bigram", "left")
         .groupBy(id_col)
         .agg(
             F.count("bigram").cast("long").alias("n_bigrams"),
             F.sum(
                 F.when(
-                    F.coalesce(F.col("train_count"), F.lit(0)) < rare_below, 1
+                    F.col("bigram").isNotNull()
+                    & (F.coalesce(F.col("train_count"), F.lit(0)) < rare_below),
+                    1,
                 ).otherwise(0)
             ).cast("long").alias("n_rare"),
         )
@@ -594,4 +612,60 @@ def rare_bigram_stats(
         "n_bigrams",
         "n_rare",
         (100 * F.col("n_rare") <= max_rare_pct * F.col("n_bigrams")).alias("keep"),
+    )
+
+
+def streaming_lm_screen_ingest(
+    stream_df,
+    store_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Continuous corpus ingest for the LM quality screen: bigram
+    extraction is per-document (no cross-doc dependency), so each
+    micro-batch appends its positional bigram rows ``(id, pos, bigram)``
+    — pos = -1 with a null bigram marks a doc with fewer than two tokens
+    so it stays scoreable. The expensive tokenize+zip work runs once at
+    ingest; `finalize_lm_screen` derives BOTH the model (train-split
+    counts) and every doc's score from the accumulated store, equal to
+    running `rare_bigram_stats` over the whole corpus. At-least-once
+    replays are collapsed exactly at finalize via the (id, pos) natural
+    key. Returns the started StreamingQuery."""
+    from flink_ci_flink_spark.streaming.core import foreach_batch_upsert
+
+    def merge(batch_df, epoch_id: int) -> None:
+        rows = batch_df.select(
+            F.col(id_col), bigrams(text_col).alias("__bg")
+        ).select(
+            F.col(id_col),
+            F.posexplode_outer("__bg").alias("pos", "bigram"),
+        ).withColumn("pos", F.coalesce(F.col("pos"), F.lit(-1)))
+        if rows.take(1):
+            rows.withColumn("__epoch", F.lit(int(epoch_id))).write.mode(
+                "append"
+            ).parquet(store_dir)
+
+    return foreach_batch_upsert(stream_df, merge, checkpoint)
+
+
+def finalize_lm_screen(
+    spark,
+    store_dir: str,
+    rare_below: int = 3,
+    train_mod: int = 2,
+    id_col: str = "doc_id",
+    max_rare_pct: int = 20,
+) -> DataFrame:
+    """Close the streaming ingest: replay-dedup on (id, pos), then the
+    same model-train + scoring tail as the batch screen — identical
+    results to `rare_bigram_stats` over the full corpus (asserted in
+    tests/test_streaming_curation.py)."""
+    rows = (
+        spark.read.parquet(store_dir)
+        .dropDuplicates([id_col, "pos"])
+        .select(id_col, "bigram")
+    )
+    return score_bigram_rows(
+        rows, rare_below, train_mod, id_col=id_col, max_rare_pct=max_rare_pct
     )

@@ -266,3 +266,83 @@ def test_minhash_finalize_is_replay_idempotent(spark, docs_stream_dir):
     }
     assert got == want and len(want) > 0
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_lm_screen_matches_batch(spark, docs_stream_dir):
+    """Streaming LM-screen ingest (per-batch positional bigram append)
+    finalizes to EXACTLY the batch rare_bigram_stats over the full
+    corpus — model training and scoring both derive from the store."""
+    import tempfile
+
+    from flink_ci_flink_spark.pipeline.text import (
+        finalize_lm_screen,
+        rare_bigram_stats,
+        streaming_lm_screen_ingest,
+    )
+    from flink_ci_flink_spark.streaming import file_stream
+
+    path, schema = docs_stream_dir
+    base = tempfile.mkdtemp(prefix="lm_stream_")
+    stream = file_stream(spark, path, schema, max_files_per_trigger=1)
+    q = streaming_lm_screen_ingest(
+        stream, f"{base}/store", checkpoint=f"{base}/ckpt"
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.doc_id, r.n_bigrams, r.n_rare, r.keep)
+        for r in finalize_lm_screen(
+            spark, f"{base}/store", rare_below=15, train_mod=2
+        ).collect()
+    }
+    batch_docs = spark.read.parquet(*glob.glob(f"{path}/*.parquet"))
+    want = {
+        (r.doc_id, r.n_bigrams, r.n_rare, r.keep)
+        for r in rare_bigram_stats(
+            batch_docs, rare_below=15, train_mod=2
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_lm_screen_finalize_is_replay_idempotent(spark, docs_stream_dir):
+    """A replayed epoch re-appends its bigram rows; the (id, pos) natural
+    key collapses them at finalize — scores equal the batch screen even
+    when a whole chunk lands twice. (Repeated bigrams WITHIN a doc are
+    legitimate and must survive the dedup — only replays collapse.)"""
+    import tempfile
+
+    from flink_ci_flink_spark.pipeline.text import (
+        bigrams,
+        finalize_lm_screen,
+        rare_bigram_stats,
+    )
+
+    path, schema = docs_stream_dir
+    base = tempfile.mkdtemp(prefix="lm_replay_")
+    store = f"{base}/store"
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    for i, f in enumerate(files):
+        chunk = spark.read.schema(schema).parquet(f)
+        rows = (
+            chunk.select(F.col("doc_id"), bigrams("text").alias("__bg"))
+            .select(F.col("doc_id"), F.posexplode_outer("__bg").alias("pos", "bigram"))
+            .withColumn("pos", F.coalesce(F.col("pos"), F.lit(-1)))
+            .withColumn("__epoch", F.lit(i))
+        )
+        rows.write.mode("append").parquet(store)
+        if i == 1:  # replay: epoch 1 delivered twice
+            rows.write.mode("append").parquet(store)
+
+    got = {
+        tuple(r)
+        for r in finalize_lm_screen(spark, store, rare_below=15, train_mod=2).collect()
+    }
+    batch_docs = spark.read.parquet(*files)
+    want = {
+        tuple(r)
+        for r in rare_bigram_stats(batch_docs, rare_below=15, train_mod=2).collect()
+    }
+    assert got == want and len(want) > 0
+    shutil.rmtree(base, ignore_errors=True)
