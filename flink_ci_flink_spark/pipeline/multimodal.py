@@ -569,3 +569,297 @@ def decode_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(decode, PNG_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF: real animated container with LZW compression, pure stdlib
+# ---------------------------------------------------------------------------
+
+GIF_FRAME_SCHEMA = (
+    "doc_id long, frame_idx integer, width integer, height integer, px_sum long"
+)
+
+
+class _BitWriter:
+    """LSB-first bit packing (GIF's LZW byte order)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, width: int) -> int:
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                raise ValueError("LZW stream truncated")
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.acc & ((1 << width) - 1)
+        self.acc >>= width
+        self.nbits -= width
+        return v
+
+
+def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF variable-width LZW compression (GIF89a spec appendix F)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    bw = _BitWriter()
+
+    def reset():
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    bw.write(clear, width)
+    s = b""
+    for byte in data:
+        sc = s + bytes([byte])
+        if sc in table:
+            s = sc
+            continue
+        bw.write(table[s], width)
+        if next_code < 4096:
+            table[sc] = next_code
+            next_code += 1
+            # the decoder widens after ITS insertion makes next_code hit
+            # 1 << width; mirror that here so code widths stay in sync
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            bw.write(clear, width)
+            table, next_code, width = reset()
+        s = bytes([byte])
+    if s:
+        bw.write(table[s], width)
+    bw.write(eoi, width)
+    return bw.done()
+
+
+def _lzw_encode_literal(data: bytes, min_code_size: int) -> bytes:
+    """Degenerate spec-valid LZW: flood clear codes so the table never
+    grows and every byte is emitted as a literal root code at fixed
+    width. Bigger output, trivially-correct encoding — the ground-truth
+    twin for decoder tests (same role as PNG's filter-0 path)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    bw = _BitWriter()
+    bw.write(clear, width)
+    for byte in data:
+        bw.write(byte, width)
+        bw.write(clear, width)  # forget the pair the decoder just learned
+    bw.write(eoi, width)
+    return bw.done()
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF variable-width LZW decompression (handles clear codes, width
+    growth to 12 bits, and the KwKwK self-referential case)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    br = _BitReader(data)
+    out = bytearray()
+
+    def reset():
+        return {i: bytes([i]) for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    prev: bytes | None = None
+    while True:
+        code = br.read(width)
+        if code == clear:
+            table, next_code, width = reset()
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+
+
+def _gif_palette_rgb_sum(idx: int) -> int:
+    """r+g+b of palette entry ``idx`` — the fixed deterministic palette
+    shared by encoder, decoder features, and the SQL oracle."""
+    return idx + (idx * 7) % 256 + (idx * 13) % 256
+
+
+def _gif_frame_indices(doc_id: int, frame: int, w: int, h: int) -> bytes:
+    return bytes(
+        (doc_id * 3 + x * 19 + y * 23 + frame * 41) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    """Split a byte stream into GIF 255-byte-max data sub-blocks."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def _gif_bytes(doc_id: int, n_frames: int | None = None, literal_lzw: bool = False) -> bytes:
+    """A real animated GIF89a: logical screen descriptor, 256-entry
+    global color table (entry i = (i, 7i%256, 13i%256)), per-frame
+    graphic control extension + image descriptor + LZW-compressed
+    indexed pixels in sub-blocks, trailer. Dimensions, frame count, and
+    every pixel index are deterministic functions of doc_id."""
+    import struct
+
+    w, h = 1 + doc_id % 9, 1 + doc_id % 4
+    if n_frames is None:
+        n_frames = 1 + doc_id % 4
+    palette = bytearray()
+    for i in range(256):
+        palette += bytes((i, (i * 7) % 256, (i * 13) % 256))
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 8-bit, 256 entries
+    out += palette
+    enc = _lzw_encode_literal if literal_lzw else _lzw_encode
+    for f in range(n_frames):
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # GCE: 10cs delay
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(8)  # LZW min code size
+        out += _sub_blocks(enc(_gif_frame_indices(doc_id, f, w, h), 8))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _walk_gif(b: bytes, did: int):
+    """Yield (frame_idx, left, top, w, h, lzw_min, compressed_bytes) for
+    each image block, walking extensions and sub-block chains without
+    decompressing — the skip path frame sampling uses."""
+    import struct
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"doc {did}: not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct_size = 2 << (packed & 0x07)
+    if packed & 0x80:
+        gct = b[pos : pos + 3 * gct_size]
+        pos += 3 * gct_size
+    else:
+        gct = b""
+    idx = 0
+    while pos < len(b):
+        tag = b[pos]
+        if tag == 0x3B:  # trailer
+            return
+        if tag == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+        elif tag == 0x2C:
+            left, top, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos + 1)
+            pos += 10
+            if ipacked & 0x80:  # local color table
+                lct_size = 2 << (ipacked & 0x07)
+                pos += 3 * lct_size
+            lzw_min = b[pos]
+            pos += 1
+            comp = bytearray()
+            while b[pos]:
+                n = b[pos]
+                comp += b[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            yield idx, left, top, w, h, lzw_min, bytes(comp), gct
+            idx += 1
+        else:
+            raise ValueError(f"doc {did}: bad GIF block tag {tag:#x} at {pos}")
+
+
+def synthesize_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a real LZW-compressed animated GIF payload per row
+    (mapInPandas, Arrow-batched; built executor-side)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [_gif_bytes(int(d)) for d in ids]}
+            )
+
+    return df.mapInPandas(gen, "doc_id long, payload binary")
+
+
+def decode_gif_frames(
+    df: DataFrame, every_k: int = 1, id_col: str = "doc_id"
+) -> DataFrame:
+    """Real animated-GIF frame decode + sampling over binary payloads
+    (pure stdlib, mapInPandas): container walk, variable-width LZW
+    decompression (clear codes, 12-bit growth, KwKwK), palette lookup,
+    per-frame pixel sum over R+G+B. ``every_k`` keeps every k-th frame —
+    skipped frames are SKIPPED CHEAPLY by walking sub-block lengths
+    without inflating them, the keyframe-extraction fast path a video
+    pipeline needs. Map-only, zero shuffles; one input row fans out to
+    ceil(n_frames/k) rows."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("doc_id", "frame_idx", "width", "height", "px_sum")
+            }
+            for did, payload in zip(pdf[id_col].astype("int64"), pdf["payload"]):
+                for (idx, _l, _t, w, h, mcs, comp, gct) in _walk_gif(
+                    bytes(payload), int(did)
+                ):
+                    if idx % every_k:
+                        continue
+                    pix = _lzw_decode(comp, mcs)
+                    if len(pix) != w * h:
+                        raise ValueError(
+                            f"doc {did} frame {idx}: {len(pix)} pixels for {w}x{h}"
+                        )
+                    s = 0
+                    for p in pix:
+                        o = 3 * p
+                        s += gct[o] + gct[o + 1] + gct[o + 2]
+                    out["doc_id"].append(int(did))
+                    out["frame_idx"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["px_sum"].append(s)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(decode, GIF_FRAME_SCHEMA)

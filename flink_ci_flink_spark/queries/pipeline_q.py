@@ -1864,3 +1864,54 @@ def pipe_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return decode_png(synthesize_png(t.documents))
+
+
+@query(
+    "pipe_decode_gif_frames",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 9 AS INTEGER) AS width,
+             CAST(1 + doc_id % 4 AS INTEGER) AS height,
+             CAST(1 + doc_id % 4 AS INTEGER) AS n_frames
+      FROM documents
+    ), frames AS (
+      SELECT d.*, f.f AS frame_idx
+      FROM dims d
+      JOIN (SELECT UNNEST(generate_series(0, 3)) AS f) f ON f.f < d.n_frames
+      WHERE f.f % 2 = 0
+    ), px AS (
+      SELECT fr.doc_id, fr.frame_idx,
+             ((fr.doc_id * 3 + x.x * 19 + y.y * 23 + fr.frame_idx * 41) % 256) AS p
+      FROM frames fr
+      JOIN (SELECT UNNEST(generate_series(0, 8)) AS x) x ON x.x < fr.width
+      JOIN (SELECT UNNEST(generate_series(0, 3)) AS y) y ON y.y < fr.height
+    )
+    SELECT fr.doc_id, CAST(fr.frame_idx AS INTEGER) AS frame_idx,
+           width, height,
+           CAST(SUM(px.p + (px.p * 7) % 256 + (px.p * 13) % 256) AS BIGINT)
+             AS px_sum
+    FROM frames fr
+    JOIN px ON px.doc_id = fr.doc_id AND px.frame_idx = fr.frame_idx
+    GROUP BY fr.doc_id, fr.frame_idx, width, height
+    """,
+    group="pipeline",
+)
+def pipe_decode_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END real VIDEO-CONTAINER decode, pure stdlib: synthesize a
+    genuine animated GIF89a per document (256-entry palette, per-frame
+    graphic-control + image blocks, variable-width LZW-compressed pixels
+    in sub-block chains), then sample every 2nd frame — skipped frames
+    are walked by sub-block length without inflating (the keyframe fast
+    path) and kept frames run full LZW decompression (clear codes,
+    12-bit growth, KwKwK) + palette lookup. The oracle recomputes each
+    kept frame's palette-summed pixels from the deterministic formulas,
+    hash-proving the whole compress/decompress/sample path. Arrow-batched
+    mapInPandas, map-only, zero shuffles."""
+    from flink_ci_flink_spark.pipeline.multimodal import (
+        decode_gif_frames,
+        synthesize_gif,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return decode_gif_frames(synthesize_gif(t.documents), every_k=2)

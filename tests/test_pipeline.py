@@ -1229,3 +1229,59 @@ def test_decode_png_spark_matches_formula(spark, sf_dir):
         )
         assert row == (w, h, 3, w * h, px)
     assert len(got) == 50
+
+
+def test_lzw_decoder_against_literal_ground_truth():
+    """LZW decode correctness: the same pixels encoded with the
+    trivially-correct literal encoding (clear-flooded, table never grows
+    — each code IS the byte) and with the real growing-table encoder
+    must decode identically, across table-growth and clear-reset
+    regimes."""
+    import random
+
+    from flink_ci_flink_spark.pipeline.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+        _lzw_encode_literal,
+    )
+
+    rnd = random.Random(11)
+    cases = [
+        bytes(rnd.randrange(256) for _ in range(4096)),      # growth to 12 bits
+        bytes((i // 5) % 256 for i in range(9000)),          # long runs
+        b"\xab" * 8000,                                      # clear-reset cycling
+        bytes(rnd.randrange(4) for _ in range(3000)),        # tiny alphabet
+    ]
+    for data in cases:
+        lit = _lzw_decode(_lzw_encode_literal(data, 8), 8)
+        full = _lzw_decode(_lzw_encode(data, 8), 8)
+        assert lit == data
+        assert full == data
+
+
+def test_gif_frame_sampling_skips_cheaply_and_decodes_exactly(spark, sf_dir):
+    """Spark-side GIF pipeline: every-2nd-frame sampling matches the
+    formula recount; a full decode (every_k=1) returns all frames."""
+    from flink_ci_flink_spark.pipeline.multimodal import (
+        _gif_palette_rgb_sum,
+        decode_gif_frames,
+        synthesize_gif,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    gifs = synthesize_gif(docs)
+    all_frames = decode_gif_frames(gifs, every_k=1).collect()
+    sampled = decode_gif_frames(gifs, every_k=2).collect()
+    assert {(r.doc_id, r.frame_idx) for r in sampled} == {
+        (r.doc_id, r.frame_idx) for r in all_frames if r.frame_idx % 2 == 0
+    }
+    for r in all_frames:
+        did, f = r.doc_id, r.frame_idx
+        w, h = 1 + did % 9, 1 + did % 4
+        want = sum(
+            _gif_palette_rgb_sum((did * 3 + x * 19 + y * 23 + f * 41) % 256)
+            for x in range(w)
+            for y in range(h)
+        )
+        assert (r.width, r.height, r.px_sum) == (w, h, want)
+    assert len(all_frames) > len(sampled) > 0
