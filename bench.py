@@ -297,6 +297,10 @@ def main() -> None:
         "pipe_jaccard_pairs",
         "pipe_jaccard_prefix",
         "pipe_tfidf_top_terms",
+        "pipe_pack_sequences",
+        "pipe_lm_quality_screen",
+        "pipe_decode_png",
+        "pipe_decode_gif_frames",
     ]
     new_ops_t: dict[str, float] = {}
     for name in NEW_OPS:
