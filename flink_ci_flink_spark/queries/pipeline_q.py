@@ -422,7 +422,7 @@ def pipe_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_ci_flink_spark.pipeline.multimodal import decode_image, synthesize_bmp
 
     t = load_tables(spark, sf_dir)
-    return decode_image(synthesize_bmp(t.documents))
+    return decode_image(synthesize_bmp(t.documents.select("doc_id")))
 
 
 @query(
@@ -461,7 +461,7 @@ def pipe_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_ci_flink_spark.pipeline.multimodal import resize_image, synthesize_bmp
 
     t = load_tables(spark, sf_dir)
-    return resize_image(synthesize_bmp(t.documents), 4, 3)
+    return resize_image(synthesize_bmp(t.documents.select("doc_id")), 4, 3)
 
 
 @query(
@@ -508,7 +508,7 @@ def pipe_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir)
-    return sample_frames(synthesize_bmp_animation(t.documents, 6), 2)
+    return sample_frames(synthesize_bmp_animation(t.documents.select("doc_id"), 6), 2)
 
 
 @query(
@@ -545,7 +545,7 @@ def pipe_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_ci_flink_spark.pipeline.multimodal import decode_audio, synthesize_wav
 
     t = load_tables(spark, sf_dir)
-    return decode_audio(synthesize_wav(t.documents))
+    return decode_audio(synthesize_wav(t.documents.select("doc_id")))
 
 
 @query(
@@ -1863,7 +1863,7 @@ def pipe_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_ci_flink_spark.pipeline.multimodal import decode_png, synthesize_png
 
     t = load_tables(spark, sf_dir)
-    return decode_png(synthesize_png(t.documents))
+    return decode_png(synthesize_png(t.documents.select("doc_id")))
 
 
 @query(
@@ -1914,4 +1914,4 @@ def pipe_decode_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir)
-    return decode_gif_frames(synthesize_gif(t.documents), every_k=2)
+    return decode_gif_frames(synthesize_gif(t.documents.select("doc_id")), every_k=2)
