@@ -590,3 +590,72 @@ def pq_ann_topk(
         .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_join(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    k: int = 3,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    deterministic: bool = False,
+) -> DataFrame:
+    """kNN self-join (knn-graph builder): every corpus vector finds its
+    approximate k nearest neighbors through the IVF structure — the edge
+    construction step of embedding-based clustering and graph-based
+    semantic dedup (the kNN graph SemDeDup-style pipelines cluster over).
+
+    Unlike `ivf_ann_topk` (whose query side is a broadcast-sized fixed
+    set), here EVERY vector is a query, so nothing broadcasts except the
+    K-centroid model: both sides compute their cells as map-only argmin /
+    top-nprobe PROJECTIONS against the centroid literal, then meet in ONE
+    shuffle on the cell key — a bucketed self-join touching
+    nprobe/n_cells of the candidate space per vector, never the O(n²)
+    cross join. Per-query top-k is a window over the query id whose
+    partitioning the candidate join already co-locates approximately;
+    output rows are bounded by n·k.
+
+    Returns (query_id, neighbor_id, cos_sim, rank), neighbor != self.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(
+            corpus, n_cells, iterations, id_col, vec_col, deterministic
+        )
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in cv]) for cv in centroids]
+    )
+    c = corpus.select(F.col(id_col), _to_double(vec_col).alias("__v"))
+    neigh = c.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__v").alias("__nv"),
+        _assign_cells(F.col("__v"), centroids).alias("cell"),
+    )
+    ds = F.transform(cent_lit, lambda cv: _l2sq(F.col("__v"), cv))
+    ranked = F.array_sort(
+        F.transform(
+            ds,
+            lambda d, i: F.struct(d.alias("d"), i.alias("idx")),
+        )
+    )
+    probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s.idx)
+    q = c.select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.explode(probes).alias("cell"),
+    )
+    scored = (
+        q.join(neigh, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__nv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1915,3 +1915,52 @@ def pipe_decode_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return decode_gif_frames(synthesize_gif(t.documents.select("doc_id")), every_k=2)
+
+
+def _knn_join_oracle_sql(
+    n_cells: int = 8, nprobe: int = 2, k: int = 3, iterations: int = 3, dim: int = 64
+) -> str:
+    """EXACT oracle for the kNN self-join: deterministic k-means unrolled
+    via `_kmeans_parts`, per-vector top-nprobe probe selection, bucketed
+    candidate join, per-query top-k."""
+    parts, assign, final, l2 = _kmeans_parts(n_cells, iterations, dim)
+    parts.append(assign("e", final, "afin"))
+    dq = l2.format(d=dim, a="s.v", b="ct.cv")
+    parts.append(
+        f"vprobe AS (SELECT vec_id AS query_id, v AS qv, cell FROM ("
+        f"SELECT s.vec_id, s.v, ct.cell, "
+        f"ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {dq}, ct.cell) AS rn "
+        f"FROM e s CROSS JOIN {final} ct) WHERE rn <= {nprobe})"
+    )
+    parts.append(
+        "scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, "
+        "ROUND(list_dot_product(p.qv, a.v) / "
+        "(SQRT(list_dot_product(p.qv, p.qv)) * SQRT(list_dot_product(a.v, a.v))), 6) "
+        "AS cos_sim FROM vprobe p JOIN afin a USING (cell) "
+        "WHERE a.vec_id <> p.query_id)"
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= {k}
+    """
+    )
+
+
+@query("pipe_knn_join", oracle=_knn_join_oracle_sql(), group="pipeline")
+def pipe_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph construction over the embedding corpus: every vector
+    finds its 3 approximate nearest neighbors through the IVF coarse
+    quantizer (8 cells, 2 probes). Both sides derive their cells as
+    map-only projections against the broadcast centroid model and meet in
+    one cell-key shuffle — the bucketed self-join that replaces the O(n²)
+    cross join at 100 TB; output bounded by n*k edges. Deterministic
+    training (sorted-order means) lets the oracle replay the entire
+    loop, probe selection, and ranking (`pipeline/similarity.py::
+    knn_join`)."""
+    from flink_ci_flink_spark.pipeline.similarity import knn_join
+
+    t = load_tables(spark, sf_dir)
+    return knn_join(t.embeddings, deterministic=True)

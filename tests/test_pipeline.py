@@ -1285,3 +1285,50 @@ def test_gif_frame_sampling_skips_cheaply_and_decodes_exactly(spark, sf_dir):
         )
         assert (r.width, r.height, r.px_sum) == (w, h, want)
     assert len(all_frames) > len(sampled) > 0
+
+
+def test_knn_join_recall_and_full_probe_exact(spark, sf_dir):
+    """kNN self-join: partial-probe recall vs the exact all-pairs top-k
+    is usable, and probing EVERY cell reproduces the exact kNN graph
+    (minus nothing — full probe == brute force)."""
+    from pyspark.sql.window import Window
+
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline.similarity import (
+        _to_double,
+        cosine,
+        knn_join,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings.limit(120)
+    a = emb.select(F.col("vec_id").alias("query_id"), _to_double("embedding").alias("qv"))
+    b = emb.select(F.col("vec_id").alias("neighbor_id"), _to_double("embedding").alias("nv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in a.crossJoin(b)
+        .filter("query_id <> neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 3")
+        .collect()
+    }
+    partial = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_join(emb, n_cells=8, nprobe=2, k=3).collect()
+    }
+    # synthetic embeddings are uniform-random (no cluster structure), the
+    # worst case for IVF probing — recall here is a floor, not the
+    # operator's ceiling; the full-probe equality below is the exact check
+    recall = len(exact & partial) / len(exact)
+    assert recall >= 0.5, f"knn partial-probe recall {recall:.2f}"
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_join(emb, n_cells=8, nprobe=8, k=3).collect()
+    }
+    assert full == exact
