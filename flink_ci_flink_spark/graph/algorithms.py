@@ -504,3 +504,200 @@ def gather_sum_apply_iteration(
     return pregel(
         vertices, edges, initial_state, gather, sum_agg, apply_update, max_iter
     )
+
+
+def jaccard_index(edges: DataFrame) -> DataFrame:
+    """Jaccard-index vertex similarity
+    (`graph/library/similarity/JaccardIndex.java`): for each vertex pair
+    (u, w) sharing at least one neighbor, ``shared / union`` of their
+    neighborhoods, union = deg(u) + deg(w) - shared. Same shared-neighbor
+    self-join shape as `adamic_adar` (cost Σ deg(v)²), plus two degree
+    joins; all counts exact integers. Output: (u, w, shared_n, union_n,
+    score), u < w."""
+    und = undirect(edges)
+    deg = und.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    nbr = und.select(F.col("src").alias("v"), F.col("dst").alias("n"))
+    shared = (
+        nbr.alias("a")
+        .join(nbr.alias("b"), "v")
+        .filter(F.col("a.n") < F.col("b.n"))
+        .groupBy(F.col("a.n").alias("u"), F.col("b.n").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_n"))
+    )
+    du = deg.select(F.col("v").alias("u"), F.col("deg").alias("__du"))
+    dw = deg.select(F.col("v").alias("w"), F.col("deg").alias("__dw"))
+    return (
+        shared.join(du, "u")
+        .join(dw, "w")
+        .select(
+            "u",
+            "w",
+            "shared_n",
+            (F.col("__du") + F.col("__dw") - F.col("shared_n"))
+            .cast("long")
+            .alias("union_n"),
+            (
+                F.col("shared_n").cast("double")
+                / (F.col("__du") + F.col("__dw") - F.col("shared_n"))
+            ).alias("score"),
+        )
+    )
+
+
+def vertex_triangles(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle participation counts (the TriangleListing →
+    per-vertex fold of `library/clustering/undirected`). One wedge join +
+    one closing join on the canonicalized undirected edge set, then each
+    triangle (a < b < c) credits its three corners."""
+    e = (
+        undirect(edges.select("src", "dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "b").filter(F.col("a") < F.col("b"))
+    closing = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tris = wedges.join(closing, ["a", "c"])
+    return (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per vertex
+    (`library/clustering/undirected/LocalClusteringCoefficient.java`):
+    triangles(v) / C(deg(v), 2) over the undirected simple graph —
+    vertices with degree < 2 score 0 (Gelly emits 0 there too). Output:
+    (id, degree, n_triangles, local_cc)."""
+    und = (
+        undirect(edges.select("src", "dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    deg = (
+        undirect(und)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    vt = vertex_triangles(und)
+    possible = F.col("degree") * (F.col("degree") - 1) / 2
+    return (
+        deg.join(vt, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.coalesce("n_triangles", F.lit(0)) / possible,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("local_cc"),
+        )
+    )
+
+
+def global_clustering_stats(edges: DataFrame) -> DataFrame:
+    """Global + average clustering coefficient, 1 row
+    (`library/clustering/undirected/{Global,Average}ClusteringCoefficient`):
+    global = 3*triangles / triplets (triplets = Σ C(deg, 2)); average =
+    mean local coefficient over vertices with degree ≥ 2. Three bounded
+    aggregates over the degree/triangle frames."""
+    cc = clustering_coefficients(edges)
+    return cc.agg(
+        F.sum(F.col("degree") * (F.col("degree") - 1) / 2)
+        .cast("long")
+        .alias("n_triplets"),
+        (F.sum("n_triangles") / 3).cast("long").alias("n_triangles"),
+        (
+            F.sum("n_triangles")
+            / F.sum(F.col("degree") * (F.col("degree") - 1) / 2)
+        ).alias("global_cc"),
+        F.avg(F.when(F.col("degree") >= 2, F.col("local_cc"))).alias("average_cc"),
+    )
+
+
+def vertex_metrics(edges: DataFrame) -> DataFrame:
+    """Graph summary metrics, 1 row
+    (`library/metric/undirected/VertexMetrics.java`): vertex/edge counts,
+    degree sum/max, triplet count — the cheap profile pass Gelly offers
+    before running anything expensive."""
+    und = (
+        undirect(edges.select("src", "dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    deg = (
+        undirect(und)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    n_edges = und.count()
+    return deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.sum("degree").cast("long").alias("sum_degree"),
+        F.max("degree").cast("long").alias("max_degree"),
+        F.sum(F.col("degree") * (F.col("degree") - 1) / 2)
+        .cast("long")
+        .alias("n_triplets"),
+    )
+
+
+def triadic_census(edges: DataFrame) -> DataFrame:
+    """Undirected triadic census, 1 row
+    (`library/clustering/undirected/TriadicCensus.java`): counts of
+    vertex triples by internal edge count. Closed-form from the three
+    bounded aggregates (n, m, triplets, triangles) — no O(n³) pass:
+    t3 = triangles; t2 = triplets - 3*t3; t1 = m*(n-2) - 2*triplets +
+    3*t3; t0 = C(n,3) - t1 - t2 - t3."""
+    und = (
+        undirect(edges.select("src", "dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    stats = global_clustering_stats(und)
+    counts = vertex_metrics(und)
+    return (
+        counts.crossJoin(stats.select("n_triplets", "n_triangles").withColumnRenamed("n_triplets", "__tp"))
+        .select(
+            (
+                F.col("n_vertices")
+                * (F.col("n_vertices") - 1)
+                * (F.col("n_vertices") - 2)
+                / 6
+            )
+            .cast("long")
+            .alias("__total"),
+            "n_vertices",
+            "n_edges",
+            "__tp",
+            "n_triangles",
+        )
+        .select(
+            (
+                F.col("__total")
+                - (
+                    F.col("n_edges") * (F.col("n_vertices") - 2)
+                    - 2 * F.col("__tp")
+                    + 3 * F.col("n_triangles")
+                )
+                - (F.col("__tp") - 3 * F.col("n_triangles"))
+                - F.col("n_triangles")
+            )
+            .cast("long")
+            .alias("t0"),
+            (
+                F.col("n_edges") * (F.col("n_vertices") - 2)
+                - 2 * F.col("__tp")
+                + 3 * F.col("n_triangles")
+            )
+            .cast("long")
+            .alias("t1"),
+            (F.col("__tp") - 3 * F.col("n_triangles")).cast("long").alias("t2"),
+            F.col("n_triangles").cast("long").alias("t3"),
+        )
+    )

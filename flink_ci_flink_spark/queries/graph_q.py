@@ -413,3 +413,172 @@ def graph_sg_min_id_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="ALL",
     )
     return out.select("id", F.col("state").alias("min_id"))
+
+
+_UND_SQL = """
+    undirected AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), deg AS (
+      SELECT src AS v, COUNT(*) AS degree FROM undirected GROUP BY src
+    ), canon AS (
+      SELECT src, dst FROM undirected WHERE src < dst
+    ), tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM canon e1
+      JOIN canon e2 ON e1.dst = e2.src
+      JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )"""
+
+
+@query(
+    "graph_jaccard_index",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    {_UND_SQL},
+    nbr AS (SELECT src AS v, dst AS n FROM undirected)
+    SELECT a.n AS u, b.n AS w,
+           CAST(COUNT(*) AS BIGINT) AS shared_n,
+           CAST(du.degree + dw.degree - COUNT(*) AS BIGINT) AS union_n,
+           FLOOR(COUNT(*) * 1e6 / (du.degree + dw.degree - COUNT(*)) + 0.5) / 1e6
+             AS score
+    FROM nbr a JOIN nbr b USING (v)
+    JOIN deg du ON du.v = a.n
+    JOIN deg dw ON dw.v = b.n
+    WHERE a.n < b.n
+    GROUP BY u, w, du.degree, dw.degree
+    """,
+    group="graph",
+)
+def graph_jaccard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-index vertex similarity over the near-dup graph
+    (`graph/library/similarity/JaccardIndex.java`): shared/union
+    neighborhood ratio per co-neighbor pair — exact integer counts, one
+    shared-neighbor self-join bounded by Σ deg(v)²."""
+    from flink_ci_flink_spark.graph import jaccard_index
+
+    t = load_tables(spark, sf_dir)
+    edges = jaccard_pairs(t.documents, threshold=0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    j = jaccard_index(edges)
+    return j.select(
+        "u",
+        "w",
+        "shared_n",
+        "union_n",
+        (
+            F.floor(F.col("shared_n") * 1e6 / F.col("union_n") + F.lit(0.5)) / 1e6
+        ).alias("score"),
+    )
+
+
+@query(
+    "graph_clustering_coeffs",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    {_UND_SQL},
+    vt AS (
+      SELECT v, COUNT(*) AS nt FROM (
+        SELECT UNNEST([a, b, c]) AS v FROM tri) GROUP BY v
+    )
+    SELECT d.v AS id, CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(vt.nt, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree >= 2 THEN
+             FLOOR(COALESCE(vt.nt, 0) * 1e6
+                   / (d.degree * (d.degree - 1) / 2.0) + 0.5) / 1e6
+           ELSE 0.0 END AS local_cc
+    FROM deg d LEFT JOIN vt ON vt.v = d.v
+    """,
+    group="graph",
+)
+def graph_clustering_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per vertex of the near-dup graph
+    (`library/clustering/undirected/LocalClusteringCoefficient.java`):
+    triangles(v) / C(deg v, 2) — one wedge join + one closing join, then
+    each triangle credits its three corners."""
+    from flink_ci_flink_spark.graph import clustering_coefficients
+
+    t = load_tables(spark, sf_dir)
+    edges = jaccard_pairs(t.documents, threshold=0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = clustering_coefficients(edges)
+    return cc.select(
+        "id",
+        "degree",
+        "n_triangles",
+        F.when(
+            F.col("degree") >= 2,
+            F.floor(
+                F.col("n_triangles")
+                * 1e6
+                / (F.col("degree") * (F.col("degree") - 1) / 2.0)
+                + F.lit(0.5)
+            )
+            / 1e6,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("local_cc"),
+    )
+
+
+@query(
+    "graph_vertex_metrics",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    {_UND_SQL}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST((SELECT COUNT(*) FROM canon) AS BIGINT) AS n_edges,
+           CAST(SUM(degree) AS BIGINT) AS sum_degree,
+           CAST(MAX(degree) AS BIGINT) AS max_degree,
+           CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS n_triplets
+    FROM deg
+    """,
+    group="graph",
+)
+def graph_vertex_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph profile metrics of the near-dup graph, 1 row
+    (`library/metric/undirected/VertexMetrics.java`): vertex/edge counts,
+    degree sum/max, connected-triplet count — three bounded aggregates."""
+    from flink_ci_flink_spark.graph import vertex_metrics
+
+    t = load_tables(spark, sf_dir)
+    edges = jaccard_pairs(t.documents, threshold=0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return vertex_metrics(edges)
+
+
+@query(
+    "graph_triadic_census",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    {_UND_SQL},
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS tp
+      FROM deg
+    ), m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM canon),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS t3 FROM tri)
+    SELECT CAST(n * (n - 1) * (n - 2) / 6
+                - (m * (n - 2) - 2 * tp + 3 * t3)
+                - (tp - 3 * t3) - t3 AS BIGINT) AS t0,
+           CAST(m * (n - 2) - 2 * tp + 3 * t3 AS BIGINT) AS t1,
+           CAST(tp - 3 * t3 AS BIGINT) AS t2,
+           t3
+    FROM agg, m, t
+    """,
+    group="graph",
+)
+def graph_triadic_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected triadic census of the near-dup graph, 1 row
+    (`library/clustering/undirected/TriadicCensus.java`): triples of
+    vertices classified by internal edge count, closed-form from the
+    bounded degree/triangle aggregates — no O(n³) enumeration."""
+    from flink_ci_flink_spark.graph import triadic_census
+
+    t = load_tables(spark, sf_dir)
+    edges = jaccard_pairs(t.documents, threshold=0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return triadic_census(edges)

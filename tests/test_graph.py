@@ -258,3 +258,55 @@ def test_gather_sum_apply_sssp_matches_specialized(spark):
     got = {r.id: r.state for r in got_df.collect() if r.state != INF}
     want = {r.id: r.dist for r in sssp(edges, 0).collect()}
     assert got == want == {0: 0.0, 1: 1.0, 2: 3.0, 3: 4.0}
+
+
+def test_clustering_metrics_vs_bruteforce(spark):
+    """Jaccard index, local/global clustering coefficients, vertex
+    metrics, and the triadic census all match an itertools brute force on
+    a small known graph (house + tail: triangles, a bridge, a pendant)."""
+    import collections
+    import itertools
+
+    from flink_ci_flink_spark.graph import (
+        clustering_coefficients,
+        global_clustering_stats,
+        jaccard_index,
+        triadic_census,
+        vertex_metrics,
+    )
+
+    E = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (1, 4)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    adj = collections.defaultdict(set)
+    for a, b in E:
+        adj[a].add(b)
+        adj[b].add(a)
+    V = sorted(adj)
+
+    def tri(v):
+        return sum(1 for a, b in itertools.combinations(adj[v], 2) if b in adj[a])
+
+    for r in clustering_coefficients(edges).collect():
+        d, t = len(adj[r.id]), tri(r.id)
+        assert (r.degree, r.n_triangles) == (d, t)
+        want = t / (d * (d - 1) / 2) if d >= 2 else 0.0
+        assert abs(r.local_cc - want) < 1e-12
+
+    got = {(r.u, r.w): (r.shared_n, r.union_n) for r in jaccard_index(edges).collect()}
+    for u, w in itertools.combinations(V, 2):
+        sh = len(adj[u] & adj[w])
+        if sh:
+            assert got[(u, w)] == (sh, len(adj[u]) + len(adj[w]) - sh)
+
+    cnt = [0] * 4
+    for t3 in itertools.combinations(V, 3):
+        cnt[sum(1 for a, b in itertools.combinations(t3, 2) if b in adj[a])] += 1
+    row = triadic_census(edges).collect()[0]
+    assert (row.t0, row.t1, row.t2, row.t3) == tuple(cnt)
+
+    vm = vertex_metrics(edges).collect()[0]
+    assert (vm.n_vertices, vm.n_edges, vm.sum_degree, vm.max_degree) == (5, 6, 12, 3)
+    wedges = sum(len(adj[v]) * (len(adj[v]) - 1) // 2 for v in V)
+    g = global_clustering_stats(edges).collect()[0]
+    assert (g.n_triplets, g.n_triangles) == (wedges, cnt[3])
+    assert abs(g.global_cc - 3 * cnt[3] / wedges) < 1e-12
