@@ -659,3 +659,60 @@ def knn_join(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def streaming_ivf_ingest(
+    stream_df,
+    centroids: list[list[float]],
+    store_dir: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuous embedding ingest into a PRE-TRAINED IVF index (the
+    production ANN shape: the coarse quantizer is trained offline once;
+    arriving vectors are assigned map-only and land in their cell's
+    partition). Each micro-batch appends ``(id, vector, cell)`` rows
+    PARTITIONED BY cell, so `finalize_knn_join` — and any later probe —
+    reads only the probed cells' files (partition pruning is the
+    inverted-file structure on disk). At-least-once replays collapse on
+    the id at finalize. Returns the started StreamingQuery."""
+    from flink_ci_flink_spark.streaming.core import foreach_batch_upsert
+
+    def merge(batch_df, epoch_id: int) -> None:
+        b = batch_df.select(
+            F.col(id_col), _to_double(vec_col).alias("__v")
+        ).withColumn("cell", _assign_cells(F.col("__v"), centroids))
+        if b.take(1):
+            b.withColumn("__epoch", F.lit(int(epoch_id))).write.mode(
+                "append"
+            ).partitionBy("cell").parquet(store_dir)
+
+    return foreach_batch_upsert(stream_df, merge, checkpoint)
+
+
+def finalize_knn_join(
+    spark,
+    store_dir: str,
+    centroids: list[list[float]],
+    nprobe: int = 2,
+    k: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Close the streaming IVF ingest: replay-dedup on the vector id,
+    then the same bucketed kNN self-join as the batch path — identical
+    results to `knn_join(corpus, centroids=...)` over the full corpus
+    (asserted in tests/test_streaming_curation.py). The neighbor side
+    comes straight from the cell-partitioned store."""
+    vecs = (
+        spark.read.parquet(store_dir)
+        .dropDuplicates([id_col])
+        .select(F.col(id_col), F.col("__v").alias("embedding"))
+    )
+    return knn_join(
+        vecs,
+        nprobe=nprobe,
+        k=k,
+        id_col=id_col,
+        centroids=centroids,
+    )

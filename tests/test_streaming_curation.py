@@ -346,3 +346,65 @@ def test_lm_screen_finalize_is_replay_idempotent(spark, docs_stream_dir):
     }
     assert got == want and len(want) > 0
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_ivf_ingest_matches_batch_knn(spark, sf_dir):
+    """Streaming ingest into a pretrained IVF index (map-only cell
+    assignment, cell-partitioned store) finalizes to EXACTLY the batch
+    kNN self-join with the same coarse quantizer — including after a
+    replayed micro-batch (id-dedup at finalize)."""
+    import tempfile
+
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline.similarity import (
+        finalize_knn_join,
+        ivf_centroids,
+        knn_join,
+        streaming_ivf_ingest,
+    )
+    from flink_ci_flink_spark.streaming import file_stream
+
+    emb = load_tables(spark, sf_dir).embeddings
+    centroids = ivf_centroids(emb, n_cells=8, iterations=2)
+
+    base = tempfile.mkdtemp(prefix="ivf_stream_")
+    rows = emb.orderBy("vec_id").collect()
+    third = len(rows) // 3
+    chunks = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, emb.schema).coalesce(1).write.parquet(
+            f"{base}/in/f{i}"
+        )
+    import glob as g
+    import os
+
+    os.makedirs(f"{base}/stream", exist_ok=True)
+    for i in range(3):
+        (part,) = g.glob(f"{base}/in/f{i}/part-*.parquet")
+        os.rename(part, f"{base}/stream/{i:03d}.parquet")
+
+    stream = file_stream(spark, f"{base}/stream", emb.schema, max_files_per_trigger=1)
+    q = streaming_ivf_ingest(
+        stream, centroids, f"{base}/store", checkpoint=f"{base}/ckpt"
+    )
+    q.processAllAvailable()
+    q.stop()
+    # simulate an at-least-once replay: re-append chunk 0's assignment
+    chunk0 = spark.read.schema(emb.schema).parquet(f"{base}/stream/000.parquet")
+    from flink_ci_flink_spark.pipeline.similarity import _assign_cells, _to_double
+    chunk0.select(
+        F.col("vec_id"), _to_double("embedding").alias("__v")
+    ).withColumn("cell", _assign_cells(F.col("__v"), centroids)).withColumn(
+        "__epoch", F.lit(99)
+    ).write.mode("append").partitionBy("cell").parquet(f"{base}/store")
+
+    got = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in finalize_knn_join(spark, f"{base}/store", centroids).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in knn_join(emb, centroids=centroids).collect()
+    }
+    assert got == want and len(want) > 0
+    shutil.rmtree(base, ignore_errors=True)
