@@ -652,6 +652,13 @@ def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
         s = bytes([byte])
     if s:
         bw.write(table[s], width)
+    # the decoder performs one more insertion while processing that final
+    # flush code (the encoder does not, having nothing further to match);
+    # if that insertion lands exactly on a width boundary the decoder
+    # widens before reading the next code — mirror it so EOI's width stays
+    # in sync (caught by the Hypothesis roundtrip property)
+    if next_code == (1 << width) and width < 12:
+        width += 1
     bw.write(eoi, width)
     return bw.done()
 

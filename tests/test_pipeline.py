@@ -1332,3 +1332,92 @@ def test_knn_join_recall_and_full_probe_exact(spark, sf_dir):
         for r in knn_join(emb, n_cells=8, nprobe=8, k=3).collect()
     }
     assert full == exact
+
+
+def test_lzw_roundtrip_property():
+    """Hypothesis: LZW encode→decode is the identity for arbitrary byte
+    strings (both the growing-table and the literal encoder), across
+    min-code sizes — covers width growth, 4096-reset, and KwKwK
+    boundaries that fixed cases might miss."""
+    from hypothesis import given, settings, strategies as st
+
+    from flink_ci_flink_spark.pipeline.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+        _lzw_encode_literal,
+    )
+
+    @given(
+        st.binary(max_size=3000),
+        st.sampled_from([2, 4, 8]),
+    )
+    @settings(max_examples=120, deadline=None)
+    def check(data, mcs):
+        dom = 1 << mcs
+        data = bytes(b % dom for b in data)  # symbols must fit the alphabet
+        assert _lzw_decode(_lzw_encode(data, mcs), mcs) == data
+        assert _lzw_decode(_lzw_encode_literal(data, mcs), mcs) == data
+
+    check()
+
+
+def test_pack_sequences_property_vs_python(spark):
+    """Hypothesis: for random (id, source, n_tokens) corpora the Spark
+    pack manifest equals a sequential Python replay of shard-local
+    concat-and-chunk — budget fill, doc spans, and straddling included."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    from flink_ci_flink_spark.pipeline.packing import pack_stats
+
+    def h60(key, seed):
+        return int(hashlib.md5(f"{key}:{seed}".encode()).hexdigest()[:15], 16)
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),  # doc_id
+            st.sampled_from(["s0", "s1"]),
+            st.integers(min_value=0, max_value=300),    # n_tokens
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+
+    @given(rows_strategy, st.sampled_from([16, 64]))
+    @settings(max_examples=12, deadline=None)
+    def check(rows, budget):
+        n_shards = 4
+        got = {
+            (r.source, r.shard, r.pack): (r.n_docs, r.pack_tokens)
+            for r in pack_stats(
+                spark.createDataFrame(
+                    rows, "doc_id long, source string, n_tokens long"
+                ),
+                budget=budget,
+                n_shards=n_shards,
+            ).collect()
+        }
+        # sequential replay
+        groups: dict = {}
+        for did, src, nt in rows:
+            shard = h60(did, "pack") % n_shards
+            groups.setdefault((src, shard), []).append((h60(did, "pack"), did, nt))
+        want: dict = {}
+        for (src, shard), docs in groups.items():
+            docs.sort()
+            off = 0
+            for _h, _did, nt in docs:
+                first = off // budget
+                last = max(off + nt - 1, off) // budget
+                for p in range(first, last + 1):
+                    tok = max(
+                        min(off + nt, (p + 1) * budget) - max(off, p * budget), 0
+                    )
+                    d, t = want.get((src, shard, p), (0, 0))
+                    want[(src, shard, p)] = (d + 1, t + tok)
+                off += nt
+        assert got == want
+
+    check()
