@@ -69,6 +69,11 @@ SCALE_RUNG = [
     "pipe_jaccard_pairs",
     "pipe_jaccard_prefix",
     "pipe_tfidf_top_terms",
+    # round 6: the two linear text-export passes — window cumsum packing
+    # and the bigram-model screen (explode + model join) — should scale
+    # ~1:1 with the corpus
+    "pipe_pack_sequences",
+    "pipe_lm_quality_screen",
 ]
 
 #: skewed-fixture rung (hot events user_id, hot document shingle):
@@ -301,6 +306,7 @@ def main() -> None:
         "pipe_lm_quality_screen",
         "pipe_decode_png",
         "pipe_decode_gif_frames",
+        "pipe_knn_join",
     ]
     new_ops_t: dict[str, float] = {}
     for name in NEW_OPS:
