@@ -513,8 +513,14 @@ def jaccard_index(edges: DataFrame) -> DataFrame:
     neighborhoods, union = deg(u) + deg(w) - shared. Same shared-neighbor
     self-join shape as `adamic_adar` (cost Σ deg(v)²), plus two degree
     joins; all counts exact integers. Output: (u, w, shared_n, union_n,
-    score), u < w."""
-    und = undirect(edges)
+    score), u < w. Input edges are canonicalized to a distinct simple
+    graph first (src<dst distinct), so duplicate or already-bidirectional
+    edge lists do not inflate degrees or shared counts."""
+    und = undirect(
+        undirect(edges.select("src", "dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
     deg = und.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
     nbr = und.select(F.col("src").alias("v"), F.col("dst").alias("n"))
     shared = (
@@ -604,7 +610,9 @@ def global_clustering_stats(edges: DataFrame) -> DataFrame:
     """Global + average clustering coefficient, 1 row
     (`library/clustering/undirected/{Global,Average}ClusteringCoefficient`):
     global = 3*triangles / triplets (triplets = Σ C(deg, 2)); average =
-    mean local coefficient over vertices with degree ≥ 2. Three bounded
+    mean local coefficient over ALL vertices — degree<2 vertices score 0
+    but stay in the denominator, matching
+    `AverageClusteringCoefficient.java`'s sum/vertexCount. Three bounded
     aggregates over the degree/triangle frames."""
     cc = clustering_coefficients(edges)
     return cc.agg(
@@ -616,7 +624,7 @@ def global_clustering_stats(edges: DataFrame) -> DataFrame:
             F.sum("n_triangles")
             / F.sum(F.col("degree") * (F.col("degree") - 1) / 2)
         ).alias("global_cc"),
-        F.avg(F.when(F.col("degree") >= 2, F.col("local_cc"))).alias("average_cc"),
+        (F.sum("local_cc") / F.count(F.lit(1))).alias("average_cc"),
     )
 
 
@@ -624,7 +632,10 @@ def vertex_metrics(edges: DataFrame) -> DataFrame:
     """Graph summary metrics, 1 row
     (`library/metric/undirected/VertexMetrics.java`): vertex/edge counts,
     degree sum/max, triplet count — the cheap profile pass Gelly offers
-    before running anything expensive."""
+    before running anything expensive. Fully lazy: n_edges is derived
+    inside the single aggregation (sum_degree == 2*n_edges on the
+    canonicalized simple graph), so there is no eager second scan and the
+    returned frame stays consistent under re-evaluation."""
     und = (
         undirect(edges.select("src", "dst"))
         .filter(F.col("src") < F.col("dst"))
@@ -635,10 +646,9 @@ def vertex_metrics(edges: DataFrame) -> DataFrame:
         .groupBy(F.col("src").alias("id"))
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    n_edges = und.count()
     return deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_vertices"),
-        F.lit(n_edges).cast("long").alias("n_edges"),
+        (F.sum("degree") / 2).cast("long").alias("n_edges"),
         F.sum("degree").cast("long").alias("sum_degree"),
         F.max("degree").cast("long").alias("max_degree"),
         F.sum(F.col("degree") * (F.col("degree") - 1) / 2)

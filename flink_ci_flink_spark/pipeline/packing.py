@@ -58,16 +58,24 @@ def pack_assignments(
     w = Window.partitionBy(source_col, "__shard").orderBy(h.asc(), F.col(key_col).asc())
     cum = F.sum(token_col).over(w).cast("long")
     start = (cum - F.col(token_col)).cast("long")
+    b = int(budget)
+    # exact long `div` (not double floor-division): packs stay correct at
+    # any cumulative offset, including past 2^53
     return d.select(
         F.col(key_col),
         F.col(source_col),
         F.col("__shard").alias("shard"),
         F.col(token_col).cast("long").alias("n_tokens"),
         start.alias("start_off"),
-        F.floor(start / budget).cast("long").alias("first_pack"),
-        F.floor(
-            F.greatest(cum - 1, start) / budget
-        ).cast("long").alias("last_pack"),
+        F.greatest(cum - 1, start).alias("__end"),
+    ).select(
+        key_col,
+        source_col,
+        "shard",
+        "n_tokens",
+        "start_off",
+        F.expr(f"start_off div {b}").alias("first_pack"),
+        F.expr(f"__end div {b}").alias("last_pack"),
     )
 
 

@@ -297,6 +297,13 @@ def test_clustering_metrics_vs_bruteforce(spark):
         sh = len(adj[u] & adj[w])
         if sh:
             assert got[(u, w)] == (sh, len(adj[u]) + len(adj[w]) - sh)
+    # duplicate + reversed edges must not inflate degrees / shared counts
+    noisy = spark.createDataFrame(
+        E + [(b, a) for a, b in E] + E[:3], "src long, dst long"
+    )
+    assert {
+        (r.u, r.w): (r.shared_n, r.union_n) for r in jaccard_index(noisy).collect()
+    } == got
 
     cnt = [0] * 4
     for t3 in itertools.combinations(V, 3):
@@ -310,3 +317,10 @@ def test_clustering_metrics_vs_bruteforce(spark):
     g = global_clustering_stats(edges).collect()[0]
     assert (g.n_triplets, g.n_triangles) == (wedges, cnt[3])
     assert abs(g.global_cc - 3 * cnt[3] / wedges) < 1e-12
+    # Gelly AverageClusteringCoefficient divides by the TOTAL vertex
+    # count; degree<2 vertices contribute 0 but stay in the denominator.
+    def lcc(v):
+        d = len(adj[v])
+        return tri(v) / (d * (d - 1) / 2) if d >= 2 else 0.0
+
+    assert abs(g.average_cc - sum(lcc(v) for v in V) / len(V)) < 1e-12
