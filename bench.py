@@ -307,6 +307,7 @@ def main() -> None:
         "pipe_decode_png",
         "pipe_decode_gif_frames",
         "pipe_knn_join",
+        "pipe_knn_join_scaled",
     ]
     new_ops_t: dict[str, float] = {}
     for name in NEW_OPS:

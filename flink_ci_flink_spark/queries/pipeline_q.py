@@ -1917,14 +1917,37 @@ def pipe_decode_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_gif_frames(synthesize_gif(t.documents.select("doc_id")), every_k=2)
 
 
+# sqrt-scaled cell count for the 500-vector embeddings table (identical at
+# sf0.001 and sf0.01, the two SFs the oracle is ever run at):
+# max(8, floor(sqrt(500))) = 22 — inlined so the unrolled k-means oracle
+# replays the exact training the query performs.
+_KNN_N_CELLS = 22
+_KNN_CELL_CAP = 64
+
+
 def _knn_join_oracle_sql(
-    n_cells: int = 8, nprobe: int = 2, k: int = 3, iterations: int = 3, dim: int = 64
+    n_cells: int = _KNN_N_CELLS,
+    nprobe: int = 2,
+    k: int = 3,
+    iterations: int = 3,
+    dim: int = 64,
+    cell_cap: int = _KNN_CELL_CAP,
 ) -> str:
     """EXACT oracle for the kNN self-join: deterministic k-means unrolled
-    via `_kmeans_parts`, per-vector top-nprobe probe selection, bucketed
+    via `_kmeans_parts`, per-vector top-nprobe probe selection, per-cell
+    candidate cap (closest-to-own-centroid first, id tie-break — the same
+    deterministic order `knn_join(cell_cap=...)` applies), bucketed
     candidate join, per-query top-k."""
     parts, assign, final, l2 = _kmeans_parts(n_cells, iterations, dim)
     parts.append(assign("e", final, "afin"))
+    dc = l2.format(d=dim, a="a.v", b="ct.cv")
+    parts.append(
+        f"capped AS (SELECT vec_id, v, cell FROM ("
+        f"SELECT a.vec_id, a.v, a.cell, "
+        f"ROW_NUMBER() OVER (PARTITION BY a.cell ORDER BY {dc}, a.vec_id) AS crn "
+        f"FROM afin a JOIN {final} ct ON ct.cell = a.cell) "
+        f"WHERE crn <= {cell_cap})"
+    )
     dq = l2.format(d=dim, a="s.v", b="ct.cv")
     parts.append(
         f"vprobe AS (SELECT vec_id AS query_id, v AS qv, cell FROM ("
@@ -1936,7 +1959,7 @@ def _knn_join_oracle_sql(
         "scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, "
         "ROUND(list_dot_product(p.qv, a.v) / "
         "(SQRT(list_dot_product(p.qv, p.qv)) * SQRT(list_dot_product(a.v, a.v))), 6) "
-        "AS cos_sim FROM vprobe p JOIN afin a USING (cell) "
+        "AS cos_sim FROM vprobe p JOIN capped a USING (cell) "
         "WHERE a.vec_id <> p.query_id)"
     )
     return (
@@ -1953,14 +1976,40 @@ def _knn_join_oracle_sql(
 def pipe_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN-graph construction over the embedding corpus: every vector
     finds its 3 approximate nearest neighbors through the IVF coarse
-    quantizer (8 cells, 2 probes). Both sides derive their cells as
+    quantizer (sqrt(n)-scaled cells — 22 for this 500-vector corpus — 2
+    probes, per-cell candidate cap 64). Both sides derive their cells as
     map-only projections against the broadcast centroid model and meet in
     one cell-key shuffle — the bucketed self-join that replaces the O(n²)
-    cross join at 100 TB; output bounded by n*k edges. Deterministic
-    training (sorted-order means) lets the oracle replay the entire
-    loop, probe selection, and ranking (`pipeline/similarity.py::
-    knn_join`)."""
+    cross join at 100 TB; candidate volume ~n·nprobe·sqrt(n), join
+    parallelism = sqrt(n) cells, per-query work ≤ nprobe·cell_cap even
+    under a skewed cell histogram. Deterministic training (sorted-order
+    means) lets the oracle replay the entire loop, probe selection,
+    per-cell cap, and ranking (`pipeline/similarity.py::knn_join`)."""
     from flink_ci_flink_spark.pipeline.similarity import knn_join
 
     t = load_tables(spark, sf_dir)
-    return knn_join(t.embeddings, deterministic=True)
+    return knn_join(
+        t.embeddings,
+        n_cells=_KNN_N_CELLS,
+        deterministic=True,
+        cell_cap=_KNN_CELL_CAP,
+    )
+
+
+@query("pipe_knn_join_scaled", oracle=None, group="pipeline")
+def pipe_knn_join_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN self-join as it would actually run at scale: corpus-derived
+    cell count (max(8, floor(sqrt(n)))), per-cell candidate cap, and the
+    PRODUCTION k-means training path — plain `F.avg` partial-aggregate
+    means (map-side combinable, one shuffle per iteration) instead of the
+    oracle-only collect_list+sorted-sum deterministic means — with every
+    distance/cosine kernel Arrow-vectorized (numpy matmul per batch)
+    instead of interpreted per-element expression folds. FP addition
+    order makes the trained centroids run-dependent, so there is no SQL
+    oracle (rows-only check): the graph's SHAPE is stable — n·k edges,
+    rank 1..k per query — and `test_knn_join_cell_cap_and_scaled_cells`
+    pins the semantics against the explicit-centroid path."""
+    from flink_ci_flink_spark.pipeline.similarity import knn_join
+
+    t = load_tables(spark, sf_dir)
+    return knn_join(t.embeddings, cell_cap=_KNN_CELL_CAP, vectorized=True)

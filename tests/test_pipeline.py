@@ -1334,6 +1334,52 @@ def test_knn_join_recall_and_full_probe_exact(spark, sf_dir):
     assert full == exact
 
 
+def test_knn_join_cell_cap_and_scaled_cells(spark, sf_dir):
+    """Scale-shape contract of the kNN self-join: (a) a NON-binding
+    per-cell candidate cap changes nothing (cap-on == cap-off row for
+    row); (b) a binding cap still yields ≤ k ranked neighbors per query
+    drawn from the capped candidate set; (c) n_cells=None derives
+    max(8, floor(sqrt(n))) cells so the cell-key join's parallelism and
+    candidate volume scale with the corpus instead of a constant."""
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline.similarity import ivf_centroids, knn_join
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings.limit(120)
+    uncapped = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in knn_join(emb, n_cells=8, nprobe=2, k=3).collect()
+    }
+    capped = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in knn_join(emb, n_cells=8, nprobe=2, k=3, cell_cap=120).collect()
+    }
+    assert capped == uncapped  # cap ≥ any cell size -> identical graph
+
+    tight = knn_join(emb, n_cells=8, nprobe=2, k=3, cell_cap=5).collect()
+    per_q = {}
+    for r in tight:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert per_q and all(
+        sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3
+        for v in per_q.values()
+    )
+
+    # derived cell count: 120 vectors -> max(8, floor(sqrt(120))) = 10
+    cents = ivf_centroids(emb, 10, 3, deterministic=True)
+    derived = knn_join(emb, n_cells=None, nprobe=10, k=3, deterministic=True)
+    explicit = knn_join(emb, centroids=cents, nprobe=10, k=3)
+    assert {tuple(r) for r in derived.collect()} == {
+        tuple(r) for r in explicit.collect()
+    }
+
+    # the Arrow/numpy kernels compute the same graph as the exact
+    # Catalyst expression folds (same centroids, same cap, same ranks)
+    vec = knn_join(emb, centroids=cents, nprobe=2, k=3, cell_cap=7, vectorized=True)
+    expr = knn_join(emb, centroids=cents, nprobe=2, k=3, cell_cap=7)
+    assert {tuple(r) for r in vec.collect()} == {tuple(r) for r in expr.collect()}
+
+
 def test_lzw_roundtrip_property():
     """Hypothesis: LZW encode→decode is the identity for arbitrary byte
     strings (both the growing-table and the literal encoder), across
