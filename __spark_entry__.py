@@ -26,67 +26,68 @@ from flink_ci_flink_spark.queries import QUERIES  # noqa: E402
 FLAGSHIP = "tpch_q3_shipping_priority"
 
 # The driver samples a 50-query prefix of queries() for its sf0.01
-# correctness check. Round-6 prefix = the complement of the 124 queries
-# already driver-proven green across rounds 1-4 (CORRECTNESS_r01..r04.json;
-# no r5 artifact was recorded), 54 names total with the four queries added
-# in round 5 (Gelly iteration models, CEP timeout, expansion-compiled
-# MATCH_RECOGNIZE run) placed first. The driver checks the first 50; the
-# remaining 4 rotate into round 7's prefix.
+# correctness check. Round-7 prefix: (1) the 13 queries never yet in a
+# recorded driver artifact (round-6 additions + the 4 names that fell off
+# the r6 50-slot window), (2) the queries added THIS round, then (3) a
+# re-validation tail of the longest-unchecked names — everything whose
+# latest green row is r1/r2 (26 names, including `windowed_stream_join`),
+# `interval_join_events` (r3, called out by VERDICT.md task 6), and r3
+# names touching code changed this round (CEP ordering, similarity).
 _PRIORITY = [
-    "graph_gsa_sssp_nations",
-    "graph_sg_min_id_nations",
-    "cep_timeout_click_purchase",
-    "cep_mr_error_run_until_purchase",
-    "pipe_token_count_by_source",
-    "pipe_cosine_near_dup",
-    "pipe_multimodal_features",
-    "pipe_resize_bmp",
-    "pipe_frame_sample",
-    "pipe_ivf_full_probe",
-    "pipe_boilerplate_screen",
-    "pipe_sample_k_per_source",
-    "pipe_tfidf_top_terms",
-    "graph_sssp_nations",
-    "graph_adamic_adar",
-    "graph_summarize_sources",
-    "graph_dedup_clusters_minhash",
-    "cep_match_recognize_view_run",
-    "udf_cogroup",
-    "udf_map_partitions",
-    "tpch_q4_order_priority",
-    "tpch_q12_priority_shipping",
-    "tpch_q14_promo_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity",
-    "tpch_q22_global_sales",
-    "tpch_q8_market_share",
-    "tpch_q13_customer_distribution",
-    "tpch_q16_parts_supplier_relationship",
-    "tpch_q20_potential_promotion",
-    "tpcds_shape_multi_bucket_counts",
-    "tpcds_shape_threeway_intersect",
-    "tpcds_shape_exists_either",
-    "tpcds_shape_having_count_between",
-    "tpcds_shape_quarter_share",
-    "tpcds_shape_sale_return_rebuy",
-    "tpcds_shape_dual_rank_union",
-    "tpcds_shape_part_or_filter",
-    "tpcds_shape_before_after_band",
-    "tpcds_shape_scalar_ratio",
-    "tpcds_shape_histogram_buckets",
-    "tpcds_shape_topn_intersection",
-    "tpcds_shape_exists_over_avg",
-    "map_construct_explode",
-    "null_safe_comparison",
-    "str_to_map_canonical",
-    "temporal_overlaps_pred",
-    "over_count_distinct",
-    "skew_salted_agg",
+    # -- (1) never driver-proven --
+    "pipe_pack_sequences",
+    "pipe_lm_quality_screen",
+    "pipe_decode_png",
+    "pipe_decode_gif_frames",
+    "pipe_knn_join",
+    "graph_jaccard_index",
+    "graph_clustering_coeffs",
+    "graph_vertex_metrics",
+    "graph_triadic_census",
     "skew_salted_join",
     "skew_split_distinct",
     "flinksql_hop",
     "flinksql_temporal_fn",
+    # -- (2) round-7 additions --
+    "cep_mr_secondary_order",
+    "pipe_knn_join_scaled",
+    # -- (3) re-validation: oldest-proven first --
+    "interval_join_events",
+    "windowed_stream_join",
+    "agg_collect_listagg",
+    "agg_distinct_multi",
+    "agg_rollup_cube",
+    "agg_stats",
+    "explode_lateral_words",
+    "fn_conditional_cast",
+    "fn_hash_encode",
+    "fn_math",
+    "fn_string_regex_predicates",
+    "fn_temporal",
+    "join_cross",
+    "join_full_outer_counts",
+    "join_right_outer",
+    "join_theta_nonequi",
+    "lookup_join_dim",
+    "over_frames",
+    "over_range_interval_days",
+    "setop_union",
+    "sort_limit_offset",
+    "subquery_scalar",
+    "tpch_q10_returned_items",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "values_inline",
+    "window_hop",
+    # r3 names touching this round's changed code paths
+    "cep_click_click_purchase",
+    "cep_click_no_purchase",
+    "cep_mr_sql_view_to_purchase",
+    "cep_mr_price_dip",
+    "pipe_ivf_ann_topk",
+    "pipe_cosine_topk",
+    "graph_dedup_clusters",
+    "tpch_q1_pricing_summary",
 ]
 
 

@@ -109,9 +109,16 @@ def try_compile(
     branch the NFA would emit). A fixed-length pattern has one expansion
     and reduces to the original compile. A variable name may label
     SEVERAL stages (PATTERN (A A B)): per-variable offsets merge across
-    them within an expansion."""
+    them within an expansion.
+
+    ``ts_col`` may be a list ``[time_attribute, secondary, ...]``
+    (MATCH_RECOGNIZE ORDER BY with secondary sort columns,
+    `StreamExecMatch.scala:68`): the lead()/row_number() windows order by
+    every column, time attribute first, then the stable __seq tie-break."""
     if not _compilable(pattern, allow_variable=True):
         return None
+    order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+    ts_col = order_cols[0]
     expansions = _expansions(pattern)
     if expansions is None:
         return None
@@ -136,7 +143,7 @@ def try_compile(
             measure_cols[out_name] = f"__m{mi}"
             work = work.withColumn(f"__m{mi}", F.expr(fieldexpr))
 
-    w = Window.partitionBy(*keys).orderBy(ts_col, "__seq")
+    w = Window.partitionBy(*keys).orderBy(*order_cols, "__seq")
 
     def at(col: str, off: int) -> Column:
         return F.col(col) if off == 0 else F.lead(col, off).over(w)
@@ -280,6 +287,8 @@ def try_compile_all_rows(
     qualify."""
     if not _compilable(pattern, allow_variable=True):
         return None
+    order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+    ts_col = order_cols[0]
     expansions = _expansions(pattern)
     if expansions is None:
         return None
@@ -304,7 +313,7 @@ def try_compile_all_rows(
             measure_cols[out_name] = f"__m{mi}"
             work = work.withColumn(f"__m{mi}", F.expr(fieldexpr))
 
-    w = Window.partitionBy(*keys).orderBy(ts_col, "__seq")
+    w = Window.partitionBy(*keys).orderBy(*order_cols, "__seq")
 
     def at(col: str, off: int) -> Column:
         return F.col(col) if off == 0 else F.lead(col, off).over(w)
@@ -427,6 +436,10 @@ def try_compile_all_rows(
         work.select(
             *[F.col(k) for k in keys],
             F.col(ts_col).alias("__anchor_ts"),
+            *[
+                F.col(c).alias(f"__anchor_o{i}")
+                for i, c in enumerate(order_cols[1:])
+            ],
             F.col("__seq").alias("__anchor_seq"),
             # last consumed row's event time — the streaming wrapper's
             # emission frontier check needs it (a match is final once its
@@ -439,7 +452,11 @@ def try_compile_all_rows(
         .withColumn(
             "match_seq",
             F.row_number().over(
-                Window.partitionBy(*keys).orderBy("__anchor_ts", "__anchor_seq")
+                Window.partitionBy(*keys).orderBy(
+                    "__anchor_ts",
+                    *[f"__anchor_o{i}" for i in range(len(order_cols) - 1)],
+                    "__anchor_seq",
+                )
             ).cast("long"),
         )
     )
@@ -640,6 +657,8 @@ def try_compile_timeouts(
     longer prefixes can die mid-prefix with richer partials, so they fall
     back to the NFA scan (`find_matches_and_timeouts`). Returns None when
     the pattern doesn't qualify."""
+    order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+    ts_col = order_cols[0]
     sts = pattern.stages
     if (
         pattern.after_match != NO_SKIP
@@ -670,7 +689,7 @@ def try_compile_timeouts(
             measure_cols[out_name] = f"__m{mi}"
             work = work.withColumn(f"__m{mi}", F.expr(fieldexpr))
 
-    w = Window.partitionBy(*keys).orderBy(ts_col, "__seq")
+    w = Window.partitionBy(*keys).orderBy(*order_cols, "__seq")
     wf = w.rowsBetween(1, Window.unboundedFollowing)
     next_close = F.min(F.when(F.col("__p1"), F.col("__tsec"))).over(wf)
     timed_out = F.col("__p0") & F.coalesce(

@@ -119,7 +119,7 @@ _measure_select = measure_select
 def match_recognize(
     df: DataFrame,
     partition_by: str | list[str],
-    order_by: str,
+    order_by: str | list[str],
     pattern: str,
     define: dict[str, Callable[[dict], bool]],
     measures: dict[str, tuple],
@@ -412,9 +412,24 @@ def parse_match_recognize_sql(sql: str) -> dict:
         if required not in sections:
             raise ValueError(f"MATCH_RECOGNIZE clause missing {required}")
 
-    order_by = sections["ORDER BY"].strip()
-    if "," in order_by or re.search(r"\bDESC\b", order_by, re.I):
-        raise NotImplementedError("ORDER BY supports a single ascending column")
+    # ORDER BY: time attribute first, optional ascending secondary sort
+    # columns after it (`StreamExecMatch.scala:68` sort spec — the
+    # reference requires the leading column to be the time attribute and
+    # supports additional tie-break fields). DESC is rejected loudly.
+    order_parts = [c.strip() for c in sections["ORDER BY"].split(",") if c.strip()]
+    order_cols: list[str] = []
+    for part in order_parts:
+        if re.search(r"\bDESC\b", part, re.I):
+            raise NotImplementedError(
+                "MATCH_RECOGNIZE ORDER BY supports ascending columns only "
+                "(time attribute first)"
+            )
+        order_cols.append(re.sub(r"\s+ASC\s*$", "", part, flags=re.I).strip())
+    if not order_cols:
+        raise ValueError("MATCH_RECOGNIZE ORDER BY lists no columns")
+    order_by: str | list[str] = (
+        order_cols if len(order_cols) > 1 else order_cols[0]
+    )
 
     measures: dict[str, tuple] = {}
     for part in _split_top_level(sections["MEASURES"]):

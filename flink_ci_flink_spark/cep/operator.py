@@ -215,13 +215,17 @@ def cep(
     `flat_select(key_tuple, match_no, match, events) -> list[dict]` instead
     to emit multiple rows per match (ALL ROWS PER MATCH). Events are passed
     to predicates as plain dicts; ts is converted to epoch seconds under
-    the key `__ts`. Ties in ts are broken by original row order (stable
-    sort)."""
+    the key `__ts`. ``ts_col`` may be a list ``[time_attribute,
+    secondary, ...]`` (MATCH_RECOGNIZE ORDER BY with secondary sort
+    columns): the per-key buffer sorts by every column in order. Remaining
+    ties are broken by original row order (stable sort)."""
     pattern.validate()
+    order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+    ts_col = order_cols[0]
     if measures is not None and flat_select is None:
         from flink_ci_flink_spark.cep.compiled import try_compile
 
-        compiled = try_compile(df, pattern, keys, ts_col, measures, output_schema)
+        compiled = try_compile(df, pattern, keys, order_cols, measures, output_schema)
         if compiled is not None:
             return compiled
         if select is None:
@@ -253,7 +257,7 @@ def cep(
 
     # sorted-partition mapInPandas: many key groups per Arrow batch instead
     # of one round-trip per group (the applyInPandas per-group-overhead cliff)
-    return grouped_apply(df, keys, [ts_col], run, output_schema)
+    return grouped_apply(df, keys, order_cols, run, output_schema)
 
 
 def cep_timed_out(
@@ -282,13 +286,15 @@ def cep_timed_out(
     reached); or pass declarative `measures` — unreached variables emit
     NULL, and kind ``"timeout"`` emits the expiry timestamp."""
     pattern.validate()
+    order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+    ts_col = order_cols[0]
     if pattern.within_seconds is None:
         raise ValueError("timeout side output requires pattern.within(...)")
     if measures is not None and select is None:
         from flink_ci_flink_spark.cep.compiled import try_compile_timeouts
 
         compiled = try_compile_timeouts(
-            df, pattern, keys, ts_col, measures, output_schema
+            df, pattern, keys, order_cols, measures, output_schema
         )
         if compiled is not None:
             return compiled
@@ -310,7 +316,7 @@ def cep_timed_out(
 
     from flink_ci_flink_spark.operators.grouped import grouped_apply
 
-    return grouped_apply(df, keys, [ts_col], run, output_schema)
+    return grouped_apply(df, keys, order_cols, run, output_schema)
 
 
 def _match_closed(pattern: Pattern, m: Match, events: list[dict], emit_upto: float) -> bool:
@@ -384,6 +390,8 @@ def cep_stream(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     pattern.validate()
+    order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+    ts_col, extra_order = order_cols[0], order_cols[1:]
     # expr-only stages (SQL front end) have predicate=None, which the NFA
     # treats as match-anything — evaluate exprs JVM-side here exactly as the
     # batch operator does; the __p{i} columns ride along in the payload
@@ -416,15 +424,25 @@ def cep_stream(
             ]
             ts_list.extend(float(t) for t in tvals)
             payload.extend(json.dumps(r) for r in recs)
-        order = sorted(range(len(ts_list)), key=lambda i: ts_list[i])
+        parsed = [json.loads(pj) for pj in payload]
+        # buffer order = (time attribute, *secondary sort cols), arrival
+        # order breaking remaining ties (stable sort)
+        order = sorted(
+            range(len(ts_list)),
+            key=(
+                (lambda i: (ts_list[i], *(parsed[i].get(c) for c in extra_order)))
+                if extra_order
+                else (lambda i: ts_list[i])
+            ),
+        )
         ts_list = [ts_list[i] for i in order]
         payload = [payload[i] for i in order]
+        parsed = [parsed[i] for i in order]
         max_ts = ts_list[-1] if ts_list else float("-inf")
         emit_upto = max_ts - delay_seconds
 
         events = []
-        for tsec, pj in zip(ts_list, payload):
-            e = json.loads(pj)
+        for tsec, e in zip(ts_list, parsed):
             e["__ts"] = tsec
             events.append(e)
         emitted_set = set(emitted)
@@ -483,6 +501,8 @@ def cep_stream_timed_out(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     pattern.validate()
+    order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+    ts_col, extra_order = order_cols[0], order_cols[1:]
     if pattern.within_seconds is None:
         raise ValueError("timeout side output requires pattern.within(...)")
     df, pattern = _jvm_predicate_columns(df, pattern)
@@ -508,15 +528,25 @@ def cep_stream_timed_out(
             ]
             ts_list.extend(float(t) for t in tvals)
             payload.extend(json.dumps(r) for r in recs)
-        order = sorted(range(len(ts_list)), key=lambda i: ts_list[i])
+        parsed = [json.loads(pj) for pj in payload]
+        # buffer order = (time attribute, *secondary sort cols), arrival
+        # order breaking remaining ties (stable sort)
+        order = sorted(
+            range(len(ts_list)),
+            key=(
+                (lambda i: (ts_list[i], *(parsed[i].get(c) for c in extra_order)))
+                if extra_order
+                else (lambda i: ts_list[i])
+            ),
+        )
         ts_list = [ts_list[i] for i in order]
         payload = [payload[i] for i in order]
+        parsed = [parsed[i] for i in order]
         max_ts = ts_list[-1] if ts_list else float("-inf")
         emit_upto = max_ts - delay_seconds
 
         events = []
-        for tsec, pj in zip(ts_list, payload):
-            e = json.loads(pj)
+        for tsec, e in zip(ts_list, parsed):
             e["__ts"] = tsec
             events.append(e)
         _matches, timeouts = find_matches_and_timeouts(pattern, events, ts_field="__ts")

@@ -1781,3 +1781,83 @@ def test_all_rows_compiled_quantifier_equals_nfa(spark):
     finally:
         C._MAX_EXPANSIONS = cap
     assert got == want and len(got) == 12
+
+
+def test_mr_secondary_order_columns(spark):
+    """MATCH_RECOGNIZE ORDER BY with secondary sort columns
+    (`StreamExecMatch.scala:68` sort spec): on a tie-heavy fixture where
+    every event shares one timestamp, (ts, id) ordering interleaves
+    view/purchase correctly while single-column ordering (stable sort =
+    arrival order) would pair them differently. Compiled lead() plan and
+    the forced-NFA path must agree row for row."""
+    import pyspark.sql.functions as F
+
+    from flink_ci_flink_spark.cep import compile_pattern, match_recognize_sql
+    from flink_ci_flink_spark.cep.operator import cep, measure_select
+
+    # arrival order scrambled: single-col (ts-only) stable order would be
+    # [2:purchase, 3:view, 1:view, 4:purchase] -> only match (1, 4);
+    # (ts, id) order is [1:view, 2:purchase, 3:view, 4:purchase]
+    # -> matches (1, 2) and (3, 4)
+    rows = [(1, 2, "purchase", 100), (1, 3, "view", 100),
+            (1, 1, "view", 100), (1, 4, "purchase", 3700)]
+    df = (
+        spark.createDataFrame(rows, "k long, id long, et string, sec long")
+        .select("k", "id", "et", F.timestamp_seconds("sec").alias("ts"))
+    )
+    out = match_recognize_sql(
+        df,
+        """
+        SELECT * FROM __ignored MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY ts, id
+          MEASURES FIRST(A.id) AS view_id, LAST(B.id) AS purchase_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B) WITHIN INTERVAL '2' HOUR
+          DEFINE A AS A.et = 'view', B AS B.et = 'purchase'
+        )
+        """,
+    )
+    got = {(r.view_id, r.purchase_id) for r in out.collect()}
+    assert got == {(1, 2), (3, 4)}
+
+    pat = compile_pattern(
+        "A B",
+        define={},
+        define_expr={"A": "et = 'view'", "B": "et = 'purchase'"},
+        within=7200.0,
+    )
+    measures = {"view_id": ("A", "first", "id"), "purchase_id": ("B", "last", "id")}
+    nfa = cep(
+        df,
+        pat,
+        keys=["k"],
+        ts_col=["ts", "id"],
+        select=measure_select(measures, ["k"]),
+        output_schema="k long, view_id long, purchase_id long",
+    )
+    assert {(r.view_id, r.purchase_id) for r in nfa.collect()} == got
+
+
+def test_parse_order_by_secondary_and_desc_rejection():
+    """ORDER BY parses multi-column ascending lists (optional ASC noise
+    words stripped); any DESC rejects loudly."""
+    import pytest as _pytest
+
+    from flink_ci_flink_spark.cep import parse_match_recognize_sql
+
+    base = """FROM t MATCH_RECOGNIZE (PARTITION BY k ORDER BY {ob}
+        MEASURES A.x AS x PATTERN (A) DEFINE A AS A.x > 0)"""
+    assert parse_match_recognize_sql(base.format(ob="ts"))["order_by"] == "ts"
+    assert parse_match_recognize_sql(base.format(ob="ts, id"))["order_by"] == [
+        "ts",
+        "id",
+    ]
+    assert parse_match_recognize_sql(base.format(ob="ts ASC, id ASC"))[
+        "order_by"
+    ] == ["ts", "id"]
+    with _pytest.raises(NotImplementedError, match="ascending"):
+        parse_match_recognize_sql(base.format(ob="ts DESC"))
+    with _pytest.raises(NotImplementedError, match="ascending"):
+        parse_match_recognize_sql(base.format(ob="ts, id DESC"))
