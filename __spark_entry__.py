@@ -51,6 +51,7 @@ _PRIORITY = [
     # -- (2) round-7 additions --
     "cep_mr_secondary_order",
     "pipe_knn_join_scaled",
+    "streaming_count_window_replay",
     # -- (3) re-validation: oldest-proven first --
     "interval_join_events",
     "windowed_stream_join",
@@ -87,7 +88,6 @@ _PRIORITY = [
     "pipe_ivf_ann_topk",
     "pipe_cosine_topk",
     "graph_dedup_clusters",
-    "tpch_q1_pricing_summary",
 ]
 
 

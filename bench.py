@@ -189,6 +189,40 @@ def _bench_stateful(spark, sf_dir: str) -> dict:
         ).count()
         dt_sess = time.perf_counter() - t4
         shutil.rmtree(state4, ignore_errors=True)
+
+        # round-7: count windows on the generic jvm_keyed_fold primitive
+        # vs the applyInPandasWithState count_tumbling_window
+        from flink_ci_flink_spark.streaming.process import (
+            streaming_count_window_jvm,
+        )
+        from flink_ci_flink_spark.streaming.windows_ext import (
+            count_tumbling_window,
+        )
+
+        t5 = time.perf_counter()
+        out_py = count_tumbling_window(
+            file_stream(spark, tmp, schema).select("user_id", "ts", "value"),
+            "user_id",
+            "ts",
+            "value",
+            size=10,
+        )
+        run_to_completion(out_py, f"bench_cwp_{uuid.uuid4().hex[:8]}", "append")
+        dt_cw_py = time.perf_counter() - t5
+
+        state5 = tempfile.mkdtemp(prefix="bench_cntwin_jvm_")
+        t6 = time.perf_counter()
+        streaming_count_window_jvm(
+            file_stream(spark, tmp, schema).select("user_id", "ts", "value"),
+            key="user_id",
+            ts_col="ts",
+            value_col="value",
+            size=10,
+            state_dir=state5,
+            query_name=f"bench_cwj_{uuid.uuid4().hex[:8]}",
+        ).count()
+        dt_cw_jvm = time.perf_counter() - t6
+        shutil.rmtree(state5, ignore_errors=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
@@ -204,6 +238,10 @@ def _bench_stateful(spark, sf_dir: str) -> dict:
         "jvm_running_agg_rows_per_sec": round(n_rows / dt_agg),
         "jvm_sessionize_sec": round(dt_sess, 3),
         "jvm_sessionize_rows_per_sec": round(n_rows / dt_sess),
+        "count_window_python_sec": round(dt_cw_py, 3),
+        "count_window_python_rows_per_sec": round(n_rows / dt_cw_py),
+        "jvm_count_window_sec": round(dt_cw_jvm, 3),
+        "jvm_count_window_rows_per_sec": round(n_rows / dt_cw_jvm),
     }
 
 

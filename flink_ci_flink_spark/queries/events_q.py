@@ -390,3 +390,75 @@ def window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed, ["ws_s", "user_id"], [F.col("ts"), F.col("event_id")], keep="first"
     )
     return out.select("ws_s", "user_id", "event_id", "event_type")
+
+
+@query(
+    "streaming_count_window_replay",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) - 1 AS ord
+      FROM events
+    )
+    SELECT user_id, ord // 10 AS win,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 6) AS total
+    FROM ordered
+    GROUP BY user_id, ord // 10
+    HAVING COUNT(*) = 10
+    """,
+    group="streaming",
+)
+def streaming_count_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling COUNT windows executed by the STREAMING `jvm_keyed_fold`
+    operator over a 3-micro-batch replay of the events table — the driver
+    proof that incremental per-batch folding (batch ordinals shifted by
+    the key's persisted event count, partials merged on (key, win),
+    full-windows-below-max closed out of state) equals the one-shot SQL
+    chunking of each key's (ts, event_id)-ordered series
+    (`streaming/process.py::streaming_count_window_jvm`;
+    `CountTumblingWindowAssigner` / purging count-trigger semantics,
+    state bounded at one partial window per key). Only complete windows
+    emit, numbered 0.. per key."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from flink_ci_flink_spark.streaming import file_stream
+    from flink_ci_flink_spark.streaming.process import streaming_count_window_jvm
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id", "ts", "value", "event_id")
+    # stage a deterministic 3-file replay, event-time order within and
+    # across files (a bounded harness step, not the operator's plan)
+    tmp = tempfile.mkdtemp(prefix="cw_replay_")
+    w = Window.orderBy("ts", "event_id")
+    staged = ev.withColumn("__b", F.ntile(3).over(w))
+    for b in (1, 2, 3):
+        part_dir = f"{tmp}/b{b}"
+        staged.filter(F.col("__b") == b).drop("__b").orderBy(
+            "ts", "event_id"
+        ).coalesce(1).write.parquet(part_dir)
+        import glob
+
+        (part,) = glob.glob(f"{part_dir}/part-*.parquet")
+        os.rename(part, f"{tmp}/{b:03d}.parquet")
+        shutil.rmtree(part_dir)
+    schema = ev.schema
+    state_dir = tempfile.mkdtemp(prefix="cw_replay_state_")
+    out = streaming_count_window_jvm(
+        file_stream(spark, tmp, schema, max_files_per_trigger=1),
+        key="user_id",
+        ts_col="ts",
+        value_col="value",
+        size=10,
+        state_dir=state_dir,
+        query_name=f"cw_replay_{uuid.uuid4().hex[:8]}",
+    )
+    return out.select(
+        "user_id", "win", "n", F.round("total", 6).alias("total")
+    )

@@ -403,6 +403,91 @@ def _prune_state_versions(state_dir: str, prefix: str, keep_ids: set[int]) -> No
             _shutil.rmtree(d, ignore_errors=True)
 
 
+def jvm_keyed_fold(
+    stream: DataFrame,
+    prepare,
+    fold,
+    state_dir: str,
+    close=None,
+    closed_natural_key: list[str] | None = None,
+    emit=None,
+    query_name: str = "keyed_fold_jvm",
+) -> DataFrame:
+    """The generic JVM keyed-fold primitive — the shared batch_id-versioned
+    parquet-state merge under the whole foreachBatch stateful family
+    (top-n, keep-last dedup, running aggregates, sessionize, count
+    windows). Any operator whose state is a DECOMPOSABLE ACCUMULATOR — a
+    per-key frame that a pure Catalyst plan can canonicalize from a union
+    of partial states — gets the no-per-key-Python path by supplying three
+    plan builders; Python runs only as per-BATCH driver orchestration.
+
+    Contract (all arguments are DataFrame -> DataFrame plan builders):
+
+    - ``prepare(batch_df)`` — batch rows -> state-shaped rows (map-only or
+      one keyed partial aggregation).
+    - ``fold(prev_state, prepared)`` — canonical state for ``prev_state ∪
+      prepared`` (``prev_state`` is None on the first batch). Must be
+      idempotent on canonical states and batching-insensitive:
+      ``fold(fold(None,a), b) == fold(None, a∪b)`` — that associativity is
+      what makes incremental per-micro-batch merging equal the
+      batch-over-everything answer.
+    - ``close(state)`` — optional ``(open_state, closed_rows)`` split for
+      bounding state: closed rows leave the versioned state and append to
+      ``{state_dir}/closed`` stamped with the writing batch id; at
+      finalize they are deduplicated on ``closed_natural_key`` so an
+      at-least-once replayed batch cannot double-emit.
+    - ``emit(state, closed)`` — final output (default: state, unioned
+      with the deduplicated closed store when one exists).
+
+    State versions by batch_id — each batch writes ``v{batch_id}`` after
+    reading the previous version, so a replayed batch regenerates its
+    merge idempotently rather than double-merging; only the current and
+    previous versions are retained (`_prune_state_versions`). Runs the
+    bounded stream to completion and returns the final output as a batch
+    DataFrame. Ref: the state contract of `GroupAggFunction.java` /
+    `AppendOnlyTopNFunction.java` — accumulate-merge-emit, JVM execution.
+    """
+    spark = stream.sparkSession
+    last = {"v": None, "closed": False}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        prev = (
+            spark.read.parquet(f"{state_dir}/v{last['v']}")
+            if last["v"] is not None
+            else None
+        )
+        new = fold(prev, prepare(batch_df))
+        if close is not None:
+            new, closed_rows = close(new)
+            closed_rows.withColumn("__epoch", F.lit(int(batch_id))).write.mode(
+                "append"
+            ).parquet(f"{state_dir}/closed")
+            last["closed"] = True
+        new.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        prev_id = last["v"]
+        last["v"] = batch_id
+        _prune_state_versions(
+            state_dir, "v", {batch_id} | ({prev_id} if prev_id is not None else set())
+        )
+
+    q = stream.writeStream.foreachBatch(merge).start(queryName=query_name)
+    q.processAllAvailable()
+    q.stop()
+    if last["v"] is None:
+        state = fold(None, prepare(spark.createDataFrame([], stream.schema)))
+    else:
+        state = spark.read.parquet(f"{state_dir}/v{last['v']}")
+    closed = None
+    if last["closed"]:
+        closed = spark.read.parquet(f"{state_dir}/closed")
+        if closed_natural_key:
+            closed = closed.dropDuplicates(closed_natural_key)
+        closed = closed.drop("__epoch")
+    if emit is not None:
+        return emit(state, closed)
+    return state.unionByName(closed) if closed is not None else state
+
+
 def streaming_top_n_jvm(
     stream: DataFrame,
     partition_by: list[str],
@@ -429,33 +514,24 @@ def streaming_top_n_jvm(
 
     Runs the bounded stream to completion and returns the final per-key
     top-n as a batch DataFrame. Ref: `AppendOnlyTopNFunction.java:46` —
-    same keep-top-n state contract, JVM execution.
-    """
+    same keep-top-n state contract, JVM execution. Expressed on
+    `jvm_keyed_fold`: keep-top-n is a decomposable accumulator (top-n of
+    a union of top-n partials is the global top-n)."""
     from flink_ci_flink_spark.operators.topn import top_n
 
-    spark = stream.sparkSession
-    last = {"v": None}
-
-    def merge(batch_df: DataFrame, batch_id: int) -> None:
-        cand = batch_df.select(*select_cols)
-        if last["v"] is not None:
-            cand = spark.read.parquet(f"{state_dir}/v{last['v']}").unionByName(cand)
-        new = top_n(cand, partition_by, order_by, n, rank_col=None)
-        new.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
-        prev = last["v"]
-        last["v"] = batch_id
-        _prune_state_versions(
-            state_dir, "v", {batch_id} | ({prev} if prev is not None else set())
-        )
-
-    q = stream.writeStream.foreachBatch(merge).start(queryName=query_name)
-    q.processAllAvailable()
-    q.stop()
-    if last["v"] is None:
-        return stream.sparkSession.createDataFrame(
-            [], stream.select(*select_cols).schema
-        )
-    return spark.read.parquet(f"{state_dir}/v{last['v']}")
+    return jvm_keyed_fold(
+        stream,
+        prepare=lambda b: b.select(*select_cols),
+        fold=lambda prev, cand: top_n(
+            prev.unionByName(cand) if prev is not None else cand,
+            partition_by,
+            order_by,
+            n,
+            rank_col=None,
+        ),
+        state_dir=state_dir,
+        query_name=query_name,
+    )
 
 
 def streaming_dedup_keep_last_jvm(
@@ -477,42 +553,34 @@ def streaming_dedup_keep_last_jvm(
     Ties on ts resolve to the EARLIER arrival (state beats batch, earlier
     batch row beats later), matching the Python path's strictly-greater
     state replacement. Runs the bounded stream to completion and returns
-    the final per-key latest rows."""
+    the final per-key latest rows. Expressed on `jvm_keyed_fold`; the
+    state-wins-ties decoration (__arr = -1 on state rows vs the batch's
+    arrival ids) lives inside the fold, which drops it again before the
+    state is written."""
     from pyspark.sql.window import Window
 
-    spark = stream.sparkSession
-    last = {"v": None}
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).desc(), F.col("__arr").asc())
 
-    def merge(batch_df: DataFrame, batch_id: int) -> None:
-        cand = batch_df.select(*select_cols).withColumn(
-            "__arr", F.monotonically_increasing_id()
-        )
-        if last["v"] is not None:
-            prev = spark.read.parquet(f"{state_dir}/v{last['v']}").withColumn(
+    def fold(prev: DataFrame | None, cand: DataFrame) -> DataFrame:
+        if prev is not None:
+            cand = prev.withColumn(
                 "__arr", F.lit(-1).cast("long")  # state wins ts ties
-            )
-            cand = prev.unionByName(cand)
-        w = Window.partitionBy(*keys).orderBy(
-            F.col(ts_col).desc(), F.col("__arr").asc()
-        )
-        new = (
+            ).unionByName(cand)
+        return (
             cand.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select(*select_cols)
         )
-        new.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
-        prev = last["v"]
-        last["v"] = batch_id
-        _prune_state_versions(
-            state_dir, "v", {batch_id} | ({prev} if prev is not None else set())
-        )
 
-    q = stream.writeStream.foreachBatch(merge).start(queryName=query_name)
-    q.processAllAvailable()
-    q.stop()
-    if last["v"] is None:
-        return spark.createDataFrame([], stream.select(*select_cols).schema)
-    return spark.read.parquet(f"{state_dir}/v{last['v']}")
+    return jvm_keyed_fold(
+        stream,
+        prepare=lambda b: b.select(*select_cols).withColumn(
+            "__arr", F.monotonically_increasing_id()
+        ),
+        fold=fold,
+        state_dir=state_dir,
+        query_name=query_name,
+    )
 
 
 def streaming_running_agg_jvm(
@@ -531,9 +599,9 @@ def streaming_running_agg_jvm(
     function (count merges by sum). Per micro-batch: aggregate the batch
     (map-side partials -> one shuffle on the keys), union with the
     persisted keys x 1 state, re-merge. State versions by batch_id for
-    idempotent replay. Returns the final aggregate DataFrame."""
-    spark = stream.sparkSession
-    last = {"v": None}
+    idempotent replay. Returns the final aggregate DataFrame. Expressed on
+    `jvm_keyed_fold`: prepare = the batch's partial aggregation, fold =
+    the partial-merge aggregation (count merges by sum)."""
 
     def batch_agg(df: DataFrame) -> DataFrame:
         aggs = []
@@ -560,25 +628,15 @@ def streaming_running_agg_jvm(
             aggs.append(c.alias(out))
         return df.groupBy(*keys).agg(*aggs)
 
-    def merge(batch_df: DataFrame, batch_id: int) -> None:
-        part = batch_agg(batch_df)
-        if last["v"] is not None:
-            part = remerge(
-                spark.read.parquet(f"{state_dir}/v{last['v']}").unionByName(part)
-            )
-        part.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
-        prev = last["v"]
-        last["v"] = batch_id
-        _prune_state_versions(
-            state_dir, "v", {batch_id} | ({prev} if prev is not None else set())
-        )
-
-    q = stream.writeStream.foreachBatch(merge).start(queryName=query_name)
-    q.processAllAvailable()
-    q.stop()
-    if last["v"] is None:
-        return batch_agg(spark.createDataFrame([], stream.schema))
-    return spark.read.parquet(f"{state_dir}/v{last['v']}")
+    return jvm_keyed_fold(
+        stream,
+        prepare=batch_agg,
+        fold=lambda prev, part: (
+            remerge(prev.unionByName(part)) if prev is not None else part
+        ),
+        state_dir=state_dir,
+        query_name=query_name,
+    )
 
 
 def streaming_sessionize_jvm(
@@ -619,12 +677,12 @@ def streaming_sessionize_jvm(
     State versions by batch_id (replay-idempotent); closed rows carry the
     writing batch id and are deduplicated on their natural key at
     finalize, so an at-least-once replayed batch cannot double-emit.
-    Returns the final sessions as a batch DataFrame.
+    Returns the final sessions as a batch DataFrame. Expressed on
+    `jvm_keyed_fold`: prepare = events-as-point-intervals, fold =
+    gap-merge over the union, close = the frontier-horizon split.
     """
     from pyspark.sql.window import Window
 
-    spark = stream.sparkSession
-    last = {"v": None, "closed": False}
     sess_cols = [*keys, "sess_start", "sess_end", "n_events"] + (
         ["sum_value"] if value_col is not None else []
     )
@@ -671,43 +729,140 @@ def streaming_sessionize_jvm(
             .drop("__sid")
         )
 
-    def merge(batch_df: DataFrame, batch_id: int) -> None:
-        cand = to_points(batch_df)
-        if last["v"] is not None:
-            cand = spark.read.parquet(f"{state_dir}/v{last['v']}").unionByName(cand)
-        merged = gap_merge(cand)
-        if close_lateness_seconds is not None:
-            frontier = F.max(F.col("sess_end").cast("double")).over(
-                Window.partitionBy(*keys)
-            )
-            horizon = float(gap_seconds + close_lateness_seconds)
-            merged = merged.withColumn(
-                "__closed",
-                F.col("sess_end").cast("double") + horizon < frontier,
-            )
-            merged.filter("__closed").drop("__closed").withColumn(
-                "__epoch", F.lit(int(batch_id))
-            ).write.mode("append").parquet(f"{state_dir}/closed")
-            last["closed"] = True
-            merged = merged.filter(~F.col("__closed")).drop("__closed")
-        merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
-        prev = last["v"]
-        last["v"] = batch_id
-        _prune_state_versions(
-            state_dir, "v", {batch_id} | ({prev} if prev is not None else set())
+    def split_closed(merged: DataFrame):
+        frontier = F.max(F.col("sess_end").cast("double")).over(
+            Window.partitionBy(*keys)
+        )
+        horizon = float(gap_seconds + (close_lateness_seconds or 0))
+        flagged = merged.withColumn(
+            "__closed", F.col("sess_end").cast("double") + horizon < frontier
+        )
+        return (
+            flagged.filter(~F.col("__closed")).drop("__closed"),
+            flagged.filter("__closed").drop("__closed"),
         )
 
-    q = stream.writeStream.foreachBatch(merge).start(queryName=query_name)
-    q.processAllAvailable()
-    q.stop()
-    if last["v"] is None:
-        return spark.createDataFrame([], to_points(stream).schema)
-    out = spark.read.parquet(f"{state_dir}/v{last['v']}")
-    if last["closed"]:
-        closed = (
-            spark.read.parquet(f"{state_dir}/closed")
-            .dropDuplicates([*keys, "sess_start"])
-            .drop("__epoch")
-        )
-        out = out.unionByName(closed)
+    out = jvm_keyed_fold(
+        stream,
+        prepare=to_points,
+        fold=lambda prev, cand: gap_merge(
+            prev.unionByName(cand) if prev is not None else cand
+        ),
+        state_dir=state_dir,
+        close=split_closed if close_lateness_seconds is not None else None,
+        closed_natural_key=[*keys, "sess_start"],
+        query_name=query_name,
+    )
     return out.select(*sess_cols)
+
+
+def streaming_count_window_jvm(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    size: int,
+    state_dir: str,
+    query_name: str = "cntwin_jvm",
+) -> DataFrame:
+    """Tumbling COUNT windows with NO per-key Python path — the
+    `jvm_keyed_fold` expression of `windows_ext.count_tumbling_window`
+    (`CountTumblingWindowAssigner` / purging count trigger semantics):
+    emit ``(key, win, n, total)`` for every ``size`` events per key, in
+    event-time order of arrival, windows numbered 0.. per key.
+
+    The decomposable-accumulator shape the primitive was built for:
+
+    - prepare: number the batch's rows per key (row_number over (ts,
+      arrival) minus 1) — one keyed window, no Python;
+    - fold: shift the batch ordinals by the key's persisted event count,
+      assign ``win = ordinal div size``, partial-aggregate, merge with
+      state on (key, win) — counts and sums merge by sum because ordinals
+      are globally consistent across batches. The event count is encoded
+      by the key's HIGHEST stored window alone (``win·size + n`` — every
+      lower window is full by construction), which is why close() may
+      evict the lower ones without losing progress;
+    - close: every window below the key's max leaves the state for the
+      replay-deduplicated closed store, so state is exactly ONE row per
+      key regardless of input volume; a max window that is itself full is
+      emitted at finalize.
+
+    Like every count window (reference included), output depends on
+    per-key arrival order across batches; within a batch, ties on ts
+    resolve by arrival. Returns the closed windows as a batch DataFrame.
+    """
+    from pyspark.sql.window import Window
+
+    wk = Window.partitionBy(key).orderBy(F.col(ts_col).asc(), F.col("__mono").asc())
+
+    def prepare(batch: DataFrame) -> DataFrame:
+        return (
+            batch.withColumn("__mono", F.monotonically_increasing_id())
+            .withColumn("__rn", F.row_number().over(wk) - 1)
+            .select(
+                F.col(key),
+                F.col("__rn").cast("long").alias("__rn"),
+                F.col(value_col).cast("double").alias("__v"),
+            )
+        )
+
+    def fold(prev: DataFrame | None, cand: DataFrame) -> DataFrame:
+        if prev is not None:
+            # total events seen per key = max window's win*size + n
+            # (all windows below the max are full by construction)
+            offs = (
+                prev.groupBy(key)
+                .agg(F.max(F.struct("win", "n")).alias("__m"))
+                .select(
+                    key,
+                    (F.col("__m.win") * size + F.col("__m.n"))
+                    .cast("long")
+                    .alias("__off"),
+                )
+            )
+            cand = cand.join(offs, key, "left").na.fill({"__off": 0})
+        else:
+            cand = cand.withColumn("__off", F.lit(0).cast("long"))
+        part = (
+            cand.withColumn("__ord", F.col("__rn") + F.col("__off"))
+            .withColumn("win", F.expr(f"__ord div {int(size)}"))
+            .groupBy(key, "win")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("__v").alias("total"),
+            )
+        )
+        if prev is not None:
+            part = prev.unionByName(part)
+        return part.groupBy(key, "win").agg(
+            F.sum("n").cast("long").alias("n"), F.sum("total").alias("total")
+        )
+
+    def close(state: DataFrame):
+        from pyspark.sql.window import Window as W
+
+        maxwin = F.max("win").over(W.partitionBy(key))
+        flagged = state.withColumn("__done", F.col("win") < maxwin)
+        return (
+            flagged.filter(~F.col("__done")).drop("__done"),
+            flagged.filter("__done").drop("__done"),
+        )
+
+    def emit(state: DataFrame, closed: DataFrame | None) -> DataFrame:
+        # the max window never passes through close(); include it when full
+        full_tail = state.filter(F.col("n") >= size)
+        out = (
+            closed.unionByName(full_tail) if closed is not None else full_tail
+        )
+        return out.select(key, "win", "n", "total")
+
+    return jvm_keyed_fold(
+        stream,
+        prepare=prepare,
+        fold=fold,
+        state_dir=state_dir,
+        close=close,
+        closed_natural_key=[key, "win"],
+        emit=emit,
+        query_name=query_name,
+    )

@@ -905,3 +905,48 @@ def test_streaming_sessionize_jvm_bridges_out_of_order(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def test_streaming_count_window_jvm_matches_python_and_batch(
+    spark, events_stream_dir
+):  # noqa: F811
+    """The jvm_keyed_fold count-window operator == the
+    applyInPandasWithState `count_tumbling_window` == chunking each key's
+    event-time-ordered series; state never holds more than one partial
+    window per key (the close() split bounds it)."""
+    import shutil
+    import tempfile
+
+    from flink_ci_flink_spark.streaming.process import streaming_count_window_jvm
+    from tests.test_streaming import _events_stream
+
+    path, schema = events_stream_dir
+    state = tempfile.mkdtemp(prefix="cntwin_jvm_")
+    try:
+        got_df = streaming_count_window_jvm(
+            _events_stream(spark, (path, schema), per_trigger=1).select(
+                "user_id", "ts", "value"
+            ),
+            key="user_id",
+            ts_col="ts",
+            value_col="value",
+            size=10,
+            state_dir=state,
+            query_name=f"cwj_{uuid.uuid4().hex[:8]}",
+        )
+        got = {
+            (r.user_id, r.win): (r.n, round(r.total, 6)) for r in got_df.collect()
+        }
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+    ev = spark.read.schema(schema).parquet(path).orderBy("ts").collect()
+    per_user = {}
+    for r in ev:
+        per_user.setdefault(r.user_id, []).append(r.value)
+    want = {}
+    for u, vals in per_user.items():
+        for w in range(len(vals) // 10):
+            chunk = vals[w * 10 : (w + 1) * 10]
+            want[(u, w)] = (10, round(sum(chunk), 6))
+    assert got == want
