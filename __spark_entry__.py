@@ -52,6 +52,7 @@ _PRIORITY = [
     "cep_mr_secondary_order",
     "pipe_knn_join_scaled",
     "streaming_count_window_replay",
+    "pipe_sql_front_door",
     # -- (3) re-validation: oldest-proven first --
     "interval_join_events",
     "windowed_stream_join",
@@ -87,7 +88,6 @@ _PRIORITY = [
     "cep_mr_price_dip",
     "pipe_ivf_ann_topk",
     "pipe_cosine_topk",
-    "graph_dedup_clusters",
 ]
 
 

@@ -1,0 +1,235 @@
+"""SQL front door for the curation-pipeline operators (polymorphic TVFs).
+
+The reference exposes its whole surface through SQL — including the
+FLIP-145 polymorphic table functions it uses for windows
+(``TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL ...))``). The
+LLM-pipeline operators here are Python-first; ``pipeline_sql`` closes the
+gap with the same SQL:2016 PTF spelling:
+
+    SELECT * FROM TABLE(jaccard_pairs(TABLE documents, threshold => 0.5))
+    SELECT j.*, d.source
+    FROM TABLE(knn_join(TABLE embeddings, k => 3)) j
+    JOIN documents d ON d.doc_id = j.query_id
+
+Grammar (deliberately small): a table reference of the form
+``TABLE(<fn>(TABLE <view>[, name => literal]*))``. Each call is computed
+by the registered builder as a lazy DataFrame, published as a temp view,
+and the statement text is rewritten to reference that view — the
+surrounding query stays ordinary Spark SQL, so Catalyst sees ONE plan and
+optimizes across the boundary (filter pushdown into the PTF's output,
+join reordering, etc. — temp views are lazy plans, not materializations).
+
+Builders receive ``(spark, table_df, **kwargs)`` and return a DataFrame;
+every one routes to the existing pipeline library functions, so the SQL
+surface and the Python surface cannot drift.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_PTF_REGISTRY: dict[str, Callable] = {}
+
+
+def ptf(name: str):
+    """Register a pipeline table function under ``name`` (case-insensitive)."""
+
+    def deco(fn: Callable) -> Callable:
+        _PTF_REGISTRY[name.lower()] = fn
+        return fn
+
+    return deco
+
+
+def ptf_names() -> list[str]:
+    return sorted(_PTF_REGISTRY)
+
+
+def _parse_literal(tok: str):
+    t = tok.strip()
+    if re.fullmatch(r"-?\d+", t):
+        return int(t)
+    if re.fullmatch(r"-?\d*\.\d+(e-?\d+)?", t, re.I):
+        return float(t)
+    if t.upper() in ("TRUE", "FALSE"):
+        return t.upper() == "TRUE"
+    if len(t) >= 2 and t[0] == "'" and t[-1] == "'":
+        return t[1:-1].replace("''", "'")
+    raise ValueError(f"unsupported PTF argument literal: {tok!r}")
+
+
+def _split_args(body: str) -> list[str]:
+    parts, depth, in_str, cur = [], 0, False, []
+    for ch in body:
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+_CALL_RE = re.compile(r"\bTABLE\s*\(\s*(\w+)\s*\(", re.IGNORECASE)
+
+
+def pipeline_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Execute a SQL statement containing pipeline PTF table references.
+
+    Finds every ``TABLE(fn(TABLE view, k => v, ...))`` reference, computes
+    it via the registered builder, publishes it as a lazy temp view, and
+    runs the rewritten statement with ``spark.sql``. Unknown function
+    names raise with the list of registered PTFs."""
+    out, pos, n_view = [], 0, 0
+    while True:
+        m = _CALL_RE.search(sql, pos)
+        if m is None:
+            out.append(sql[pos:])
+            break
+        fn_name = m.group(1).lower()
+        if fn_name not in _PTF_REGISTRY:
+            raise ValueError(
+                f"unknown pipeline table function {m.group(1)!r}; "
+                f"registered: {', '.join(ptf_names())}"
+            )
+        # balanced-paren scan over the whole TABLE( ... ) reference —
+        # depth 2: TABLE's paren + fn's paren are both already open at
+        # m.end(), so depth reaches 0 on TABLE's closing paren
+        depth, i, in_str = 2, m.end() - 1, False
+        start_inner = m.end()  # first char after 'fn('
+        while i + 1 < len(sql) and depth:
+            i += 1
+            ch = sql[i]
+            if in_str:
+                in_str = ch != "'"
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if depth:
+            raise ValueError("unbalanced parentheses in PTF reference")
+        # sql[i] closes 'TABLE(' ; the fn's own args end one paren earlier
+        inner = sql[start_inner:i]
+        inner = inner[: inner.rfind(")")]
+        args = _split_args(inner)
+        if not args or not re.match(r"(?i)^TABLE\s+\S+$", args[0]):
+            raise ValueError(
+                f"PTF {fn_name} needs 'TABLE <view>' as its first argument"
+            )
+        table_name = args[0].split()[1]
+        kwargs = {}
+        for a in args[1:]:
+            am = re.match(r"^(\w+)\s*=>\s*(.+)$", a, re.S)
+            if not am:
+                raise ValueError(f"unsupported PTF argument: {a!r}")
+            kwargs[am.group(1).lower()] = _parse_literal(am.group(2))
+        df = _PTF_REGISTRY[fn_name](spark, spark.table(table_name), **kwargs)
+        view = f"__ptf_{fn_name}_{n_view}"
+        n_view += 1
+        df.createOrReplaceTempView(view)
+        out.append(sql[pos : m.start()])
+        out.append(view)
+        pos = i + 1
+    return spark.sql("".join(out))
+
+
+# --- registered pipeline table functions ------------------------------------
+
+
+@ptf("jaccard_pairs")
+def _ptf_jaccard_pairs(spark, table, threshold=0.5, n=3, **kw):
+    from flink_ci_flink_spark.pipeline.dedup import jaccard_pairs
+
+    return jaccard_pairs(table, threshold=threshold, n=n, **kw)
+
+
+@ptf("minhash_pairs")
+def _ptf_minhash_pairs(spark, table, threshold=0.7, **kw):
+    from flink_ci_flink_spark.pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(table, threshold=threshold, **kw)
+
+
+@ptf("exact_dedup")
+def _ptf_exact_dedup(spark, table, **kw):
+    from flink_ci_flink_spark.pipeline.dedup import exact_dedup
+
+    return exact_dedup(table, **kw)
+
+
+@ptf("knn_join")
+def _ptf_knn_join(spark, table, k=3, nprobe=2, n_cells=None, cell_cap=None, **kw):
+    from flink_ci_flink_spark.pipeline.similarity import knn_join
+
+    return knn_join(
+        table, n_cells=n_cells, nprobe=nprobe, k=k, cell_cap=cell_cap, **kw
+    )
+
+
+@ptf("cosine_topk")
+def _ptf_cosine_topk(spark, table, k=5, n_queries=8, **kw):
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.pipeline.similarity import cosine_topk
+
+    queries = table.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(table, queries, k=k, **kw)
+
+
+@ptf("text_features")
+def _ptf_text_features(spark, table, **kw):
+    from flink_ci_flink_spark.pipeline.text import with_text_features
+
+    return with_text_features(table.select("doc_id", "text"), **kw).drop("text")
+
+
+@ptf("tfidf_top_terms")
+def _ptf_tfidf(spark, table, k=3, **kw):
+    from flink_ci_flink_spark.pipeline.text import tfidf_top_terms
+
+    return tfidf_top_terms(table, k=k, **kw)
+
+
+@ptf("chunk_documents")
+def _ptf_chunk(spark, table, chunk_tokens=64, overlap=16, **kw):
+    from flink_ci_flink_spark.pipeline.text import chunk_documents
+
+    return chunk_documents(
+        table, chunk_tokens=chunk_tokens, overlap=overlap, **kw
+    )
+
+
+@ptf("hash_sample")
+def _ptf_sample(spark, table, rate=0.25, key_col="doc_id", seed="s0", **kw):
+    from flink_ci_flink_spark.pipeline.sampling import hash_sample
+
+    return hash_sample(table, key_col=key_col, rate=rate, seed=seed, **kw)
+
+
+@ptf("pack_sequences")
+def _ptf_pack(spark, table, budget=512, n_shards=8, **kw):
+    from flink_ci_flink_spark.pipeline.packing import pack_assignments
+
+    return pack_assignments(table, budget=budget, n_shards=n_shards, **kw)

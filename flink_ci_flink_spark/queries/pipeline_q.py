@@ -2013,3 +2013,56 @@ def pipe_knn_join_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return knn_join(t.embeddings, cell_cap=_KNN_CELL_CAP, vectorized=True)
+
+
+@query(
+    "pipe_sql_front_door",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, UNNEST({_SHINGLES}) AS s FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), jp AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5
+    )
+    SELECT d.source, CAST(COUNT(p.id_b) AS BIGINT) AS n_pairs
+    FROM documents d
+    LEFT JOIN jp p ON p.id_a = d.doc_id
+    GROUP BY d.source
+    """,
+    group="pipeline",
+)
+def pipe_sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door for the curation surface
+    (`pipeline/sql.py::pipeline_sql`): a polymorphic table function in the
+    reference's FLIP-145 spelling — ``TABLE(jaccard_pairs(TABLE documents,
+    threshold => 0.5))`` — composed with plain SQL (LEFT JOIN + GROUP BY)
+    around it. The PTF rewrites to a LAZY temp view, so Catalyst optimizes
+    one plan across the boundary; the builder routes to the same
+    `pipeline/dedup.py::jaccard_pairs` the Python surface uses, so the two
+    surfaces cannot drift. Oracle inlines the same near-dup CTEs under the
+    same aggregation."""
+    from flink_ci_flink_spark.pipeline.sql import pipeline_sql
+
+    t = load_tables(spark, sf_dir)
+    t.documents.createOrReplaceTempView("documents")
+    return pipeline_sql(
+        spark,
+        """
+        SELECT d.source, CAST(COUNT(p.id_b) AS BIGINT) AS n_pairs
+        FROM documents d
+        LEFT JOIN TABLE(jaccard_pairs(TABLE documents, threshold => 0.5)) p
+          ON p.id_a = d.doc_id
+        GROUP BY d.source
+        """,
+    )

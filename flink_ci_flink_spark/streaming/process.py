@@ -866,3 +866,87 @@ def streaming_count_window_jvm(
         emit=emit,
         query_name=query_name,
     )
+
+
+def streaming_bounded_over_jvm(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    rows_preceding: int,
+    state_dir: str,
+    query_name: str = "bover_jvm",
+) -> DataFrame:
+    """Bounded streaming over-window (ROWS BETWEEN N PRECEDING AND CURRENT
+    ROW) with NO per-key Python path — the second decomposable shape on
+    `jvm_keyed_fold` (`RowTimeRangeBoundedPrecedingFunction.java:60`
+    contract: keyed state retains only the in-window suffix).
+
+    Every input row's (w_sum, w_n) over its key's last ``rows_preceding+1``
+    rows is computed ONCE, in the fold where the row first arrives: the
+    state keeps each key's last ``rows_preceding`` rows WITH their already-
+    computed stats, new rows compute theirs from a rows-bounded window over
+    state ∪ batch (the suffix guarantee makes that window complete), and
+    stored stats win via coalesce — so re-windowing never truncates an old
+    row. close() evicts rows behind the suffix to the replay-deduplicated
+    closed store; emitted output = closed ∪ final state = every input row
+    exactly once. Event-time order within a batch, arrival order across
+    batches (the shared proc-time caveat of this module).
+
+    Output: (key, ts_s, value, w_sum, w_n) — one row per input row.
+    """
+    from pyspark.sql.window import Window
+
+    from flink_ci_flink_spark.functions.scalar import epoch_seconds
+
+    n_prec = int(rows_preceding)
+
+    def prepare(batch: DataFrame) -> DataFrame:
+        return batch.select(
+            F.col(key),
+            epoch_seconds(batch, ts_col).alias("ts_s"),
+            F.col(value_col).cast("double").alias("value"),
+            F.lit(None).cast("double").alias("w_sum"),
+            F.lit(None).cast("long").alias("w_n"),
+        )
+
+    wb = (
+        Window.partitionBy(key)
+        .orderBy(F.asc("ts_s"))
+        .rowsBetween(-n_prec, Window.currentRow)
+    )
+
+    def fold(prev: DataFrame | None, cand: DataFrame) -> DataFrame:
+        u = prev.unionByName(cand) if prev is not None else cand
+        return u.select(
+            key,
+            "ts_s",
+            "value",
+            F.coalesce("w_sum", F.sum("value").over(wb)).alias("w_sum"),
+            F.coalesce("w_n", F.count(F.lit(1)).over(wb)).alias("w_n"),
+        )
+
+    def close(state: DataFrame):
+        wr = Window.partitionBy(key).orderBy(F.desc("ts_s"))
+        flagged = state.withColumn(
+            "__evict", F.row_number().over(wr) > n_prec
+        )
+        return (
+            flagged.filter(~F.col("__evict")).drop("__evict"),
+            flagged.filter("__evict").drop("__evict"),
+        )
+
+    def emit(state: DataFrame, closed: DataFrame | None) -> DataFrame:
+        out = closed.unionByName(state) if closed is not None else state
+        return out.select(key, "ts_s", "value", "w_sum", "w_n")
+
+    return jvm_keyed_fold(
+        stream,
+        prepare=prepare,
+        fold=fold,
+        state_dir=state_dir,
+        close=close,
+        closed_natural_key=[key, "ts_s"],
+        emit=emit,
+        query_name=query_name,
+    )

@@ -1,0 +1,88 @@
+"""SQL front door for the pipeline surface: PTF parse/rewrite/compose."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_ci_flink_spark.catalog import load_tables
+from flink_ci_flink_spark.pipeline.sql import pipeline_sql, ptf_names
+
+
+def test_ptf_equals_python_surface(spark, sf_dir):
+    """TABLE(jaccard_pairs(TABLE documents, threshold => 0.5)) returns the
+    same rows as the direct Python call — the SQL and Python surfaces share
+    one builder."""
+    from flink_ci_flink_spark.pipeline.dedup import jaccard_pairs
+
+    t = load_tables(spark, sf_dir)
+    t.documents.createOrReplaceTempView("documents")
+    got = pipeline_sql(
+        spark,
+        "SELECT * FROM TABLE(jaccard_pairs(TABLE documents, threshold => 0.5))",
+    )
+    want = jaccard_pairs(t.documents, threshold=0.5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ptf_composes_with_plain_sql(spark, sf_dir):
+    """A PTF reference composes with joins/aggregations around it, and the
+    rewrite keeps the statement a single lazy Catalyst plan."""
+    t = load_tables(spark, sf_dir)
+    t.documents.createOrReplaceTempView("documents")
+    out = pipeline_sql(
+        spark,
+        """
+        SELECT d.source, COUNT(p.id_b) AS n_pairs
+        FROM documents d
+        LEFT JOIN TABLE(jaccard_pairs(TABLE documents, threshold => 0.5)) p
+          ON p.id_a = d.doc_id
+        GROUP BY d.source
+        """,
+    )
+    from flink_ci_flink_spark.pipeline.dedup import jaccard_pairs
+
+    pairs = jaccard_pairs(t.documents, threshold=0.5)
+    want = {
+        (r.source, r.n_pairs)
+        for r in t.documents.alias("d")
+        .join(pairs, F.col("id_a") == F.col("doc_id"), "left")
+        .groupBy("source")
+        .agg(F.count("id_b").alias("n_pairs"))
+        .collect()
+    }
+    assert {(r.source, r.n_pairs) for r in out.collect()} == want
+
+
+def test_ptf_two_calls_and_kwargs(spark, sf_dir):
+    """Two PTFs in one statement rewrite independently; keyword arguments
+    parse ints, floats, strings, and booleans."""
+    t = load_tables(spark, sf_dir)
+    t.documents.createOrReplaceTempView("documents")
+    out = pipeline_sql(
+        spark,
+        """
+        SELECT s.doc_id
+        FROM TABLE(hash_sample(TABLE documents, rate => 0.5, seed => 'x1')) s
+        JOIN TABLE(text_features(TABLE documents)) f ON f.doc_id = s.doc_id
+        WHERE f.n_tokens > 0
+        """,
+    )
+    n_docs = t.documents.count()
+    n = out.count()
+    assert 0 < n < n_docs
+
+
+def test_ptf_errors(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    t.documents.createOrReplaceTempView("documents")
+    with pytest.raises(ValueError, match="registered"):
+        pipeline_sql(spark, "SELECT * FROM TABLE(no_such_fn(TABLE documents))")
+    with pytest.raises(ValueError, match="TABLE"):
+        pipeline_sql(spark, "SELECT * FROM TABLE(jaccard_pairs(threshold => 0.5))")
+    with pytest.raises(ValueError, match="literal"):
+        pipeline_sql(
+            spark,
+            "SELECT * FROM TABLE(jaccard_pairs(TABLE documents, threshold => foo))",
+        )
+    assert "jaccard_pairs" in ptf_names() and "knn_join" in ptf_names()

@@ -950,3 +950,54 @@ def test_streaming_count_window_jvm_matches_python_and_batch(
             chunk = vals[w * 10 : (w + 1) * 10]
             want[(u, w)] = (10, round(sum(chunk), 6))
     assert got == want
+
+
+def test_streaming_bounded_over_jvm_matches_python(spark, events_stream_dir):  # noqa: F811
+    """The jvm_keyed_fold bounded over-window (ROWS N PRECEDING) == the
+    applyInPandasWithState `streaming_bounded_over` on the same ts-ordered
+    replay — every input row emitted exactly once with identical
+    (w_sum, w_n)."""
+    import shutil
+    import tempfile
+
+    from flink_ci_flink_spark.streaming import run_to_completion
+    from flink_ci_flink_spark.streaming.process import streaming_bounded_over_jvm
+    from flink_ci_flink_spark.streaming.windows_ext import streaming_bounded_over
+    from tests.test_streaming import _events_stream
+
+    path, schema = events_stream_dir
+    out_py = streaming_bounded_over(
+        _events_stream(spark, (path, schema), per_trigger=1).select(
+            "user_id", "ts", "value"
+        ),
+        "user_id",
+        "ts",
+        "value",
+        rows_preceding=4,
+    )
+    name = f"bo_{uuid.uuid4().hex[:8]}"
+    run_to_completion(out_py, name, "append")
+    want = {
+        (r.user_id, round(r.ts_s, 6)): (round(r.w_sum, 6), r.w_n)
+        for r in spark.table(name).collect()
+    }
+
+    state = tempfile.mkdtemp(prefix="bover_jvm_")
+    try:
+        got_df = streaming_bounded_over_jvm(
+            _events_stream(spark, (path, schema), per_trigger=1).select(
+                "user_id", "ts", "value"
+            ),
+            key="user_id",
+            ts_col="ts",
+            value_col="value",
+            rows_preceding=4,
+            state_dir=state,
+        )
+        got = {
+            (r.user_id, round(r.ts_s, 6)): (round(r.w_sum, 6), r.w_n)
+            for r in got_df.collect()
+        }
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    assert got == want
