@@ -37,7 +37,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-from flink_ci_flink_spark.cep.operator import cep, cep_stream, measure_select
+from flink_ci_flink_spark.cep.operator import (
+    cep,
+    cep_stream,
+    cep_stream_replay,
+    measure_select,
+)
 from flink_ci_flink_spark.cep.pattern import (
     NO_SKIP,
     SKIP_PAST_LAST,
@@ -385,9 +390,11 @@ def parse_match_recognize_sql(sql: str) -> dict:
     (SUM/COUNT/AVG/MIN/MAX over a variable), and cross-variable references
     (bare ``A.f`` in B's DEFINE = LAST(A.f), per SQL).
     Not supported (loud errors): ALL ROWS PER MATCH on streams,
-    CASE/BETWEEN/IN/LIKE/subqueries inside navigated DEFINEs, PREV/NEXT
-    physical navigation in the STREAMING operator (needs window functions;
-    logical navigation and aggregates stream fine)."""
+    CASE/BETWEEN/IN/LIKE/subqueries inside navigated DEFINEs, NEXT physical
+    navigation in the STREAMING operator (future-dependent — a lead()
+    reference can point past the frontier; PREV streams fine via the
+    `cep_stream_replay` foreachBatch re-plan, and logical navigation and
+    aggregates stream on the NFA state operator)."""
     m = re.search(r"MATCH_RECOGNIZE\s*\(", sql, re.I)
     if not m:
         raise ValueError("no MATCH_RECOGNIZE clause found")
@@ -565,22 +572,33 @@ def match_recognize_sql(
         df = source.table(parsed["table"])
 
     keys = parsed["partition_by"]
+    streaming_nav = False
     if parsed["nav_specs"]:
         # PREV/NEXT physical navigation == lag()/lead() over the partition —
         # precomputed JVM-side so the DEFINE stays row-local (and fixed
         # patterns keep the fully-compiled lead() plan)
         if streaming:
-            raise NotImplementedError(
-                "PREV/NEXT navigation in streaming MATCH_RECOGNIZE is not "
-                "supported (window functions are unavailable on streams)"
-            )
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
+            # PREV works on streams via the foreachBatch re-plan wrapper
+            # (cep_stream_replay: nav lag columns recomputed over the
+            # whole buffered suffix each micro-batch, so navigation
+            # reaches across batch boundaries). NEXT stays rejected: a
+            # lead() reference is future-dependent — the frontier rule
+            # cannot make a match final while its nav target may not have
+            # arrived.
+            if any(kind == "lead" for _c, kind, _s, _n in parsed["nav_specs"]):
+                raise NotImplementedError(
+                    "NEXT navigation in streaming MATCH_RECOGNIZE is "
+                    "future-dependent and not supported; PREV is"
+                )
+            streaming_nav = True
+        else:
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
 
-        w = Window.partitionBy(*keys).orderBy(parsed["order_by"])
-        for colname, kind, src, n in parsed["nav_specs"]:
-            fn = F.lag if kind == "lag" else F.lead
-            df = df.withColumn(colname, fn(src, n).over(w))
+            w = Window.partitionBy(*keys).orderBy(parsed["order_by"])
+            for colname, kind, src, n in parsed["nav_specs"]:
+                fn = F.lag if kind == "lag" else F.lead
+                df = df.withColumn(colname, fn(src, n).over(w))
     # logical navigation / aggregates run fine on the streaming NFA: the
     # state payload preserves value types (operator._jsonable), and ctx
     # predicates evaluate over the buffered, ordered per-key events
@@ -646,6 +664,31 @@ def match_recognize_sql(
         )
     select = _measure_select(parsed["measures"], keys)
     if streaming:
+        if streaming_nav:
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            def prepare(bdf: DataFrame) -> DataFrame:
+                w = Window.partitionBy(*keys).orderBy(parsed["order_by"])
+                out = bdf
+                for colname, kind, src, n in parsed["nav_specs"]:
+                    fn = F.lag if kind == "lag" else F.lead
+                    out = out.withColumn(colname, fn(src, n).over(w))
+                return out
+
+            return cep_stream_replay(
+                df,
+                pat,
+                keys,
+                parsed["order_by"],
+                select,
+                output_schema,
+                delay_seconds=delay_seconds,
+                prepare=prepare,
+                extra_tail_rows=max(
+                    n for _c, _k, _s, n in parsed["nav_specs"]
+                ),
+            )
         return cep_stream(
             df, pat, keys, parsed["order_by"], select, output_schema, delay_seconds
         )

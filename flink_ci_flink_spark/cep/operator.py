@@ -580,3 +580,170 @@ def cep_stream_timed_out(
 
 def _schema_cols(schema: str) -> list[str]:
     return [part.strip().split()[0] for part in schema.split(",")]
+
+
+def cep_stream_replay(
+    stream: DataFrame,
+    pattern: Pattern,
+    keys: list[str],
+    ts_col,
+    select: SelectFn | None = None,
+    output_schema: str = "",
+    state_dir: str | None = None,
+    measures: dict[str, tuple] | None = None,
+    delay_seconds: float = 0.0,
+    prepare=None,
+    extra_tail_rows: int = 0,
+    query_name: str = "cep_replay",
+) -> DataFrame:
+    """Streaming CEP by foreachBatch RE-PLAN over a versioned parquet
+    buffer — the wrapper that lifts the ENTIRE batch operator surface
+    (including plan-side derived columns a per-key state operator cannot
+    compute, e.g. PREV physical navigation = lag() over the buffer) onto a
+    bounded stream.
+
+    Per micro-batch: buffered suffix ∪ new rows → ``prepare`` (optional
+    plan builder, e.g. the MATCH_RECOGNIZE nav lag columns — recomputed
+    over the WHOLE buffer each batch, so lag reaches across micro-batch
+    boundaries, which is exactly what the ingest-time predicate columns of
+    `cep_stream` cannot do) → the batch NFA (`cep`, sorted-partition
+    mapInPandas) → emit matches CLOSED at the per-key frontier
+    (`_match_closed`, max event time − delay) whose content identity has
+    not already been emitted. Identities are ts-based (repo-wide streaming
+    assumption: distinct event times per key) and retained while their
+    anchor stays inside the buffer window; buffer pruning keeps each key's
+    rows above frontier − within plus ``extra_tail_rows`` older rows (the
+    lag context of the kept region). State versions by batch_id.
+
+    Trade vs the reference's incremental `CepOperator`: recompute per
+    micro-batch over a WITHIN-bounded buffer instead of incremental NFA
+    state — more work per batch, zero per-row Python on the plan side of
+    `prepare`, and the full batch feature surface for free. Requires
+    ``pattern.within(...)`` (bounds the buffer). Runs the bounded stream to
+    completion and returns the emitted rows as a batch DataFrame."""
+    import tempfile
+
+    pattern.validate()
+    order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+    ts_col = order_cols[0]
+    if pattern.within_seconds is None:
+        raise ValueError(
+            "cep_stream_replay requires pattern.within(...) — it bounds "
+            "the per-key buffer"
+        )
+    if select is None:
+        assert measures is not None, "cep_stream_replay needs select= or measures="
+        select = measure_select(measures, keys)
+    if state_dir is None:
+        state_dir = tempfile.mkdtemp(prefix="cep_replay_state_")
+    within = float(pattern.within_seconds)
+    from flink_ci_flink_spark.functions.scalar import epoch_seconds
+    from flink_ci_flink_spark.streaming.process import _prune_state_versions
+
+    spark = stream.sparkSession
+    cols = list(stream.columns)
+    last = {"v": None, "out": False}
+    ext_schema = output_schema + ", __ident string, __t0 double"
+
+    def flat(key_tuple, mi, m, events):
+        emit_upto = max(e["__ts"] for e in events) - delay_seconds
+        if not _match_closed(pattern, m, events, emit_upto):
+            return []
+        ident = hashlib.md5(
+            json.dumps(
+                sorted(
+                    (name, [events[i]["__ts"] for i in idxs])
+                    for name, idxs in m.groups.items()
+                ),
+                default=str,
+            ).encode()
+        ).hexdigest()
+        row = dict(select(key_tuple, m, events))
+        row["__ident"] = ident
+        row["__t0"] = float(events[m.start_idx]["__ts"])
+        return [row]
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        buf = batch_df.select(*cols)
+        if last["v"] is not None:
+            buf = spark.read.parquet(f"{state_dir}/buf_v{last['v']}").unionByName(buf)
+        buf = buf.localCheckpoint(eager=True)
+        work = prepare(buf) if prepare is not None else buf
+        res = cep(
+            work, pattern, keys, order_cols, flat_select=flat,
+            output_schema=ext_schema,
+        ).localCheckpoint(eager=True)
+        if last["v"] is not None:
+            prev_idents = spark.read.parquet(f"{state_dir}/idents_v{last['v']}")
+            new = res.join(prev_idents.select("__ident"), "__ident", "left_anti")
+        else:
+            prev_idents = None
+            new = res
+        new.withColumn("__epoch", F.lit(int(batch_id))).write.mode(
+            "append"
+        ).parquet(f"{state_dir}/out")
+        last["out"] = True
+        # per-key frontier from the buffer; prune idents + buffer to the
+        # within-window (+ lag context rows)
+        tsec = epoch_seconds(buf, ts_col)
+        fr = (
+            buf.withColumn("__tsec", tsec)
+            .groupBy(*keys)
+            .agg(
+                (F.max("__tsec") - F.lit(delay_seconds) - F.lit(within)).alias(
+                    "__keep_from"
+                )
+            )
+        )
+        idents = res.select(*keys, "__ident", "__t0")
+        if prev_idents is not None:
+            idents = prev_idents.unionByName(idents).dropDuplicates(["__ident"])
+        idents.join(fr, keys).filter(
+            F.col("__t0") >= F.col("__keep_from")
+        ).select(*keys, "__ident", "__t0").write.mode("overwrite").parquet(
+            f"{state_dir}/idents_v{batch_id}"
+        )
+        from pyspark.sql.window import Window as _W
+
+        below_rank = F.row_number().over(
+            _W.partitionBy(*keys).orderBy(F.desc("__tsec"))
+        )
+        pruned = (
+            buf.withColumn("__tsec", tsec)
+            .join(fr, keys)
+            .withColumn(
+                "__keep",
+                (F.col("__tsec") >= F.col("__keep_from"))
+                | (
+                    below_rank
+                    <= F.lit(int(extra_tail_rows))
+                    + F.sum(
+                        F.when(
+                            F.col("__tsec") >= F.col("__keep_from"), 1
+                        ).otherwise(0)
+                    ).over(_W.partitionBy(*keys))
+                ),
+            )
+            .filter("__keep")
+            .select(*cols)
+        )
+        pruned.write.mode("overwrite").parquet(f"{state_dir}/buf_v{batch_id}")
+        prev = last["v"]
+        last["v"] = batch_id
+        keep = {batch_id} | ({prev} if prev is not None else set())
+        _prune_state_versions(state_dir, "buf_v", keep)
+        _prune_state_versions(state_dir, "idents_v", keep)
+
+    q = stream.writeStream.foreachBatch(merge).start(queryName=query_name)
+    q.processAllAvailable()
+    q.stop()
+    out_cols = [p.strip().split()[0] for p in output_schema.split(",")]
+    if not last["out"]:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromDDL(output_schema))
+    return (
+        spark.read.parquet(f"{state_dir}/out")
+        .dropDuplicates(["__ident"])
+        .select(*out_cols)
+    )

@@ -1861,3 +1861,75 @@ def test_parse_order_by_secondary_and_desc_rejection():
         parse_match_recognize_sql(base.format(ob="ts DESC"))
     with _pytest.raises(NotImplementedError, match="ascending"):
         parse_match_recognize_sql(base.format(ob="ts, id DESC"))
+
+
+def test_streaming_mr_prev_navigation_replay(spark):
+    """PREV physical navigation on STREAMING MATCH_RECOGNIZE via the
+    foreachBatch re-plan wrapper (`cep_stream_replay`): the nav lag
+    columns are recomputed over the whole buffered suffix each
+    micro-batch, so a dip-rebound match whose PREV context CROSSES a
+    micro-batch boundary is still found; streamed == batch on ordered
+    replay. NEXT still rejects loudly (future-dependent)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from flink_ci_flink_spark.cep import match_recognize_sql
+    from flink_ci_flink_spark.streaming import file_stream
+
+    schema = "user_id long, ts double, value double"
+    # dips at ts 2->3 (batch boundary!) and 7->8, rebounds right after
+    vals = [10.0, 9.0, 8.0, 12.0, 13.0, 11.0, 10.0, 7.0, 9.0, 9.5]
+    rows = [(1, float(t + 1), v) for t, v in enumerate(vals)]
+    sql = """
+      SELECT * FROM __x MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES LAST(A.ts) AS dip_ts, LAST(B.ts) AS rebound_ts
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A B) WITHIN INTERVAL '10' SECOND
+        DEFINE A AS A.value < PREV(A.value), B AS B.value > PREV(B.value)
+      )"""
+    df = spark.createDataFrame(rows, schema)
+    batch = {tuple(r) for r in match_recognize_sql(df, sql).collect()}
+    assert batch, "fixture must produce matches"
+
+    tmp = tempfile.mkdtemp(prefix="mr_nav_stream_")
+    try:
+        # 4 files of 2-3 rows; the first dip's PREV context (ts 2) and its
+        # continuation (ts 3) land in DIFFERENT micro-batches
+        chunks = [rows[0:3], rows[3:5], rows[5:8], rows[8:10]]
+        for i, chunk in enumerate(chunks):
+            spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                f"{tmp}/f{i}"
+            )
+            (part,) = glob.glob(f"{tmp}/f{i}/part-*.parquet")
+            os.rename(part, f"{tmp}/{i:03d}.parquet")
+            shutil.rmtree(f"{tmp}/f{i}")
+        st = file_stream(
+            spark, tmp, spark.createDataFrame([], schema).schema,
+            max_files_per_trigger=1,
+        )
+        # streaming+nav runs the bounded stream to completion and returns
+        # the emitted rows as a batch DataFrame (foreachBatch wrapper
+        # convention, like the jvm_keyed_fold family)
+        out = match_recognize_sql(st, sql, streaming=True)
+        assert not out.isStreaming
+        streamed = {tuple(r) for r in out.collect()}
+        assert streamed == batch
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="NEXT"):
+        match_recognize_sql(
+            spark.readStream.format("rate").load().selectExpr(
+                "1 AS user_id",
+                "CAST(timestamp AS DOUBLE) AS ts",
+                "CAST(value AS DOUBLE) AS value",
+            ),
+            sql.replace("PREV(B.value)", "NEXT(B.value)"),
+            streaming=True,
+        )
