@@ -403,8 +403,15 @@ def adamic_adar(edges: DataFrame) -> DataFrame:
     (u, w) sharing a neighbor v, score += 1/ln(deg(v)), over the
     undirected graph. One self-join on the shared neighbor — cost bounded
     by Σ deg(v)², the standard formulation (Gelly shades the same way).
-    Output: (u, w, score), u < w."""
-    und = undirect(edges)
+    Output: (u, w, score), u < w. Input edges are canonicalized to a
+    distinct simple graph first (src<dst distinct, like `jaccard_index`),
+    so duplicate or already-bidirectional edge lists do not inflate
+    degrees or scores."""
+    und = undirect(
+        undirect(edges.select("src", "dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
     deg = und.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
     nbr = und.select(F.col("src").alias("v"), F.col("dst").alias("n"))
     pairs = (
