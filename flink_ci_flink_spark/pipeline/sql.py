@@ -27,6 +27,7 @@ surface and the Python surface cannot drift.
 from __future__ import annotations
 
 import re
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -144,7 +145,9 @@ def pipeline_sql(spark: SparkSession, sql: str) -> DataFrame:
                 raise ValueError(f"unsupported PTF argument: {a!r}")
             kwargs[am.group(1).lower()] = _parse_literal(am.group(2))
         df = _PTF_REGISTRY[fn_name](spark, spark.table(table_name), **kwargs)
-        view = f"__ptf_{fn_name}_{n_view}"
+        # per-call unique suffix: concurrent pipeline_sql statements in one
+        # session must not overwrite each other's rewritten views
+        view = f"__ptf_{fn_name}_{n_view}_{uuid.uuid4().hex[:8]}"
         n_view += 1
         df.createOrReplaceTempView(view)
         out.append(sql[pos : m.start()])
