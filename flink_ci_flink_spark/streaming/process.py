@@ -403,6 +403,55 @@ def _prune_state_versions(state_dir: str, prefix: str, keep_ids: set[int]) -> No
             _shutil.rmtree(d, ignore_errors=True)
 
 
+def _latest_version_below(state_dir: str, prefix: str, batch_id: int) -> int | None:
+    """Largest on-disk state version id strictly below ``batch_id``.
+
+    Reading the replay-safe predecessor from DISK (versions ARE batch ids)
+    rather than a driver-memory pointer makes same-id redelivery exact: a
+    replayed batch N re-reads v{N-1} (still retained — pruning keeps the
+    current and previous versions) and regenerates v{N} and its closed
+    rows from the same inputs, instead of double-merging its own output."""
+    import os
+    import re as _re
+
+    try:
+        entries = os.listdir(state_dir)
+    except FileNotFoundError:
+        return None
+    best = None
+    for e in entries:
+        m = _re.fullmatch(_re.escape(prefix) + r"(\d+)", e)
+        if m and int(m.group(1)) < batch_id:
+            best = int(m.group(1)) if best is None else max(best, int(m.group(1)))
+    return best
+
+
+def _keyed_fold_step(
+    spark, state_dir: str, prepare, fold, close, batch_df: DataFrame,
+    batch_id: int, last: dict,
+) -> None:
+    """One micro-batch of the keyed-fold merge loop — exposed so tests can
+    drive same-batch-id replays directly (the at-least-once contract)."""
+    prev_id = _latest_version_below(state_dir, "v", batch_id)
+    prev = (
+        spark.read.parquet(f"{state_dir}/v{prev_id}")
+        if prev_id is not None
+        else None
+    )
+    new = fold(prev, prepare(batch_df))
+    if close is not None:
+        new, closed_rows = close(new)
+        closed_rows.withColumn("__epoch", F.lit(int(batch_id))).write.mode(
+            "append"
+        ).parquet(f"{state_dir}/closed")
+        last["closed"] = True
+    new.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+    last["v"] = batch_id
+    _prune_state_versions(
+        state_dir, "v", {batch_id} | ({prev_id} if prev_id is not None else set())
+    )
+
+
 def jvm_keyed_fold(
     stream: DataFrame,
     prepare,
@@ -451,23 +500,8 @@ def jvm_keyed_fold(
     last = {"v": None, "closed": False}
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        prev = (
-            spark.read.parquet(f"{state_dir}/v{last['v']}")
-            if last["v"] is not None
-            else None
-        )
-        new = fold(prev, prepare(batch_df))
-        if close is not None:
-            new, closed_rows = close(new)
-            closed_rows.withColumn("__epoch", F.lit(int(batch_id))).write.mode(
-                "append"
-            ).parquet(f"{state_dir}/closed")
-            last["closed"] = True
-        new.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
-        prev_id = last["v"]
-        last["v"] = batch_id
-        _prune_state_versions(
-            state_dir, "v", {batch_id} | ({prev_id} if prev_id is not None else set())
+        _keyed_fold_step(
+            spark, state_dir, prepare, fold, close, batch_df, batch_id, last
         )
 
     q = stream.writeStream.foreachBatch(merge).start(queryName=query_name)

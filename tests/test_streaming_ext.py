@@ -1001,3 +1001,56 @@ def test_streaming_bounded_over_jvm_matches_python(spark, events_stream_dir):  #
     finally:
         shutil.rmtree(state, ignore_errors=True)
     assert got == want
+
+
+def test_keyed_fold_same_batch_id_replay_idempotent(spark, tmp_path):
+    """The at-least-once contract of jvm_keyed_fold: redelivering a batch
+    under the SAME batch_id regenerates the state version from the on-disk
+    predecessor instead of double-merging its own output, and re-appended
+    closed rows collapse on the natural key."""
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.streaming.process import _keyed_fold_step
+
+    def prepare(b):
+        return b.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+        )
+
+    def fold(prev, part):
+        if prev is not None:
+            part = prev.unionByName(part)
+        return part.groupBy("k").agg(
+            F.sum("s").alias("s"), F.sum("n").cast("long").alias("n")
+        )
+
+    def close(state):
+        return state.filter(F.col("n") < 3), state.filter(F.col("n") >= 3)
+
+    b0 = spark.createDataFrame([(1, 1.0), (1, 2.0), (2, 5.0)], "k long, v double")
+    b1 = spark.createDataFrame([(1, 3.0), (2, 7.0)], "k long, v double")
+
+    def run(dirname, replay):
+        d = str(tmp_path / dirname)
+        last = {"v": None, "closed": False}
+        _keyed_fold_step(spark, d, prepare, fold, close, b0, 0, last)
+        _keyed_fold_step(spark, d, prepare, fold, close, b1, 1, last)
+        if replay:
+            _keyed_fold_step(spark, d, prepare, fold, close, b1, 1, last)
+        state = {
+            tuple(r) for r in spark.read.parquet(f"{d}/v{last['v']}").collect()
+        }
+        closed = {
+            tuple(r)
+            for r in spark.read.parquet(f"{d}/closed")
+            .dropDuplicates(["k"])
+            .drop("__epoch")
+            .collect()
+        }
+        return state, closed
+
+    clean = run("clean", replay=False)
+    replayed = run("replayed", replay=True)
+    assert replayed == clean
+    # key 1 saw 3 rows -> closed exactly once with the full sum
+    assert (1, 6.0, 3) in clean[1]
