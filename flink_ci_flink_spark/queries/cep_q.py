@@ -597,3 +597,84 @@ def cep_mr_secondary_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """,
     )
+
+
+@query(
+    "cep_mr_prev_stream_replay",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, value,
+             LAG(value) OVER w AS pv,
+             LEAD(value) OVER w AS nv,
+             LEAD(ts) OVER w AS nts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS dip_ts_s,
+           CAST(FLOOR(EPOCH(nts)) AS BIGINT) AS rebound_ts_s
+    FROM seq
+    WHERE pv IS NOT NULL AND value < pv AND nv > value
+      AND EPOCH(nts) - EPOCH(ts) <= 172800
+    """,
+    group="cep",
+)
+def cep_mr_prev_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREV physical navigation on STREAMING MATCH_RECOGNIZE, driver-proven:
+    the dip-rebound pattern (A.value < PREV(A.value), B.value >
+    PREV(B.value), strict adjacency, 48h window) runs over a 3-micro-batch
+    replay of the events table through `cep_stream_replay` — the
+    foreachBatch re-plan wrapper that recomputes the nav lag() columns over
+    the WHOLE buffered suffix each batch, so PREV context crossing a
+    micro-batch boundary still matches; per batch the fixed 2-stage
+    expr-defined pattern compiles to the pure lead() plan (zero Python on
+    the plan side). Emitted rows == the one-shot LAG/LEAD enumeration the
+    oracle runs (`cep/operator.py::cep_stream_replay`,
+    `cep/match_recognize.py` streaming-nav dispatch)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from flink_ci_flink_spark.cep import match_recognize_sql
+    from flink_ci_flink_spark.functions.scalar import epoch_seconds
+    from flink_ci_flink_spark.streaming import file_stream
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select(
+        "user_id",
+        "ts",
+        "value",
+        epoch_seconds(t.events, "ts").cast("long").alias("ts_s"),
+    )
+    tmp = tempfile.mkdtemp(prefix="mr_prev_replay_")
+    w = Window.orderBy("ts", "user_id")
+    staged = ev.withColumn("__b", F.ntile(3).over(w))
+    for b in (1, 2, 3):
+        part_dir = f"{tmp}/fb{b}"
+        staged.filter(F.col("__b") == b).drop("__b").orderBy(
+            "ts"
+        ).coalesce(1).write.parquet(part_dir)
+        (part,) = glob.glob(f"{part_dir}/part-*.parquet")
+        os.rename(part, f"{tmp}/{b:03d}.parquet")
+        shutil.rmtree(part_dir)
+    st = file_stream(spark, tmp, ev.schema, max_files_per_trigger=1)
+    out = match_recognize_sql(
+        st,
+        """
+        SELECT * FROM __replay MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES LAST(A.ts_s) AS dip_ts_s, LAST(B.ts_s) AS rebound_ts_s
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B) WITHIN INTERVAL '48' HOUR
+          DEFINE A AS A.value < PREV(A.value), B AS B.value > PREV(B.value)
+        )
+        """,
+        streaming=True,
+    )
+    return out
