@@ -984,3 +984,123 @@ def streaming_bounded_over_jvm(
         emit=emit,
         query_name=query_name,
     )
+
+
+def streaming_count_sliding_window_jvm(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    size: int,
+    slide: int,
+    state_dir: str,
+    query_name: str = "cntslide_jvm",
+) -> DataFrame:
+    """Sliding COUNT windows with NO per-key Python path — the third
+    decomposable shape on `jvm_keyed_fold`
+    (`CountSlidingWindowAssigner` semantics, matching
+    `windows_ext.count_sliding_window`): window w covers per-key event
+    ordinals [w*slide, w*slide + size); only complete windows emit,
+    numbered 0.. per key.
+
+    Each batch row's ordinal lands in at most ceil(size/slide) windows
+    (an explode over the window-id range), partials merge with state on
+    (key, win). Because slide > size leaves ordinal gaps that belong to NO
+    window, per-key progress cannot be recovered from the window partials
+    alone — a marker row (win = -1, n = total events seen) rides in the
+    state and supplies the ordinal offset for the next batch. close()
+    evicts complete windows to the replay-deduplicated closed store, so
+    state is the marker plus at most ceil(size/slide) partial windows per
+    key. Returns the closed windows as a batch DataFrame.
+    """
+    from pyspark.sql.window import Window
+
+    wk = Window.partitionBy(key).orderBy(F.col(ts_col).asc(), F.col("__mono").asc())
+    z, s = int(size), int(slide)
+
+    def prepare(batch: DataFrame) -> DataFrame:
+        return (
+            batch.withColumn("__mono", F.monotonically_increasing_id())
+            .withColumn("__rn", F.row_number().over(wk) - 1)
+            .select(
+                F.col(key),
+                F.col("__rn").cast("long").alias("__rn"),
+                F.col(value_col).cast("double").alias("__v"),
+            )
+        )
+
+    def fold(prev: DataFrame | None, cand: DataFrame) -> DataFrame:
+        if prev is not None:
+            marker = prev.filter(F.col("win") == -1)
+            offs = marker.select(key, F.col("n").alias("__off"))
+            data_prev = prev.filter(F.col("win") >= 0)
+            cand = cand.join(offs, key, "left").na.fill({"__off": 0})
+        else:
+            marker = None
+            data_prev = None
+            cand = cand.withColumn("__off", F.lit(0).cast("long"))
+        cand = cand.withColumn("__ord", F.col("__rn") + F.col("__off"))
+        lo = F.greatest(F.lit(0).cast("long"), F.expr(f"(__ord - {z} + {s}) div {s}"))
+        hi = F.expr(f"__ord div {s}")
+        # slide > size leaves ordinal gaps owned by NO window: lo > hi
+        # there, and sequence() would otherwise emit a DESCENDING range
+        part = (
+            cand.withColumn("__lo", lo)
+            .withColumn("__hi", hi)
+            .filter(F.col("__lo") <= F.col("__hi"))
+            .withColumn("win", F.explode(F.sequence("__lo", "__hi")))
+            .groupBy(key, "win")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("__v").alias("total"),
+            )
+        )
+        if data_prev is not None:
+            part = data_prev.unionByName(part)
+        merged = part.groupBy(key, "win").agg(
+            F.sum("n").cast("long").alias("n"), F.sum("total").alias("total")
+        )
+        batch_counts = cand.groupBy(key).agg(
+            F.count(F.lit(1)).cast("long").alias("__bn")
+        )
+        if marker is not None:
+            new_marker = (
+                marker.select(key, F.col("n").alias("__off"))
+                .join(batch_counts, key, "full")
+                .select(
+                    key,
+                    F.lit(-1).cast("long").alias("win"),
+                    (
+                        F.coalesce("__off", F.lit(0))
+                        + F.coalesce("__bn", F.lit(0))
+                    ).cast("long").alias("n"),
+                    F.lit(0.0).alias("total"),
+                )
+            )
+        else:
+            new_marker = batch_counts.select(
+                key,
+                F.lit(-1).cast("long").alias("win"),
+                F.col("__bn").alias("n"),
+                F.lit(0.0).alias("total"),
+            )
+        return merged.unionByName(new_marker)
+
+    def close(state: DataFrame):
+        done = (F.col("win") >= 0) & (F.col("n") >= z)
+        return state.filter(~done), state.filter(done)
+
+    return jvm_keyed_fold(
+        stream,
+        prepare=prepare,
+        fold=fold,
+        state_dir=state_dir,
+        close=close,
+        closed_natural_key=[key, "win"],
+        emit=lambda state, closed: (
+            closed.select(key, "win", "n", "total")
+            if closed is not None
+            else state.limit(0).select(key, "win", "n", "total")
+        ),
+        query_name=query_name,
+    )

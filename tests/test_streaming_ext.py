@@ -1054,3 +1054,75 @@ def test_keyed_fold_same_batch_id_replay_idempotent(spark, tmp_path):
     assert replayed == clean
     # key 1 saw 3 rows -> closed exactly once with the full sum
     assert (1, 6.0, 3) in clean[1]
+
+
+def test_streaming_count_sliding_window_jvm_matches_python(
+    spark, events_stream_dir
+):  # noqa: F811
+    """The jvm_keyed_fold sliding count window == the
+    applyInPandasWithState `count_sliding_window` on the same replay, for
+    overlapping (slide < size) windows; the gap case (slide > size) —
+    where window partials alone cannot recover per-key progress and the
+    marker row carries it — matches a direct brute force."""
+    import shutil
+    import tempfile
+
+    from flink_ci_flink_spark.streaming import run_to_completion
+    from flink_ci_flink_spark.streaming.process import (
+        streaming_count_sliding_window_jvm,
+    )
+    from flink_ci_flink_spark.streaming.windows_ext import count_sliding_window
+    from tests.test_streaming import _events_stream
+
+    path, schema = events_stream_dir
+
+    def run_jvm(size, slide):
+        state = tempfile.mkdtemp(prefix="cntslide_jvm_")
+        try:
+            got_df = streaming_count_sliding_window_jvm(
+                _events_stream(spark, (path, schema), per_trigger=1).select(
+                    "user_id", "ts", "value"
+                ),
+                key="user_id",
+                ts_col="ts",
+                value_col="value",
+                size=size,
+                slide=slide,
+                state_dir=state,
+                query_name=f"csj_{uuid.uuid4().hex[:8]}",
+            )
+            return {
+                (r.user_id, r.win): (r.n, round(r.total, 6))
+                for r in got_df.collect()
+            }
+        finally:
+            shutil.rmtree(state, ignore_errors=True)
+
+    # overlapping windows: parity with the Python state operator
+    out_py = count_sliding_window(
+        _events_stream(spark, (path, schema), per_trigger=1).select(
+            "user_id", "ts", "value"
+        ),
+        "user_id", "ts", "value", size=10, slide=4,
+    )
+    name = f"csp_{uuid.uuid4().hex[:8]}"
+    run_to_completion(out_py, name, "append")
+    want = {
+        (r.user_id, r.win): (r.n, round(r.total, 6))
+        for r in spark.table(name).collect()
+    }
+    assert run_jvm(10, 4) == want and want
+
+    # gap case (slide > size): brute force over the ordered series
+    ev = spark.read.schema(schema).parquet(path).orderBy("ts").collect()
+    per_user = {}
+    for r in ev:
+        per_user.setdefault(r.user_id, []).append(r.value)
+    want_gap = {}
+    for u, vals in per_user.items():
+        w = 0
+        while w * 7 + 5 <= len(vals):
+            chunk = vals[w * 7 : w * 7 + 5]
+            want_gap[(u, w)] = (5, round(sum(chunk), 6))
+            w += 1
+    assert run_jvm(5, 7) == want_gap
