@@ -54,6 +54,7 @@ _PRIORITY = [
     "streaming_count_window_replay",
     "pipe_sql_front_door",
     "cep_mr_prev_stream_replay",
+    "streaming_bounded_over_replay",
     # -- (3) re-validation: oldest-proven first --
     "interval_join_events",
     "windowed_stream_join",
@@ -87,7 +88,6 @@ _PRIORITY = [
     "cep_click_no_purchase",
     "cep_mr_sql_view_to_purchase",
     "cep_mr_price_dip",
-    "pipe_ivf_ann_topk",
 ]
 
 

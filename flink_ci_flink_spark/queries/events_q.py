@@ -462,3 +462,67 @@ def streaming_count_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select(
         "user_id", "win", "n", F.round("total", 6).alias("total")
     )
+
+
+@query(
+    "streaming_bounded_over_replay",
+    oracle="""
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_floor_s,
+           ROUND(SUM(value) OVER w, 6) AS w_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS w_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    group="streaming",
+)
+def streaming_bounded_over_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded streaming over-window (ROWS BETWEEN 4 PRECEDING AND CURRENT
+    ROW) executed by the `jvm_keyed_fold` operator over a 3-micro-batch
+    replay — the driver proof that computing each row's window ONCE at
+    arrival (from the state suffix ∪ batch) and evicting behind the
+    suffix equals the one-shot batch window function
+    (`streaming/process.py::streaming_bounded_over_jvm`;
+    `RowTimeRangeBoundedPrecedingFunction.java:60` state contract). One
+    output row per input row."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from flink_ci_flink_spark.streaming import file_stream
+    from flink_ci_flink_spark.streaming.process import streaming_bounded_over_jvm
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="bover_replay_")
+    w = Window.orderBy("ts", "user_id")
+    staged = ev.withColumn("__b", F.ntile(3).over(w))
+    for b in (1, 2, 3):
+        part_dir = f"{tmp}/b{b}"
+        staged.filter(F.col("__b") == b).drop("__b").orderBy(
+            "ts"
+        ).coalesce(1).write.parquet(part_dir)
+        (part,) = glob.glob(f"{part_dir}/part-*.parquet")
+        os.rename(part, f"{tmp}/{b:03d}.parquet")
+        shutil.rmtree(part_dir)
+    state_dir = tempfile.mkdtemp(prefix="bover_replay_state_")
+    out = streaming_bounded_over_jvm(
+        file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),
+        key="user_id",
+        ts_col="ts",
+        value_col="value",
+        rows_preceding=4,
+        state_dir=state_dir,
+        query_name=f"bover_replay_{uuid.uuid4().hex[:8]}",
+    )
+    return out.select(
+        "user_id",
+        F.floor("ts_s").cast("long").alias("ts_floor_s"),
+        F.round("w_sum", 6).alias("w_sum"),
+        F.col("w_n").cast("long").alias("w_n"),
+    )
