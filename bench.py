@@ -223,6 +223,40 @@ def _bench_stateful(spark, sf_dir: str) -> dict:
         ).count()
         dt_cw_jvm = time.perf_counter() - t6
         shutil.rmtree(state5, ignore_errors=True)
+
+        from flink_ci_flink_spark.streaming.process import (
+            streaming_bounded_over_jvm,
+            streaming_count_sliding_window_jvm,
+        )
+
+        state6 = tempfile.mkdtemp(prefix="bench_cntslide_jvm_")
+        t7 = time.perf_counter()
+        streaming_count_sliding_window_jvm(
+            file_stream(spark, tmp, schema).select("user_id", "ts", "value"),
+            key="user_id",
+            ts_col="ts",
+            value_col="value",
+            size=10,
+            slide=4,
+            state_dir=state6,
+            query_name=f"bench_csj_{uuid.uuid4().hex[:8]}",
+        ).count()
+        dt_cs_jvm = time.perf_counter() - t7
+        shutil.rmtree(state6, ignore_errors=True)
+
+        state7 = tempfile.mkdtemp(prefix="bench_bover_jvm_")
+        t8 = time.perf_counter()
+        streaming_bounded_over_jvm(
+            file_stream(spark, tmp, schema).select("user_id", "ts", "value"),
+            key="user_id",
+            ts_col="ts",
+            value_col="value",
+            rows_preceding=4,
+            state_dir=state7,
+            query_name=f"bench_boj_{uuid.uuid4().hex[:8]}",
+        ).count()
+        dt_bo_jvm = time.perf_counter() - t8
+        shutil.rmtree(state7, ignore_errors=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
@@ -242,6 +276,10 @@ def _bench_stateful(spark, sf_dir: str) -> dict:
         "count_window_python_rows_per_sec": round(n_rows / dt_cw_py),
         "jvm_count_window_sec": round(dt_cw_jvm, 3),
         "jvm_count_window_rows_per_sec": round(n_rows / dt_cw_jvm),
+        "jvm_count_sliding_sec": round(dt_cs_jvm, 3),
+        "jvm_count_sliding_rows_per_sec": round(n_rows / dt_cs_jvm),
+        "jvm_bounded_over_sec": round(dt_bo_jvm, 3),
+        "jvm_bounded_over_rows_per_sec": round(n_rows / dt_bo_jvm),
     }
 
 
