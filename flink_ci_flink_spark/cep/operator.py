@@ -44,7 +44,7 @@ from flink_ci_flink_spark.cep.nfa import (
     find_matches,
     find_matches_and_timeouts,
 )
-from flink_ci_flink_spark.cep.pattern import Pattern
+from flink_ci_flink_spark.cep.pattern import NO_SKIP, Pattern
 
 #: A select function: (key_tuple, match, events) -> dict of output columns.
 SelectFn = Callable[[tuple, "Match", list], dict]
@@ -426,11 +426,21 @@ def cep_stream(
             payload.extend(json.dumps(r) for r in recs)
         parsed = [json.loads(pj) for pj in payload]
         # buffer order = (time attribute, *secondary sort cols), arrival
-        # order breaking remaining ties (stable sort)
+        # order breaking remaining ties (stable sort). NULL secondary
+        # values sort FIRST (Spark's ascending default) via a presence
+        # flag — a bare None would TypeError against non-null values.
         order = sorted(
             range(len(ts_list)),
             key=(
-                (lambda i: (ts_list[i], *(parsed[i].get(c) for c in extra_order)))
+                (
+                    lambda i: (
+                        ts_list[i],
+                        *(
+                            (v is not None, v if v is not None else 0)
+                            for v in (parsed[i].get(c) for c in extra_order)
+                        ),
+                    )
+                )
                 if extra_order
                 else (lambda i: ts_list[i])
             ),
@@ -530,11 +540,21 @@ def cep_stream_timed_out(
             payload.extend(json.dumps(r) for r in recs)
         parsed = [json.loads(pj) for pj in payload]
         # buffer order = (time attribute, *secondary sort cols), arrival
-        # order breaking remaining ties (stable sort)
+        # order breaking remaining ties (stable sort). NULL secondary
+        # values sort FIRST (Spark's ascending default) via a presence
+        # flag — a bare None would TypeError against non-null values.
         order = sorted(
             range(len(ts_list)),
             key=(
-                (lambda i: (ts_list[i], *(parsed[i].get(c) for c in extra_order)))
+                (
+                    lambda i: (
+                        ts_list[i],
+                        *(
+                            (v is not None, v if v is not None else 0)
+                            for v in (parsed[i].get(c) for c in extra_order)
+                        ),
+                    )
+                )
                 if extra_order
                 else (lambda i: ts_list[i])
             ),
@@ -631,6 +651,18 @@ def cep_stream_replay(
             "cep_stream_replay requires pattern.within(...) — it bounds "
             "the per-key buffer"
         )
+    if pattern.after_match != NO_SKIP:
+        # stateful skip strategies (PAST LAST ROW / TO FIRST / TO LAST)
+        # thread alignment across matches: pruning the buffer at a time
+        # boundary would restart the skip walk mid-stream and admit
+        # overlapping matches a one-shot run would suppress. Anchor-local
+        # strategies (NO_SKIP, which SKIP TO NEXT ROW maps to — every
+        # anchor evaluated independently) are immune.
+        raise NotImplementedError(
+            "cep_stream_replay supports anchor-local AFTER MATCH "
+            "strategies only (no_skip / skip to next row); stateful skip "
+            "alignment does not survive the buffer's time-boundary prune"
+        )
     if select is None:
         assert measures is not None, "cep_stream_replay needs select= or measures="
         select = measure_select(measures, keys)
@@ -664,17 +696,24 @@ def cep_stream_replay(
         return [row]
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        from flink_ci_flink_spark.streaming.process import _latest_version_below
+
+        # replay-safe predecessor from DISK (same contract as
+        # jvm_keyed_fold): a redelivered batch N re-reads buf_v{N-1} and
+        # regenerates its buffer/idents instead of double-merging its own
+        # output into the buffer
+        prev_id = _latest_version_below(state_dir, "buf_v", batch_id)
         buf = batch_df.select(*cols)
-        if last["v"] is not None:
-            buf = spark.read.parquet(f"{state_dir}/buf_v{last['v']}").unionByName(buf)
+        if prev_id is not None:
+            buf = spark.read.parquet(f"{state_dir}/buf_v{prev_id}").unionByName(buf)
         buf = buf.localCheckpoint(eager=True)
         work = prepare(buf) if prepare is not None else buf
         res = cep(
             work, pattern, keys, order_cols, flat_select=flat,
             output_schema=ext_schema,
         ).localCheckpoint(eager=True)
-        if last["v"] is not None:
-            prev_idents = spark.read.parquet(f"{state_dir}/idents_v{last['v']}")
+        if prev_id is not None:
+            prev_idents = spark.read.parquet(f"{state_dir}/idents_v{prev_id}")
             new = res.join(prev_idents.select("__ident"), "__ident", "left_anti")
         else:
             prev_idents = None
@@ -728,9 +767,8 @@ def cep_stream_replay(
             .select(*cols)
         )
         pruned.write.mode("overwrite").parquet(f"{state_dir}/buf_v{batch_id}")
-        prev = last["v"]
         last["v"] = batch_id
-        keep = {batch_id} | ({prev} if prev is not None else set())
+        keep = {batch_id} | ({prev_id} if prev_id is not None else set())
         _prune_state_versions(state_dir, "buf_v", keep)
         _prune_state_versions(state_dir, "idents_v", keep)
 

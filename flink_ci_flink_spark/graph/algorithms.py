@@ -653,14 +653,18 @@ def vertex_metrics(edges: DataFrame) -> DataFrame:
         .groupBy(F.col("src").alias("id"))
         .agg(F.count(F.lit(1)).alias("degree"))
     )
+    zero = F.lit(0).cast("long")
     return deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_vertices"),
-        (F.sum("degree") / 2).cast("long").alias("n_edges"),
-        F.sum("degree").cast("long").alias("sum_degree"),
-        F.max("degree").cast("long").alias("max_degree"),
-        F.sum(F.col("degree") * (F.col("degree") - 1) / 2)
-        .cast("long")
-        .alias("n_triplets"),
+        # coalesce: F.sum over zero rows is NULL; an empty graph must
+        # report 0 counts (and not NULL-poison the triadic census math)
+        F.coalesce((F.sum("degree") / 2).cast("long"), zero).alias("n_edges"),
+        F.coalesce(F.sum("degree").cast("long"), zero).alias("sum_degree"),
+        F.coalesce(F.max("degree").cast("long"), zero).alias("max_degree"),
+        F.coalesce(
+            F.sum(F.col("degree") * (F.col("degree") - 1) / 2).cast("long"),
+            zero,
+        ).alias("n_triplets"),
     )
 
 
@@ -678,8 +682,16 @@ def triadic_census(edges: DataFrame) -> DataFrame:
     )
     stats = global_clustering_stats(und)
     counts = vertex_metrics(und)
+    zero = F.lit(0).cast("long")
     return (
-        counts.crossJoin(stats.select("n_triplets", "n_triangles").withColumnRenamed("n_triplets", "__tp"))
+        counts.crossJoin(
+            # the clustering aggregates are NULL over an empty graph
+            # (F.sum of no rows); zero them so the census math stays 0
+            stats.select(
+                F.coalesce("n_triplets", zero).alias("__tp"),
+                F.coalesce("n_triangles", zero).alias("n_triangles"),
+            )
+        )
         .select(
             (
                 F.col("n_vertices")

@@ -631,17 +631,9 @@ def cep_mr_prev_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan side). Emitted rows == the one-shot LAG/LEAD enumeration the
     oracle runs (`cep/operator.py::cep_stream_replay`,
     `cep/match_recognize.py` streaming-nav dispatch)."""
-    import glob
-    import os
-    import shutil
-    import tempfile
-
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
-
     from flink_ci_flink_spark.cep import match_recognize_sql
     from flink_ci_flink_spark.functions.scalar import epoch_seconds
-    from flink_ci_flink_spark.streaming import file_stream
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
 
     t = load_tables(spark, sf_dir)
     ev = t.events.select(
@@ -650,17 +642,7 @@ def cep_mr_prev_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         epoch_seconds(t.events, "ts").cast("long").alias("ts_s"),
     )
-    tmp = tempfile.mkdtemp(prefix="mr_prev_replay_")
-    w = Window.orderBy("ts", "user_id")
-    staged = ev.withColumn("__b", F.ntile(3).over(w))
-    for b in (1, 2, 3):
-        part_dir = f"{tmp}/fb{b}"
-        staged.filter(F.col("__b") == b).drop("__b").orderBy(
-            "ts"
-        ).coalesce(1).write.parquet(part_dir)
-        (part,) = glob.glob(f"{part_dir}/part-*.parquet")
-        os.rename(part, f"{tmp}/{b:03d}.parquet")
-        shutil.rmtree(part_dir)
+    tmp = stage_ordered_replay(ev, ["ts", "user_id"])
     st = file_stream(spark, tmp, ev.schema, max_files_per_trigger=1)
     out = match_recognize_sql(
         st,

@@ -421,37 +421,20 @@ def streaming_count_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     `CountTumblingWindowAssigner` / purging count-trigger semantics,
     state bounded at one partial window per key). Only complete windows
     emit, numbered 0.. per key."""
-    import os
-    import shutil
     import tempfile
     import uuid
 
-    from pyspark.sql.window import Window
-
-    from flink_ci_flink_spark.streaming import file_stream
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
     from flink_ci_flink_spark.streaming.process import streaming_count_window_jvm
 
     t = load_tables(spark, sf_dir)
     ev = t.events.select("user_id", "ts", "value", "event_id")
-    # stage a deterministic 3-file replay, event-time order within and
-    # across files (a bounded harness step, not the operator's plan)
-    tmp = tempfile.mkdtemp(prefix="cw_replay_")
-    w = Window.orderBy("ts", "event_id")
-    staged = ev.withColumn("__b", F.ntile(3).over(w))
-    for b in (1, 2, 3):
-        part_dir = f"{tmp}/b{b}"
-        staged.filter(F.col("__b") == b).drop("__b").orderBy(
-            "ts", "event_id"
-        ).coalesce(1).write.parquet(part_dir)
-        import glob
-
-        (part,) = glob.glob(f"{part_dir}/part-*.parquet")
-        os.rename(part, f"{tmp}/{b:03d}.parquet")
-        shutil.rmtree(part_dir)
-    schema = ev.schema
+    # deterministic 3-file replay, event-time order within and across
+    # files (a bounded harness step, not the operator's plan)
+    tmp = stage_ordered_replay(ev, ["ts", "event_id"])
     state_dir = tempfile.mkdtemp(prefix="cw_replay_state_")
     out = streaming_count_window_jvm(
-        file_stream(spark, tmp, schema, max_files_per_trigger=1),
+        file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),
         key="user_id",
         ts_col="ts",
         value_col="value",
@@ -486,30 +469,15 @@ def streaming_bounded_over_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     (`streaming/process.py::streaming_bounded_over_jvm`;
     `RowTimeRangeBoundedPrecedingFunction.java:60` state contract). One
     output row per input row."""
-    import glob
-    import os
-    import shutil
     import tempfile
     import uuid
 
-    from pyspark.sql.window import Window
-
-    from flink_ci_flink_spark.streaming import file_stream
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
     from flink_ci_flink_spark.streaming.process import streaming_bounded_over_jvm
 
     t = load_tables(spark, sf_dir)
     ev = t.events.select("user_id", "ts", "value")
-    tmp = tempfile.mkdtemp(prefix="bover_replay_")
-    w = Window.orderBy("ts", "user_id")
-    staged = ev.withColumn("__b", F.ntile(3).over(w))
-    for b in (1, 2, 3):
-        part_dir = f"{tmp}/b{b}"
-        staged.filter(F.col("__b") == b).drop("__b").orderBy(
-            "ts"
-        ).coalesce(1).write.parquet(part_dir)
-        (part,) = glob.glob(f"{part_dir}/part-*.parquet")
-        os.rename(part, f"{tmp}/{b:03d}.parquet")
-        shutil.rmtree(part_dir)
+    tmp = stage_ordered_replay(ev, ["ts", "user_id"])
     state_dir = tempfile.mkdtemp(prefix="bover_replay_state_")
     out = streaming_bounded_over_jvm(
         file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),

@@ -6,6 +6,7 @@ from flink_ci_flink_spark.streaming.core import (  # noqa: F401
     rate_stream,
     run_to_completion,
     socket_stream,
+    stage_ordered_replay,
     with_watermark,
 )
 from flink_ci_flink_spark.streaming.changelog import (  # noqa: F401

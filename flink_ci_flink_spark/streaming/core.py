@@ -54,6 +54,36 @@ def file_stream(
     return reader.load(path)
 
 
+def stage_ordered_replay(
+    df: DataFrame, order_cols: list[str], n_batches: int = 3
+) -> str:
+    """Stage a DataFrame as ``n_batches`` parquet files in a fresh temp
+    dir, ordered by ``order_cols`` within and across files — the
+    deterministic micro-batch replay fixture every ``*_replay`` driver
+    query and streaming parity test feeds to `file_stream`. Returns the
+    directory (caller owns cleanup; /tmp otherwise reaps it)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    tmp = tempfile.mkdtemp(prefix="replay_stage_")
+    w = Window.orderBy(*order_cols)
+    staged = df.withColumn("__b", F.ntile(n_batches).over(w))
+    for b in range(1, n_batches + 1):
+        part_dir = f"{tmp}/b{b}"
+        staged.filter(F.col("__b") == b).drop("__b").orderBy(
+            *order_cols
+        ).coalesce(1).write.parquet(part_dir)
+        (part,) = glob.glob(f"{part_dir}/part-*.parquet")
+        os.rename(part, f"{tmp}/{b:03d}.parquet")
+        shutil.rmtree(part_dir)
+    return tmp
+
+
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """Monotonic (timestamp, value) generator source."""
     return (

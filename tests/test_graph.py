@@ -324,3 +324,17 @@ def test_clustering_metrics_vs_bruteforce(spark):
         return tri(v) / (d * (d - 1) / 2) if d >= 2 else 0.0
 
     assert abs(g.average_cc - sum(lcc(v) for v in V) / len(V)) < 1e-12
+
+
+def test_vertex_metrics_and_census_empty_graph(spark):
+    """An empty edge frame reports ZERO counts (F.sum over no rows is NULL
+    without the coalesce), and the closed-form triadic census stays
+    non-NULL: 0 vertices -> all four triad counts 0."""
+    from flink_ci_flink_spark.graph import triadic_census, vertex_metrics
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    vm = vertex_metrics(empty).collect()[0]
+    assert (vm.n_vertices, vm.n_edges, vm.sum_degree, vm.max_degree,
+            vm.n_triplets) == (0, 0, 0, 0, 0)
+    tc = triadic_census(empty).collect()[0]
+    assert (tc.t0, tc.t1, tc.t2, tc.t3) == (0, 0, 0, 0)
