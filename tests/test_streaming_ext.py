@@ -1126,3 +1126,106 @@ def test_streaming_count_sliding_window_jvm_matches_python(
             want_gap[(u, w)] = (5, round(sum(chunk), 6))
             w += 1
     assert run_jvm(5, 7) == want_gap
+
+
+def test_count_window_fold_random_batching_property(spark, tmp_path):
+    """Hypothesis: driving the count-window fold step with ARBITRARY
+    batch splits of an event sequence yields exactly the brute-force
+    chunking — the batching-insensitivity the incremental ordinal-offset
+    merge claims, including empty batches and batches smaller/larger than
+    the window."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from flink_ci_flink_spark.streaming.process import _keyed_fold_step
+
+    size = 3
+
+    def prepare(batch):
+        wk = Window.partitionBy("k").orderBy("t")
+        return (
+            batch.withColumn("__rn", F.row_number().over(wk) - 1)
+            .select("k", F.col("__rn").cast("long").alias("__rn"),
+                    F.col("v").cast("double").alias("__v"))
+        )
+
+    def fold(prev, cand):
+        if prev is not None:
+            offs = (
+                prev.groupBy("k")
+                .agg(F.max(F.struct("win", "n")).alias("__m"))
+                .select(
+                    "k",
+                    (F.col("__m.win") * size + F.col("__m.n"))
+                    .cast("long").alias("__off"),
+                )
+            )
+            cand = cand.join(offs, "k", "left").na.fill({"__off": 0})
+        else:
+            cand = cand.withColumn("__off", F.lit(0).cast("long"))
+        part = (
+            cand.withColumn("win", F.expr(f"(__rn + __off) div {size}"))
+            .groupBy("k", "win")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("__v").alias("total"))
+        )
+        if prev is not None:
+            part = prev.unionByName(part)
+        return part.groupBy("k", "win").agg(
+            F.sum("n").cast("long").alias("n"), F.sum("total").alias("total")
+        )
+
+    def close(state):
+        maxwin = F.max("win").over(Window.partitionBy("k"))
+        flagged = state.withColumn("__done", F.col("win") < maxwin)
+        return (flagged.filter(~F.col("__done")).drop("__done"),
+                flagged.filter("__done").drop("__done"))
+
+    import itertools
+    import shutil
+
+    counter = itertools.count()
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        vals=st.lists(st.integers(-5, 5), min_size=0, max_size=12),
+        cuts=st.lists(st.integers(0, 12), max_size=3),
+    )
+    def check(vals, cuts):
+        # split vals at the (sorted, clamped) cut points -> batches,
+        # possibly empty
+        pts = sorted({min(c, len(vals)) for c in cuts})
+        batches, lo = [], 0
+        for p in pts + [len(vals)]:
+            batches.append(vals[lo:p])
+            lo = p
+        d = str(tmp_path / f"cwprop{next(counter)}")
+        last = {"v": None, "closed": False}
+        t0 = 0
+        for bid, chunk in enumerate(batches):
+            rows = [(1, t0 + i, float(v)) for i, v in enumerate(chunk)]
+            t0 += len(chunk)
+            bdf = spark.createDataFrame(rows, "k long, t long, v double")
+            _keyed_fold_step(spark, d, prepare, fold, close, bdf, bid, last)
+        got = {}
+        if last["v"] is not None:
+            state = spark.read.parquet(f"{d}/v{last['v']}")
+            rows = state.filter(F.col("n") >= size).collect()
+            if last["closed"]:
+                rows += (
+                    spark.read.parquet(f"{d}/closed")
+                    .dropDuplicates(["k", "win"]).drop("__epoch").collect()
+                )
+            got = {r.win: (r.n, r.total) for r in rows if r.n >= size}
+        want = {
+            w: (size, float(sum(vals[w * size:(w + 1) * size])))
+            for w in range(len(vals) // size)
+        }
+        shutil.rmtree(d, ignore_errors=True)
+        assert got == want
+
+    check()
