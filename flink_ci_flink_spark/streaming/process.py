@@ -1104,3 +1104,65 @@ def streaming_count_sliding_window_jvm(
         ),
         query_name=query_name,
     )
+
+
+def streaming_top_n_retractable_jvm(
+    stream: DataFrame,
+    key: str,
+    row_key: str,
+    order_col: str,
+    n: int,
+    state_dir: str,
+    query_name: str = "rtopn_jvm",
+) -> DataFrame:
+    """Update-stream top-n with NO per-key Python path — the
+    `jvm_keyed_fold` expression of `streaming_top_n_retractable`
+    (`RetractableTopNFunction.java:54` / `UpdatableTopNFunction.java`):
+    each (key, row_key) carries a LATEST value; a new value replaces the
+    old one (implicit retraction), which can evict it from — or promote it
+    into — the top-n.
+
+    fold = keep-latest per (key, row_key) (state wins nothing here — the
+    BATCH's last arrival wins, the update-stream contract — so batch rows
+    get ascending arrival ids and state rows rank oldest); the rank view
+    is computed at emit over the final latest-value map. State is one row
+    per live (key, row_key) — exactly the reference operator's data-state
+    map; like the reference, rows are retained until retracted upstream.
+
+    Returns the final per-key top-n as a batch DataFrame:
+    (key, row_key, order_col, rn)."""
+    from pyspark.sql.window import Window
+
+    wlast = Window.partitionBy(key, row_key).orderBy(F.desc("__arr"))
+
+    def fold(prev: DataFrame | None, cand: DataFrame) -> DataFrame:
+        if prev is not None:
+            cand = prev.withColumn(
+                "__arr", F.lit(-1).cast("long")  # batch updates beat state
+            ).unionByName(cand)
+        return (
+            cand.withColumn("__rn", F.row_number().over(wlast))
+            .filter(F.col("__rn") == 1)
+            .select(key, row_key, order_col)
+        )
+
+    def emit(state: DataFrame, closed) -> DataFrame:
+        wtop = Window.partitionBy(key).orderBy(
+            F.desc(order_col), F.asc(row_key)
+        )
+        return (
+            state.withColumn("rn", F.row_number().over(wtop))
+            .filter(F.col("rn") <= n)
+            .select(key, row_key, order_col, F.col("rn").cast("int").alias("rn"))
+        )
+
+    return jvm_keyed_fold(
+        stream,
+        prepare=lambda b: b.select(
+            key, row_key, F.col(order_col).cast("double").alias(order_col)
+        ).withColumn("__arr", F.monotonically_increasing_id()),
+        fold=fold,
+        state_dir=state_dir,
+        emit=emit,
+        query_name=query_name,
+    )

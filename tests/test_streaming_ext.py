@@ -1229,3 +1229,61 @@ def test_count_window_fold_random_batching_property(spark, tmp_path):
         assert got == want
 
     check()
+
+
+def test_streaming_top_n_retractable_jvm_matches_batch(spark, events_stream_dir):  # noqa: F811
+    """Update-stream top-n on the fold primitive: (user, event_id%25) rows
+    update each other as the replay advances (implicit retractions); the
+    final per-key top-3 equals the batch keep-latest + rank over the whole
+    input."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from flink_ci_flink_spark.streaming.process import (
+        streaming_top_n_retractable_jvm,
+    )
+    from tests.test_streaming import _events_stream
+
+    path, schema = events_stream_dir
+    state = tempfile.mkdtemp(prefix="rtopn_jvm_")
+    try:
+        st = _events_stream(spark, (path, schema), per_trigger=1).select(
+            "user_id",
+            (F.col("event_id") % 25).alias("slot"),
+            "value",
+            "ts",
+        )
+        got_df = streaming_top_n_retractable_jvm(
+            st.drop("ts"),
+            key="user_id",
+            row_key="slot",
+            order_col="value",
+            n=3,
+            state_dir=state,
+        )
+        got = {
+            (r.user_id, r.slot, round(r.value, 6), r.rn)
+            for r in got_df.collect()
+        }
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+    ev = spark.read.schema(schema).parquet(path).select(
+        "user_id", (F.col("event_id") % 25).alias("slot"), "value", "ts"
+    )
+    wlatest = Window.partitionBy("user_id", "slot").orderBy(F.desc("ts"))
+    latest = (
+        ev.withColumn("__r", F.row_number().over(wlatest))
+        .filter("__r = 1")
+        .drop("__r", "ts")
+    )
+    wtop = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("slot"))
+    want = {
+        (r.user_id, r.slot, round(r.value, 6), r.rn)
+        for r in latest.withColumn("rn", F.row_number().over(wtop))
+        .filter("rn <= 3")
+        .collect()
+    }
+    assert got == want and want
