@@ -55,6 +55,7 @@ _PRIORITY = [
     "pipe_sql_front_door",
     "cep_mr_prev_stream_replay",
     "streaming_bounded_over_replay",
+    "streaming_count_sliding_replay",
     # -- (3) re-validation: oldest-proven first --
     "interval_join_events",
     "windowed_stream_join",
@@ -87,7 +88,6 @@ _PRIORITY = [
     "cep_click_click_purchase",
     "cep_click_no_purchase",
     "cep_mr_sql_view_to_purchase",
-    "cep_mr_price_dip",
 ]
 
 

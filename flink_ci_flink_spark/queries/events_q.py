@@ -494,3 +494,65 @@ def streaming_bounded_over_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("w_sum", 6).alias("w_sum"),
         F.col("w_n").cast("long").alias("w_n"),
     )
+
+
+@query(
+    "streaming_count_sliding_replay",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) - 1 AS ord,
+             COUNT(*) OVER (PARTITION BY user_id) AS total
+      FROM events
+    ), member AS (
+      -- generate a SUPERSET of candidate window ids (floor bound is <=
+      -- the true ceil lower bound); the WHERE clause is the exact
+      -- membership predicate
+      SELECT user_id, value, w.win
+      FROM ordered,
+           LATERAL (SELECT UNNEST(generate_series(
+                      GREATEST(0, (ord - 10) // 4), ord // 4)) AS win) w
+      WHERE w.win * 4 <= ord AND ord < w.win * 4 + 10
+    )
+    SELECT user_id, CAST(win AS BIGINT) AS win,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 6) AS total
+    FROM member
+    GROUP BY user_id, win
+    HAVING COUNT(*) = 10
+    """,
+    group="streaming",
+)
+def streaming_count_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding COUNT windows (size 10, slide 4) executed by the STREAMING
+    `jvm_keyed_fold` operator over a 3-micro-batch replay — incremental
+    per-batch folding with the marker-row progress encoding equals the
+    one-shot enumeration of every complete [w*4, w*4+10) ordinal window
+    (`streaming/process.py::streaming_count_sliding_window_jvm`;
+    `CountSlidingWindowAssigner` semantics)."""
+    import tempfile
+    import uuid
+
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.process import (
+        streaming_count_sliding_window_jvm,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id", "ts", "value", "event_id")
+    tmp = stage_ordered_replay(ev, ["ts", "event_id"])
+    state_dir = tempfile.mkdtemp(prefix="cs_replay_state_")
+    out = streaming_count_sliding_window_jvm(
+        file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),
+        key="user_id",
+        ts_col="ts",
+        value_col="value",
+        size=10,
+        slide=4,
+        state_dir=state_dir,
+        query_name=f"cs_replay_{uuid.uuid4().hex[:8]}",
+    )
+    return out.select(
+        "user_id", "win", "n", F.round("total", 6).alias("total")
+    )
