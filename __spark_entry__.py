@@ -56,6 +56,11 @@ _PRIORITY = [
     "cep_mr_prev_stream_replay",
     "streaming_bounded_over_replay",
     "streaming_count_sliding_replay",
+    "streaming_topn_replay",
+    "streaming_dedup_keeplast_replay",
+    "streaming_running_agg_replay",
+    "streaming_sessionize_replay",
+    "streaming_topn_retractable_replay",
     # -- (3) re-validation: oldest-proven first --
     "interval_join_events",
     "windowed_stream_join",

@@ -556,3 +556,271 @@ def streaming_count_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFram
     return out.select(
         "user_id", "win", "n", F.round("total", 6).alias("total")
     )
+
+
+@query(
+    "streaming_topn_replay",
+    oracle="""
+    SELECT user_id, event_id, ROUND(value, 2) AS value
+    FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events) WHERE rn <= 3
+    """,
+    group="streaming",
+)
+def streaming_topn_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-stream top-3 by value per user executed by the STREAMING
+    `jvm_keyed_fold` top-n operator over a 3-micro-batch replay — the
+    driver proof that per-batch re-topping of (persisted top-n ∪ batch
+    top-n) equals the one-shot batch rank
+    (`streaming/process.py::streaming_top_n_jvm`;
+    `AppendOnlyTopNFunction.java:46` keep-top-n state contract, state
+    bounded at n rows per key)."""
+    import tempfile
+    import uuid
+
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.process import streaming_top_n_jvm
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_id", "ts", "value")
+    tmp = stage_ordered_replay(ev, ["ts", "event_id"])
+    state_dir = tempfile.mkdtemp(prefix="topn_replay_state_")
+    out = streaming_top_n_jvm(
+        file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),
+        partition_by=["user_id"],
+        order_by=[F.desc("value"), F.asc("event_id")],
+        n=3,
+        select_cols=["user_id", "event_id", "value"],
+        state_dir=state_dir,
+        query_name=f"topn_replay_{uuid.uuid4().hex[:8]}",
+    )
+    return out.select("user_id", "event_id", F.round("value", 2).alias("value"))
+
+
+@query(
+    "streaming_dedup_keeplast_replay",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_floor_s
+    FROM (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id ASC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+    group="streaming",
+)
+def streaming_dedup_keeplast_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-last deduplication per user executed by the STREAMING
+    `jvm_keyed_fold` dedup operator over a 3-micro-batch replay — the
+    driver proof that per-batch re-reduction of (one-row-per-key state ∪
+    batch latest) equals the one-shot batch keep-last
+    (`streaming/process.py::streaming_dedup_keep_last_jvm`;
+    `DeduplicateFunctionHelper.processLastRowOnChangelog` semantics —
+    strictly-greater replacement, so on a ts tie the earlier arrival
+    wins; the replay is staged in (ts, event_id) order, making that the
+    ascending-event_id row of the oracle's tiebreak)."""
+    import tempfile
+    import uuid
+
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.process import streaming_dedup_keep_last_jvm
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_id", "event_type", "ts")
+    tmp = stage_ordered_replay(ev, ["ts", "event_id"])
+    state_dir = tempfile.mkdtemp(prefix="dedup_replay_state_")
+    out = streaming_dedup_keep_last_jvm(
+        file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),
+        keys=["user_id"],
+        ts_col="ts",
+        select_cols=["user_id", "event_id", "event_type", "ts"],
+        state_dir=state_dir,
+        query_name=f"dedup_replay_{uuid.uuid4().hex[:8]}",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("ts_floor_s"),
+    )
+
+
+@query(
+    "streaming_running_agg_replay",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 6) AS total,
+           ROUND(MIN(value), 2) AS vmin,
+           ROUND(MAX(value), 2) AS vmax
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    group="streaming",
+)
+def streaming_running_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, type) running count/sum/min/max executed by the
+    STREAMING `jvm_keyed_fold` running-aggregate operator over a
+    3-micro-batch replay — the driver proof that merging per-batch
+    partial aggregates into the keys×1 state (count merges by sum)
+    equals the one-shot batch GROUP BY
+    (`streaming/process.py::streaming_running_agg_jvm`;
+    `GroupAggFunction.java` accumulate-merge contract)."""
+    import tempfile
+    import uuid
+
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.process import streaming_running_agg_jvm
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type", "ts", "value")
+    tmp = stage_ordered_replay(ev, ["ts", "user_id"])
+    state_dir = tempfile.mkdtemp(prefix="runagg_replay_state_")
+    out = streaming_running_agg_jvm(
+        file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),
+        keys=["user_id", "event_type"],
+        agg_specs={
+            "n": ("count", "value"),
+            "total": ("sum", "value"),
+            "vmin": ("min", "value"),
+            "vmax": ("max", "value"),
+        },
+        state_dir=state_dir,
+        query_name=f"runagg_replay_{uuid.uuid4().hex[:8]}",
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("total", 6).alias("total"),
+        F.round("vmin", 2).alias("vmin"),
+        F.round("vmax", 2).alias("vmax"),
+    )
+
+
+@query(
+    "streaming_sessionize_replay",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start_s,
+           CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS session_end_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS total
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    group="streaming",
+)
+def streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merging session windows (gap 30m) executed by the STREAMING
+    `jvm_keyed_fold` sessionize operator over a 3-micro-batch replay,
+    WITH the close-frontier state bounding enabled — the driver proof
+    that (a) incremental interval gap-merge per batch equals one-shot
+    sessionization, and (b) sessions closed out of state behind the
+    per-key frontier (gap + 1h lateness) re-unify with the open tail to
+    the exact batch answer (the replay is event-time ordered, so per-key
+    disorder is within any lateness bound)
+    (`streaming/process.py::streaming_sessionize_jvm`;
+    `SessionWindowAssigner` / `WindowOperator.java` merging-window
+    state + cleanup-timer contract)."""
+    import tempfile
+    import uuid
+
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.process import streaming_sessionize_jvm
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id", "ts", "value")
+    tmp = stage_ordered_replay(ev, ["ts", "user_id"])
+    state_dir = tempfile.mkdtemp(prefix="sess_replay_state_")
+    out = streaming_sessionize_jvm(
+        file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),
+        keys=["user_id"],
+        ts_col="ts",
+        gap_seconds=1800,
+        value_col="value",
+        close_lateness_seconds=3600,
+        state_dir=state_dir,
+        query_name=f"sess_replay_{uuid.uuid4().hex[:8]}",
+    )
+    return out.select(
+        "user_id",
+        F.floor(F.col("sess_start").cast("double")).cast("long").alias("session_start_s"),
+        F.floor(F.col("sess_end").cast("double")).cast("long").alias("session_end_s"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 6).alias("total"),
+    )
+
+
+@query(
+    "streaming_topn_retractable_replay",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, value
+      FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    )
+    SELECT user_id, event_type, ROUND(value, 2) AS value, rn
+    FROM (
+      SELECT user_id, event_type, value,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY value DESC, event_type) AS INT) AS rn
+      FROM latest) WHERE rn <= 2
+    """,
+    group="streaming",
+)
+def streaming_topn_retractable_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-stream (retractable) top-2 executed by the STREAMING
+    `jvm_keyed_fold` retractable top-n over a 3-micro-batch replay: each
+    (user, event_type) carries a LATEST value — a later update implicitly
+    retracts the old one, which can evict it from or promote it into the
+    top-n; rank is the view over the final latest-value map — the driver
+    proof that keep-latest folding + rank-at-emit equals the one-shot
+    batch keep-latest + rank
+    (`streaming/process.py::streaming_top_n_retractable_jvm`;
+    `RetractableTopNFunction.java:54` data-state/rank-view contract;
+    batch-beats-state on update, so the oracle's latest row is the max
+    (ts, event_id) of the (ts, event_id)-ordered replay)."""
+    import tempfile
+    import uuid
+
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.process import (
+        streaming_top_n_retractable_jvm,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type", "ts", "event_id", "value")
+    tmp = stage_ordered_replay(ev, ["ts", "event_id"])
+    state_dir = tempfile.mkdtemp(prefix="rtopn_replay_state_")
+    out = streaming_top_n_retractable_jvm(
+        file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),
+        key="user_id",
+        row_key="event_type",
+        order_col="value",
+        n=2,
+        state_dir=state_dir,
+        query_name=f"rtopn_replay_{uuid.uuid4().hex[:8]}",
+    )
+    return out.select(
+        "user_id", "event_type", F.round("value", 2).alias("value"), "rn"
+    )
