@@ -61,6 +61,8 @@ _PRIORITY = [
     "streaming_running_agg_replay",
     "streaming_sessionize_replay",
     "streaming_topn_retractable_replay",
+    "graph_label_propagation",
+    "graph_community_detection",
     # -- (3) re-validation: oldest-proven first --
     "interval_join_events",
     "windowed_stream_join",

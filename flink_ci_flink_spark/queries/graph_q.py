@@ -582,3 +582,141 @@ def graph_triadic_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     return triadic_census(edges)
+
+
+#: Canonical (src < dst) nations graph shared by the iterative-community
+#: queries: region cliques + an inter-region key chain (simple graph — the
+#: chain clause excludes same-region pairs the clique already covers).
+_NATION_EDGES_SQL = """
+    canon AS (
+      SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
+      FROM nation a JOIN nation b
+        ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+      UNION ALL
+      SELECT CAST(a.n_nationkey AS BIGINT), CAST(b.n_nationkey AS BIGINT)
+      FROM nation a JOIN nation b
+        ON b.n_nationkey = a.n_nationkey + 1 AND a.n_regionkey <> b.n_regionkey
+    ), und AS (
+      SELECT src, dst FROM canon UNION ALL SELECT dst AS src, src AS dst FROM canon
+    )"""
+
+
+def _nation_community_graph(spark: SparkSession, sf_dir: str):
+    t = load_tables(spark, sf_dir)
+    n = t.nation.select("n_nationkey", "n_regionkey")
+    a, b = n.alias("a"), n.alias("b")
+    intra = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_nationkey").cast("long").alias("src"),
+        F.col("b.n_nationkey").cast("long").alias("dst"),
+    )
+    chain = a.join(
+        b,
+        (F.col("b.n_nationkey") == F.col("a.n_nationkey") + 1)
+        & (F.col("a.n_regionkey") != F.col("b.n_regionkey")),
+    ).select(
+        F.col("a.n_nationkey").cast("long").alias("src"),
+        F.col("b.n_nationkey").cast("long").alias("dst"),
+    )
+    vertices = n.select(F.col("n_nationkey").cast("long").alias("id"))
+    return vertices, intra.unionByName(chain)
+
+
+def _lpa_oracle(iters: int) -> str:
+    """Unroll `label_propagation`'s majority-vote supersteps into chained
+    CTEs (self-vote included; tie-break = max count then min label —
+    ROW_NUMBER(cnt DESC, label ASC) is exactly Spark's
+    max_by(label, struct(cnt, -label)))."""
+    sql = "WITH " + _NATION_EDGES_SQL.strip() + ",\n"
+    sql += "    lab0 AS (SELECT CAST(n_nationkey AS BIGINT) AS id, CAST(n_nationkey AS BIGINT) AS label FROM nation)"
+    for k in range(1, iters + 1):
+        p = k - 1
+        sql += f""",
+    votes{k} AS (
+      SELECT e.dst AS id, l.label FROM und e JOIN lab{p} l ON e.src = l.id
+      UNION ALL SELECT id, label FROM lab{p}
+    ), cnt{k} AS (
+      SELECT id, label, COUNT(*) AS cnt FROM votes{k} GROUP BY id, label
+    ), lab{k} AS (
+      SELECT id, label FROM (
+        SELECT id, label,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+        FROM cnt{k}) t WHERE rn = 1
+    )"""
+    sql += f"\nSELECT id, label FROM lab{iters}"
+    return sql
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle(3), group="graph")
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly LabelPropagation (`graph/library/LabelPropagation.java`) on
+    the nations community graph (region cliques + inter-region chain):
+    3 synchronous majority-vote supersteps with the deterministic
+    smallest-label tie-break and a self-vote (pure synchronous LPA
+    oscillates on symmetric structures). One shuffle per superstep; the
+    oracle unrolls the identical votes→counts→argmax pipeline per
+    iteration (`graph/algorithms.py::label_propagation`)."""
+    from flink_ci_flink_spark.graph import label_propagation
+
+    vertices, edges = _nation_community_graph(spark, sf_dir)
+    out = label_propagation(vertices, edges, max_iter=3)
+    return out.select(F.col("id").cast("long").alias("id"), F.col("label").cast("long").alias("label"))
+
+
+def _cd_oracle(iters: int, delta: float = 0.5) -> str:
+    """Unroll `community_detection`'s hop-attenuation supersteps: summed
+    label scores (self-vote included), winner by (sum_score, min label),
+    adopted-label score = strongest incoming copy minus delta (floored at
+    0), re-confirmed label keeps its score. Scores stay multiples of
+    2^-1, so double arithmetic is exact in both engines."""
+    sql = "WITH " + _NATION_EDGES_SQL.strip() + ",\n"
+    sql += (
+        "    st0 AS (SELECT CAST(n_nationkey AS BIGINT) AS id,"
+        " CAST(n_nationkey AS BIGINT) AS label,"
+        " CAST(1.0 AS DOUBLE) AS score FROM nation)"
+    )
+    for k in range(1, iters + 1):
+        p = k - 1
+        sql += f""",
+    votes{k} AS (
+      SELECT e.dst AS id, s.label, s.score AS s
+      FROM und e JOIN st{p} s ON e.src = s.id
+      UNION ALL SELECT id, label, score AS s FROM st{p}
+    ), ls{k} AS (
+      SELECT id, label, SUM(s) AS sum_score, MAX(s) AS best_in
+      FROM votes{k} GROUP BY id, label
+    ), win{k} AS (
+      SELECT id, label AS wlabel, best_in FROM (
+        SELECT id, label, best_in,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY sum_score DESC, label ASC) AS rn
+        FROM ls{k}) t WHERE rn = 1
+    ), st{k} AS (
+      SELECT s.id, w.wlabel AS label,
+             CASE WHEN w.wlabel <> s.label
+                  THEN GREATEST(w.best_in - {delta}, 0.0)
+                  ELSE s.score END AS score
+      FROM st{p} s JOIN win{k} w ON w.id = s.id
+    )"""
+    sql += f"\nSELECT id, label FROM st{iters}"
+    return sql
+
+
+@query("graph_community_detection", oracle=_cd_oracle(3), group="graph")
+def graph_community_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly CommunityDetection (`graph/library/CommunityDetection.java`,
+    Leung et al. 2009 hop attenuation) on the nations community graph:
+    each vertex carries (label, score); it adopts the incoming label with
+    the highest summed score (tie-break smallest label), and a label's
+    score attenuates by delta=0.5 per hop it travels — distant labels
+    lose influence, which plain LPA cannot express. 3 supersteps, one
+    shuffle each; the oracle unrolls the identical
+    score-sum→argmax→attenuate pipeline
+    (`graph/algorithms.py::community_detection`)."""
+    from flink_ci_flink_spark.graph import community_detection
+
+    vertices, edges = _nation_community_graph(spark, sf_dir)
+    out = community_detection(vertices, edges, iterations=3, delta=0.5)
+    return out.select(F.col("id").cast("long").alias("id"), F.col("label").cast("long").alias("label"))
