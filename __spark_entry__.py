@@ -63,6 +63,8 @@ _PRIORITY = [
     "streaming_topn_retractable_replay",
     "graph_label_propagation",
     "graph_community_detection",
+    "pipe_containment_pairs",
+    "pipe_random_projection",
     # -- (3) re-validation: oldest-proven first --
     "interval_join_events",
     "windowed_stream_join",

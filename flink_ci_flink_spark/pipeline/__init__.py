@@ -1,6 +1,7 @@
 """LLM-training-data pipeline operators (dedup / similarity / text / multimodal)."""
 
 from flink_ci_flink_spark.pipeline.dedup import (  # noqa: F401
+    containment_pairs,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -13,6 +14,7 @@ from flink_ci_flink_spark.pipeline.similarity import (  # noqa: F401
     ivf_ann_topk,
     ivf_centroids,
     lsh_ann_topk,
+    random_projection,
 )
 from flink_ci_flink_spark.pipeline.text import (  # noqa: F401
     fingerprint,

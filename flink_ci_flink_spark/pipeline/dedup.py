@@ -571,3 +571,65 @@ def finalize_minhash_pairs(
     return _pairs_from_bands(
         bt.dropDuplicates([id_col, "band"]), id_col, max_bucket
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_postings: int | None = 500,
+) -> DataFrame:
+    """Directional containment pairs: ``|A∩B| / |A| ≥ threshold`` over
+    n-gram shingle sets (Broder 1997's *containment*, the asymmetric
+    companion of Jaccard *resemblance*). Where Jaccard finds near-twins,
+    containment finds SUBSET relations — a document quoted, excerpted, or
+    wholly embedded inside a larger one, which near-twin measures miss
+    because the big document's union term drowns the ratio. The standard
+    curation use: drop (or link) docs that are mostly contained in
+    another retained doc.
+
+    Same inverted-index shape as `jaccard_pairs` (one shuffle on the
+    shingle key, postings-capped against stop-word skew, sizes exact
+    pre-cap): the unordered intersection join is computed ONCE, then both
+    directions are evaluated — output rows are ordered (id_sub, id_sup)
+    with ``containment = |sub ∩ sup| / |sub|``. Thresholds compare the
+    unrounded rational (exact integer ratio, engine-portable); the
+    projected column is rounded to 6. Short docs (< n tokens) have empty
+    shingle sets and never pair."""
+    st = shingle_table(df, text_col, id_col, n).repartition("shingle")
+    sizes = st.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    joined = st
+    if max_postings is not None:
+        from pyspark.sql.window import Window
+
+        joined = st.withColumn(
+            "__postings", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        ).filter(F.col("__postings") <= max_postings)
+    a = joined.select(F.col(id_col).alias("id_a"), "shingle")
+    b = joined.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    both = inter.join(sa, "id_a").join(sb, "id_b")
+    fwd = both.select(
+        F.col("id_a").alias("id_sub"),
+        F.col("id_b").alias("id_sup"),
+        (F.col("n_inter") / F.col("n_a")).alias("__c"),
+    )
+    rev = both.select(
+        F.col("id_b").alias("id_sub"),
+        F.col("id_a").alias("id_sup"),
+        (F.col("n_inter") / F.col("n_b")).alias("__c"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("__c") >= threshold)
+        .select("id_sub", "id_sup", F.round("__c", 6).alias("containment"))
+    )

@@ -825,3 +825,40 @@ def finalize_knn_join(
         id_col=id_col,
         centroids=centroids,
     )
+
+
+def random_projection(
+    df: DataFrame,
+    dim: int,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7000,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: reduce ``dim``-wide
+    embeddings to ``out_dim`` components ``p0..p{out_dim-1}``, each the
+    dot product against a deterministic md5-derived hyperplane (the same
+    generator as the sign-LSH buckets, minus the sign) scaled by
+    1/sqrt(out_dim) — the JL scaling under which pairwise distances are
+    preserved in expectation (Johnson & Lindenstrauss 1984; dense
+    variant of Achlioptas 2003's database-friendly projections).
+
+    The curation role: a map-only pass that shrinks the embedding payload
+    4–16× before ANN indexing / clustering / near-dup screens — at 100 TB
+    the projection is free (no shuffle, no model, planes are plan
+    literals; the scan reads only (id, vec)) and every downstream
+    distance computation gets proportionally cheaper. Projections are
+    JVM-side aggregate folds in double precision; fully replayable in
+    SQL from the same inlined plane literals."""
+    import math
+
+    scale = 1.0 / math.sqrt(out_dim)
+    v = _to_double(vec_col)
+    outs = [
+        (
+            dot(v, F.array(*[F.lit(x) for x in _hyperplane(seed + k, dim)]))
+            * F.lit(scale)
+        ).alias(f"p{k}")
+        for k in range(out_dim)
+    ]
+    return df.select(F.col(id_col), *outs)

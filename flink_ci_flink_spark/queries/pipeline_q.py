@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 from flink_ci_flink_spark.catalog import load_tables
 from flink_ci_flink_spark.pipeline import (
+    containment_pairs,
+    random_projection,
     attach_binary_payload,
     cosine_near_dup,
     cosine_topk,
@@ -2065,4 +2067,81 @@ def pipe_sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON p.id_a = d.doc_id
         GROUP BY d.source
         """,
+    )
+
+
+@query(
+    "pipe_containment_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, UNNEST({_SHINGLES}) AS s FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), both_dir AS (
+      SELECT id_a AS id_sub, id_b AS id_sup, n_inter * 1.0 / sa.n AS c
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+      UNION ALL
+      SELECT id_b AS id_sub, id_a AS id_sup, n_inter * 1.0 / sb.n AS c
+      FROM inter JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT id_sub, id_sup, ROUND(c, 6) AS containment
+    FROM both_dir WHERE c >= 0.8
+    """,
+    group="pipeline",
+)
+def pipe_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment pairs (|sub ∩ sup| / |sub| ≥ 0.8 over
+    3-gram shingles) — Broder's asymmetric subset measure: finds a doc
+    quoted or embedded inside a larger one, which Jaccard misses because
+    the large doc's union term drowns the ratio
+    (`pipeline/dedup.py::containment_pairs`; same one-shuffle
+    postings-capped inverted-index join as `pipe_jaccard_pairs`, both
+    directions evaluated from the single unordered intersection)."""
+    t = load_tables(spark, sf_dir)
+    return containment_pairs(t.documents, threshold=0.8)
+
+
+def _random_projection_oracle(dim: int = 64, out_dim: int = 8, seed: int = 7000) -> str:
+    import math
+
+    from flink_ci_flink_spark.pipeline.similarity import _hyperplane
+
+    scale = repr(1.0 / math.sqrt(out_dim))
+    cols = []
+    for k in range(out_dim):
+        plane = ", ".join(repr(v) for v in _hyperplane(seed + k, dim))
+        cols.append(
+            f"ROUND(list_dot_product(v, [{plane}]) * {scale}, 6) AS p{k}"
+        )
+    sel = ",\n           ".join(cols)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+    )
+    SELECT vec_id,
+           {sel}
+    FROM e
+    """
+
+
+@query("pipe_random_projection", oracle=_random_projection_oracle(), group="pipeline")
+def pipe_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection of the 64-d embeddings to
+    8 components — the map-only payload-shrink pass before ANN indexing
+    or clustering (no shuffle, no trained model: the projection planes
+    are deterministic md5-derived plan literals, the same generator as
+    the sign-LSH buckets minus the sign)
+    (`pipeline/similarity.py::random_projection`). The oracle replays
+    every dot product from the identical inlined plane literals."""
+    t = load_tables(spark, sf_dir)
+    out = random_projection(t.embeddings, dim=64, out_dim=8)
+    return out.select(
+        "vec_id", *[F.round(f"p{k}", 6).alias(f"p{k}") for k in range(8)]
     )

@@ -1467,3 +1467,92 @@ def test_pack_sequences_property_vs_python(spark):
         assert got == want
 
     check()
+
+
+def test_containment_pairs_hand_corpus(spark):
+    """A short doc embedded verbatim in a long one: containment(sub→sup)
+    = 1.0 while Jaccard stays below any near-dup threshold — the
+    asymmetry that motivates the operator. Exact values vs hand count."""
+    from flink_ci_flink_spark.pipeline import containment_pairs, jaccard_pairs
+
+    sub = "alpha beta gamma delta epsilon"          # 3 shingles
+    sup = sub + " zeta eta theta iota kappa lam mu nu xi omicron pi rho"
+    docs = spark.createDataFrame(
+        [(1, sub), (2, sup), (3, "totally different words here entirely")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id_sub, r.id_sup): r.containment
+        for r in containment_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == {(1, 2): 1.0}, got
+    # Jaccard misses it: 3 shared / (3 + 15 - 3) = 0.2
+    assert jaccard_pairs(docs, threshold=0.5).count() == 0
+
+
+def test_containment_pairs_vs_bruteforce(spark, sf_dir):
+    """Operator output equals a literal python recount of shingle-set
+    containment over the real corpus."""
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline import containment_pairs
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.filter(F.col("doc_id") < 120).select("doc_id", "text")
+    rows = docs.collect()
+    sh = {}
+    for r in rows:
+        toks = r.text.split()
+        sh[r.doc_id] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    want = {}
+    ids = sorted(sh)
+    for a in ids:
+        for b in ids:
+            if a == b or not sh[a]:
+                continue
+            c = len(sh[a] & sh[b]) / len(sh[a])
+            if c >= 0.8:
+                want[(a, b)] = round(c, 6)
+    got = {
+        (r.id_sub, r.id_sup): r.containment
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert got == want
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL property: projected pairwise squared distances concentrate
+    around the originals (loose sanity bound at out_dim=16), and each
+    component equals the numpy dot against the same md5 planes."""
+    import math
+
+    import numpy as np
+
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline import random_projection
+    from flink_ci_flink_spark.pipeline.similarity import _hyperplane
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings.filter(F.col("vec_id") < 40)
+    out_dim = 16
+    proj = random_projection(emb, dim=64, out_dim=out_dim).collect()
+    orig = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    planes = np.array([_hyperplane(7000 + k, 64) for k in range(out_dim)])
+    scale = 1.0 / math.sqrt(out_dim)
+    got = {r.vec_id: np.array([r[f"p{k}"] for k in range(out_dim)]) for r in proj}
+    for vid, v in orig.items():
+        np.testing.assert_allclose(got[vid], planes @ v * scale, rtol=1e-9, atol=1e-9)
+    # distance concentration: median ratio of squared distances near the
+    # E[|Rx|^2] = |x|^2 * (dim/3) factor implied by planes ~ U[-1,1)
+    # (Var(u)=1/3); normalize by that and check a loose band
+    ids = sorted(orig)[:20]
+    ratios = []
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        d0 = np.sum((orig[a] - orig[b]) ** 2)
+        d1 = np.sum((got[a] - got[b]) ** 2)
+        if d0 > 0:
+            ratios.append(d1 / (d0 / 3))
+    med = float(np.median(ratios))
+    assert 0.3 < med < 3.0, f"JL distance ratio median {med}"
