@@ -65,6 +65,8 @@ _PRIORITY = [
     "graph_community_detection",
     "pipe_containment_pairs",
     "pipe_random_projection",
+    "graph_triangle_listing",
+    "graph_edge_metrics",
     # -- (3) re-validation: oldest-proven first --
     "interval_join_events",
     "windowed_stream_join",

@@ -730,3 +730,89 @@ def triadic_census(edges: DataFrame) -> DataFrame:
             F.col("n_triangles").cast("long").alias("t3"),
         )
     )
+
+
+def triangle_listing(edges: DataFrame) -> DataFrame:
+    """Enumerate each triangle once as (v0 < v1 < v2)
+    (`graph/library/TriangleEnumerator.java` — Schank/Wagner style
+    wedge-join enumeration). Same two joins as `vertex_triangles`, but
+    returning the triangles themselves rather than the per-corner fold.
+    Scale: the wedge join is bounded per vertex by C(deg, 2); heavy-hub
+    graphs pair this with a degree cap upstream."""
+    e = (
+        undirect(edges.select("src", "dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    e1 = e.select(F.col("src").alias("v0"), F.col("dst").alias("v1"))
+    e2 = e.select(F.col("src").alias("v1"), F.col("dst").alias("v2"))
+    wedges = e1.join(e2, "v1")
+    closing = e.select(F.col("src").alias("v0"), F.col("dst").alias("v2"))
+    return wedges.join(closing, ["v0", "v2"]).select("v0", "v1", "v2")
+
+
+def edge_metrics(edges: DataFrame) -> DataFrame:
+    """Graph summary metrics over edge triplets, 1 row
+    (`library/metric/undirected/EdgeMetrics.java:140-229`): per vertex v,
+    ``low_degree`` counts incident edges where v is the LOW-ORDER endpoint
+    (smaller degree, ties by smaller id); then
+
+    - triangle triplets at v = C(low_degree, 2)
+    - rectangle triplets at v = C(low_degree, 2) + low_degree·high_degree
+
+    summed and maxed over vertices. These bound the work of
+    triangle/rectangle listing algorithms — the profile Gelly computes to
+    size those jobs. Two shuffles (degree agg + per-vertex low count);
+    output: (triangle_triplet_count, rectangle_triplet_count,
+    maximum_triangle_triplets, maximum_rectangle_triplets)."""
+    und = (
+        undirect(edges.select("src", "dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    both = undirect(und)  # each vertex sees every incident edge once
+    deg = both.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    d_src = deg.select(F.col("id").alias("src"), F.col("degree").alias("ds"))
+    d_dst = deg.select(F.col("id").alias("dst"), F.col("degree").alias("dt"))
+    low_flag = (
+        (F.col("ds") < F.col("dt"))
+        | ((F.col("ds") == F.col("dt")) & (F.col("src") < F.col("dst")))
+    ).cast("long")
+    per_vertex = (
+        both.join(d_src, "src")
+        .join(d_dst, "dst")
+        .groupBy("src")
+        .agg(
+            F.first("ds").alias("degree"),
+            F.sum(low_flag).alias("low_degree"),
+        )
+        .select(
+            "src",
+            (F.col("low_degree") * (F.col("low_degree") - 1) / 2)
+            .cast("long")
+            .alias("tri_triplets"),
+            (
+                F.col("low_degree") * (F.col("low_degree") - 1) / 2
+                + F.col("low_degree") * (F.col("degree") - F.col("low_degree"))
+            )
+            .cast("long")
+            .alias("rect_triplets"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return per_vertex.agg(
+        F.coalesce(F.sum("tri_triplets").cast("long"), zero).alias(
+            "triangle_triplet_count"
+        ),
+        F.coalesce(F.sum("rect_triplets").cast("long"), zero).alias(
+            "rectangle_triplet_count"
+        ),
+        F.coalesce(F.max("tri_triplets").cast("long"), zero).alias(
+            "maximum_triangle_triplets"
+        ),
+        F.coalesce(F.max("rect_triplets").cast("long"), zero).alias(
+            "maximum_rectangle_triplets"
+        ),
+    )

@@ -720,3 +720,68 @@ def graph_community_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertices, edges = _nation_community_graph(spark, sf_dir)
     out = community_detection(vertices, edges, iterations=3, delta=0.5)
     return out.select(F.col("id").cast("long").alias("id"), F.col("label").cast("long").alias("label"))
+
+
+@query(
+    "graph_triangle_listing",
+    oracle=f"""
+    WITH {_NATION_EDGES_SQL.strip()}
+    SELECT a.src AS v0, a.dst AS v1, b.dst AS v2
+    FROM canon a
+    JOIN canon b ON b.src = a.dst
+    JOIN canon c ON c.src = a.src AND c.dst = b.dst
+    """,
+    group="graph",
+)
+def graph_triangle_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly TriangleEnumerator (`graph/library/TriangleEnumerator.java`)
+    on the nations community graph: every triangle listed exactly once as
+    an ordered (v0 < v1 < v2) triple via the wedge join + closing-edge
+    join (`graph/algorithms.py::triangle_listing`). The region cliques
+    contribute C(5,3) triangles each; the inter-region chain adds the
+    cross ones."""
+    from flink_ci_flink_spark.graph import triangle_listing
+
+    _, edges = _nation_community_graph(spark, sf_dir)
+    return triangle_listing(edges)
+
+
+@query(
+    "graph_edge_metrics",
+    oracle=f"""
+    WITH {_NATION_EDGES_SQL.strip()},
+    deg AS (SELECT src AS id, COUNT(*) AS degree FROM und GROUP BY src),
+    pv AS (
+      SELECT u.src AS id, MIN(ds.degree) AS degree,
+             SUM(CASE WHEN ds.degree < dt.degree
+                       OR (ds.degree = dt.degree AND u.src < u.dst)
+                      THEN 1 ELSE 0 END) AS low_degree
+      FROM und u
+      JOIN deg ds ON ds.id = u.src
+      JOIN deg dt ON dt.id = u.dst
+      GROUP BY u.src
+    ), triplets AS (
+      SELECT low_degree * (low_degree - 1) // 2 AS t,
+             low_degree * (low_degree - 1) // 2
+               + low_degree * (degree - low_degree) AS r
+      FROM pv
+    )
+    SELECT CAST(SUM(t) AS BIGINT) AS triangle_triplet_count,
+           CAST(SUM(r) AS BIGINT) AS rectangle_triplet_count,
+           CAST(MAX(t) AS BIGINT) AS maximum_triangle_triplets,
+           CAST(MAX(r) AS BIGINT) AS maximum_rectangle_triplets
+    FROM triplets
+    """,
+    group="graph",
+)
+def graph_edge_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly EdgeMetrics (`library/metric/undirected/EdgeMetrics.java`)
+    on the nations community graph: triangle/rectangle triplet counts and
+    per-vertex maxima from each vertex's low-order incident-edge count —
+    the work-bounding profile Gelly computes before triangle/rectangle
+    listing (`graph/algorithms.py::edge_metrics`; two shuffles, 1-row
+    output)."""
+    from flink_ci_flink_spark.graph import edge_metrics
+
+    _, edges = _nation_community_graph(spark, sf_dir)
+    return edge_metrics(edges)

@@ -338,3 +338,54 @@ def test_vertex_metrics_and_census_empty_graph(spark):
             vm.n_triplets) == (0, 0, 0, 0, 0)
     tc = triadic_census(empty).collect()[0]
     assert (tc.t0, tc.t1, tc.t2, tc.t3) == (0, 0, 0, 0)
+
+
+def test_triangle_listing_and_edge_metrics_vs_bruteforce(spark):
+    """triangle_listing enumerates exactly the brute-force triangle set;
+    edge_metrics matches a literal recount of the per-vertex low-order
+    triplet formulas (EdgeMetrics.java:212-213). Graph: K4 + pendant +
+    disconnected edge — degree ties and low-degree asymmetry."""
+    from itertools import combinations
+
+    from flink_ci_flink_spark.graph import edge_metrics, triangle_listing
+
+    raw = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (6, 7)]
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    adj: dict[int, set[int]] = {}
+    for s, d in raw:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    want_tris = {
+        (a, b, c)
+        for a, b, c in combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    }
+    got_tris = {(r.v0, r.v1, r.v2) for r in triangle_listing(edges).collect()}
+    assert got_tris == want_tris
+    # brute-force EdgeMetrics
+    deg = {v: len(ns) for v, ns in adj.items()}
+    tri_sum = rect_sum = tri_max = rect_max = 0
+    for v, ns in adj.items():
+        low = sum(
+            1
+            for u in ns
+            if deg[v] < deg[u] or (deg[v] == deg[u] and v < u)
+        )
+        high = deg[v] - low
+        t = low * (low - 1) // 2
+        r = t + low * high
+        tri_sum += t
+        rect_sum += r
+        tri_max = max(tri_max, t)
+        rect_max = max(rect_max, r)
+    row = edge_metrics(edges).collect()[0]
+    assert (
+        row.triangle_triplet_count,
+        row.rectangle_triplet_count,
+        row.maximum_triangle_triplets,
+        row.maximum_rectangle_triplets,
+    ) == (tri_sum, rect_sum, tri_max, rect_max)
+    # empty graph: zeros, not nulls
+    empty = spark.createDataFrame([], "src long, dst long")
+    z = edge_metrics(empty).collect()[0]
+    assert tuple(z) == (0, 0, 0, 0)
