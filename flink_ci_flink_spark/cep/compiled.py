@@ -97,6 +97,7 @@ def try_compile(
     ts_col: str,
     measures: dict[str, tuple],
     output_schema: str,
+    replay_delay: float | None = None,
 ) -> DataFrame | None:
     """Return the compiled plan, or None when the pattern doesn't qualify.
 
@@ -114,7 +115,19 @@ def try_compile(
     ``ts_col`` may be a list ``[time_attribute, secondary, ...]``
     (MATCH_RECOGNIZE ORDER BY with secondary sort columns,
     `StreamExecMatch.scala:68`): the lead()/row_number() windows order by
-    every column, time attribute first, then the stable __seq tie-break."""
+    every column, time attribute first, then the stable __seq tie-break.
+
+    ``replay_delay`` switches on the `cep_stream_replay` per-batch mode:
+    the result additionally carries ``__ident`` (content identity — md5
+    over the partition key plus per-variable matched event times, stable
+    across micro-batches because the same compiled plan runs every batch)
+    and ``__t0`` (anchor epoch seconds), and is filtered to CLOSED matches
+    (last event at/behind the per-key frontier = max event time − delay,
+    mirroring `operator._match_closed`). The closedness shortcut
+    last_ts<=frontier is only valid when no trailing stage could extend or
+    invalidate the match, so this mode compiles FIXED-LENGTH ALL-POSITIVE
+    patterns only (single expansion, no negated/optional stages) and
+    returns None otherwise — the caller falls back to the per-batch NFA."""
     if not _compilable(pattern, allow_variable=True):
         return None
     order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
@@ -239,6 +252,38 @@ def try_compile(
     for cond, _oo, _lo in plans[1:]:
         match_any = match_any | cond
 
+    ext_exprs: list[Column] = []
+    if replay_delay is not None:
+        if len(plans) != 1 or any(
+            st.negated or st.optional for st in pattern.stages
+        ):
+            return None
+        _cond, occ_offsets, last_off = plans[0]
+        frontier = F.max("__tsec").over(Window.partitionBy(*keys)) - F.lit(
+            float(replay_delay)
+        )
+        match_any = match_any & (at("__tsec", last_off) <= frontier)
+        # identity = partition key + per-variable matched event times —
+        # consistent every batch because compilability is data-independent,
+        # so the SAME plan (never the Python NFA's scheme) emits all idents
+        pieces: list[Column] = []
+        for name in sorted(occ_offsets):
+            pieces.append(F.lit(name))
+            pieces.append(
+                F.concat_ws(
+                    ",",
+                    *[at("__tsec", o).cast("string") for o in occ_offsets[name]],
+                )
+            )
+        ext_exprs = [
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(k).cast("string") for k in keys], *pieces
+                )
+            ).alias("__ident"),
+            F.col("__tsec").cast("double").alias("__t0"),
+        ]
+
     # measure lead()s MUST be computed in the same pre-filter projection as
     # the match condition — after filter they'd range over matches, not rows
     measure_exprs: list[Column] = []
@@ -256,11 +301,19 @@ def try_compile(
         measure_exprs.append(c.cast(types[out_name]).alias(out_name))
 
     result = (
-        work.select(*[F.col(k) for k in keys], match_any.alias("__match"), *measure_exprs)
+        work.select(
+            *[F.col(k) for k in keys],
+            match_any.alias("__match"),
+            *measure_exprs,
+            *ext_exprs,
+        )
         .filter("__match")
         .drop("__match")
     )
-    return result.to(StructType.fromDDL(output_schema))
+    ddl = output_schema
+    if replay_delay is not None:
+        ddl = output_schema + ", __ident string, __t0 double"
+    return result.to(StructType.fromDDL(ddl))
 
 
 def try_compile_all_rows(

@@ -590,6 +590,30 @@ def match_recognize_sql(
                     "NEXT navigation in streaming MATCH_RECOGNIZE is "
                     "future-dependent and not supported; PREV is"
                 )
+            # buffer pruning keeps only extra_tail_rows rows below the
+            # frontier as lag context; a retained tail row recomputes its
+            # PREV over the PRUNED buffer, so a real PREV value can become
+            # NULL mid-stream. NULL-rejecting comparisons (<, >, =, <=,
+            # >=, <>) are immune — the spurious NULL makes the predicate
+            # false, same as a prune that dropped the row. 'IS NULL' or a
+            # negated predicate over a nav column would spuriously MATCH
+            # at the prune boundary, diverging from the one-shot batch
+            # answer — reject loudly instead of answering wrong.
+            nav_cols = [c for c, _k, _s, _n in parsed["nav_specs"]]
+            for _var, dexpr in parsed["define_expr"].items():
+                if not dexpr:
+                    continue
+                for c in nav_cols:
+                    if re.search(rf"\b{c}\s+IS\s+NULL\b", dexpr, re.I) or re.search(
+                        rf"\bNOT\s*\([^)]*\b{c}\b", dexpr, re.I
+                    ):
+                        raise NotImplementedError(
+                            "streaming MATCH_RECOGNIZE DEFINE predicates "
+                            "must be NULL-rejecting on PREV references: "
+                            "'IS NULL' / NOT(...) over a navigation value "
+                            "can spuriously match at the buffer-prune "
+                            f"boundary (predicate: {dexpr!r})"
+                        )
             streaming_nav = True
         else:
             from pyspark.sql import Window
@@ -683,6 +707,7 @@ def match_recognize_sql(
                 parsed["order_by"],
                 select,
                 output_schema,
+                measures=parsed["measures"],
                 delay_seconds=delay_seconds,
                 prepare=prepare,
                 extra_tail_rows=max(

@@ -629,11 +629,20 @@ def cep_stream_replay(
     `cep_stream` cannot do) → the batch NFA (`cep`, sorted-partition
     mapInPandas) → emit matches CLOSED at the per-key frontier
     (`_match_closed`, max event time − delay) whose content identity has
-    not already been emitted. Identities are ts-based (repo-wide streaming
-    assumption: distinct event times per key) and retained while their
+    not already been emitted. Identities hash the partition key plus the
+    per-variable event-time lists (repo-wide streaming assumption:
+    distinct event times per key) and are retained while their
     anchor stays inside the buffer window; buffer pruning keeps each key's
     rows above frontier − within plus ``extra_tail_rows`` older rows (the
     lag context of the kept region). State versions by batch_id.
+
+    NOTE on prune-boundary semantics: a retained tail row recomputes any
+    ``prepare``-derived lag value over the PRUNED buffer, so a real lag
+    value can become NULL mid-stream. Predicates must therefore be
+    NULL-REJECTING on lag references (<, >, =, …) — then the spurious NULL
+    evaluates false and matches agree with the one-shot batch run; 'IS
+    NULL' or negated lag predicates would spuriously match at the prune
+    boundary (the MATCH_RECOGNIZE front end rejects those on streams).
 
     Trade vs the reference's incremental `CepOperator`: recompute per
     micro-batch over a WITHIN-bounded buffer instead of incremental NFA
@@ -681,12 +690,19 @@ def cep_stream_replay(
         emit_upto = max(e["__ts"] for e in events) - delay_seconds
         if not _match_closed(pattern, m, events, emit_upto):
             return []
+        # identity must include the partition key: dedup downstream is
+        # GLOBAL (left_anti on __ident + final dropDuplicates(['__ident'])),
+        # so two keys whose matches share identical per-variable timestamps
+        # would otherwise collide and one match would be silently dropped
         ident = hashlib.md5(
             json.dumps(
-                sorted(
-                    (name, [events[i]["__ts"] for i in idxs])
-                    for name, idxs in m.groups.items()
-                ),
+                [
+                    list(key_tuple),
+                    sorted(
+                        (name, [events[i]["__ts"] for i in idxs])
+                        for name, idxs in m.groups.items()
+                    ),
+                ],
                 default=str,
             ).encode()
         ).hexdigest()
@@ -708,10 +724,24 @@ def cep_stream_replay(
             buf = spark.read.parquet(f"{state_dir}/buf_v{prev_id}").unionByName(buf)
         buf = buf.localCheckpoint(eager=True)
         work = prepare(buf) if prepare is not None else buf
-        res = cep(
-            work, pattern, keys, order_cols, flat_select=flat,
-            output_schema=ext_schema,
-        ).localCheckpoint(eager=True)
+        res = None
+        if measures is not None:
+            # fixed-length all-positive patterns run the pure lead() plan
+            # per batch (zero Python; closedness + __ident/__t0 computed
+            # plan-side) — data-independent gating, so the same path (and
+            # the same ident scheme) runs EVERY batch of a query
+            from flink_ci_flink_spark.cep.compiled import try_compile
+
+            res = try_compile(
+                work, pattern, keys, order_cols, measures, output_schema,
+                replay_delay=delay_seconds,
+            )
+        if res is None:
+            res = cep(
+                work, pattern, keys, order_cols, flat_select=flat,
+                output_schema=ext_schema,
+            )
+        res = res.localCheckpoint(eager=True)
         if prev_id is not None:
             prev_idents = spark.read.parquet(f"{state_dir}/idents_v{prev_id}")
             new = res.join(prev_idents.select("__ident"), "__ident", "left_anti")

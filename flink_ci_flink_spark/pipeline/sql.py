@@ -100,6 +100,7 @@ def pipeline_sql(spark: SparkSession, sql: str) -> DataFrame:
     runs the rewritten statement with ``spark.sql``. Unknown function
     names raise with the list of registered PTFs."""
     out, pos, n_view = [], 0, 0
+    made_views: list[str] = []
     while True:
         m = _CALL_RE.search(sql, pos)
         if m is None:
@@ -150,10 +151,19 @@ def pipeline_sql(spark: SparkSession, sql: str) -> DataFrame:
         view = f"__ptf_{fn_name}_{n_view}_{uuid.uuid4().hex[:8]}"
         n_view += 1
         df.createOrReplaceTempView(view)
+        made_views.append(view)
         out.append(sql[pos : m.start()])
         out.append(view)
         pos = i + 1
-    return spark.sql("".join(out))
+    try:
+        # spark.sql analyzes EAGERLY — the views' plans are inlined into
+        # the resolved logical plan — so dropping them immediately is safe
+        # and keeps repeated pipeline_sql calls from accumulating temp
+        # views in the session catalog
+        return spark.sql("".join(out))
+    finally:
+        for v in made_views:
+            spark.catalog.dropTempView(v)
 
 
 # --- registered pipeline table functions ------------------------------------

@@ -627,10 +627,13 @@ def cep_mr_prev_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch re-plan wrapper that recomputes the nav lag() columns over
     the WHOLE buffered suffix each batch, so PREV context crossing a
     micro-batch boundary still matches; per batch the fixed 2-stage
-    expr-defined pattern compiles to the pure lead() plan (zero Python on
-    the plan side). Emitted rows == the one-shot LAG/LEAD enumeration the
-    oracle runs (`cep/operator.py::cep_stream_replay`,
-    `cep/match_recognize.py` streaming-nav dispatch)."""
+    expr-defined pattern compiles to the pure lead() plan — zero Python per
+    micro-batch: `cep_stream_replay` routes fixed-length all-positive
+    patterns through `compiled.try_compile(replay_delay=...)`, which also
+    computes the __ident/__t0 match-identity columns and the per-key
+    frontier closedness filter plan-side. Emitted rows == the one-shot
+    LAG/LEAD enumeration the oracle runs (`cep/operator.py::
+    cep_stream_replay`, `cep/match_recognize.py` streaming-nav dispatch)."""
     from flink_ci_flink_spark.cep import match_recognize_sql
     from flink_ci_flink_spark.functions.scalar import epoch_seconds
     from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay

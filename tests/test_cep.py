@@ -1933,3 +1933,159 @@ def test_streaming_mr_prev_navigation_replay(spark):
             sql.replace("PREV(B.value)", "NEXT(B.value)"),
             streaming=True,
         )
+
+
+def test_replay_ident_includes_partition_key(spark):
+    """Regression (round-8 ADVICE): cep_stream_replay's match identity must
+    include the partition key — dedup is GLOBAL (left_anti on __ident +
+    final dropDuplicates(['__ident'])), so two keys whose matches share
+    identical per-variable event times would collide and one key's match
+    would be silently dropped."""
+    import shutil
+
+    from flink_ci_flink_spark.cep import NO_SKIP, Pattern
+    from flink_ci_flink_spark.cep.operator import cep_stream_replay
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+
+    schema = "user_id long, ts double, event_type string, event_id long"
+    # both users see the SAME timestamps — per-variable ts lists are equal
+    rows = [
+        (1, 1.0, "view", 10),
+        (1, 2.0, "purchase", 11),
+        (2, 1.0, "view", 20),
+        (2, 2.0, "purchase", 21),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    pat = (
+        Pattern.begin("a", where=lambda e: e["event_type"] == "view")
+        .next("b", where=lambda e: e["event_type"] == "purchase")
+        .within(100)
+        .after_match_skip(NO_SKIP)
+    )
+
+    def sel(key_tuple, m, events):
+        return {
+            "user_id": key_tuple[0],
+            "view_id": events[m.groups["a"][0]]["event_id"],
+            "purchase_id": events[m.groups["b"][-1]]["event_id"],
+        }
+
+    tmp = stage_ordered_replay(df, ["ts", "user_id"], n_batches=2)
+    try:
+        st = file_stream(spark, tmp, df.schema, max_files_per_trigger=1)
+        # select= only (no measures): forces the Python NFA flat path where
+        # the identity is hashed
+        out = cep_stream_replay(
+            st, pat, ["user_id"], "ts", select=sel,
+            output_schema="user_id long, view_id long, purchase_id long",
+        )
+        got = {tuple(r) for r in out.collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got == {(1, 10, 11), (2, 20, 21)}
+
+
+def test_replay_compiled_path_parity(spark):
+    """Fixed-length all-positive patterns with measures= run the compiled
+    lead() plan per micro-batch (try_compile(replay_delay=...)): the plan
+    qualifies, carries __ident/__t0 plan-side, and the streamed rows equal
+    the one-shot batch cep() answer."""
+    import shutil
+
+    from flink_ci_flink_spark.cep import NO_SKIP, Pattern, cep
+    from flink_ci_flink_spark.cep.operator import cep_stream_replay
+    from flink_ci_flink_spark.cep.compiled import try_compile
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+
+    schema = "user_id long, ts double, event_type string, event_id long"
+    rows = []
+    eid = 0
+    for u in range(4):
+        for t, et in enumerate(["view", "view", "purchase", "view", "purchase"]):
+            rows.append((u, float(t + 1 + u), et, eid))
+            eid += 1
+    df = spark.createDataFrame(rows, schema)
+    pat = (
+        Pattern.begin(
+            "a",
+            where=lambda e: e["event_type"] == "view",
+            expr="event_type = 'view'",
+        )
+        .next(
+            "b",
+            where=lambda e: e["event_type"] == "purchase",
+            expr="event_type = 'purchase'",
+        )
+        .within(100)
+        .after_match_skip(NO_SKIP)
+    )
+    measures = {
+        "view_id": ("a", "first", "event_id"),
+        "purchase_id": ("b", "last", "event_id"),
+    }
+    out_schema = "user_id long, view_id long, purchase_id long"
+
+    compiled = try_compile(
+        df, pat, ["user_id"], "ts", measures, out_schema, replay_delay=0.0
+    )
+    assert compiled is not None, "fixed all-positive pattern must compile"
+    assert {"__ident", "__t0"} <= set(compiled.columns)
+    assert compiled.select("__ident").distinct().count() == compiled.count()
+
+    batch = {
+        tuple(r)
+        for r in cep(
+            df, pat, ["user_id"], "ts", measures=measures, output_schema=out_schema
+        ).collect()
+    }
+    tmp = stage_ordered_replay(df, ["ts", "user_id"], n_batches=3)
+    try:
+        st = file_stream(spark, tmp, df.schema, max_files_per_trigger=1)
+        out = cep_stream_replay(
+            st, pat, ["user_id"], "ts", measures=measures,
+            output_schema=out_schema,
+        )
+        streamed = {tuple(r) for r in out.collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert streamed == batch and batch
+
+
+def test_streaming_nav_rejects_non_null_rejecting_define(spark):
+    """Streaming MATCH_RECOGNIZE rejects DEFINEs that are not NULL-rejecting
+    on PREV references ('IS NULL' / NOT(...) over a nav value): buffer
+    pruning can turn a real PREV into NULL mid-stream, so those predicates
+    would spuriously match at the prune boundary."""
+    import pytest as _pytest
+
+    from flink_ci_flink_spark.cep import match_recognize_sql
+
+    st = spark.readStream.format("rate").load().selectExpr(
+        "1 AS user_id",
+        "CAST(timestamp AS DOUBLE) AS ts",
+        "CAST(value AS DOUBLE) AS value",
+    )
+    base = """
+      SELECT * FROM __x MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES LAST(A.ts) AS a_ts, LAST(B.ts) AS b_ts
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A B) WITHIN INTERVAL '10' SECOND
+        DEFINE A AS {a_def}, B AS B.value > PREV(B.value)
+      )"""
+    with _pytest.raises(NotImplementedError, match="NULL-rejecting"):
+        match_recognize_sql(
+            st, base.format(a_def="PREV(A.value) IS NULL"), streaming=True
+        )
+    with _pytest.raises(NotImplementedError, match="NULL-rejecting"):
+        match_recognize_sql(
+            st,
+            base.format(a_def="NOT (A.value < PREV(A.value))"),
+            streaming=True,
+        )
+    # NULL-rejecting comparisons stay accepted (plan builds lazily; the
+    # call itself must not raise)
+    match_recognize_sql(
+        st, base.format(a_def="A.value < PREV(A.value)"), streaming=False
+    )

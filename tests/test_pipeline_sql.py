@@ -86,3 +86,21 @@ def test_ptf_errors(spark, sf_dir):
             "SELECT * FROM TABLE(jaccard_pairs(TABLE documents, threshold => foo))",
         )
     assert "jaccard_pairs" in ptf_names() and "knn_join" in ptf_names()
+
+
+def test_ptf_views_are_dropped(spark, sf_dir):
+    """pipeline_sql drops its rewrite temp views after the (eager) analysis
+    — repeated statements must not accumulate __ptf_* views in the session
+    catalog, and the returned DataFrame stays collectable after the drop
+    (the view's plan is inlined into the resolved logical plan)."""
+    t = load_tables(spark, sf_dir)
+    t.documents.createOrReplaceTempView("documents")
+    out = pipeline_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM TABLE(exact_dedup(TABLE documents))",
+    )
+    leftover = [
+        v.name for v in spark.catalog.listTables() if v.name.startswith("__ptf_")
+    ]
+    assert leftover == []
+    assert out.collect()[0].n > 0
