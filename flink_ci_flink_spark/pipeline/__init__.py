@@ -3,6 +3,7 @@
 from flink_ci_flink_spark.pipeline.dedup import (  # noqa: F401
     containment_pairs,
     exact_dedup,
+    line_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -17,6 +18,7 @@ from flink_ci_flink_spark.pipeline.similarity import (  # noqa: F401
     random_projection,
 )
 from flink_ci_flink_spark.pipeline.text import (  # noqa: F401
+    bm25_topk,
     fingerprint,
     lang_id,
     quality_score,

@@ -633,3 +633,78 @@ def containment_pairs(
         .filter(F.col("__c") >= threshold)
         .select("id_sub", "id_sup", F.round("__c", 6).alias("containment"))
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    seg_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level LINE dedup (the CCNet / RefinedWeb pass that removes
+    repeated lines — boilerplate, navigation chrome, license blurbs —
+    across the whole corpus, keeping only each line's first occurrence):
+    segment every document into fixed ``seg_tokens``-token segments (the
+    deterministic line unit for corpora without newline structure), keep a
+    segment occurrence only if it is the corpus-FIRST occurrence of that
+    segment text (minimal (doc_id, position)), and reassemble each
+    surviving document's text in position order.
+
+    Reference scope: text-curation extension (no reference counterpart —
+    the engine-side analog is a global-dedup + re-aggregation, cf. the
+    reference's distinct + grouping stack `flink-table` aggregates).
+
+    Scale shape: the dedup is ``groupBy(segment).agg(min(struct(doc_id,
+    pos)))`` — partial-aggregable (map-side combine), so a boilerplate
+    segment occurring in 10^9 documents reduces locally instead of
+    sort-spilling one hot key the way a row_number() window would; the
+    reassembly is one doc-keyed groupBy of the (small) surviving set.
+    Documents whose every segment loses (fully-duplicated docs) drop out.
+
+    Returns (id_col, n_segments, n_kept, text).
+    """
+    from flink_ci_flink_spark.pipeline.text import tokens
+
+    toks = tokens(text_col)
+    nseg = F.ceil(F.size(toks) / F.lit(float(seg_tokens)))
+    segs_col = F.transform(
+        F.sequence(F.lit(0).cast("long"), (nseg - 1).cast("long")),
+        lambda i: F.array_join(
+            F.slice(toks, (i * seg_tokens + 1).cast("int"), seg_tokens), " "
+        ),
+    )
+    base = (
+        df.select(F.col(id_col), segs_col.alias("__segs"))
+        # sequence(0, -1) would emit a DESCENDING range — empty docs out
+        .filter(F.size("__segs") > 0)
+    )
+    ex = base.select(
+        F.col(id_col), F.posexplode("__segs").alias("pos", "seg")
+    )
+    firsts = (
+        ex.groupBy("seg")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__f"))
+        .select(
+            F.col(f"__f.{id_col}").alias(id_col),
+            F.col("__f.pos").alias("pos"),
+            "seg",
+        )
+    )
+    totals = base.select(
+        F.col(id_col), F.size("__segs").cast("bigint").alias("n_segments")
+    )
+    return (
+        firsts.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .join(totals, id_col)
+        .select(id_col, "n_segments", "n_kept", "text")
+    )

@@ -669,3 +669,90 @@ def finalize_lm_screen(
     return score_bigram_rows(
         rows, rare_below, train_mod, id_col=id_col, max_rare_pct=max_rare_pct
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k retrieval over the corpus — the classic sparse-retrieval
+    op of a data-curation / RAG stack (Robertson-Sparck-Jones BM25 with
+    k1=1.2, b=0.75).
+
+    ``queries`` is (query_id, term) — one row per query term (explode the
+    query text upstream). Scoring is ENGINE-PORTABLE exact, following the
+    repo's rational-weight convention (`tfidf_top_terms`): the log-idf is
+    replaced by the integer-scaled rational RSJ ratio
+    ``floor(1e6 * (2*(N-df)+1) / (2*df+1))`` (same df-monotonicity,
+    bit-identical across engines) and the tf saturation by
+    ``floor((1e6 * (tf * 2.2)) / (tf + 1.2 * (0.25 + ((0.75*dl)*N)/total)))``
+    with dl/avgdl expanded to (dl*N)/total so every input is integer-exact
+    in doubles; both factors floor to bigint BEFORE the per-term product
+    and the per-(query, doc) sum, so aggregation order cannot move a ULP.
+
+    Physical shape: query terms are a broadcast-joined small side against
+    the (term,)-keyed postings; the per-(query_id, doc) sum is
+    partial-aggregable; top-k is one window per query key. At 100 TB the
+    only shuffles are the postings groupBy and the final (tiny,
+    query-keyed) ranking.
+
+    Returns (query_id, doc_id, score, rank), rank 1..k per query, ties
+    broken by doc_id ascending.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("__dl"),
+        F.explode(toks).alias("term"),
+    )
+    tf = base.groupBy(id_col, "__dl", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__tf")
+    )
+    dfreq = (
+        base.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__df"))
+    )
+    stats = docs.select(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(F.size(toks)).cast("bigint").alias("__total"),
+    )
+    idf_scaled = F.floor(
+        (F.lit(1e6) * (F.lit(2) * (F.col("__n") - F.col("__df")) + F.lit(1)))
+        / (F.lit(2) * F.col("__df") + F.lit(1))
+    )
+    tfnorm_scaled = F.floor(
+        (F.lit(1e6) * (F.col("__tf") * F.lit(2.2)))
+        / (
+            F.col("__tf")
+            + F.lit(1.2)
+            * (
+                F.lit(0.25)
+                + ((F.lit(0.75) * F.col("__dl")) * F.col("__n"))
+                / F.col("__total")
+            )
+        )
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(tf, "term")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__contrib", idf_scaled * tfnorm_scaled)
+        .groupBy("query_id", id_col)
+        .agg(F.sum("__contrib").cast("bigint").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )

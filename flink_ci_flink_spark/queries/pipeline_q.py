@@ -2145,3 +2145,119 @@ def pipe_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", *[F.round(f"p{k}", 6).alias(f"p{k}") for k in range(8)]
     )
+
+
+@query(
+    "pipe_line_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), segs AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(0, CAST(CEIL(len(t) / 16.0) AS BIGINT) - 1),
+               i -> array_to_string(t[i*16+1 : i*16+16], ' ')
+             ) AS ss
+      FROM toks WHERE len(t) > 0
+    ), ex AS (
+      SELECT doc_id,
+             UNNEST(generate_series(0, len(ss) - 1)) AS pos,
+             UNNEST(ss) AS seg
+      FROM segs
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+      FROM ex
+    ), kept AS (
+      SELECT doc_id, pos, seg FROM ranked WHERE rn = 1
+    ), re AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             STRING_AGG(seg, ' ' ORDER BY pos) AS text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT re.doc_id, CAST(len(segs.ss) AS BIGINT) AS n_segments,
+           re.n_kept, re.text
+    FROM re JOIN segs ON re.doc_id = segs.doc_id
+    """,
+    group="pipeline",
+)
+def pipe_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (CCNet / RefinedWeb boilerplate-line
+    removal): 16-token segments as the deterministic line unit, each
+    segment's corpus-first occurrence (min (doc_id, pos)) survives, text
+    reassembled in position order. The dedup is a partial-aggregable
+    groupBy(segment).min(struct) — no hot-key window sort at 100 TB
+    (`pipeline/dedup.py::line_dedup`)."""
+    from flink_ci_flink_spark.pipeline.dedup import line_dedup
+
+    t = load_tables(spark, sf_dir)
+    return line_dedup(t.documents, seg_tokens=16)
+
+
+@query(
+    "pipe_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len(t)) AS BIGINT) AS total
+      FROM toks
+    ), q AS (
+      SELECT doc_id AS query_id, list_sort(list_distinct(t))[1:4] AS qt
+      FROM toks WHERE doc_id < 8
+    ), qt AS (
+      SELECT query_id, UNNEST(qt) AS term FROM q
+    ), post AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, UNNEST(t) AS term FROM toks
+    ), tf AS (
+      SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM post GROUP BY doc_id, dl, term
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM post GROUP BY term
+    ), scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             CAST(FLOOR((1e6 * (2 * (s.n - dfreq.df) + 1)) / (2 * dfreq.df + 1)) AS BIGINT)
+             * CAST(FLOOR((1e6 * (tf.tf * 2.2))
+                 / (tf.tf + 1.2 * (0.25 + ((0.75 * tf.dl) * s.n) / s.total))) AS BIGINT)
+               AS contrib
+      FROM qt
+      JOIN tf ON qt.term = tf.term
+      JOIN dfreq ON qt.term = dfreq.term
+      CROSS JOIN stats s
+    ), agg AS (
+      SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score
+      FROM scored GROUP BY query_id, doc_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+      ) AS rank FROM agg
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+    group="pipeline",
+)
+def pipe_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval: 8 query docs (doc_id < 8, query terms = the
+    4 binary-smallest distinct tokens) against the whole corpus, scored
+    with the integer-scaled rational RSJ idf and tf-saturation factors
+    (floored to bigint pre-product, so the per-(query, doc) sum is exact
+    integer arithmetic — engine-portable like `tfidf_top_terms`). Query
+    terms broadcast against the (term,)-keyed postings; partial-agg sum;
+    one query-keyed ranking window (`pipeline/text.py::bm25_topk`)."""
+    from flink_ci_flink_spark.pipeline.text import bm25_topk, tokens
+
+    t = load_tables(spark, sf_dir)
+    toks = tokens("text")
+    queries = (
+        t.documents.filter(F.col("doc_id") < 8)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.slice(F.array_sort(F.array_distinct(toks)), 1, 4)
+            ).alias("term"),
+        )
+    )
+    return bm25_topk(t.documents, queries, k=10)

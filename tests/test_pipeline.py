@@ -1556,3 +1556,60 @@ def test_random_projection_preserves_distances(spark, sf_dir):
             ratios.append(d1 / (d0 / 3))
     med = float(np.median(ratios))
     assert 0.3 < med < 3.0, f"JL distance ratio median {med}"
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    """A segment repeated across documents survives only at its minimal
+    (doc_id, pos); within-document repeats also collapse to the first;
+    fully-duplicated later documents drop out; the pass is idempotent."""
+    from flink_ci_flink_spark.pipeline.dedup import line_dedup
+
+    seg_a = " ".join(f"a{i}" for i in range(4))
+    seg_b = " ".join(f"b{i}" for i in range(4))
+    seg_c = " ".join(f"c{i}" for i in range(4))
+    rows = [
+        (0, f"{seg_a} {seg_b}"),        # both first occurrences
+        (1, f"{seg_a} {seg_c}"),        # seg_a duplicate -> only seg_c kept
+        (2, f"{seg_b} {seg_b}"),        # fully duplicated -> drops out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = line_dedup(df, seg_tokens=4)
+    got = {r.doc_id: (r.n_segments, r.n_kept, r.text) for r in out.collect()}
+    assert got == {
+        0: (2, 2, f"{seg_a} {seg_b}"),
+        1: (2, 1, seg_c),
+    }
+
+    # idempotence: re-running on the surviving text changes nothing
+    again = line_dedup(
+        out.select("doc_id", "text"), seg_tokens=4
+    )
+    got2 = {r.doc_id: (r.n_segments, r.n_kept, r.text) for r in again.collect()}
+    assert got2 == {
+        0: (2, 2, f"{seg_a} {seg_b}"),
+        1: (1, 1, seg_c),
+    }
+
+
+def test_bm25_ranks_matching_doc_first(spark):
+    """A document saturated with the query term outranks one with a single
+    hit, which outranks docs with none (absent from results); rank is
+    dense 1..k with doc_id tie-break."""
+    from flink_ci_flink_spark.pipeline.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple apple apple banana"),
+            (1, "apple kiwi kiwi kiwi kiwi"),
+            (2, "kiwi pear plum grape melon"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "apple")], "query_id long, term string"
+    )
+    out = bm25_topk(docs, queries, k=10).collect()
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)] == [0, 1]
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2]
+    scores = {r.doc_id: r.score for r in out}
+    assert scores[0] > scores[1] > 0
