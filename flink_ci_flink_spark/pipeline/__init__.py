@@ -11,6 +11,7 @@ from flink_ci_flink_spark.pipeline.dedup import (  # noqa: F401
 )
 from flink_ci_flink_spark.pipeline.similarity import (  # noqa: F401
     cosine_near_dup,
+    rerank_by_cosine,
     cosine_topk,
     ivf_ann_topk,
     ivf_centroids,

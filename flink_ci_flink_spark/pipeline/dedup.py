@@ -663,24 +663,18 @@ def line_dedup(
 
     Returns (id_col, n_segments, n_kept, text).
     """
-    from flink_ci_flink_spark.pipeline.text import tokens
+    ex = segment_table(df, seg_tokens, text_col, id_col)
+    totals = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments")
+    )
+    return _resolve_line_dedup(ex, totals, id_col)
 
-    toks = tokens(text_col)
-    nseg = F.ceil(F.size(toks) / F.lit(float(seg_tokens)))
-    segs_col = F.transform(
-        F.sequence(F.lit(0).cast("long"), (nseg - 1).cast("long")),
-        lambda i: F.array_join(
-            F.slice(toks, (i * seg_tokens + 1).cast("int"), seg_tokens), " "
-        ),
-    )
-    base = (
-        df.select(F.col(id_col), segs_col.alias("__segs"))
-        # sequence(0, -1) would emit a DESCENDING range — empty docs out
-        .filter(F.size("__segs") > 0)
-    )
-    ex = base.select(
-        F.col(id_col), F.posexplode("__segs").alias("pos", "seg")
-    )
+
+def _resolve_line_dedup(ex: DataFrame, totals: DataFrame, id_col: str) -> DataFrame:
+    """Shared resolution stage of line dedup: keep each segment's minimal
+    (doc, pos) occurrence (partial-aggregable min(struct)) and reassemble
+    per-document text in position order. ``ex`` is (id_col, pos, seg);
+    ``totals`` is (id_col, n_segments)."""
     firsts = (
         ex.groupBy("seg")
         .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__f"))
@@ -689,9 +683,6 @@ def line_dedup(
             F.col("__f.pos").alias("pos"),
             "seg",
         )
-    )
-    totals = base.select(
-        F.col(id_col), F.size("__segs").cast("bigint").alias("n_segments")
     )
     return (
         firsts.groupBy(id_col)
@@ -708,3 +699,73 @@ def line_dedup(
         .join(totals, id_col)
         .select(id_col, "n_segments", "n_kept", "text")
     )
+
+
+def segment_table(
+    df: DataFrame,
+    seg_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, pos, seg) segment rows — the per-document (no cross-doc
+    dependency) half of line dedup, shared by the batch operator and the
+    streaming ingest."""
+    from flink_ci_flink_spark.pipeline.text import tokens
+
+    toks = tokens(text_col)
+    nseg = F.ceil(F.size(toks) / F.lit(float(seg_tokens)))
+    segs_col = F.transform(
+        F.sequence(F.lit(0).cast("long"), (nseg - 1).cast("long")),
+        lambda i: F.array_join(
+            F.slice(toks, (i * seg_tokens + 1).cast("int"), seg_tokens), " "
+        ),
+    )
+    return (
+        df.select(F.col(id_col), segs_col.alias("__segs"))
+        # sequence(0, -1) would emit a DESCENDING range — empty docs out
+        .filter(F.size("__segs") > 0)
+        .select(F.col(id_col), F.posexplode("__segs").alias("pos", "seg"))
+    )
+
+
+def streaming_line_dedup_ingest(
+    stream_df,
+    segs_dir: str,
+    checkpoint: str,
+    seg_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Continuous corpus ingest for line dedup: segmentation is
+    per-document, so each micro-batch appends its (doc, pos, seg) rows —
+    the expensive tokenize/segment work runs once at ingest;
+    `finalize_line_dedup` resolves the corpus-global first occurrences
+    from the accumulated store, equal to the one-shot `line_dedup`
+    (streaming == batch parity asserted in tests). Epoch-stamped appends:
+    at-least-once foreachBatch replays collapse exactly in finalize.
+    Returns the started StreamingQuery."""
+    from flink_ci_flink_spark.streaming.core import foreach_batch_upsert
+
+    def merge(batch_df, epoch_id: int) -> None:
+        seg = segment_table(batch_df, seg_tokens, text_col, id_col)
+        if seg.take(1):
+            seg.withColumn("__epoch", F.lit(int(epoch_id))).write.mode(
+                "append"
+            ).parquet(segs_dir)
+
+    return foreach_batch_upsert(stream_df, merge, checkpoint)
+
+
+def finalize_line_dedup(spark, segs_dir: str, id_col: str = "doc_id") -> DataFrame:
+    """Resolve line dedup over the accumulated streaming segment store.
+    Replayed epochs collapse via dropDuplicates on (doc, pos) — a doc's
+    segmentation is deterministic, so any replay's copy is identical."""
+    ex = (
+        spark.read.parquet(segs_dir)
+        .dropDuplicates([id_col, "pos"])
+        .select(id_col, "pos", "seg")
+    )
+    totals = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments")
+    )
+    return _resolve_line_dedup(ex, totals, id_col)

@@ -862,3 +862,47 @@ def random_projection(
         for k in range(out_dim)
     ]
     return df.select(F.col(id_col), *outs)
+
+
+def rerank_by_cosine(
+    candidates: DataFrame,
+    corpus_vecs: DataFrame,
+    query_vecs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Second-stage dense reranker for a two-stage retrieval cascade
+    (BM25 / ANN recall stage → exact-cosine precision stage — the standard
+    hybrid-retrieval shape of a RAG / curation stack).
+
+    ``candidates`` is the first stage's (query_id, id_col, score) —
+    typically `text.bm25_topk` output; ``query_vecs`` is (query_id,
+    vec_col). Each candidate is scored by exact cosine against its query
+    vector and the top ``k`` per query survive (cos desc, id asc —
+    deterministic).
+
+    Scale shape: candidates are |Q|·k_candidates rows — tiny next to the
+    corpus — so the embedding fetch is one join keyed on the corpus id
+    (Catalyst picks broadcast when the candidate side fits) and the query
+    vectors are always broadcast; no all-pairs work anywhere.
+    Returns (query_id, id_col, score, cos_sim, rank)."""
+    c = corpus_vecs.select(
+        F.col(vec_id_col).alias(id_col), _to_double(vec_col).alias("__cv")
+    )
+    q = query_vecs.select("query_id", _to_double(vec_col).alias("__qv"))
+    scored = (
+        candidates.join(c, id_col)
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            "score",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= k)

@@ -2194,10 +2194,9 @@ def pipe_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(t.documents, seg_tokens=16)
 
 
-@query(
-    "pipe_bm25_topk",
-    oracle=f"""
-    WITH toks AS (
+# BM25 oracle CTE chain (shared by pipe_bm25_topk and pipe_hybrid_rerank):
+# ends at `ranked` = (query_id, doc_id, score, rank) for the 8 query docs
+_BM25_CTES = f"""toks AS (
       SELECT doc_id, {_TOKS} AS t FROM documents
     ), stats AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -2233,7 +2232,13 @@ def pipe_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY score DESC, doc_id ASC
       ) AS rank FROM agg
-    )
+    )"""
+
+
+@query(
+    "pipe_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_CTES}
     SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 10
     """,
@@ -2261,3 +2266,117 @@ def pipe_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bm25_topk(t.documents, queries, k=10)
+
+
+@query(
+    "pipe_hybrid_rerank",
+    oracle=f"""
+    WITH {_BM25_CTES}, cand AS (
+      SELECT query_id, doc_id, score FROM ranked WHERE rank <= 20
+    ), qv AS (
+      SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings WHERE vec_id < 8
+    ), cv AS (
+      SELECT vec_id AS doc_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), rescored AS (
+      SELECT cand.query_id, cand.doc_id, cand.score,
+             ROUND(list_dot_product(qv.v, cv.v) /
+                   (SQRT(list_dot_product(qv.v, qv.v)) * SQRT(list_dot_product(cv.v, cv.v))),
+                   6) AS cos_sim
+      FROM cand
+      JOIN qv ON cand.query_id = qv.query_id
+      JOIN cv ON cand.doc_id = cv.doc_id
+    ), rr AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, doc_id ASC
+      ) AS rank FROM rescored
+    )
+    SELECT query_id, doc_id, score, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM rr WHERE rank <= 5
+    """,
+    group="pipeline",
+)
+def pipe_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval: BM25 top-20 sparse candidates per query
+    doc (recall stage, integer-exact scoring), reranked by exact embedding
+    cosine against the query's vector (precision stage), top-5 out. The
+    candidate set is |Q|*20 rows, so the dense stage touches 160
+    embeddings, not the corpus — the standard RAG cascade shape
+    (`pipeline/text.py::bm25_topk` +
+    `pipeline/similarity.py::rerank_by_cosine`)."""
+    from flink_ci_flink_spark.pipeline.similarity import rerank_by_cosine
+    from flink_ci_flink_spark.pipeline.text import bm25_topk, tokens
+
+    t = load_tables(spark, sf_dir)
+    toks = tokens("text")
+    qterms = (
+        t.documents.filter(F.col("doc_id") < 8)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.slice(F.array_sort(F.array_distinct(toks)), 1, 4)
+            ).alias("term"),
+        )
+    )
+    cand = bm25_topk(t.documents, qterms, k=20).select(
+        "query_id", "doc_id", "score"
+    )
+    qvecs = t.embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return rerank_by_cosine(cand, t.embeddings, qvecs, k=5)
+
+
+@query(
+    "pipe_quality_quantile_screen",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, text, {_TOKS} AS t, LENGTH(text) AS n_chars
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, source,
+             len(t) AS n_tokens,
+             len(list_filter(t, x -> list_contains({_STOP_EN}, lower(x)))) AS en_hits,
+             LENGTH(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS n_punct,
+             n_chars
+      FROM base
+    ), scored AS (
+      SELECT doc_id, source,
+             FLOOR(GREATEST(0.0, LEAST(1.0,
+                0.5 * (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END)
+                + 0.5 * LEAST(1.0, (FLOOR(en_hits * 1.0 / GREATEST(n_tokens, 1) * 1000000 + 0.5) / 1000000) * 5)
+                - FLOOR(n_punct * 1.0 / GREATEST(n_chars, 1) * 1000000 + 0.5) / 1000000)) * 1000000 + 0.5) / 1000000 AS quality
+      FROM feat
+    ), ranked AS (
+      SELECT *, percent_rank() OVER (
+        PARTITION BY source ORDER BY quality DESC, doc_id ASC
+      ) AS pr FROM scored
+    )
+    SELECT source, doc_id, quality, ROUND(pr, 6) AS pct
+    FROM ranked WHERE pr <= 0.5
+    """,
+    group="pipeline",
+)
+def pipe_quality_quantile_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-quantile screen (the FineWeb-style keep-the-top-
+    half-per-source curation cut): composite quality score, percent_rank
+    within each source (quality desc, doc_id tie-break — deterministic),
+    keep pr <= 0.5. One window over the source key; the score is pure
+    JVM expression work (`pipeline/text.py::quality_score`)."""
+    from pyspark.sql.window import Window
+
+    from flink_ci_flink_spark.pipeline.text import quality_score
+
+    t = load_tables(spark, sf_dir)
+    scored = t.documents.select(
+        "source", "doc_id", quality_score("text").alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= 0.5)
+        .select("source", "doc_id", "quality", F.round("pr", 6).alias("pct"))
+    )

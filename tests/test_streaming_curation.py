@@ -408,3 +408,49 @@ def test_streaming_ivf_ingest_matches_batch_knn(spark, sf_dir):
     }
     assert got == want and len(want) > 0
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_line_dedup_matches_batch(spark, docs_stream_dir):
+    """Streaming line-dedup ingest (per-batch segment append) finalizes to
+    EXACTLY the batch line_dedup over the full corpus — segmentation runs
+    once at ingest, first-occurrence resolution once at finalize; a
+    replayed epoch's duplicate appends collapse in finalize."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.pipeline.dedup import (
+        finalize_line_dedup,
+        line_dedup,
+        segment_table,
+        streaming_line_dedup_ingest,
+    )
+    from flink_ci_flink_spark.streaming import file_stream
+
+    path, schema = docs_stream_dir
+    base = tempfile.mkdtemp(prefix="line_stream_")
+    stream = file_stream(spark, path, schema, max_files_per_trigger=1)
+    q = streaming_line_dedup_ingest(
+        stream, f"{base}/segs", checkpoint=f"{base}/ckpt"
+    )
+    q.processAllAvailable()
+    q.stop()
+    batch_docs = spark.read.parquet(*glob.glob(f"{path}/*.parquet"))
+
+    # simulate an at-least-once replay: re-append one chunk's segments
+    # with a stale epoch stamp — finalize must collapse it
+    replay = segment_table(
+        spark.read.parquet(glob.glob(f"{path}/*.parquet")[0])
+    ).withColumn("__epoch", F.lit(999))
+    replay.write.mode("append").parquet(f"{base}/segs")
+
+    got = {
+        (r.doc_id, r.n_segments, r.n_kept, r.text)
+        for r in finalize_line_dedup(spark, f"{base}/segs").collect()
+    }
+    want = {
+        (r.doc_id, r.n_segments, r.n_kept, r.text)
+        for r in line_dedup(batch_docs).collect()
+    }
+    assert got == want and len(want) > 0
+    shutil.rmtree(base, ignore_errors=True)
