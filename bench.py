@@ -384,6 +384,10 @@ def main() -> None:
         "pipe_decode_gif_frames",
         "pipe_knn_join",
         "pipe_knn_join_scaled",
+        "pipe_line_dedup",
+        "pipe_bm25_topk",
+        "pipe_hybrid_rerank",
+        "pipe_quality_quantile_screen",
     ]
     new_ops_t: dict[str, float] = {}
     for name in NEW_OPS:

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from flink_ci_flink_spark.cep.pattern import NO_SKIP, Pattern
+from flink_ci_flink_spark.operators.grouped import order_spec, sort_exprs
 
 
 def _compilable(pattern: Pattern, allow_variable: bool = False) -> bool:
@@ -131,7 +132,11 @@ def try_compile(
     if not _compilable(pattern, allow_variable=True):
         return None
     order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
-    ts_col = order_cols[0]
+    ts_col, _ts_desc = order_spec(order_cols[0])
+    if _ts_desc:
+        raise NotImplementedError(
+            "the time attribute (first ORDER BY column) must be ascending"
+        )
     expansions = _expansions(pattern)
     if expansions is None:
         return None
@@ -156,7 +161,7 @@ def try_compile(
             measure_cols[out_name] = f"__m{mi}"
             work = work.withColumn(f"__m{mi}", F.expr(fieldexpr))
 
-    w = Window.partitionBy(*keys).orderBy(*order_cols, "__seq")
+    w = Window.partitionBy(*keys).orderBy(*sort_exprs(order_cols), "__seq")
 
     def at(col: str, off: int) -> Column:
         return F.col(col) if off == 0 else F.lead(col, off).over(w)
@@ -341,7 +346,11 @@ def try_compile_all_rows(
     if not _compilable(pattern, allow_variable=True):
         return None
     order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
-    ts_col = order_cols[0]
+    ts_col, _ts_desc = order_spec(order_cols[0])
+    if _ts_desc:
+        raise NotImplementedError(
+            "the time attribute (first ORDER BY column) must be ascending"
+        )
     expansions = _expansions(pattern)
     if expansions is None:
         return None
@@ -366,7 +375,7 @@ def try_compile_all_rows(
             measure_cols[out_name] = f"__m{mi}"
             work = work.withColumn(f"__m{mi}", F.expr(fieldexpr))
 
-    w = Window.partitionBy(*keys).orderBy(*order_cols, "__seq")
+    w = Window.partitionBy(*keys).orderBy(*sort_exprs(order_cols), "__seq")
 
     def at(col: str, off: int) -> Column:
         return F.col(col) if off == 0 else F.lead(col, off).over(w)
@@ -490,7 +499,7 @@ def try_compile_all_rows(
             *[F.col(k) for k in keys],
             F.col(ts_col).alias("__anchor_ts"),
             *[
-                F.col(c).alias(f"__anchor_o{i}")
+                F.col(order_spec(c)[0]).alias(f"__anchor_o{i}")
                 for i, c in enumerate(order_cols[1:])
             ],
             F.col("__seq").alias("__anchor_seq"),
@@ -507,7 +516,12 @@ def try_compile_all_rows(
             F.row_number().over(
                 Window.partitionBy(*keys).orderBy(
                     "__anchor_ts",
-                    *[f"__anchor_o{i}" for i in range(len(order_cols) - 1)],
+                    *[
+                        F.col(f"__anchor_o{i}").desc()
+                        if order_spec(c)[1]
+                        else F.col(f"__anchor_o{i}").asc()
+                        for i, c in enumerate(order_cols[1:])
+                    ],
                     "__anchor_seq",
                 )
             ).cast("long"),
@@ -711,7 +725,11 @@ def try_compile_timeouts(
     back to the NFA scan (`find_matches_and_timeouts`). Returns None when
     the pattern doesn't qualify."""
     order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
-    ts_col = order_cols[0]
+    ts_col, _ts_desc = order_spec(order_cols[0])
+    if _ts_desc:
+        raise NotImplementedError(
+            "the time attribute (first ORDER BY column) must be ascending"
+        )
     sts = pattern.stages
     if (
         pattern.after_match != NO_SKIP
@@ -742,7 +760,7 @@ def try_compile_timeouts(
             measure_cols[out_name] = f"__m{mi}"
             work = work.withColumn(f"__m{mi}", F.expr(fieldexpr))
 
-    w = Window.partitionBy(*keys).orderBy(*order_cols, "__seq")
+    w = Window.partitionBy(*keys).orderBy(*sort_exprs(order_cols), "__seq")
     wf = w.rowsBetween(1, Window.unboundedFollowing)
     next_close = F.min(F.when(F.col("__p1"), F.col("__tsec"))).over(wf)
     timed_out = F.col("__p0") & F.coalesce(

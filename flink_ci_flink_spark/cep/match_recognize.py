@@ -37,6 +37,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
+from flink_ci_flink_spark.operators.grouped import sort_exprs
 from flink_ci_flink_spark.cep.operator import (
     cep,
     cep_stream,
@@ -377,7 +378,8 @@ def parse_match_recognize_sql(sql: str) -> dict:
     """Parse the supported MATCH_RECOGNIZE grammar into plain pieces.
 
     Supported (the reference's common surface): PARTITION BY cols, ORDER BY
-    one ascending column, MEASURES with
+    the ascending time attribute plus secondary tie-break columns in either
+    direction (`StreamExecMatch.scala:68` sort spec), MEASURES with
     FIRST/LAST/COUNT/SUM/AVG/MIN/MAX(V.f | V.*), bare V.f (= FIRST), and
     CLASSIFIER() / FIRST|LAST(CLASSIFIER()), ONE ROW PER MATCH, ALL ROWS
     PER MATCH (batch; payload + per-row CLASSIFIER + match_seq + RUNNING
@@ -419,19 +421,25 @@ def parse_match_recognize_sql(sql: str) -> dict:
         if required not in sections:
             raise ValueError(f"MATCH_RECOGNIZE clause missing {required}")
 
-    # ORDER BY: time attribute first, optional ascending secondary sort
-    # columns after it (`StreamExecMatch.scala:68` sort spec — the
-    # reference requires the leading column to be the time attribute and
-    # supports additional tie-break fields). DESC is rejected loudly.
+    # ORDER BY: time attribute first (MUST be ascending — the reference's
+    # sort spec requires the leading field to be the ascending time
+    # attribute, `StreamExecMatch.scala:68`), then optional secondary
+    # tie-break columns in either direction; a DESC secondary is encoded
+    # as the "col DESC" spec the operator layer's `order_spec` convention
+    # understands (threads into the compiled lead()/row_number() windows,
+    # grouped_apply's partition sort, and the streaming buffer sort).
     order_parts = [c.strip() for c in sections["ORDER BY"].split(",") if c.strip()]
     order_cols: list[str] = []
-    for part in order_parts:
-        if re.search(r"\bDESC\b", part, re.I):
+    for pos, part in enumerate(order_parts):
+        is_desc = bool(re.search(r"\s+DESC\s*$", part, re.I))
+        if is_desc and pos == 0:
             raise NotImplementedError(
-                "MATCH_RECOGNIZE ORDER BY supports ascending columns only "
-                "(time attribute first)"
+                "MATCH_RECOGNIZE ORDER BY: the leading column is the time "
+                "attribute and must be ascending (secondary columns may be "
+                "DESC)"
             )
-        order_cols.append(re.sub(r"\s+ASC\s*$", "", part, flags=re.I).strip())
+        name = re.sub(r"\s+(ASC|DESC)\s*$", "", part, flags=re.I).strip()
+        order_cols.append(f"{name} DESC" if is_desc else name)
     if not order_cols:
         raise ValueError("MATCH_RECOGNIZE ORDER BY lists no columns")
     order_by: str | list[str] = (
@@ -619,7 +627,9 @@ def match_recognize_sql(
             from pyspark.sql import Window
             from pyspark.sql import functions as F
 
-            w = Window.partitionBy(*keys).orderBy(parsed["order_by"])
+            _ob = parsed["order_by"]
+            _ob = [_ob] if isinstance(_ob, str) else list(_ob)
+            w = Window.partitionBy(*keys).orderBy(*sort_exprs(_ob))
             for colname, kind, src, n in parsed["nav_specs"]:
                 fn = F.lag if kind == "lag" else F.lead
                 df = df.withColumn(colname, fn(src, n).over(w))
@@ -693,7 +703,9 @@ def match_recognize_sql(
             from pyspark.sql import functions as F
 
             def prepare(bdf: DataFrame) -> DataFrame:
-                w = Window.partitionBy(*keys).orderBy(parsed["order_by"])
+                _ob = parsed["order_by"]
+                _ob = [_ob] if isinstance(_ob, str) else list(_ob)
+                w = Window.partitionBy(*keys).orderBy(*sort_exprs(_ob))
                 out = bdf
                 for colname, kind, src, n in parsed["nav_specs"]:
                     fn = F.lag if kind == "lag" else F.lead

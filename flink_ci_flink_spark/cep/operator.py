@@ -45,6 +45,7 @@ from flink_ci_flink_spark.cep.nfa import (
     find_matches_and_timeouts,
 )
 from flink_ci_flink_spark.cep.pattern import NO_SKIP, Pattern
+from flink_ci_flink_spark.operators.grouped import order_spec
 
 #: A select function: (key_tuple, match, events) -> dict of output columns.
 SelectFn = Callable[[tuple, "Match", list], dict]
@@ -221,7 +222,11 @@ def cep(
     ties are broken by original row order (stable sort)."""
     pattern.validate()
     order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
-    ts_col = order_cols[0]
+    ts_col, _ts_desc = order_spec(order_cols[0])
+    if _ts_desc:
+        raise NotImplementedError(
+            "the time attribute (first order column) must be ascending"
+        )
     if measures is not None and flat_select is None:
         from flink_ci_flink_spark.cep.compiled import try_compile
 
@@ -287,7 +292,11 @@ def cep_timed_out(
     NULL, and kind ``"timeout"`` emits the expiry timestamp."""
     pattern.validate()
     order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
-    ts_col = order_cols[0]
+    ts_col, _ts_desc = order_spec(order_cols[0])
+    if _ts_desc:
+        raise NotImplementedError(
+            "the time attribute (first order column) must be ascending"
+        )
     if pattern.within_seconds is None:
         raise ValueError("timeout side output requires pattern.within(...)")
     if measures is not None and select is None:
@@ -391,7 +400,12 @@ def cep_stream(
 
     pattern.validate()
     order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
-    ts_col, extra_order = order_cols[0], order_cols[1:]
+    ts_col, _ts_desc = order_spec(order_cols[0])
+    if _ts_desc:
+        raise NotImplementedError(
+            "the time attribute (first order column) must be ascending"
+        )
+    extra_order = order_cols[1:]
     # expr-only stages (SQL front end) have predicate=None, which the NFA
     # treats as match-anything — evaluate exprs JVM-side here exactly as the
     # batch operator does; the __p{i} columns ride along in the payload
@@ -426,25 +440,23 @@ def cep_stream(
             payload.extend(json.dumps(r) for r in recs)
         parsed = [json.loads(pj) for pj in payload]
         # buffer order = (time attribute, *secondary sort cols), arrival
-        # order breaking remaining ties (stable sort). NULL secondary
-        # values sort FIRST (Spark's ascending default) via a presence
-        # flag — a bare None would TypeError against non-null values.
-        order = sorted(
-            range(len(ts_list)),
-            key=(
-                (
-                    lambda i: (
-                        ts_list[i],
-                        *(
-                            (v is not None, v if v is not None else 0)
-                            for v in (parsed[i].get(c) for c in extra_order)
-                        ),
-                    )
-                )
-                if extra_order
-                else (lambda i: ts_list[i])
-            ),
-        )
+        # order breaking remaining ties (stable sort). Directed secondary
+        # specs ("col DESC") sort by stable passes, LAST key first — each
+        # pass preserves prior-pass ties, matching Spark's multi-column
+        # sort. NULL handling mirrors Spark defaults (asc: NULLS FIRST,
+        # desc: NULLS LAST) via a presence flag — a bare None would
+        # TypeError against non-null values.
+        order = list(range(len(ts_list)))
+        for spec in reversed(extra_order):
+            name, desc = order_spec(spec)
+            order.sort(
+                key=lambda i: (
+                    parsed[i].get(name) is not None,
+                    parsed[i][name] if parsed[i].get(name) is not None else 0,
+                ),
+                reverse=desc,
+            )
+        order.sort(key=lambda i: ts_list[i])
         ts_list = [ts_list[i] for i in order]
         payload = [payload[i] for i in order]
         parsed = [parsed[i] for i in order]
@@ -512,7 +524,12 @@ def cep_stream_timed_out(
 
     pattern.validate()
     order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
-    ts_col, extra_order = order_cols[0], order_cols[1:]
+    ts_col, _ts_desc = order_spec(order_cols[0])
+    if _ts_desc:
+        raise NotImplementedError(
+            "the time attribute (first order column) must be ascending"
+        )
+    extra_order = order_cols[1:]
     if pattern.within_seconds is None:
         raise ValueError("timeout side output requires pattern.within(...)")
     df, pattern = _jvm_predicate_columns(df, pattern)
@@ -540,25 +557,23 @@ def cep_stream_timed_out(
             payload.extend(json.dumps(r) for r in recs)
         parsed = [json.loads(pj) for pj in payload]
         # buffer order = (time attribute, *secondary sort cols), arrival
-        # order breaking remaining ties (stable sort). NULL secondary
-        # values sort FIRST (Spark's ascending default) via a presence
-        # flag — a bare None would TypeError against non-null values.
-        order = sorted(
-            range(len(ts_list)),
-            key=(
-                (
-                    lambda i: (
-                        ts_list[i],
-                        *(
-                            (v is not None, v if v is not None else 0)
-                            for v in (parsed[i].get(c) for c in extra_order)
-                        ),
-                    )
-                )
-                if extra_order
-                else (lambda i: ts_list[i])
-            ),
-        )
+        # order breaking remaining ties (stable sort). Directed secondary
+        # specs ("col DESC") sort by stable passes, LAST key first — each
+        # pass preserves prior-pass ties, matching Spark's multi-column
+        # sort. NULL handling mirrors Spark defaults (asc: NULLS FIRST,
+        # desc: NULLS LAST) via a presence flag — a bare None would
+        # TypeError against non-null values.
+        order = list(range(len(ts_list)))
+        for spec in reversed(extra_order):
+            name, desc = order_spec(spec)
+            order.sort(
+                key=lambda i: (
+                    parsed[i].get(name) is not None,
+                    parsed[i][name] if parsed[i].get(name) is not None else 0,
+                ),
+                reverse=desc,
+            )
+        order.sort(key=lambda i: ts_list[i])
         ts_list = [ts_list[i] for i in order]
         payload = [payload[i] for i in order]
         parsed = [parsed[i] for i in order]
@@ -654,7 +669,11 @@ def cep_stream_replay(
 
     pattern.validate()
     order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
-    ts_col = order_cols[0]
+    ts_col, _ts_desc = order_spec(order_cols[0])
+    if _ts_desc:
+        raise NotImplementedError(
+            "the time attribute (first order column) must be ascending"
+        )
     if pattern.within_seconds is None:
         raise ValueError(
             "cep_stream_replay requires pattern.within(...) — it bounds "

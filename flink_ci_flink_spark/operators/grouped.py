@@ -22,7 +22,29 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+
+
+def order_spec(col: str) -> tuple[str, bool]:
+    """Split an order-column spec into (name, descending). Specs are plain
+    column names, optionally suffixed ``" DESC"`` (case-insensitive) — the
+    repo-wide convention for directed sort lists (MATCH_RECOGNIZE ORDER BY
+    secondary columns may be descending; the time attribute never is)."""
+    parts = col.split()
+    if len(parts) == 2 and parts[1].upper() == "DESC":
+        return parts[0], True
+    return col, False
+
+
+def sort_exprs(order_cols: list[str]) -> list[Column]:
+    """Directed sort expressions for a spec list (`order_spec` convention)."""
+    from pyspark.sql import functions as F
+
+    out = []
+    for c in order_cols:
+        name, desc = order_spec(c)
+        out.append(F.col(name).desc() if desc else F.col(name).asc())
+    return out
 
 
 def grouped_apply(
@@ -49,7 +71,7 @@ def grouped_apply(
         part = df.repartition(num_partitions, *keys)
     else:
         part = df.repartition(*keys)
-    part = part.sortWithinPartitions(*keys, *order_cols)
+    part = part.sortWithinPartitions(*keys, *sort_exprs(order_cols))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pending: pd.DataFrame | None = None

@@ -663,3 +663,62 @@ def cep_mr_prev_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming=True,
     )
     return out
+
+
+@query(
+    "cep_mr_desc_secondary",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, event_type,
+             date_trunc('hour', ts) AS hts
+      FROM events
+    ), seq AS (
+      SELECT user_id, event_id, event_type, hts,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(event_id, 1)   OVER w AS id1,
+             LEAD(hts, 1)        OVER w AS hts1
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY hts, event_id DESC)
+    )
+    SELECT user_id, event_id AS view_id, id1 AS purchase_id
+    FROM seq
+    WHERE event_type = 'view' AND t1 = 'purchase'
+      AND EPOCH(hts1) - EPOCH(hts) <= 172800
+    """,
+    group="cep",
+)
+def cep_mr_desc_secondary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with a DESCENDING secondary ORDER BY column
+    (`StreamExecMatch.scala:68` sort spec allows any direction after the
+    ascending time attribute — round 8 closes the ascending-only gap).
+    Event time truncated to the hour makes hundreds of ties per user, and
+    `event_id DESC` REVERSES adjacency relative to `cep_mr_secondary_order`
+    — a different (and differently-sized) match set, proven against the
+    same directed ordering in the DuckDB oracle. Fixed 2-stage pattern +
+    expr DEFINEs = pure lead() plan with directed window sort, zero
+    Python."""
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.cep import match_recognize_sql
+
+    t = load_tables(spark, sf_dir)
+    base = t.events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hts"),
+    )
+    return match_recognize_sql(
+        base,
+        """
+        SELECT * FROM __base MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY hts, event_id DESC
+          MEASURES FIRST(A.event_id) AS view_id, LAST(B.event_id) AS purchase_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B) WITHIN INTERVAL '48' HOUR
+          DEFINE A AS A.event_type = 'view', B AS B.event_type = 'purchase'
+        )
+        """,
+    )

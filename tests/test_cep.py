@@ -1840,9 +1840,10 @@ def test_mr_secondary_order_columns(spark):
     assert {(r.view_id, r.purchase_id) for r in nfa.collect()} == got
 
 
-def test_parse_order_by_secondary_and_desc_rejection():
-    """ORDER BY parses multi-column ascending lists (optional ASC noise
-    words stripped); any DESC rejects loudly."""
+def test_parse_order_by_secondary_and_desc():
+    """ORDER BY parses multi-column lists: time attribute first (must be
+    ascending — DESC there rejects loudly), secondary columns in either
+    direction (DESC encoded as the "col DESC" order_spec convention)."""
     import pytest as _pytest
 
     from flink_ci_flink_spark.cep import parse_match_recognize_sql
@@ -1857,10 +1858,13 @@ def test_parse_order_by_secondary_and_desc_rejection():
     assert parse_match_recognize_sql(base.format(ob="ts ASC, id ASC"))[
         "order_by"
     ] == ["ts", "id"]
+    assert parse_match_recognize_sql(base.format(ob="ts, id DESC"))[
+        "order_by"
+    ] == ["ts", "id DESC"]
     with _pytest.raises(NotImplementedError, match="ascending"):
         parse_match_recognize_sql(base.format(ob="ts DESC"))
     with _pytest.raises(NotImplementedError, match="ascending"):
-        parse_match_recognize_sql(base.format(ob="ts, id DESC"))
+        parse_match_recognize_sql(base.format(ob="ts DESC, id"))
 
 
 def test_streaming_mr_prev_navigation_replay(spark):
@@ -2089,3 +2093,115 @@ def test_streaming_nav_rejects_non_null_rejecting_define(spark):
     match_recognize_sql(
         st, base.format(a_def="A.value < PREV(A.value)"), streaming=False
     )
+
+
+def test_mr_desc_secondary_order_compiled_equals_nfa(spark):
+    """ORDER BY ts, id DESC: on a tie-heavy fixture (every event at the
+    same timestamp) the descending secondary REVERSES adjacency, so the
+    match set differs from ascending ordering — and the compiled lead()
+    plan, the NFA path, and a hand-rolled expectation all agree."""
+    from flink_ci_flink_spark.cep import NO_SKIP, Pattern, cep
+
+    # one key, all events tie on ts; id descending gives adjacency
+    # 5,4,3,2,1 → (view,purchase) adjacent pairs differ from ascending
+    rows = [
+        (1, 10.0, 5, "view"),
+        (1, 10.0, 4, "purchase"),
+        (1, 10.0, 3, "view"),
+        (1, 10.0, 2, "view"),
+        (1, 10.0, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts double, id long, event_type string")
+    pat = (
+        Pattern.begin(
+            "a", where=lambda e: e["event_type"] == "view",
+            expr="event_type = 'view'",
+        )
+        .next(
+            "b", where=lambda e: e["event_type"] == "purchase",
+            expr="event_type = 'purchase'",
+        )
+        .within(100)
+        .after_match_skip(NO_SKIP)
+    )
+    measures = {"view_id": ("a", "first", "id"), "purchase_id": ("b", "last", "id")}
+    out_schema = "k long, view_id long, purchase_id long"
+
+    compiled = {
+        tuple(r)
+        for r in cep(
+            df, pat, ["k"], ["ts", "id DESC"], measures=measures,
+            output_schema=out_schema,
+        ).collect()
+    }
+    # NFA path: select= without measures skips try_compile
+    from flink_ci_flink_spark.cep.operator import measure_select
+
+    nfa = {
+        tuple(r)
+        for r in cep(
+            df, pat, ["k"], ["ts", "id DESC"],
+            select=measure_select(measures, ["k"]),
+            output_schema=out_schema,
+        ).collect()
+    }
+    # in id-descending order the sequence is (5,view)(4,purchase)(3,view)
+    # (2,view)(1,purchase): adjacent view→purchase pairs are (5,4), (2,1)
+    want = {(1, 5, 4), (1, 2, 1)}
+    assert compiled == want and nfa == want
+    # ascending ordering would give (3,view)(4,purchase)? no — ascending
+    # is 1..5: (1,purchase)(2,view)(3,view)(4,purchase)(5,view) → (3,4)
+    asc = {
+        tuple(r)
+        for r in cep(
+            df, pat, ["k"], ["ts", "id"], measures=measures,
+            output_schema=out_schema,
+        ).collect()
+    }
+    assert asc == {(1, 3, 4)}
+
+
+def test_mr_desc_secondary_streaming_buffer(spark):
+    """The streaming NFA's per-key buffer honors a DESC secondary spec
+    (stable multi-pass sort): streamed matches == the batch answer on the
+    same tie-heavy fixture."""
+    import shutil
+
+    from flink_ci_flink_spark.cep import match_recognize_sql
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+
+    schema = "k long, ts double, id long, event_type string"
+    rows = [
+        (1, 10.0, 5, "view"),
+        (1, 10.0, 4, "purchase"),
+        (1, 10.0, 3, "view"),
+        (1, 10.0, 2, "view"),
+        (1, 10.0, 1, "purchase"),
+        (1, 20.0, 7, "view"),
+        (1, 20.0, 6, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    sql = """
+      SELECT * FROM __x MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts, id DESC
+        MEASURES FIRST(A.id) AS view_id, LAST(B.id) AS purchase_id
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A B) WITHIN INTERVAL '100' SECOND
+        DEFINE A AS A.event_type = 'view', B AS B.event_type = 'purchase'
+      )"""
+    batch = {tuple(r) for r in match_recognize_sql(df, sql).collect()}
+    assert batch, "fixture must match"
+    from flink_ci_flink_spark.streaming import run_to_completion
+
+    tmp = stage_ordered_replay(df, ["ts", "id"], n_batches=2)
+    try:
+        st = file_stream(spark, tmp, df.schema, max_files_per_trigger=1)
+        out = match_recognize_sql(st, sql, streaming=True)
+        run_to_completion(out, "mr_desc_stream", "append")
+        streamed = {
+            tuple(r) for r in spark.table("mr_desc_stream").collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert streamed == batch
