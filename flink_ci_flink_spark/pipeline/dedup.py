@@ -92,9 +92,34 @@ def shingles(text_col, n: int = 3) -> Column:
     return shingles_from_tokens(tokens(text_col), n)
 
 
+def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Parallelize CPU-heavy map work over UNDER-partitioned inputs.
+
+    A small parquet file with one row group scans as a single partition, so
+    an expensive projection (tokenize + md5 + 32 minhash permutations) runs
+    on one core no matter how many the box has — the local-test shape. When
+    the plan yields fewer partitions than the session's default parallelism,
+    repartition to it (shuffling kilobytes to unlock every core); a large
+    input (cluster shape: splits >= cores) passes through untouched, so
+    this can never introduce a 100-TB shuffle. Deciding on the PLAN's
+    partition count (file splits), not data statistics, keeps the check
+    cheap (no job runs)."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # exotic plans (streaming sources) — leave untouched
+        return df
+    return df.repartition(target) if n < target else df
+
+
 def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Projection boundary materializing the token array once per row."""
-    return df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    """Projection boundary materializing the token array once per row —
+    spread across cores first: everything downstream of this boundary
+    (shingling, md5 hashing, minhash permutations) is the CPU-hot path."""
+    return spread_small_scan(df).select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    )
 
 
 def shingle_table(
@@ -721,7 +746,8 @@ def segment_table(
         ),
     )
     return (
-        df.select(F.col(id_col), segs_col.alias("__segs"))
+        spread_small_scan(df)
+        .select(F.col(id_col), segs_col.alias("__segs"))
         # sequence(0, -1) would emit a DESCENDING range — empty docs out
         .filter(F.size("__segs") > 0)
         .select(F.col(id_col), F.posexplode("__segs").alias("pos", "seg"))

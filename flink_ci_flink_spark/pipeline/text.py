@@ -479,7 +479,9 @@ def tfidf_top_terms(
     """
     from pyspark.sql.window import Window
 
-    terms = docs.select(
+    from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
+
+    terms = spread_small_scan(docs).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
     )
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -704,8 +706,10 @@ def bm25_topk(
     """
     from pyspark.sql.window import Window
 
+    from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
+
     toks = tokens(text_col)
-    base = docs.select(
+    base = spread_small_scan(docs).select(
         F.col(id_col),
         F.size(toks).cast("bigint").alias("__dl"),
         F.explode(toks).alias("term"),
