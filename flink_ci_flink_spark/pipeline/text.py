@@ -760,3 +760,60 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )
+
+
+def quality_quantile_screen_scaled(
+    docs: DataFrame,
+    frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str = "source",
+) -> DataFrame:
+    """Scale path of the per-source quality-quantile screen: IDENTICAL
+    output to the percent_rank window formulation (keep pr <= frac over
+    (quality desc, id asc)), without the per-source global sort.
+
+    A percent_rank window sorts each source's entire partition on one
+    reducer — at 100 TB with a handful of sources that is a handful of
+    near-corpus-size sorts. But quality is quantized (rounded to 1e-6), so
+    the quantile cut decomposes: (1) per-(source, quality) histogram
+    counts — map-side combinable; (2) a descending cumulative sum over the
+    TINY histogram (sources x distinct qualities rows) finds each row
+    group's rank offset; (3) docs rank as offset + row_number within their
+    (source, quality) cell by id — parallelism = #distinct cells, each
+    cell sort small. pr is then (rank-1)/(n-1) computed exactly as
+    percent_rank defines it, so the filter matches the window version
+    bit-for-bit (equivalence asserted in tests).
+
+    Returns (by, id_col, quality, pct) like the window formulation."""
+    from pyspark.sql.window import Window
+
+    scored = docs.select(
+        F.col(by), F.col(id_col), quality_score(text_col).alias("quality")
+    )
+    hist = scored.groupBy(by, "quality").agg(
+        F.count(F.lit(1)).alias("__n_q")
+    )
+    tot = hist.groupBy(by).agg(F.sum("__n_q").cast("bigint").alias("__n"))
+    wq = Window.partitionBy(by).orderBy(F.col("quality").desc())
+    meta = (
+        hist.withColumn("__cum", F.sum("__n_q").over(wq))
+        .withColumn("__offset", F.col("__cum") - F.col("__n_q"))
+        .join(F.broadcast(tot), by)
+    )
+    wc = Window.partitionBy(by, "quality").orderBy(F.col(id_col).asc())
+    ranked = (
+        scored.join(meta, [by, "quality"])
+        .withColumn("__rank", F.col("__offset") + F.row_number().over(wc))
+        .withColumn(
+            "pr",
+            F.when(
+                F.col("__n") > 1,
+                (F.col("__rank") - 1) / (F.col("__n") - 1),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return (
+        ranked.filter(F.col("pr") <= frac)
+        .select(by, id_col, "quality", F.round("pr", 6).alias("pct"))
+    )

@@ -2328,9 +2328,7 @@ def pipe_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rerank_by_cosine(cand, t.embeddings, qvecs, k=5)
 
 
-@query(
-    "pipe_quality_quantile_screen",
-    oracle=f"""
+_QUALITY_QUANTILE_ORACLE = f"""
     WITH base AS (
       SELECT doc_id, source, text, {_TOKS} AS t, LENGTH(text) AS n_chars
       FROM documents
@@ -2355,7 +2353,12 @@ def pipe_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, doc_id, quality, ROUND(pr, 6) AS pct
     FROM ranked WHERE pr <= 0.5
-    """,
+    """
+
+
+@query(
+    "pipe_quality_quantile_screen",
+    oracle=_QUALITY_QUANTILE_ORACLE,
     group="pipeline",
 )
 def pipe_quality_quantile_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2380,3 +2383,23 @@ def pipe_quality_quantile_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pr") <= 0.5)
         .select("source", "doc_id", "quality", F.round("pr", 6).alias("pct"))
     )
+
+
+@query(
+    "pipe_quality_screen_scaled",
+    oracle=_QUALITY_QUANTILE_ORACLE,
+    group="pipeline",
+)
+def pipe_quality_screen_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME per-source keep-top-half quality cut as
+    pipe_quality_quantile_screen, via the SCALE path: quality is quantized
+    (1e-6 rounding), so the quantile cut decomposes into a map-side
+    combinable (source, quality) histogram + a descending cumsum over the
+    tiny histogram + per-cell row_number — parallelism = #distinct
+    (source, quality) cells instead of one near-corpus-size sort per
+    source. Output (and the oracle) are bit-identical to the window
+    formulation (`pipeline/text.py::quality_quantile_screen_scaled`)."""
+    from flink_ci_flink_spark.pipeline.text import quality_quantile_screen_scaled
+
+    t = load_tables(spark, sf_dir)
+    return quality_quantile_screen_scaled(t.documents, frac=0.5)

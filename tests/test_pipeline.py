@@ -1613,3 +1613,47 @@ def test_bm25_ranks_matching_doc_first(spark):
     assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2]
     scores = {r.doc_id: r.score for r in out}
     assert scores[0] > scores[1] > 0
+
+
+def test_quality_screen_scaled_equals_window(spark, sf_dir):
+    """The histogram-decomposed quantile cut returns exactly the window
+    percent_rank formulation's rows — including the pct values — on the
+    real documents table AND on a single-source all-tied fixture (boundary
+    group = the whole source, n=1 source edge)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline.text import (
+        quality_quantile_screen_scaled,
+        quality_score,
+    )
+
+    def window_version(docs, frac=0.5):
+        scored = docs.select(
+            "source", "doc_id", quality_score("text").alias("quality")
+        )
+        w = Window.partitionBy("source").orderBy(
+            F.col("quality").desc(), F.col("doc_id").asc()
+        )
+        return (
+            scored.withColumn("pr", F.percent_rank().over(w))
+            .filter(F.col("pr") <= frac)
+            .select("source", "doc_id", "quality", F.round("pr", 6).alias("pct"))
+        )
+
+    docs = load_tables(spark, sf_dir).documents
+    got = {tuple(r) for r in quality_quantile_screen_scaled(docs).collect()}
+    want = {tuple(r) for r in window_version(docs).collect()}
+    assert got == want and want
+
+    tied = spark.createDataFrame(
+        [(i, "same text same text same text", "s0") for i in range(7)]
+        + [(99, "lone doc", "s1")],
+        "doc_id long, text string, source string",
+    )
+    got2 = {tuple(r) for r in quality_quantile_screen_scaled(tied).collect()}
+    want2 = {tuple(r) for r in window_version(tied).collect()}
+    assert got2 == want2
+    # the n=1 source survives with pr=0
+    assert (("s1", 99) in {(r[0], r[1]) for r in got2})
