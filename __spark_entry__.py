@@ -26,67 +26,47 @@ from flink_ci_flink_spark.queries import QUERIES  # noqa: E402
 FLAGSHIP = "tpch_q3_shipping_priority"
 
 # The driver samples a 50-query prefix of queries() for its sf0.01
-# correctness check. Round-7 prefix: (1) the 13 queries never yet in a
-# recorded driver artifact (round-6 additions + the 4 names that fell off
-# the r6 50-slot window), (2) the queries added THIS round, then (3) a
-# re-validation tail of the longest-unchecked names — everything whose
-# latest green row is r1/r2 (26 names, including `windowed_stream_join`),
-# `interval_join_events` (r3, called out by VERDICT.md task 6), and r3
-# names touching code changed this round (CEP ordering, similarity).
+# correctness check. Round-8 prefix: (1) the six queries added THIS round
+# (line dedup, BM25, hybrid rerank, quantile screens, DESC secondary
+# ordering), (2) every query whose code path changed this round — the
+# cep_stream_replay compiled path + ident fix (all CEP names), the
+# pipeline_sql view cleanup, and the spread_small_scan repartition that
+# now sits under the dedup/tfidf/bm25 chokepoints — then (3) a
+# re-validation tail of the longest-unchecked names (latest green row r2,
+# then r3).
 _PRIORITY = [
-    # -- (1) never driver-proven --
-    "pipe_pack_sequences",
-    "pipe_lm_quality_screen",
-    "pipe_decode_png",
-    "pipe_decode_gif_frames",
-    "pipe_knn_join",
-    "graph_jaccard_index",
-    "graph_clustering_coeffs",
-    "graph_vertex_metrics",
-    "graph_triadic_census",
-    "skew_salted_join",
-    "skew_split_distinct",
-    "flinksql_hop",
-    "flinksql_temporal_fn",
-    # -- (2) round-7 additions --
-    "cep_mr_secondary_order",
-    "pipe_knn_join_scaled",
-    "streaming_count_window_replay",
-    "pipe_sql_front_door",
+    # -- (1) round-8 additions, never driver-proven --
+    "pipe_line_dedup",
+    "pipe_bm25_topk",
+    "pipe_hybrid_rerank",
+    "pipe_quality_quantile_screen",
+    "pipe_quality_screen_scaled",
+    "cep_mr_desc_secondary",
+    # -- (2) code paths changed this round --
     "cep_mr_prev_stream_replay",
-    "streaming_bounded_over_replay",
-    "streaming_count_sliding_replay",
-    "streaming_topn_replay",
-    "streaming_dedup_keeplast_replay",
-    "streaming_running_agg_replay",
-    "streaming_sessionize_replay",
-    "streaming_topn_retractable_replay",
-    "graph_label_propagation",
-    "graph_community_detection",
+    "pipe_sql_front_door",
+    "cep_mr_secondary_order",
+    "pipe_minhash_lsh",
+    "pipe_jaccard_pairs",
+    "pipe_jaccard_prefix",
+    "pipe_tfidf_top_terms",
+    "graph_dedup_clusters",
+    "pipe_exact_dedup",
+    "pipe_simhash",
+    "pipe_contamination_overlap",
     "pipe_containment_pairs",
-    "pipe_random_projection",
-    "graph_triangle_listing",
-    "graph_edge_metrics",
-    # -- (3) re-validation: oldest-proven first --
-    "interval_join_events",
-    "windowed_stream_join",
-    "agg_collect_listagg",
-    "agg_distinct_multi",
-    "agg_rollup_cube",
-    "agg_stats",
-    "explode_lateral_words",
-    "fn_conditional_cast",
-    "fn_hash_encode",
-    "fn_math",
-    "fn_string_regex_predicates",
-    "fn_temporal",
-    "join_cross",
-    "join_full_outer_counts",
-    "join_right_outer",
-    "join_theta_nonequi",
-    "lookup_join_dim",
-    "over_frames",
-    "over_range_interval_days",
+    "graph_dedup_clusters_minhash",
+    "pipe_e2e_curation",
+    "cep_mr_all_rows",
+    "cep_click_click_purchase",
+    "cep_click_no_purchase",
+    "cep_mr_price_dip",
+    "cep_mr_sql_view_to_purchase",
+    "cep_error_burst",
+    "cep_match_recognize_view_run",
+    "cep_timeout_click_purchase",
+    "cep_mr_error_run_until_purchase",
+    # -- (3) re-validation: oldest-proven first (r2 then r3) --
     "setop_union",
     "sort_limit_offset",
     "subquery_scalar",
@@ -95,10 +75,19 @@ _PRIORITY = [
     "tpch_q6_forecast_revenue",
     "values_inline",
     "window_hop",
-    # r3 names touching this round's changed code paths
-    "cep_click_click_purchase",
-    "cep_click_no_purchase",
-    "cep_mr_sql_view_to_purchase",
+    "agg_grouping_sets",
+    "agg_min_max_by",
+    "asof_join_events",
+    "calc_project_filter",
+    "dedup_keep_last",
+    "fn_collections",
+    "fn_string_basic",
+    "graph_pagerank_nations",
+    "join_anti",
+    "join_left_outer_agg",
+    "join_semi",
+    "json_payload_extract",
+    "over_ranking",
 ]
 
 
