@@ -56,7 +56,11 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id_col), _to_double(vec_col).alias("__qv")
     )
-    c = corpus.select(F.col(id_col), _to_double(vec_col).alias("__cv"))
+    from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
+
+    c = spread_small_scan(corpus).select(
+        F.col(id_col), _to_double(vec_col).alias("__cv")
+    )
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
@@ -301,7 +305,11 @@ def ivf_centroids(
     replay it — at the cost of materializing each group's value list, so
     it is for oracle-checked configurations; the default streaming-sum
     F.avg is the at-scale path."""
-    c = corpus.select(F.col(id_col).alias("__id"), _to_double(vec_col).alias("__v"))
+    from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
+
+    c = spread_small_scan(corpus).select(
+        F.col(id_col).alias("__id"), _to_double(vec_col).alias("__v")
+    )
     centroids = [
         list(r[0]) for r in c.orderBy("__id").limit(n_cells).select("__v").collect()
     ]
@@ -707,7 +715,11 @@ def knn_join(
         centroids = ivf_centroids(
             corpus, n_cells, iterations, id_col, vec_col, deterministic
         )
-    c = corpus.select(F.col(id_col), _to_double(vec_col).alias("__v"))
+    from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
+
+    c = spread_small_scan(corpus).select(
+        F.col(id_col), _to_double(vec_col).alias("__v")
+    )
     if vectorized:
         cp = _np_cells_probes(centroids, nprobe)
         base = c.select(id_col, "__v", cp("__v").alias("__cp"))
