@@ -388,6 +388,7 @@ def main() -> None:
         "pipe_bm25_topk",
         "pipe_hybrid_rerank",
         "pipe_quality_quantile_screen",
+        "pipe_quality_screen_scaled",
     ]
     new_ops_t: dict[str, float] = {}
     for name in NEW_OPS:

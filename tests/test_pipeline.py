@@ -1657,3 +1657,120 @@ def test_quality_screen_scaled_equals_window(spark, sf_dir):
     assert got2 == want2
     # the n=1 source survives with pr=0
     assert (("s1", 99) in {(r[0], r[1]) for r in got2})
+
+
+def test_line_dedup_property_vs_bruteforce(spark):
+    """Property test: over random tiny-vocabulary corpora (segment
+    collisions arise naturally), line_dedup equals an independent
+    brute-force first-occurrence computation."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_ci_flink_spark.pipeline.dedup import line_dedup
+
+    SEG = 3
+
+    def brute(docs):
+        seen: set = set()
+        out = {}
+        for did, text in docs:
+            toks = text.split()
+            segs = [
+                " ".join(toks[i * SEG : (i + 1) * SEG])
+                for i in range((len(toks) + SEG - 1) // SEG)
+            ]
+            kept = []
+            for seg in segs:
+                if seg not in seen:
+                    seen.add(seg)
+                    kept.append(seg)
+            if segs and kept:
+                out[did] = (len(segs), len(kept), " ".join(kept))
+        return out
+
+    word = st.sampled_from(["a", "b", "c"])
+    doc = st.lists(word, min_size=0, max_size=10).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=6)
+
+    @settings(max_examples=12, deadline=None)
+    @given(corpus)
+    def check(texts):
+        docs = [(i, t) for i, t in enumerate(texts) if t]
+        if not docs:
+            return
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_segments, r.n_kept, r.text)
+            for r in line_dedup(df, seg_tokens=SEG).collect()
+        }
+        assert got == brute(docs)
+
+    check()
+
+
+def test_bm25_property_vs_bruteforce(spark):
+    """Property test: bm25_topk's integer-scaled scoring equals an
+    independent Python reimplementation (same rational factors, same
+    flooring) over random corpora and query terms."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_ci_flink_spark.pipeline.text import bm25_topk
+
+    def brute(docs, qterms, k=10):
+        toks = {d: t.split() for d, t in docs}
+        n = len(docs)
+        total = sum(len(t) for t in toks.values())
+        dfreq: dict = {}
+        for t in toks.values():
+            for term in set(t):
+                dfreq[term] = dfreq.get(term, 0) + 1
+        out = {}
+        for qid, terms in qterms.items():
+            scores: dict = {}
+            for term in terms:
+                if term not in dfreq:
+                    continue
+                df_ = dfreq[term]
+                idf = math.floor((1e6 * (2 * (n - df_) + 1)) / (2 * df_ + 1))
+                for did, t in toks.items():
+                    tf = t.count(term)
+                    if tf == 0:
+                        continue
+                    dl = len(t)
+                    tfn = math.floor(
+                        (1e6 * (tf * 2.2))
+                        / (tf + 1.2 * (0.25 + ((0.75 * dl) * n) / total))
+                    )
+                    scores[did] = scores.get(did, 0) + idf * tfn
+            ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            out[qid] = [
+                (did, sc, i + 1) for i, (did, sc) in enumerate(ranked)
+            ]
+        return out
+
+    word = st.sampled_from(["x", "y", "z", "w"])
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=5)
+    qset = st.lists(word, min_size=1, max_size=2, unique=True)
+
+    @settings(max_examples=10, deadline=None)
+    @given(corpus, qset)
+    def check(texts, qterms):
+        docs = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        q = spark.createDataFrame(
+            [(0, t) for t in qterms], "query_id long, term string"
+        )
+        got = {}
+        for r in bm25_topk(df, q, k=10).collect():
+            got.setdefault(r.query_id, []).append((r.doc_id, r.score, r.rank))
+        for qid in got:
+            got[qid].sort(key=lambda x: x[2])
+        want = brute(docs, {0: qterms})
+        want = {k: v for k, v in want.items() if v}
+        assert got == want
+
+    check()
