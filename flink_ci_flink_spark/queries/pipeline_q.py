@@ -75,6 +75,19 @@ _BANDS_SQL = " UNION ALL ".join(
     for b in range(8)
 )
 
+# Shared by pipe_minhash_lsh (batch) and streaming_minhash_ingest_replay —
+# the streaming ingest finalizes to the identical pair set by construction.
+_MINHASH_PAIRS_ORACLE = (
+    _MINHASH_BASE
+    + f""", banded AS ({_BANDS_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands_shared
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+)
+
 
 @query(
     "pipe_text_features",
@@ -172,14 +185,7 @@ def pipe_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipe_minhash_lsh",
-    oracle=_MINHASH_BASE
-    + f""", banded AS ({_BANDS_SQL})
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands_shared
-    FROM banded a
-    JOIN banded b ON a.band = b.band AND a.key = b.key
-    WHERE a.doc_id < b.doc_id
-    GROUP BY 1, 2
-    """,
+    oracle=_MINHASH_PAIRS_ORACLE,
     group="pipeline",
 )
 def pipe_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2147,9 +2153,9 @@ def pipe_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pipe_line_dedup",
-    oracle=f"""
+# Shared by pipe_line_dedup (batch) and streaming_line_dedup_replay — the
+# streaming ingest finalizes to the identical survivor set by construction.
+_LINE_DEDUP_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS} AS t FROM documents
     ), segs AS (
@@ -2178,9 +2184,10 @@ def pipe_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT re.doc_id, CAST(len(segs.ss) AS BIGINT) AS n_segments,
            re.n_kept, re.text
     FROM re JOIN segs ON re.doc_id = segs.doc_id
-    """,
-    group="pipeline",
-)
+    """
+
+
+@query("pipe_line_dedup", oracle=_LINE_DEDUP_ORACLE, group="pipeline")
 def pipe_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level line dedup (CCNet / RefinedWeb boilerplate-line
     removal): 16-token segments as the deterministic line unit, each
@@ -2403,3 +2410,81 @@ def pipe_quality_screen_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return quality_quantile_screen_scaled(t.documents, frac=0.5)
+
+
+@query(
+    "streaming_minhash_ingest_replay",
+    oracle=_MINHASH_PAIRS_ORACLE,
+    group="streaming",
+)
+def streaming_minhash_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate generation as a CONTINUOUS INGEST,
+    driven over a 3-micro-batch replay of the documents table: each batch
+    computes its docs' signatures + band keys once (per-document work, no
+    cross-doc dependency) and appends them epoch-stamped to the band
+    store; finalize runs the single band-key shuffle over the accumulated
+    store. Hash-proven equal to the one-shot batch `minhash_lsh_pairs` —
+    the streaming form of the corpus dedup a training pipeline runs at
+    ingest so arriving shards never re-tokenize the existing corpus
+    (`pipeline/dedup.py::streaming_minhash_dedup`; reference scope:
+    continuous-query distinct/groupBy over an appending source,
+    cf. flink-table retractless append aggregation)."""
+    import tempfile
+
+    from flink_ci_flink_spark.pipeline.dedup import (
+        finalize_minhash_pairs,
+        streaming_minhash_dedup,
+    )
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    # deterministic 3-file replay (a bounded harness step, not the plan)
+    tmp = stage_ordered_replay(docs, ["doc_id"])
+    base = tempfile.mkdtemp(prefix="mh_ingest_replay_")
+    q = streaming_minhash_dedup(
+        file_stream(spark, tmp, docs.schema, max_files_per_trigger=1),
+        bands_dir=f"{base}/bands",
+        checkpoint=f"{base}/ckpt",
+        num_hashes=32,
+        bands=8,
+    )
+    q.processAllAvailable()
+    q.stop()
+    return finalize_minhash_pairs(spark, f"{base}/bands")
+
+
+@query(
+    "streaming_line_dedup_replay",
+    oracle=_LINE_DEDUP_ORACLE,
+    group="streaming",
+)
+def streaming_line_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup as a CONTINUOUS INGEST over a 3-micro-batch
+    replay: each batch segments its documents once (per-document work) and
+    appends epoch-stamped (doc, pos, seg) rows; finalize resolves the
+    corpus-global first occurrence of every segment (partial-aggregable
+    min(struct) — no hot-key window sort) and reassembles surviving text.
+    Hash-proven equal to the one-shot batch `line_dedup`
+    (`pipeline/dedup.py::streaming_line_dedup_ingest`)."""
+    import tempfile
+
+    from flink_ci_flink_spark.pipeline.dedup import (
+        finalize_line_dedup,
+        streaming_line_dedup_ingest,
+    )
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    tmp = stage_ordered_replay(docs, ["doc_id"])
+    base = tempfile.mkdtemp(prefix="ld_ingest_replay_")
+    q = streaming_line_dedup_ingest(
+        file_stream(spark, tmp, docs.schema, max_files_per_trigger=1),
+        segs_dir=f"{base}/segs",
+        checkpoint=f"{base}/ckpt",
+        seg_tokens=16,
+    )
+    q.processAllAvailable()
+    q.stop()
+    return finalize_line_dedup(spark, f"{base}/segs")
