@@ -124,3 +124,87 @@ def write_sharded(
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", max_records_per_file)
     w.parquet(path)
+
+
+def _interleave_sql(bx: str, by: str, bits: int, div: str) -> str:
+    """Bit-interleave SQL text using only integer div/mod/multiply —
+    identical arithmetic in Spark SQL (``div``) and DuckDB (``//``), so
+    the oracle replays z-values exactly: bit i of ``bx`` lands at 2i, bit
+    i of ``by`` at 2i+1."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({bx} {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({by} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def zorder_key(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    bounds: tuple[int, int, int, int] | None = None,
+) -> DataFrame:
+    """Z-order (Morton) clustering key over two integer dimensions — the
+    multi-dimensional data-layout pass: sorting/range-partitioning the
+    output by ``zval`` co-locates rows that are close in BOTH dimensions,
+    so per-file min/max statistics become tight rectangles and a scan
+    with a predicate on EITHER dimension skips ~(1 - 1/2^bits) of the
+    files, where a single-column sort helps only its own column.
+
+    Each dimension is affinely quantized to ``bits`` bits from its global
+    [min, max] (a map-side-combinable aggregate; the 4 bounds are a
+    bounded model collect, same as the k-means centroid collects), then
+    bit-interleaved with pure integer div/mod arithmetic — deterministic
+    and engine-portable, no UDF. Adds ``zval`` (bigint, < 4^bits).
+
+    Reference scope: training-data-layout extension (the reference's
+    sinks partition by key hash or round-robin only —
+    `DataStream.partitionCustom`); z-order is the standard lakehouse
+    companion for multi-dimensional scan pruning.
+    """
+    top = (1 << bits) - 1
+    if bounds is None:
+        row = df.agg(
+            F.min(x_col), F.max(x_col), F.min(y_col), F.max(y_col)
+        ).collect()[0]
+        bounds = (int(row[0]), int(row[1]), int(row[2]), int(row[3]))
+    minx, maxx, miny, maxy = bounds
+    out = df.withColumn(
+        "__bx",
+        F.expr(
+            f"(({x_col} - {minx}L) * {top}L) div {max(maxx - minx, 1)}L"
+        ),
+    ).withColumn(
+        "__by",
+        F.expr(
+            f"(({y_col} - {miny}L) * {top}L) div {max(maxy - miny, 1)}L"
+        ),
+    )
+    return out.withColumn(
+        "zval",
+        F.expr(_interleave_sql("__bx", "__by", bits, "div")).cast("bigint"),
+    ).drop("__bx", "__by")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_shards: int,
+    bits: int = 8,
+    bounds: tuple[int, int, int, int] | None = None,
+) -> None:
+    """Materialize the z-ordered layout: range-partition on ``zval`` into
+    ``n_shards`` output files, sorted by ``zval`` within each, so parquet
+    footer min/max stats on both source dimensions are tight per file.
+    One range shuffle (sampled boundaries), then a local sort — never a
+    global single-partition sort."""
+    keyed = zorder_key(df, x_col, y_col, bits, bounds)
+    (
+        keyed.repartitionByRange(n_shards, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

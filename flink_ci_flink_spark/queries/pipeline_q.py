@@ -2488,3 +2488,65 @@ def streaming_line_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return finalize_line_dedup(spark, f"{base}/segs")
+
+
+def _zorder_oracle(bits: int = 8, shard_div: int = 256) -> str:
+    from flink_ci_flink_spark.pipeline.sharding import _interleave_sql
+
+    top = (1 << bits) - 1
+    return f"""
+    WITH q AS (
+      SELECT o_custkey AS x,
+             DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS y
+      FROM orders
+    ), b AS (
+      SELECT MIN(x) AS minx, MAX(x) AS maxx, MIN(y) AS miny, MAX(y) AS maxy
+      FROM q
+    ), z AS (
+      SELECT x, y,
+             ((x - minx) * {top}) // GREATEST(maxx - minx, 1) AS bx,
+             ((y - miny) * {top}) // GREATEST(maxy - miny, 1) AS by
+      FROM q, b
+    ), zz AS (
+      SELECT x, y, {_interleave_sql('bx', 'by', bits, '//')} AS zval FROM z
+    )
+    SELECT zval // {shard_div} AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(x) AS min_cust, MAX(x) AS max_cust,
+           CAST(MIN(y) AS BIGINT) AS min_day, CAST(MAX(y) AS BIGINT) AS max_day
+    FROM zz GROUP BY 1
+    """
+
+
+@query("pipe_zorder_layout", oracle=_zorder_oracle(), group="pipeline")
+def pipe_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) multi-dimensional data layout over orders,
+    clustering on (o_custkey, order-day): each output shard = one
+    256-z-value run = a tight rectangle in BOTH dimensions, so parquet
+    min/max footer stats prune a scan filtered on EITHER dimension to
+    ~1/16 of the files — where a single-column sort only helps its own
+    column. Quantization + bit interleave are pure integer div/mod on the
+    collected global bounds (no UDF, map-only after one bounds
+    aggregate); the physical write path is
+    `pipeline/sharding.py::write_zordered` (range-partition on zval +
+    within-partition sort — never a global single-partition sort). The
+    returned per-shard rectangles (min/max of each dimension) ARE the
+    pruning statistics a reader would consult
+    (`pipeline/sharding.py::zorder_key`)."""
+    from flink_ci_flink_spark.pipeline.sharding import zorder_key
+
+    t = load_tables(spark, sf_dir)
+    o = t.orders.select(
+        F.col("o_custkey").cast("bigint").alias("x"),
+        F.datediff("o_orderdate", F.lit("1992-01-01"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    keyed = zorder_key(o, "x", "y", bits=8)
+    return keyed.groupBy(F.expr("zval div 256").alias("shard_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("x").alias("min_cust"),
+        F.max("x").alias("max_cust"),
+        F.min("y").alias("min_day"),
+        F.max("y").alias("max_day"),
+    )

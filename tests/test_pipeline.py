@@ -1774,3 +1774,57 @@ def test_bm25_property_vs_bruteforce(spark):
         assert got == want
 
     check()
+
+
+def test_zorder_key_matches_bruteforce(spark):
+    """zval equals the Python bit-interleave of the quantized dims."""
+    from flink_ci_flink_spark.pipeline.sharding import zorder_key
+
+    rows = [(i, (i * 37) % 100, (i * 53) % 200) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {r.id: r.zval for r in zorder_key(df, "x", "y", bits=8).collect()}
+
+    xs = [r[1] for r in rows]
+    ys = [r[2] for r in rows]
+    minx, maxx, miny, maxy = min(xs), max(xs), min(ys), max(ys)
+    for i, x, y in rows:
+        bx = (x - minx) * 255 // max(maxx - minx, 1)
+        by = (y - miny) * 255 // max(maxy - miny, 1)
+        z = 0
+        for b in range(8):
+            z |= ((bx >> b) & 1) << (2 * b)
+            z |= ((by >> b) & 1) << (2 * b + 1)
+        assert got[i] == z
+
+
+def test_write_zordered_layout_is_disjoint_and_complete(spark, tmp_path):
+    """The materialized layout: per-file zval ranges are disjoint (range
+    partitioning), every row survives, and per-file dimension rectangles
+    are strictly tighter than the full domain (the data-skipping win)."""
+    import glob
+
+    from flink_ci_flink_spark.pipeline.sharding import write_zordered, zorder_key
+
+    rows = [(i, i % 64, (i * 7) % 64) for i in range(4096)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = str(tmp_path / "zo")
+    write_zordered(df, out, "x", "y", n_shards=8, bits=6)
+
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) > 1
+    spans, n_total, areas = [], 0, []
+    for f in files:
+        p = spark.read.parquet(f)
+        r = p.agg(
+            F.min("zval"), F.max("zval"), F.count(F.lit(1)),
+            F.min("x"), F.max("x"), F.min("y"), F.max("y"),
+        ).collect()[0]
+        spans.append((r[0], r[1]))
+        n_total += r[2]
+        areas.append((r[4] - r[3] + 1) * (r[6] - r[5] + 1))
+    assert n_total == len(rows)
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint zval runs
+    # every file's rectangle is a proper subset of the 64x64 domain
+    assert max(areas) < 64 * 64
