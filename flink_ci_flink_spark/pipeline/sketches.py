@@ -257,3 +257,72 @@ def countmin_merge(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.groupBy("i", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: the deterministic-guarantee frequent-items
+# sketch. Where count-min answers point queries with one-sided OVERcount,
+# Misra-Gries keeps ≤ k counters with one-sided UNDERcount ≤ n/(k+1) — so
+# every item with true frequency ≥ n/k is GUARANTEED present in the summary
+# (Misra & Gries 1982; merge rule per Agarwal et al., "Mergeable
+# Summaries", PODS 2012: sum counters, subtract the (k+1)-th largest,
+# keep positives — the error bound survives any merge tree).
+# ---------------------------------------------------------------------------
+
+
+def _mg_merge(counters: dict, incoming, k: int) -> dict:
+    """Merge exact/MG counts into an MG(k) state (mergeable-summaries
+    rule). ``incoming`` is an iterable of (item, count)."""
+    for item, c in incoming:
+        counters[item] = counters.get(item, 0) + int(c)
+    if len(counters) > k:
+        spill = sorted(counters.values(), reverse=True)[k]
+        counters = {i: c - spill for i, c in counters.items() if c > spill}
+    return counters
+
+
+def misra_gries_summaries(
+    df: DataFrame, col: str, k: int
+) -> DataFrame:
+    """Per-partition Misra-Gries(k) summaries: each partition reduces its
+    item stream to ≤ k (item, lower-bound count) rows in one pass with
+    O(k) memory — Arrow-batched (each batch's exact value_counts merged
+    into the running MG state), never a per-row Python loop. Pigeonhole:
+    an item with global frequency ≥ n/k has local frequency ≥ n_p/k in
+    at least one partition, and MG(k)'s ≤ n_p/(k+1) undercount keeps any
+    such item, so the UNION of partition summaries is a guaranteed
+    superset of the global heavy hitters — the candidate-generation half
+    of `heavy_hitters`."""
+    import pandas as pd
+
+    def summarize(batches):
+        state: dict = {}
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            state = _mg_merge(state, vc.items(), k)
+        if state:
+            yield pd.DataFrame(
+                {col: list(state.keys()), "mg_count": list(state.values())}
+            )
+
+    field = df.schema[col].dataType.simpleString()
+    return df.select(col).mapInPandas(
+        summarize, schema=f"{col} {field}, mg_count long"
+    )
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
+    """EXACT items with frequency ≥ n/k, at sub-linear shuffle cost: MG(k)
+    per-partition summaries generate ≤ k·partitions candidates (a
+    guaranteed superset), then one broadcast semi-join + exact recount of
+    the candidates only — the full-cardinality ``groupBy(col)`` shuffle
+    never happens. Output: (col, cnt, n) with cnt·k ≥ n."""
+    cands = misra_gries_summaries(df, col, k).select(col).distinct()
+    total = df.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        df.join(F.broadcast(cands), col)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k >= F.col("n"))
+    )

@@ -166,3 +166,33 @@ def pipe_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("exact_count"))
     )
     return est.join(exact, "user_id").select("user_id", "est_count", "exact_count")
+
+
+@query(
+    "pipe_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT UNNEST({_TOKS}) AS term FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM toks),
+    cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1)
+    SELECT term, cnt, (SELECT CAST(n AS BIGINT) FROM tot) AS n
+    FROM cnt WHERE cnt * 200 >= (SELECT n FROM tot)
+    """,
+    group="pipeline",
+)
+def pipe_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters (token frequency ≥ n/200) via the
+    Misra-Gries mergeable summary: each partition reduces its token
+    stream to ≤ 200 counters in one bounded-memory pass (the union is a
+    guaranteed candidate superset — MG's ≤ n/(k+1) one-sided undercount),
+    then only the candidates are exactly recounted through a broadcast
+    semi-join. The full-vocabulary groupBy shuffle a naive frequency pass
+    would pay at 100 TB never happens, and the result is exact, not an
+    estimate (`pipeline/sketches.py::heavy_hitters`; reference scope:
+    SplitAggregateRule.java's partial/final distinct split is the
+    reference's answer to the same hot-aggregation problem)."""
+    from flink_ci_flink_spark.pipeline.sketches import heavy_hitters
+
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select(F.explode(tokens("text")).alias("term"))
+    return heavy_hitters(toks, "term", k=200)

@@ -1828,3 +1828,42 @@ def test_write_zordered_layout_is_disjoint_and_complete(spark, tmp_path):
         assert hi1 <= lo2  # disjoint zval runs
     # every file's rectangle is a proper subset of the 64x64 domain
     assert max(areas) < 64 * 64
+
+
+def test_heavy_hitters_exact_on_skewed_stream(spark):
+    """MG candidates + exact recount equals the brute-force answer on a
+    Zipf-ish stream whose cardinality (5000) far exceeds k (50), under
+    different partitionings; per-partition summaries respect the k bound."""
+    from collections import Counter
+
+    from flink_ci_flink_spark.pipeline.sketches import (
+        heavy_hitters,
+        misra_gries_summaries,
+    )
+
+    items = []
+    for i in range(5000):  # long tail: one occurrence each
+        items.append(f"t{i}")
+    for i in range(20):  # heavy heads: 400 - i*15 occurrences
+        items.extend([f"h{i}"] * (400 - i * 15))
+    n = len(items)
+    exact = {
+        (t, c) for t, c in Counter(items).items() if c * 50 >= n
+    }
+    assert len(exact) > 5  # the fixture really has heavy hitters
+
+    for parts in (1, 7):
+        df = spark.createDataFrame(
+            [(x,) for x in items], "term string"
+        ).repartition(parts)
+        got = {
+            (r.term, r.cnt) for r in heavy_hitters(df, "term", 50).collect()
+        }
+        assert got == exact
+        sizes = (
+            misra_gries_summaries(df, "term", 50)
+            .groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .collect()
+        )
+        assert all(r["count"] <= 50 for r in sizes)
