@@ -36,6 +36,10 @@ FLAGSHIP = "tpch_q3_shipping_priority"
 # then r3).
 _PRIORITY = [
     # -- (1) round-8 additions, never driver-proven --
+    "streaming_minhash_ingest_replay",
+    "streaming_line_dedup_replay",
+    "pipe_zorder_layout",
+    "pipe_heavy_hitters",
     "pipe_line_dedup",
     "pipe_bm25_topk",
     "pipe_hybrid_rerank",
@@ -84,10 +88,6 @@ _PRIORITY = [
     "fn_string_basic",
     "graph_pagerank_nations",
     "join_anti",
-    "join_left_outer_agg",
-    "join_semi",
-    "json_payload_extract",
-    "over_ranking",
 ]
 
 

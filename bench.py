@@ -389,6 +389,8 @@ def main() -> None:
         "pipe_hybrid_rerank",
         "pipe_quality_quantile_screen",
         "pipe_quality_screen_scaled",
+        "pipe_zorder_layout",
+        "pipe_heavy_hitters",
     ]
     new_ops_t: dict[str, float] = {}
     for name in NEW_OPS:
