@@ -36,6 +36,7 @@ FLAGSHIP = "tpch_q3_shipping_priority"
 # then r3).
 _PRIORITY = [
     # -- (1) round-8 additions, never driver-proven --
+    "streaming_heavy_hitters_replay",
     "streaming_minhash_ingest_replay",
     "streaming_line_dedup_replay",
     "pipe_zorder_layout",
@@ -87,7 +88,6 @@ _PRIORITY = [
     "fn_collections",
     "fn_string_basic",
     "graph_pagerank_nations",
-    "join_anti",
 ]
 
 

@@ -824,3 +824,83 @@ def streaming_topn_retractable_replay(spark: SparkSession, sf_dir: str) -> DataF
     return out.select(
         "user_id", "event_type", F.round("value", 2).alias("value"), "rn"
     )
+
+
+def _mg_replay_oracle(k: int, n_batches: int = 3) -> str:
+    """Replays the deterministic 3-chunk Misra-Gries merge chain: exact
+    per-chunk counts, then merge = re-sum ∪ rank ∪ subtract the (k+1)-th
+    largest ∪ keep positives — the same (value-based, tie-independent)
+    spill rule the streaming fold executes per micro-batch."""
+    steps = []
+    prev = None
+    for b in range(1, n_batches + 1):
+        cb, m = f"c{b}", f"m{b}"
+        steps.append(
+            f"{cb} AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt"
+            f" FROM ordered WHERE b = {b} GROUP BY 1)"
+        )
+        src = (
+            cb
+            if prev is None
+            else f"(SELECT user_id, cnt FROM {prev}"
+            f" UNION ALL SELECT user_id, cnt FROM {cb})"
+        )
+        steps.append(
+            f"{m}_s AS (SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS cnt"
+            f" FROM {src} GROUP BY 1)"
+        )
+        steps.append(
+            f"{m}_r AS (SELECT user_id, cnt, ROW_NUMBER() OVER"
+            f" (ORDER BY cnt DESC, user_id) AS rn FROM {m}_s)"
+        )
+        steps.append(
+            f"{m}_p AS (SELECT COALESCE(MAX(CASE WHEN rn = {k + 1}"
+            f" THEN cnt END), CAST(0 AS BIGINT)) AS spill FROM {m}_r)"
+        )
+        steps.append(
+            f"{m} AS (SELECT user_id, CAST(cnt - spill AS BIGINT) AS cnt"
+            f" FROM {m}_r, {m}_p WHERE cnt - spill > 0)"
+        )
+        prev = m
+    return (
+        f"WITH ordered AS (SELECT user_id, NTILE({n_batches}) OVER"
+        " (ORDER BY ts, event_id) AS b FROM events),\n"
+        + ",\n".join(steps)
+        + f"\nSELECT user_id, cnt FROM {prev}"
+    )
+
+
+@query(
+    "streaming_heavy_hitters_replay",
+    oracle=_mg_replay_oracle(64),
+    group="streaming",
+)
+def streaming_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming hot-key monitor: a Misra-Gries(64) summary
+    of event user_ids folded per micro-batch on the `jvm_keyed_fold`
+    primitive (exact batch counts → union with the ≤ 64-row state →
+    re-sum, rank, subtract the 65th-largest count, keep positives — all
+    Catalyst plans), over the deterministic 3-micro-batch replay. The
+    oracle replays the identical merge chain chunk-by-chunk, proving the
+    per-batch JVM fold bit-exact. Unlike the other fold shapes the
+    summary contents are batch-split-DEPENDENT by design; the
+    split-invariant guarantees (≤ k rows, undercount ≤ n/(k+1),
+    heavy-hitter superset) are property-tested under random chunkings
+    (`streaming/process.py::streaming_misra_gries_jvm`)."""
+    import tempfile
+    import uuid
+
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.process import streaming_misra_gries_jvm
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id", "ts", "event_id")
+    tmp = stage_ordered_replay(ev, ["ts", "event_id"])
+    state_dir = tempfile.mkdtemp(prefix="mg_replay_state_")
+    return streaming_misra_gries_jvm(
+        file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),
+        item_col="user_id",
+        k=64,
+        state_dir=state_dir,
+        query_name=f"mg_replay_{uuid.uuid4().hex[:8]}",
+    )

@@ -1166,3 +1166,72 @@ def streaming_top_n_retractable_jvm(
         emit=emit,
         query_name=query_name,
     )
+
+
+def streaming_misra_gries_jvm(
+    stream: DataFrame,
+    item_col: str,
+    k: int,
+    state_dir: str,
+    query_name: str = "mg_jvm",
+) -> DataFrame:
+    """Streaming Misra-Gries(k) frequency summary on `jvm_keyed_fold` —
+    the bounded-state hot-item monitor: however large the stream, state is
+    ≤ k (item, lower-bound count) rows, and every item with true frequency
+    ≥ n/k is GUARANTEED present with undercount ≤ n/(k+1) (Misra & Gries
+    1982; merge rule per Agarwal et al., Mergeable Summaries, PODS 2012).
+    The streaming use: detecting hot keys (for salting/skew handling) or
+    hot tokens on an unbounded stream where exact counting state would
+    grow with cardinality.
+
+    Per micro-batch, everything is a Catalyst plan: exact batch counts
+    (partial-aggregable groupBy), union with the ≤ k-row state, re-sum,
+    rank, subtract the (k+1)-th largest count, keep positives. The rank
+    window is global-order but runs on ≤ k + batch-distinct rows — the
+    bounded state IS the point.
+
+    Contract note: unlike the other fold shapes, the MG fold is
+    deliberately NOT batching-insensitive — the summary's exact contents
+    depend on micro-batch boundaries (merge order). What IS
+    split-invariant is the guarantee (size bound, undercount bound,
+    heavy-hitter superset), property-tested under random chunkings; the
+    registered replay query pins a deterministic 3-chunk split that its
+    oracle replays merge-by-merge. Batch companion:
+    `pipeline/sketches.py::heavy_hitters` (exact recount of the
+    candidates)."""
+    from pyspark.sql.window import Window
+
+    def prepare(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy(item_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+
+    def fold(prev: DataFrame | None, prepared: DataFrame) -> DataFrame:
+        u = prepared if prev is None else prev.unionByName(prepared)
+        s = u.groupBy(item_col).agg(
+            F.sum("cnt").cast("bigint").alias("cnt")
+        )
+        w = Window.orderBy(F.col("cnt").desc(), F.col(item_col).asc())
+        r = s.withColumn("__rn", F.row_number().over(w))
+        spill = r.agg(
+            F.coalesce(
+                F.max(F.when(F.col("__rn") == k + 1, F.col("cnt"))),
+                F.lit(0).cast("bigint"),
+            ).alias("__spill")
+        )
+        return (
+            r.crossJoin(F.broadcast(spill))
+            .filter(F.col("cnt") - F.col("__spill") > 0)
+            .select(
+                item_col,
+                (F.col("cnt") - F.col("__spill")).cast("bigint").alias("cnt"),
+            )
+        )
+
+    return jvm_keyed_fold(
+        stream,
+        prepare,
+        fold,
+        state_dir,
+        query_name=query_name,
+    )

@@ -454,3 +454,77 @@ def test_streaming_line_dedup_matches_batch(spark, docs_stream_dir):
     }
     assert got == want and len(want) > 0
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_mg_merge_guarantees_under_random_chunking():
+    """The split-invariant Misra-Gries guarantees: whatever the chunking,
+    the merged summary has ≤ k rows, one-sided undercount ≤ n/(k+1), and
+    contains every item with true frequency ≥ n/k."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from flink_ci_flink_spark.pipeline.sketches import _mg_merge
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        items=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=300),
+        cuts=st.lists(st.integers(min_value=0, max_value=300), max_size=5),
+        k=st.integers(min_value=2, max_value=12),
+    )
+    def check(items, cuts, k):
+        n = len(items)
+        bounds = sorted({min(c, n) for c in cuts})
+        chunks, prev = [], 0
+        for c in bounds + [n]:
+            if c > prev:
+                chunks.append(items[prev:c])
+                prev = c
+        state: dict = {}
+        for ch in chunks:
+            state = _mg_merge(state, Counter(ch).items(), k)
+        true = Counter(items)
+        assert len(state) <= k
+        for item, c in state.items():
+            assert c <= true[item]
+            assert true[item] - c <= n // (k + 1)
+        for item, c in true.items():
+            if c * k >= n and item not in state:
+                raise AssertionError(f"heavy item {item} lost")
+
+    check()
+
+
+def test_streaming_mg_fold_matches_python_chain(spark):
+    """The per-batch Catalyst MG fold (jvm_keyed_fold) equals the Python
+    mergeable-summaries chain over the identical ntile chunking."""
+    import tempfile
+    import uuid
+    from collections import Counter
+
+    from flink_ci_flink_spark.pipeline.sketches import _mg_merge
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.process import streaming_misra_gries_jvm
+
+    rows = [(i, (i * i * 7 + i) % 40) for i in range(500)]  # skewed-ish
+    df = spark.createDataFrame(rows, "seq long, item long")
+    tmp = stage_ordered_replay(df, ["seq"])
+    out = streaming_misra_gries_jvm(
+        file_stream(spark, tmp, df.schema, max_files_per_trigger=1),
+        item_col="item",
+        k=16,
+        state_dir=tempfile.mkdtemp(prefix="mg_state_"),
+        query_name=f"mg_test_{uuid.uuid4().hex[:8]}",
+    )
+    got = {(r.item, r.cnt) for r in out.collect()}
+
+    # ntile(3): first (n % 3) chunks get one extra row
+    ordered = [item for _, item in sorted(rows)]
+    n, base = len(ordered), len(ordered) // 3
+    sizes = [base + (1 if i < n % 3 else 0) for i in range(3)]
+    state: dict = {}
+    pos = 0
+    for s in sizes:
+        state = _mg_merge(state, Counter(ordered[pos : pos + s]).items(), 16)
+        pos += s
+    assert got == set(state.items()) and len(got) <= 16
