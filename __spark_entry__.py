@@ -36,6 +36,7 @@ FLAGSHIP = "tpch_q3_shipping_priority"
 # then r3).
 _PRIORITY = [
     # -- (1) round-8 additions, never driver-proven --
+    "graph_hits_nations",
     "streaming_heavy_hitters_replay",
     "streaming_minhash_ingest_replay",
     "streaming_line_dedup_replay",
@@ -87,7 +88,6 @@ _PRIORITY = [
     "dedup_keep_last",
     "fn_collections",
     "fn_string_basic",
-    "graph_pagerank_nations",
 ]
 
 

@@ -376,6 +376,11 @@ def hits(
             .otherwise(F.lit(0.0))
             .alias("auth"),
         )
+        # Materialize the normalized auth HALF-step: the hub aggregation,
+        # its normalizer, and the iteration checkpoint would otherwise
+        # each re-execute this lineage (with its nested 1-row broadcast)
+        # — measured 20x superstep cost vs pagerank without this.
+        a = a.localCheckpoint(eager=True)
         hub_new = (
             edges.join(a, edges.dst == a.id)
             .groupBy(F.col("src").alias("id"))

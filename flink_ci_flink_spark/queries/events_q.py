@@ -836,7 +836,7 @@ def _mg_replay_oracle(k: int, n_batches: int = 3) -> str:
     for b in range(1, n_batches + 1):
         cb, m = f"c{b}", f"m{b}"
         steps.append(
-            f"{cb} AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt"
+            f"{cb} AS MATERIALIZED (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt"
             f" FROM ordered WHERE b = {b} GROUP BY 1)"
         )
         src = (
@@ -846,24 +846,24 @@ def _mg_replay_oracle(k: int, n_batches: int = 3) -> str:
             f" UNION ALL SELECT user_id, cnt FROM {cb})"
         )
         steps.append(
-            f"{m}_s AS (SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS cnt"
+            f"{m}_s AS MATERIALIZED (SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS cnt"
             f" FROM {src} GROUP BY 1)"
         )
         steps.append(
-            f"{m}_r AS (SELECT user_id, cnt, ROW_NUMBER() OVER"
+            f"{m}_r AS MATERIALIZED (SELECT user_id, cnt, ROW_NUMBER() OVER"
             f" (ORDER BY cnt DESC, user_id) AS rn FROM {m}_s)"
         )
         steps.append(
-            f"{m}_p AS (SELECT COALESCE(MAX(CASE WHEN rn = {k + 1}"
+            f"{m}_p AS MATERIALIZED (SELECT COALESCE(MAX(CASE WHEN rn = {k + 1}"
             f" THEN cnt END), CAST(0 AS BIGINT)) AS spill FROM {m}_r)"
         )
         steps.append(
-            f"{m} AS (SELECT user_id, CAST(cnt - spill AS BIGINT) AS cnt"
+            f"{m} AS MATERIALIZED (SELECT user_id, CAST(cnt - spill AS BIGINT) AS cnt"
             f" FROM {m}_r, {m}_p WHERE cnt - spill > 0)"
         )
         prev = m
     return (
-        f"WITH ordered AS (SELECT user_id, NTILE({n_batches}) OVER"
+        f"WITH ordered AS MATERIALIZED (SELECT user_id, NTILE({n_batches}) OVER"
         " (ORDER BY ts, event_id) AS b FROM events),\n"
         + ",\n".join(steps)
         + f"\nSELECT user_id, cnt FROM {prev}"

@@ -785,3 +785,85 @@ def graph_edge_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, edges = _nation_community_graph(spark, sf_dir)
     return edge_metrics(edges)
+
+
+def _hits_oracle(iterations: int = 4) -> str:
+    """Unrolled HITS iteration chain (fixed superstep count, like the
+    pagerank recursive-CTE oracle but with the two interleaved
+    normalized aggregations per step unrolled into plain CTEs)."""
+    steps = [
+        """edges AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+        WHERE a.n_nationkey < b.n_nationkey
+           OR b.n_nationkey = (SELECT MIN(c.n_nationkey) FROM nation c
+                               WHERE c.n_regionkey = a.n_regionkey)
+      )
+    )""",
+        "verts AS MATERIALIZED (SELECT n_nationkey AS id FROM nation)",
+        "h0 AS MATERIALIZED (SELECT id, 1.0 AS hub FROM verts)",
+    ]
+    for i in range(1, iterations + 1):
+        p = f"h{i - 1}"
+        steps += [
+            f"a{i}_c AS MATERIALIZED (SELECT e.dst AS id, SUM(h.hub) AS raw"
+            f" FROM edges e JOIN {p} h ON h.id = e.src GROUP BY e.dst)",
+            f"a{i}_f AS MATERIALIZED (SELECT v.id, COALESCE(c.raw, 0) AS raw"
+            f" FROM verts v LEFT JOIN a{i}_c c ON c.id = v.id)",
+            f"a{i}_n AS MATERIALIZED (SELECT SQRT(SUM(raw*raw)) AS nn FROM a{i}_f)",
+            f"a{i} AS MATERIALIZED (SELECT id, CASE WHEN nn > 0 THEN raw / nn ELSE 0 END"
+            f" AS auth FROM a{i}_f, a{i}_n)",
+            f"h{i}_c AS MATERIALIZED (SELECT e.src AS id, SUM(a.auth) AS raw"
+            f" FROM edges e JOIN a{i} a ON a.id = e.dst GROUP BY e.src)",
+            f"h{i}_f AS MATERIALIZED (SELECT v.id, COALESCE(c.raw, 0) AS raw"
+            f" FROM verts v LEFT JOIN h{i}_c c ON c.id = v.id)",
+            f"h{i}_n AS MATERIALIZED (SELECT SQRT(SUM(raw*raw)) AS nn FROM h{i}_f)",
+            f"h{i} AS MATERIALIZED (SELECT id, CASE WHEN nn > 0 THEN raw / nn ELSE 0 END"
+            f" AS hub FROM h{i}_f, h{i}_n)",
+        ]
+    return (
+        "WITH " + ",\n".join(steps) + f"""
+    SELECT h.id, FLOOR(h.hub*1e6 + 0.5)/1e6 AS hub,
+           FLOOR(a.auth*1e6 + 0.5)/1e6 AS auth
+    FROM h{iterations} h JOIN a{iterations} a ON a.id = h.id
+    """
+    )
+
+
+@query("graph_hits_nations", oracle=_hits_oracle(4), group="graph")
+def graph_hits_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (4 L2-normalized supersteps) over the same
+    directed dangling-free nation graph as graph_pagerank_nations —
+    closing the Gelly linkanalysis pair (`linkanalysis/HITS.java`; the
+    iterative loop is `graph/algorithms.py::hits`, normalizers folded in
+    as 1-row broadcast aggregates so no driver action per superstep). The
+    fixed-superstep chain is SQL-expressible, so the oracle unrolls the
+    identical 4 iterations; both sides floor-round to 6dp."""
+    from flink_ci_flink_spark.graph import hits
+
+    t = load_tables(spark, sf_dir)
+    n = t.nation.select("n_nationkey", "n_regionkey")
+    head = n.groupBy("n_regionkey").agg(F.min("n_nationkey").alias("head_key"))
+    a = n.alias("a")
+    b = n.join(F.broadcast(head), "n_regionkey").alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") != F.col("b.n_nationkey"))
+        & (
+            (F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+            | (F.col("b.n_nationkey") == F.col("b.head_key"))
+        ),
+    ).select(
+        F.col("a.n_nationkey").cast("long").alias("src"),
+        F.col("b.n_nationkey").cast("long").alias("dst"),
+    )
+    verts = n.select(F.col("n_nationkey").cast("long").alias("id"))
+    out = hits(verts, edges, iterations=4)
+    return out.select(
+        "id",
+        (F.floor(F.col("hub") * 1e6 + F.lit(0.5)) / 1e6).alias("hub"),
+        (F.floor(F.col("auth") * 1e6 + F.lit(0.5)) / 1e6).alias("auth"),
+    )
