@@ -904,3 +904,83 @@ def streaming_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> DataFram
         state_dir=state_dir,
         query_name=f"mg_replay_{uuid.uuid4().hex[:8]}",
     )
+
+
+@query(
+    "streaming_interval_join_replay",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+    """,
+    group="streaming",
+)
+def streaming_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE stream-stream interval join (no custom operator:
+    symmetric hash join with watermark-bounded state,
+    `StreamingSymmetricHashJoinExec`) driven over a 3-micro-batch replay
+    — clicks joined to same-user purchases within [0, 2h]. Inner-join
+    results emit as rows match; the 1h watermarks bound both sides' state
+    to the interval span at scale. Hash-proven equal to the one-shot
+    batch interval join (reference: `IntervalJoinOperator.java` — the
+    relative-time variant of `operators/joins.py::interval_join`)."""
+    import uuid
+
+    from flink_ci_flink_spark.streaming import (
+        file_stream,
+        run_to_completion,
+        stage_ordered_replay,
+        with_watermark,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("event_id", "user_id", "event_type", "ts")
+    tmp = stage_ordered_replay(ev, ["ts", "event_id"])
+    clicks = (
+        with_watermark(
+            file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),
+            "ts",
+            "1 hour",
+        )
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("cu"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        with_watermark(
+            file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),
+            "ts",
+            "1 hour",
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("pu"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOUR")),
+    ).select("click_id", "purchase_id")
+    name = f"sij_{uuid.uuid4().hex[:8]}"
+    # The state-store partition count is pinned from
+    # spark.sql.shuffle.partitions at stream START (AQE never applies to
+    # streaming stages), so an untuned session runs 200 state partitions
+    # per micro-batch here — pure task overhead at replay scale. Scope the
+    # conf to the bounded replay and restore (the Flink-parallelism
+    # analog: sized to the cluster, not defaulted).
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        run_to_completion(joined, name, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
