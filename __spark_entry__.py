@@ -37,6 +37,7 @@ FLAGSHIP = "tpch_q3_shipping_priority"
 _PRIORITY = [
     # -- (1) round-8 additions, never driver-proven --
     "streaming_interval_join_replay",
+    "streaming_semi_join_replay",
     "graph_hits_nations",
     "streaming_heavy_hitters_replay",
     "streaming_minhash_ingest_replay",
@@ -87,7 +88,6 @@ _PRIORITY = [
     "asof_join_events",
     "calc_project_filter",
     "dedup_keep_last",
-    "fn_collections",
 ]
 
 

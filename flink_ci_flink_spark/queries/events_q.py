@@ -984,3 +984,77 @@ def streaming_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
+
+
+@query(
+    "streaming_semi_join_replay",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, c.ts
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+      )
+    """,
+    group="streaming",
+)
+def streaming_semi_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native stream-stream LEFT SEMI join over a 3-micro-batch replay:
+    clicks followed by a same-user purchase within [0, 2h] — the
+    streaming IN/EXISTS execution (semi output emits each left row at
+    most once; watermark-bounded state on both sides). Hash-proven equal
+    to the one-shot batch EXISTS (reference: streaming semi/anti join,
+    `StreamExecJoin` semi variant / `IntervalJoinOperator.java` time
+    bounds)."""
+    import uuid
+
+    from flink_ci_flink_spark.streaming import (
+        file_stream,
+        run_to_completion,
+        stage_ordered_replay,
+        with_watermark,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("event_id", "user_id", "event_type", "ts")
+    tmp = stage_ordered_replay(ev, ["ts", "event_id"])
+    clicks = (
+        with_watermark(
+            file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),
+            "ts",
+            "1 hour",
+        )
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts"),
+        )
+    )
+    purchases = (
+        with_watermark(
+            file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),
+            "ts",
+            "1 hour",
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("pu"), F.col("ts").alias("p_ts"))
+    )
+    cond = (
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("p_ts") >= F.col("ts"))
+        & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 2 HOUR"))
+    )
+    semi = clicks.join(purchases, cond, "left_semi")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    # see streaming_interval_join_replay: state-store partition count pins
+    # at stream start; scope the conf to the bounded replay
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        run_to_completion(semi, name, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
