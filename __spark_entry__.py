@@ -39,6 +39,7 @@ _PRIORITY = [
     "streaming_interval_join_replay",
     "streaming_semi_join_replay",
     "graph_hits_nations",
+    "lookup_join_async",
     "streaming_heavy_hitters_replay",
     "streaming_minhash_ingest_replay",
     "streaming_line_dedup_replay",
@@ -87,7 +88,6 @@ _PRIORITY = [
     "agg_min_max_by",
     "asof_join_events",
     "calc_project_filter",
-    "dedup_keep_last",
 ]
 
 

@@ -1058,3 +1058,44 @@ def streaming_semi_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
+
+
+@query(
+    "lookup_join_async",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+                AS BIGINT) % 100 AS risk_score
+    FROM orders WHERE o_orderkey % 31 = 0
+    """,
+    group="temporal_join",
+)
+def lookup_join_async(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Async-I/O lookup enrichment driven end-to-end: each Arrow chunk's
+    key batches are dispatched concurrently to the 'service'
+    (`operators/joins.py::async_lookup` — `AsyncWaitOperator.java` /
+    AsyncFunction parity, ordered-wait mode, max-in-flight capacity
+    knob). The service here is a deterministic md5-derived risk score, so
+    the enrichment is exactly reproducible in SQL — proving the ordered
+    Arrow plumbing, not just wiring."""
+    import hashlib
+
+    from flink_ci_flink_spark.operators import async_lookup
+
+    def service(key_tuples):
+        out = []
+        for (k,) in key_tuples:
+            h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+            out.append({"risk_score": h % 100})
+        return out
+
+    t = load_tables(spark, sf_dir)
+    o = t.orders.filter(F.col("o_orderkey") % 31 == 0).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return async_lookup(
+        o,
+        service,
+        ["o_orderkey"],
+        "o_orderkey bigint, o_orderpriority string, risk_score bigint",
+    )
