@@ -38,6 +38,7 @@ _PRIORITY = [
     # -- (1) round-8 additions, never driver-proven --
     "streaming_interval_join_replay",
     "streaming_semi_join_replay",
+    "streaming_broadcast_rules_replay",
     "graph_hits_nations",
     "lookup_join_async",
     "streaming_heavy_hitters_replay",
@@ -87,7 +88,6 @@ _PRIORITY = [
     "agg_grouping_sets",
     "agg_min_max_by",
     "asof_join_events",
-    "calc_project_filter",
 ]
 
 

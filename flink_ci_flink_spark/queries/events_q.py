@@ -1099,3 +1099,71 @@ def lookup_join_async(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey"],
         "o_orderkey bigint, o_orderpriority string, risk_score bigint",
     )
+
+
+@query(
+    "streaming_broadcast_rules_replay",
+    oracle="""
+    WITH ordered AS MATERIALIZED (
+      SELECT event_id, event_type, value,
+             NTILE(3) OVER (ORDER BY ts, event_id) AS b
+      FROM events
+    ), rules(rule_id, rtype, min_value) AS (
+      VALUES (1, 'click', 0.5), (2, 'view', 0.7), (3, 'purchase', 0.2)
+    )
+    SELECT o.event_id, r.rule_id, ROUND(o.value, 6) AS value
+    FROM ordered o JOIN rules r
+      ON o.event_type = r.rtype AND o.value >= r.min_value
+     AND o.b >= r.rule_id
+    """,
+    group="streaming",
+)
+def streaming_broadcast_rules_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-state connect with an EVOLVING control side, over the
+    deterministic 3-micro-batch replay: rule i activates at batch i
+    (click/view/purchase value thresholds), and each batch's events are
+    evaluated against the rules active AT THAT BATCH — so an early event
+    never matches a later rule, which a static stream-static join cannot
+    express. Per batch the control snapshot is broadcast to the join
+    (`streaming/core.py::broadcast_connect`;
+    `KeyedBroadcastProcessFunction` / broadcast state, rule updates
+    visible from the next element on). The oracle replays the ntile
+    batch assignment and the batch>=rule activation condition."""
+    import tempfile
+
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.core import broadcast_connect
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("event_id", "event_type", "value", "ts")
+    tmp = stage_ordered_replay(ev, ["ts", "event_id"])
+    base = tempfile.mkdtemp(prefix="bc_rules_")
+    all_rules = [(1, "click", 0.5), (2, "view", 0.7), (3, "purchase", 0.2)]
+
+    def rules_for_batch(batch_id: int):
+        active = [r for r in all_rules if r[0] <= batch_id + 1]
+        return spark.createDataFrame(
+            active, "rule_id int, rtype string, min_value double"
+        )
+
+    def join_fn(batch_df, rules):
+        return batch_df.join(
+            rules,
+            (F.col("event_type") == F.col("rtype"))
+            & (F.col("value") >= F.col("min_value")),
+        ).select("event_id", "rule_id", "value")
+
+    q = broadcast_connect(
+        file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),
+        rules_for_batch,
+        join_fn,
+        out_dir=f"{base}/out",
+        checkpoint=f"{base}/ckpt",
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.read.parquet(f"{base}/out")
+        .dropDuplicates(["event_id", "rule_id"])
+        .select("event_id", "rule_id", F.round("value", 6).alias("value"))
+    )

@@ -166,3 +166,38 @@ def foreach_batch_split_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def broadcast_connect(
+    stream: DataFrame,
+    rules_for_batch,
+    join_fn,
+    out_dir: str,
+    checkpoint: str,
+    query_name: str = "broadcast_connect",
+):
+    """Broadcast-state connect (`KeyedBroadcastProcessFunction` /
+    `BroadcastConnectedStream` — flink-streaming-java broadcast state):
+    a data stream evaluated per micro-batch against the CURRENT contents
+    of an evolving control/rules side, which every task sees in full.
+
+    Spark form: ``rules_for_batch(batch_id)`` returns the (small) control
+    DataFrame as of that batch — the broadcast-state snapshot;
+    ``join_fn(batch_df, rules_df)`` produces the batch's output rows,
+    which append epoch-stamped to ``out_dir`` (at-least-once replays
+    collapse at read time via dropDuplicates on the natural key). The
+    control side is broadcast per batch, so rule updates take effect at
+    the next micro-batch — the reference's processBroadcastElement
+    ordering guarantee at batch granularity. Returns the started query.
+    """
+    from pyspark.sql import functions as F
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        rules = rules_for_batch(int(epoch_id))
+        out = join_fn(batch_df, F.broadcast(rules))
+        if out.take(1):
+            out.withColumn("__epoch", F.lit(int(epoch_id))).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+    return foreach_batch_upsert(stream, merge, checkpoint)
