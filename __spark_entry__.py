@@ -39,6 +39,7 @@ _PRIORITY = [
     "streaming_interval_join_replay",
     "streaming_semi_join_replay",
     "streaming_broadcast_rules_replay",
+    "streaming_cdc_agg_replay",
     "graph_hits_nations",
     "lookup_join_async",
     "streaming_heavy_hitters_replay",
@@ -87,7 +88,6 @@ _PRIORITY = [
     "window_hop",
     "agg_grouping_sets",
     "agg_min_max_by",
-    "asof_join_events",
 ]
 
 

@@ -487,3 +487,81 @@ def skew_split_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.events, ["event_type"], "user_id", n_buckets=16,
         out_name="distinct_users",
     ).orderBy("event_type")
+
+
+@query(
+    "streaming_cdc_agg_replay",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS okey, o_orderstatus AS status,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), final AS (
+      SELECT okey, status,
+             CASE WHEN okey % 3 = 0 THEN cents + 1 ELSE cents END AS cents
+      FROM base WHERE okey % 7 <> 0
+    )
+    SELECT status, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM final GROUP BY status
+    """,
+    group="streaming",
+)
+def streaming_cdc_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance over a CDC changelog,
+    replayed in 3 micro-batches: the same deterministic Debezium history
+    as cdc_debezium_materialize (every order inserted, every 3rd key
+    +1-cent updated, every 7th deleted) flows as +I/-U/+U/-D rows through
+    `streaming/process.py::streaming_changelog_agg_jvm` — a per-status
+    COUNT/SUM maintained by signed deltas (accumulate/retract), never
+    recomputed from the base table. The oracle states the final snapshot
+    aggregate directly over orders; equality proves retraction exactness
+    (a deleted key's update must retract the UPDATED value). Twelfth
+    fold-family shape, the retract-input `GroupAggFunction.java` analog
+    to the append-only running agg."""
+    import tempfile
+    import uuid
+
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.process import streaming_changelog_agg_jvm
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    seq = F.col("okey") * 10
+    ins = base.select(
+        F.lit("+I").alias("row_kind"), "status", "cents", (seq + 1).alias("seq")
+    )
+    upd = base.filter(F.col("okey") % 3 == 0)
+    ub = upd.select(
+        F.lit("-U").alias("row_kind"), "status", "cents", (seq + 2).alias("seq")
+    )
+    ua = upd.select(
+        F.lit("+U").alias("row_kind"),
+        "status",
+        (F.col("cents") + 1).alias("cents"),
+        (seq + 3).alias("seq"),
+    )
+    dl = base.filter(F.col("okey") % 7 == 0).select(
+        F.lit("-D").alias("row_kind"),
+        "status",
+        # the delete retracts the row's CURRENT value (updated if %3)
+        F.when(F.col("okey") % 3 == 0, F.col("cents") + 1)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+        (seq + 4).alias("seq"),
+    )
+    changelog = ins.unionByName(ub).unionByName(ua).unionByName(dl)
+    tmp = stage_ordered_replay(changelog, ["seq"])
+    out = streaming_changelog_agg_jvm(
+        file_stream(spark, tmp, changelog.schema, max_files_per_trigger=1),
+        keys=["status"],
+        value_cols=["cents"],
+        state_dir=tempfile.mkdtemp(prefix="cdc_agg_state_"),
+        query_name=f"cdc_agg_{uuid.uuid4().hex[:8]}",
+    )
+    return out.select("status", "n_rows", F.col("sum_cents"))

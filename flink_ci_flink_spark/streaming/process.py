@@ -1235,3 +1235,55 @@ def streaming_misra_gries_jvm(
         state_dir,
         query_name=query_name,
     )
+
+
+def streaming_changelog_agg_jvm(
+    stream: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+    state_dir: str,
+    query_name: str = "changelog_agg_jvm",
+) -> DataFrame:
+    """Incremental materialized-view maintenance on `jvm_keyed_fold`: a
+    retract-stream GROUP aggregate (COUNT + exact BIGINT SUMs) over a
+    RowKind changelog — +I/+U rows accumulate, -U/-D rows retract
+    (`GroupAggFunction.java` with retraction input /
+    `RowKind.java:32-55`), so the state is always the aggregate of the
+    SURVIVING rows, never a full-table recomputation. Per micro-batch
+    everything is a Catalyst plan: signed per-key partial deltas
+    (map-side combinable), then a sum-merge with the one-row-per-group
+    state. Deltas are commutative and associative, so the fold is
+    batching-insensitive (the primitive's full contract, unlike the
+    deliberately split-dependent Misra-Gries shape). Groups whose count
+    retracts to zero drop out at emit."""
+    sign = F.when(F.col("row_kind").isin("+I", "+U"), F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+
+    def _aggs():
+        return [F.sum(F.col("__sign")).cast("bigint").alias("n_rows")] + [
+            F.sum(F.col("__sign") * F.col(c)).cast("bigint").alias(f"sum_{c}")
+            for c in value_cols
+        ]
+
+    def prepare(batch_df: DataFrame) -> DataFrame:
+        return (
+            batch_df.withColumn("__sign", sign).groupBy(*keys).agg(*_aggs())
+        )
+
+    def fold(prev: DataFrame | None, prepared: DataFrame) -> DataFrame:
+        u = prepared if prev is None else prev.unionByName(prepared)
+        return u.groupBy(*keys).agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            *[
+                F.sum(f"sum_{c}").cast("bigint").alias(f"sum_{c}")
+                for c in value_cols
+            ],
+        )
+
+    def emit(state: DataFrame, closed) -> DataFrame:
+        return state.filter(F.col("n_rows") > 0)
+
+    return jvm_keyed_fold(
+        stream, prepare, fold, state_dir, emit=emit, query_name=query_name
+    )

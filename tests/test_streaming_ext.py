@@ -1287,3 +1287,37 @@ def test_streaming_top_n_retractable_jvm_matches_batch(spark, events_stream_dir)
         .collect()
     }
     assert got == want and want
+
+
+def test_streaming_changelog_agg_retracts_to_zero(spark):
+    """Retract-stream incremental aggregate: a group whose rows are all
+    deleted drops out of the emitted state; surviving groups equal the
+    brute-force aggregate of surviving rows, regardless of chunking."""
+    import tempfile
+    import uuid
+
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.process import streaming_changelog_agg_jvm
+
+    rows = []
+    seq = 0
+    # group 'a': two inserts, one updated; group 'b': insert then delete
+    for kind, g, v in [
+        ("+I", "a", 10), ("+I", "b", 5), ("+I", "a", 7),
+        ("-U", "a", 10), ("+U", "a", 12), ("-D", "b", 5),
+    ]:
+        seq += 1
+        rows.append((kind, g, v, seq))
+    df = spark.createDataFrame(
+        rows, "row_kind string, g string, v long, seq long"
+    )
+    tmp = stage_ordered_replay(df, ["seq"])
+    out = streaming_changelog_agg_jvm(
+        file_stream(spark, tmp, df.schema, max_files_per_trigger=1),
+        keys=["g"],
+        value_cols=["v"],
+        state_dir=tempfile.mkdtemp(prefix="clagg_"),
+        query_name=f"clagg_{uuid.uuid4().hex[:8]}",
+    )
+    got = {(r.g, r.n_rows, r.sum_v) for r in out.collect()}
+    assert got == {("a", 2, 19)}  # b retracted to zero and dropped
