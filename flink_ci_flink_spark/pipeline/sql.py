@@ -246,3 +246,39 @@ def _ptf_pack(spark, table, budget=512, n_shards=8, **kw):
     from flink_ci_flink_spark.pipeline.packing import pack_assignments
 
     return pack_assignments(table, budget=budget, n_shards=n_shards, **kw)
+
+
+@ptf("zorder_key")
+def _ptf_zorder(spark, table, x_col="x", y_col="y", bits=8, **kw):
+    from flink_ci_flink_spark.pipeline.sharding import zorder_key
+
+    return zorder_key(table, x_col=x_col, y_col=y_col, bits=bits, **kw)
+
+
+@ptf("heavy_hitters")
+def _ptf_heavy_hitters(spark, table, col="term", k=200, **kw):
+    from flink_ci_flink_spark.pipeline.sketches import heavy_hitters
+
+    return heavy_hitters(table, col=col, k=k, **kw)
+
+
+@ptf("line_dedup")
+def _ptf_line_dedup(spark, table, seg_tokens=16, **kw):
+    from flink_ci_flink_spark.pipeline.dedup import line_dedup
+
+    return line_dedup(table, seg_tokens=seg_tokens, **kw)
+
+
+@ptf("bm25_topk")
+def _ptf_bm25(spark, table, k=5, n_queries=8, **kw):
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.pipeline.text import bm25_topk, tokens
+
+    queries = table.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(
+            F.slice(F.array_sort(F.array_distinct(tokens("text"))), 1, 4)
+        ).alias("term"),
+    )
+    return bm25_topk(table, queries, k=k, **kw)

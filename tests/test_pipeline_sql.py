@@ -104,3 +104,51 @@ def test_ptf_views_are_dropped(spark, sf_dir):
     ]
     assert leftover == []
     assert out.collect()[0].n > 0
+
+
+def test_new_ptfs_equal_python_surface(spark, sf_dir):
+    """The session's new ops are SQL-reachable: heavy_hitters, line_dedup,
+    bm25_topk, and zorder_key PTFs return the direct Python results."""
+    from flink_ci_flink_spark.pipeline.dedup import line_dedup
+    from flink_ci_flink_spark.pipeline.sketches import heavy_hitters
+
+    t = load_tables(spark, sf_dir)
+    t.documents.createOrReplaceTempView("documents")
+
+    toks = t.documents.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    toks.createOrReplaceTempView("doc_terms")
+    got = pipeline_sql(
+        spark,
+        "SELECT * FROM TABLE(heavy_hitters(TABLE doc_terms, col => 'term', k => 200))",
+    )
+    want = heavy_hitters(toks, "term", 200)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    got = pipeline_sql(
+        spark,
+        "SELECT doc_id, n_kept FROM TABLE(line_dedup(TABLE documents, seg_tokens => 16))",
+    )
+    want = line_dedup(t.documents, seg_tokens=16).select("doc_id", "n_kept")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    xy = t.orders.select(
+        F.col("o_custkey").cast("long").alias("x"),
+        F.col("o_orderkey").cast("long").alias("y"),
+    )
+    xy.createOrReplaceTempView("order_xy")
+    got = pipeline_sql(
+        spark,
+        "SELECT * FROM TABLE(zorder_key(TABLE order_xy, x_col => 'x', y_col => 'y', bits => 6))",
+    )
+    from flink_ci_flink_spark.pipeline.sharding import zorder_key
+
+    want = zorder_key(xy, "x", "y", bits=6)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    got = pipeline_sql(
+        spark,
+        "SELECT query_id, doc_id, rank FROM TABLE(bm25_topk(TABLE documents, k => 5))",
+    )
+    assert got.count() > 0 and set(got.columns) == {"query_id", "doc_id", "rank"}
