@@ -1167,3 +1167,104 @@ def streaming_broadcast_rules_replay(spark: SparkSession, sf_dir: str) -> DataFr
         .dropDuplicates(["event_id", "rule_id"])
         .select("event_id", "rule_id", F.round("value", 6).alias("value"))
     )
+
+
+@query(
+    "streaming_outer_join_replay",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+    """,
+    group="streaming",
+)
+def streaming_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native stream-stream LEFT OUTER interval join — the hardest join
+    mode: an unmatched left row can only emit its NULL side once the
+    watermark proves no future match can arrive, so result completeness
+    depends on watermark progression, not just data arrival. The replay
+    appends two far-future 'noise' sentinel batches after the 3 data
+    batches (the first advances both watermarks past every pending click,
+    the second triggers the batch in which the expired state emits) —
+    making the bounded replay deterministic and hash-equal to the batch
+    LEFT JOIN. Pushdown subtlety the sentinels must respect: each side's
+    event_type filter is pushed BELOW the EventTimeWatermark node into
+    the parquet scan, so a neutral sentinel type would be filtered at the
+    source and never advance the watermark — the click-typed sentinel
+    (+30d, user -1) advances the clicks watermark and the purchase-typed
+    one (+60d, user -2) the purchases side; the min-policy global
+    watermark then passes every real click's expiry while staying below
+    the click sentinel's own, so no sentinel row ever reaches the output.
+    Reference: outer interval join emission on watermark passage
+    (`IntervalJoinOperator.java` cleanup timers /
+    StreamingSymmetricHashJoinExec outer-null path)."""
+    import glob
+    import os
+    import tempfile
+    import uuid
+    from datetime import timedelta
+
+    from flink_ci_flink_spark.streaming import (
+        file_stream,
+        run_to_completion,
+        stage_ordered_replay,
+        with_watermark,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("event_id", "user_id", "event_type", "ts")
+    tmp = stage_ordered_replay(ev, ["ts", "event_id"])
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    for i, days, etype in ((4, 30, "click"), (5, 60, "purchase")):
+        sentinel = spark.createDataFrame(
+            [(int(-i), int(-i), etype, max_ts + timedelta(days=days))],
+            ev.schema,
+        )
+        part_dir = tempfile.mkdtemp(prefix="sentinel_")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        (part,) = glob.glob(f"{part_dir}/part-*.parquet")
+        os.rename(part, f"{tmp}/{i:03d}.parquet")
+    clicks = (
+        with_watermark(
+            file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),
+            "ts",
+            "1 hour",
+        )
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("cu"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        with_watermark(
+            file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),
+            "ts",
+            "1 hour",
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("pu"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOUR")),
+        "leftOuter",
+    ).select("click_id", "purchase_id")
+    name = f"soj_{uuid.uuid4().hex[:8]}"
+    # see streaming_interval_join_replay for the scoped-conf rationale
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        run_to_completion(joined, name, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
