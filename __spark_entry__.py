@@ -41,6 +41,7 @@ _PRIORITY = [
     "streaming_broadcast_rules_replay",
     "streaming_cdc_agg_replay",
     "streaming_outer_join_replay",
+    "streaming_full_outer_join_replay",
     "graph_hits_nations",
     "lookup_join_async",
     "streaming_heavy_hitters_replay",
@@ -87,7 +88,6 @@ _PRIORITY = [
     "tpch_q6_forecast_revenue",
     "values_inline",
     "window_hop",
-    "agg_grouping_sets",
 ]
 
 

@@ -1268,3 +1268,97 @@ def streaming_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
+
+
+@query(
+    "streaming_full_outer_join_replay",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+    WHERE COALESCE(c.event_id, 0) >= 0 AND COALESCE(p.event_id, 0) >= 0
+    """,
+    group="streaming",
+)
+def streaming_full_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native stream-stream FULL OUTER interval join — unmatched rows on
+    BOTH sides emit their null complement once the opposite watermark
+    proves no future match. Same typed-sentinel machinery as
+    streaming_outer_join_replay (each side's pushed-down type filter
+    keeps its own watermark-advancing sentinel); because the final
+    watermarks here can expire a sentinel's own state (the other side's
+    watermark passes it), sentinel rows are removed from the RESULT
+    batch-side — never a stream-side filter, which would push below the
+    watermark node. Hash-proven equal to the batch FULL OUTER JOIN."""
+    import glob
+    import os
+    import tempfile
+    import uuid
+    from datetime import timedelta
+
+    from flink_ci_flink_spark.streaming import (
+        file_stream,
+        run_to_completion,
+        stage_ordered_replay,
+        with_watermark,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("event_id", "user_id", "event_type", "ts")
+    tmp = stage_ordered_replay(ev, ["ts", "event_id"])
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    for i, days, etype in ((4, 30, "click"), (5, 60, "purchase")):
+        sentinel = spark.createDataFrame(
+            [(int(-i), int(-i), etype, max_ts + timedelta(days=days))],
+            ev.schema,
+        )
+        part_dir = tempfile.mkdtemp(prefix="sentinel_")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        (part,) = glob.glob(f"{part_dir}/part-*.parquet")
+        os.rename(part, f"{tmp}/{i:03d}.parquet")
+    clicks = (
+        with_watermark(
+            file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),
+            "ts",
+            "1 hour",
+        )
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("cu"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        with_watermark(
+            file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),
+            "ts",
+            "1 hour",
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("pu"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOUR")),
+        "fullOuter",
+    ).select("click_id", "purchase_id")
+    name = f"sfoj_{uuid.uuid4().hex[:8]}"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        run_to_completion(joined, name, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name).filter(
+        (F.coalesce(F.col("click_id"), F.lit(0)) >= 0)
+        & (F.coalesce(F.col("purchase_id"), F.lit(0)) >= 0)
+    )
