@@ -42,6 +42,8 @@ _PRIORITY = [
     "streaming_cdc_agg_replay",
     "streaming_outer_join_replay",
     "streaming_full_outer_join_replay",
+    "streaming_dropdup_watermark_replay",
+    "streaming_complete_agg_replay",
     "graph_hits_nations",
     "lookup_join_async",
     "streaming_heavy_hitters_replay",
@@ -86,8 +88,6 @@ _PRIORITY = [
     "tpch_q10_returned_items",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
-    "values_inline",
-    "window_hop",
 ]
 
 

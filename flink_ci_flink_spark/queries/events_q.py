@@ -1362,3 +1362,103 @@ def streaming_full_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFr
         (F.coalesce(F.col("click_id"), F.lit(0)) >= 0)
         & (F.coalesce(F.col("purchase_id"), F.lit(0)) >= 0)
     )
+
+
+@query(
+    "streaming_dropdup_watermark_replay",
+    oracle="""
+    SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_s
+    FROM events
+    """,
+    group="streaming",
+)
+def streaming_dropdup_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE streaming deduplication with bounded state
+    (`dropDuplicatesWithinWatermark` — the reference's Deduplication
+    operator with idle-state retention, `DeduplicateFunctionBase` /
+    StreamingDeduplicateWithinWatermarkExec): the replay stages each
+    micro-batch TWICE (file k and its copy k+3), so every event arrives
+    twice across neighboring batches, and the watermark-scoped key state
+    drops the redelivery. Result = exactly the distinct event set."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from flink_ci_flink_spark.streaming import (
+        file_stream,
+        run_to_completion,
+        stage_ordered_replay,
+        with_watermark,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("event_id", "user_id", "ts")
+    tmp = stage_ordered_replay(ev, ["ts", "event_id"])
+    # duplicate every batch file: 001→001b, ... (redelivered micro-batches)
+    for f in sorted(glob.glob(f"{tmp}/*.parquet")):
+        shutil.copyfile(f, f.replace(".parquet", "b.parquet"))
+    stream = with_watermark(
+        file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),
+        "ts",
+        "10 days",
+    )
+    dedup = stream.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    name = f"sdw_{uuid.uuid4().hex[:8]}"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        run_to_completion(dedup, name, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
+
+
+@query(
+    "streaming_complete_agg_replay",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+    FROM events GROUP BY event_type
+    """,
+    group="streaming",
+)
+def streaming_complete_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming global aggregation in COMPLETE output mode: the
+    per-type running count/sum is maintained incrementally in the
+    aggregation state store across the 3-micro-batch replay, and the
+    sink's final table IS the full aggregate — the reference's
+    unbounded GroupAggFunction in upsert/complete materialization
+    (`GroupAggFunction.java`, `StreamExecGroupAggregate`). The oracle is
+    the one-shot batch aggregate."""
+    import uuid
+
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("event_type", "value", "ts", "event_id")
+    tmp = stage_ordered_replay(ev, ["ts", "event_id"])
+    agg = (
+        file_stream(spark, tmp, ev.schema, max_files_per_trigger=1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+    )
+    name = f"sca_{uuid.uuid4().hex[:8]}"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
