@@ -51,6 +51,7 @@ _PRIORITY = [
     "streaming_line_dedup_replay",
     "pipe_zorder_layout",
     "pipe_heavy_hitters",
+    "pipe_e2e_curation_v2",
     "pipe_line_dedup",
     "pipe_bm25_topk",
     "pipe_hybrid_rerank",

@@ -2550,3 +2550,104 @@ def pipe_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").alias("min_day"),
         F.max("y").alias("max_day"),
     )
+
+
+@query(
+    "pipe_e2e_curation_v2",
+    oracle=f"""
+    WITH toks0 AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), segs AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(0, CAST(CEIL(len(t) / 16.0) AS BIGINT) - 1),
+               i -> array_to_string(t[i*16+1 : i*16+16], ' ')
+             ) AS ss
+      FROM toks0 WHERE len(t) > 0
+    ), ex AS (
+      SELECT doc_id,
+             UNNEST(generate_series(0, len(ss) - 1)) AS pos,
+             UNNEST(ss) AS seg
+      FROM segs
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+      FROM ex
+    ), re AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             STRING_AGG(seg, ' ' ORDER BY pos) AS text
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ), dd AS (
+      SELECT doc_id, text FROM re WHERE n_kept >= 3
+    ), dtok AS (
+      SELECT doc_id, UNNEST({_TOKS}) AS term FROM dd
+    ), tot AS (SELECT COUNT(*) AS n FROM dtok),
+    cnt AS (SELECT term, COUNT(*) AS c FROM dtok GROUP BY 1),
+    hh AS (SELECT term FROM cnt, tot WHERE c * 200 >= n),
+    per_doc AS (
+      SELECT d.doc_id, COUNT(*) AS n_toks,
+             SUM(CASE WHEN h.term IS NULL THEN 1 ELSE 0 END) AS n_nonstop
+      FROM dtok d LEFT JOIN hh h ON h.term = d.term
+      GROUP BY d.doc_id
+    )
+    SELECT doc.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(p.n_nonstop) AS BIGINT) AS nonstop_tokens
+    FROM per_doc p JOIN documents doc USING (doc_id)
+    GROUP BY doc.source
+    """,
+    group="pipeline",
+)
+def pipe_e2e_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern curation composite (RefinedWeb/CCNet-style), chaining
+    this repo's corpus-global passes:
+
+    1. corpus LINE DEDUP (16-token segments, first occurrence survives,
+       text reassembled) — partial-aggregable min(struct), no window;
+    2. structural gate (>= 3 surviving segments);
+    3. HEAVY-HITTER stopword identification over the deduped corpus
+       (Misra-Gries candidates + broadcast exact recount — frequency
+       >= n/200, the corpus-adaptive stopword list);
+    4. per-source summary: docs kept, total tokens, non-stopword tokens
+       (the effective-token budget a mixing step would consume).
+
+    Every stage is the scale formulation (one digest/segment shuffle, a
+    bounded-candidate broadcast, partial-final aggregation) and the whole
+    chain is deterministic, so the composite has an exact end-to-end
+    oracle — the integration proof that the pieces compose
+    (`pipeline/dedup.py::line_dedup`,
+    `pipeline/sketches.py::heavy_hitters`)."""
+    from flink_ci_flink_spark.pipeline.dedup import line_dedup
+    from flink_ci_flink_spark.pipeline.sketches import heavy_hitters
+    from flink_ci_flink_spark.pipeline.text import tokens
+
+    t = load_tables(spark, sf_dir)
+    dd = (
+        line_dedup(t.documents, seg_tokens=16)
+        .filter(F.col("n_kept") >= 3)
+        .select("doc_id", "text")
+    )
+    dtok = dd.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    hh = heavy_hitters(dtok, "term", k=200).select(
+        "term", F.lit(1).alias("__hh")
+    )
+    per_doc = (
+        dtok.join(F.broadcast(hh), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.sum(F.when(F.col("__hh").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nonstop"),
+        )
+    )
+    return (
+        per_doc.join(t.documents.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.sum("n_nonstop").cast("bigint").alias("nonstop_tokens"),
+        )
+    )
