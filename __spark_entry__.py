@@ -85,7 +85,6 @@ _PRIORITY = [
     # -- (3) re-validation: oldest-proven first (r2 then r3) --
     "setop_union",
     "sort_limit_offset",
-    "subquery_scalar",
     "tpch_q10_returned_items",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
