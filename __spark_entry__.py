@@ -44,6 +44,7 @@ _PRIORITY = [
     "streaming_full_outer_join_replay",
     "streaming_dropdup_watermark_replay",
     "streaming_complete_agg_replay",
+    "streaming_manifest_sink_replay",
     "graph_hits_nations",
     "lookup_join_async",
     "streaming_heavy_hitters_replay",
@@ -83,7 +84,6 @@ _PRIORITY = [
     "cep_timeout_click_purchase",
     "cep_mr_error_run_until_purchase",
     # -- (3) re-validation: oldest-proven first (r2 then r3) --
-    "setop_union",
     "sort_limit_offset",
     "tpch_q10_returned_items",
     "tpch_q5_local_supplier_volume",

@@ -201,3 +201,51 @@ def broadcast_connect(
             ).parquet(out_dir)
 
     return foreach_batch_upsert(stream, merge, checkpoint)
+
+
+def manifest_sink(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    query_name: str = "manifest_sink",
+):
+    """Exactly-once file sink via manifest commit (the reference's
+    `StreamingFileSink` bulk-format/OnCheckpointRollingPolicy contract:
+    in-progress files are invisible until the checkpoint commits them):
+    each micro-batch writes its data files under ``data/batch=<id>/``,
+    then atomically publishes ``manifest/<id>.json`` naming exactly those
+    files (tmp-write + ``os.replace`` — readers never observe a partial
+    manifest). A replayed batch OVERWRITES its own data directory and
+    manifest entry, so at-least-once foreachBatch redelivery is
+    idempotent; orphaned data files from a crashed attempt are never
+    listed and stay invisible. Read the committed view back with
+    `read_manifest`. Returns the started query."""
+    import glob
+    import json
+    import os
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        path = f"{out_dir}/data/batch={int(batch_id)}"
+        batch_df.write.mode("overwrite").parquet(path)
+        files = sorted(glob.glob(f"{path}/part-*.parquet"))
+        os.makedirs(f"{out_dir}/manifest", exist_ok=True)
+        tmp = f"{out_dir}/manifest/.{int(batch_id)}.json.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch": int(batch_id), "files": files}, fh)
+        os.replace(tmp, f"{out_dir}/manifest/{int(batch_id)}.json")
+
+    return foreach_batch_upsert(stream, merge, checkpoint)
+
+
+def read_manifest(spark, out_dir: str) -> DataFrame:
+    """The committed view of a `manifest_sink` directory: the union of
+    exactly the manifest-listed files — uncommitted or orphaned data
+    files are invisible by construction."""
+    import glob
+    import json
+
+    files: list[str] = []
+    for m in sorted(glob.glob(f"{out_dir}/manifest/*.json")):
+        with open(m) as fh:
+            files.extend(json.load(fh)["files"])
+    return spark.read.parquet(*files)

@@ -1321,3 +1321,52 @@ def test_streaming_changelog_agg_retracts_to_zero(spark):
     )
     got = {(r.g, r.n_rows, r.sum_v) for r in out.collect()}
     assert got == {("a", 2, 19)}  # b retracted to zero and dropped
+
+
+def test_manifest_sink_idempotent_replay_and_orphan_invisible(spark, tmp_path):
+    """The manifest-committed sink: redelivering a batch (same id)
+    overwrites its own data dir + manifest entry (no duplication), and a
+    data file no manifest lists stays invisible to the committed view."""
+    import json
+    import os
+    import uuid
+
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.core import manifest_sink, read_manifest
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(90)], "id long, g long"
+    )
+    tmp = stage_ordered_replay(df, ["id"])
+    base = str(tmp_path / "sink")
+    q = manifest_sink(
+        file_stream(spark, tmp, df.schema, max_files_per_trigger=1),
+        out_dir=base,
+        checkpoint=f"{base}/ckpt",
+        query_name=f"ms_{uuid.uuid4().hex[:8]}",
+    )
+    q.processAllAvailable()
+    q.stop()
+    before = sorted(map(tuple, read_manifest(spark, base).collect()))
+    assert len(before) == 90
+
+    # redelivery of batch 0: rewrite its data dir and re-publish manifest 0
+    with open(f"{base}/manifest/0.json") as fh:
+        entry = json.load(fh)
+    rows = spark.read.parquet(*entry["files"]).collect()  # materialize:
+    # a lazy self-overwrite would delete its own input files mid-read
+    batch0 = spark.createDataFrame(rows, df.schema)
+    batch0.write.mode("overwrite").parquet(f"{base}/data/batch=0")
+    import glob as _g
+
+    files = sorted(_g.glob(f"{base}/data/batch=0/part-*.parquet"))
+    tmpf = f"{base}/manifest/.0.json.tmp"
+    with open(tmpf, "w") as fh:
+        json.dump({"batch": 0, "files": files}, fh)
+    os.replace(tmpf, f"{base}/manifest/0.json")
+
+    # orphan: data never committed by any manifest
+    df.limit(10).write.mode("overwrite").parquet(f"{base}/data/batch=77")
+
+    after = sorted(map(tuple, read_manifest(spark, base).collect()))
+    assert after == before
