@@ -45,6 +45,7 @@ _PRIORITY = [
     "streaming_dropdup_watermark_replay",
     "streaming_complete_agg_replay",
     "streaming_manifest_sink_replay",
+    "streaming_restart_recovery_replay",
     "graph_hits_nations",
     "lookup_join_async",
     "streaming_heavy_hitters_replay",
@@ -84,7 +85,6 @@ _PRIORITY = [
     "cep_timeout_click_purchase",
     "cep_mr_error_run_until_purchase",
     # -- (3) re-validation: oldest-proven first (r2 then r3) --
-    "sort_limit_offset",
     "tpch_q10_returned_items",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
