@@ -46,6 +46,8 @@ _PRIORITY = [
     "streaming_complete_agg_replay",
     "streaming_manifest_sink_replay",
     "streaming_restart_recovery_replay",
+    "streaming_hll_distinct_replay",
+    "graph_dedup_canonical",
     "graph_hits_nations",
     "lookup_join_async",
     "streaming_heavy_hitters_replay",
@@ -85,8 +87,6 @@ _PRIORITY = [
     "cep_timeout_click_purchase",
     "cep_mr_error_run_until_purchase",
     # -- (3) re-validation: oldest-proven first (r2 then r3) --
-    "tpch_q10_returned_items",
-    "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
 ]
 

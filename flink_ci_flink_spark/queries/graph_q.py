@@ -867,3 +867,64 @@ def graph_hits_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("hub") * 1e6 + F.lit(0.5)) / 1e6).alias("hub"),
         (F.floor(F.col("auth") * 1e6 + F.lit(0.5)) / 1e6).alias("auth"),
     )
+
+
+@query(
+    "graph_dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    undirected AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), verts AS (
+      SELECT DISTINCT src AS id FROM undirected
+    ), reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT u.dst, reach.r FROM reach JOIN undirected u ON u.src = reach.id
+    ), comp AS (
+      SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+    ), qt AS (
+      SELECT doc_id,
+             CAST(len(list_filter(str_split_regex(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT c.component,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(q.n_tokens * 1000000000 + c.doc_id) % 1000000000
+                AS BIGINT) AS canonical_doc
+    FROM comp c JOIN qt q USING (doc_id)
+    GROUP BY c.component
+    """,
+    group="graph",
+)
+def graph_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection for near-dup clusters: connected
+    components over the 3-gram Jaccard >= 0.5 graph, then each cluster
+    keeps its LONGEST document (token count, doc_id tie-break) as the
+    canonical survivor — the policy a real curation pass uses (keep the
+    most complete copy), vs graph_dedup_clusters' arbitrary min-id.
+    Arg-max is encoded as max(n_tokens*1e9 + doc_id) — one exact-integer
+    partial-aggregable MAX, no per-cluster sort
+    (ref: `graph/library/ConnectedComponents.java` + curation extension)."""
+    from flink_ci_flink_spark.pipeline.text import token_count
+
+    t = load_tables(spark, sf_dir)
+    edges = jaccard_pairs(t.documents, threshold=0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(None, edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    qt = t.documents.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    enc = F.col("n_tokens") * F.lit(1000000000) + F.col("doc_id")
+    return (
+        comp.join(qt, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (F.max(enc) % 1000000000).cast("bigint").alias("canonical_doc"),
+        )
+    )

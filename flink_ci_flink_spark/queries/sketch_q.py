@@ -196,3 +196,78 @@ def pipe_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     toks = t.documents.select(F.explode(tokens("text")).alias("term"))
     return heavy_hitters(toks, "term", k=200)
+
+
+@query(
+    "streaming_hll_distinct_replay",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT event_type, {_H.format(x='CAST(user_id AS VARCHAR)')} AS h
+      FROM events
+    ), regs AS (
+      SELECT event_type, h >> 54 AS reg,
+             CASE WHEN h % {_POW2_54} = 0 THEN 55
+                  ELSE 55 - length(format('{{:b}}', h % {_POW2_54})) END AS rho
+      FROM hashed
+    ), maxed AS (
+      SELECT event_type, reg, MAX(rho) AS max_rho FROM regs GROUP BY 1, 2
+    ), grp AS (
+      SELECT event_type, COUNT(*) AS n_present,
+             CAST(SUM(CAST(1 AS BIGINT) << (55 - max_rho)) AS BIGINT) AS s_present
+      FROM maxed GROUP BY 1
+    ), stats AS (
+      SELECT event_type, CAST(64 - n_present AS BIGINT) AS v_zero,
+             CAST(s_present + (64 - n_present) * (CAST(1 AS BIGINT) << 55)
+                  AS BIGINT) AS s_scaled
+      FROM grp
+    ), est AS (
+      SELECT event_type, v_zero, s_scaled,
+             CASE WHEN ({_HLL_RAW_NUM} / s_scaled) <= 160.0 AND v_zero > 0
+                  THEN 64.0 * ln(64.0 / v_zero)
+                  ELSE {_HLL_RAW_NUM} / s_scaled END AS e
+      FROM stats
+    )
+    SELECT s.event_type, s.v_zero, s.s_scaled,
+           CAST(FLOOR(s.e * 100 + 0.5) AS BIGINT) / 100.0 AS est_distinct,
+           x.exact_distinct
+    FROM est s
+    JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY 1) x
+      USING (event_type)
+    """,
+    group="streaming",
+)
+def streaming_hll_distinct_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming COUNT(DISTINCT user_id) per event_type with bounded
+    state, over the 3-micro-batch replay: each batch's 64-register HLL
+    table merges into the persisted registers by per-register MAX (the
+    `jvm_keyed_fold` HLL shape — state ≤ 64 rows per group regardless of
+    stream length), and the final estimate is bit-exact against the
+    oracle's one-shot sketch because register merge is order- and
+    batching-insensitive algebra. The exact distinct rides along for
+    error inspection (`streaming/process.py::streaming_hll_jvm`)."""
+    import tempfile
+    import uuid
+
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.process import streaming_hll_jvm
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select(
+        "event_type", F.col("user_id").cast("string").alias("uid"),
+        "ts", "event_id",
+    )
+    tmp = stage_ordered_replay(ev, ["ts", "event_id"])
+    sk = streaming_hll_jvm(
+        file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),
+        value_col="uid",
+        group_cols=["event_type"],
+        state_dir=tempfile.mkdtemp(prefix="hll_replay_"),
+        query_name=f"hll_replay_{uuid.uuid4().hex[:8]}",
+    )
+    exact = t.events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type", "v_zero", "s_scaled", "est_distinct", "exact_distinct"
+    )

@@ -1287,3 +1287,44 @@ def streaming_changelog_agg_jvm(
     return jvm_keyed_fold(
         stream, prepare, fold, state_dir, emit=emit, query_name=query_name
     )
+
+
+def streaming_hll_jvm(
+    stream: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    state_dir: str,
+    b: int = 6,
+    query_name: str = "hll_jvm",
+) -> DataFrame:
+    """Streaming COUNT(DISTINCT) with BOUNDED state on `jvm_keyed_fold`:
+    per micro-batch the batch's HLL register table (map-side combinable,
+    ≤ 2^b rows per group) merges into the persisted registers by
+    per-register MAX — associative, commutative, idempotent, so the fold
+    is batching-insensitive AND replay-redelivery-proof by algebra alone.
+    State is ≤ 2^b rows per group FOREVER, however many distinct values
+    stream past — the reference's bounded-state answer to unbounded
+    streaming distinct aggregation (SplitAggregateRule's partial/final
+    distinct being the exact-state counterpart). Thirteenth fold shape;
+    estimate finishes identically to the batch sketch
+    (`pipeline/sketches.py::hll_estimate_from_registers`)."""
+    from flink_ci_flink_spark.pipeline.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    def prepare(batch_df: DataFrame) -> DataFrame:
+        return hll_registers(batch_df, value_col, group_cols, b)
+
+    def fold(prev: DataFrame | None, prepared: DataFrame) -> DataFrame:
+        u = prepared if prev is None else prev.unionByName(prepared)
+        return u.groupBy(*group_cols, "reg").agg(
+            F.max("max_rho").alias("max_rho")
+        )
+
+    def emit(state: DataFrame, closed) -> DataFrame:
+        return hll_estimate_from_registers(state, group_cols, b)
+
+    return jvm_keyed_fold(
+        stream, prepare, fold, state_dir, emit=emit, query_name=query_name
+    )
