@@ -48,6 +48,7 @@ _PRIORITY = [
     "streaming_restart_recovery_replay",
     "streaming_hll_distinct_replay",
     "graph_dedup_canonical",
+    "pipe_audio_features",
     "graph_hits_nations",
     "lookup_join_async",
     "streaming_heavy_hitters_replay",
@@ -87,7 +88,6 @@ _PRIORITY = [
     "cep_timeout_click_purchase",
     "cep_mr_error_run_until_purchase",
     # -- (3) re-validation: oldest-proven first (r2 then r3) --
-    "tpch_q6_forecast_revenue",
 ]
 
 

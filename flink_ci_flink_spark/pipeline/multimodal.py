@@ -870,3 +870,47 @@ def decode_gif_frames(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(decode, GIF_FRAME_SCHEMA)
+
+
+def audio_analysis(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Audio ANALYSIS features over decoded PCM16 WAV payloads (pure
+    stdlib, Arrow-batched mapInPandas, map-only): zero-crossing count
+    (adjacent sample sign products < 0 — the classic voiced/unvoiced and
+    noisiness proxy) and max 8-sample-frame ENERGY (sum of squares per
+    frame, exact BIGINT) — the clip-screening pair a speech-data curation
+    pass gates on (silence / clipping detection). Same RIFF walker
+    contract as `decode_audio`; all-integer outputs so the oracle replays
+    the analysis exactly from the synthesized sample series."""
+    import struct
+
+    def analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "zero_crossings", "max_frame_energy")}
+            for did, payload in zip(pdf[id_col].astype("int64"), pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError(f"doc {did}: not a WAV payload")
+                pos, samples = 12, None
+                while pos + 8 <= len(b):
+                    cid, sz = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+                    if cid == b"data":
+                        samples = struct.unpack_from(f"<{sz // 2}h", b, pos + 8)
+                    pos += 8 + sz + (sz & 1)
+                if samples is None:
+                    raise ValueError(f"doc {did}: missing data chunk")
+                zc = sum(
+                    1 for a, b2 in zip(samples, samples[1:]) if a * b2 < 0
+                )
+                energies = [
+                    sum(v * v for v in samples[i : i + 8])
+                    for i in range(0, len(samples), 8)
+                ]
+                out["doc_id"].append(int(did))
+                out["zero_crossings"].append(int(zc))
+                out["max_frame_energy"].append(int(max(energies)))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(
+        analyze,
+        schema=f"{id_col} long, zero_crossings long, max_frame_energy long",
+    )

@@ -2651,3 +2651,50 @@ def pipe_e2e_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_nonstop").cast("bigint").alias("nonstop_tokens"),
         )
     )
+
+
+@query(
+    "pipe_audio_features",
+    oracle="""
+    WITH clips AS (
+      SELECT doc_id, 16 + doc_id % 17 AS n FROM documents
+    ), s AS (
+      SELECT c.doc_id, i.i,
+             ((c.doc_id * 13 + i.i * 7919) % 65536) - 32768 AS v
+      FROM clips c
+      JOIN (SELECT UNNEST(generate_series(0, 32)) AS i) i ON i.i < c.n
+    ), zc AS (
+      SELECT a.doc_id,
+             CAST(SUM(CASE WHEN a.v * b.v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_crossings
+      FROM s a JOIN s b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      GROUP BY a.doc_id
+    ), fe AS (
+      SELECT doc_id, i // 8 AS frame,
+             CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy
+      FROM s GROUP BY doc_id, i // 8
+    ), mfe AS (
+      SELECT doc_id, CAST(MAX(energy) AS BIGINT) AS max_frame_energy
+      FROM fe GROUP BY doc_id
+    )
+    SELECT z.doc_id, z.zero_crossings, m.max_frame_energy
+    FROM zc z JOIN mfe m USING (doc_id)
+    """,
+    group="pipeline",
+)
+def pipe_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio clip screening features over REAL decoded WAV payloads:
+    zero-crossing count and max 8-sample-frame energy (the
+    silence/clipping gates of a speech-curation pass), computed by the
+    stdlib RIFF walker inside Arrow-batched mapInPandas — map-only, zero
+    shuffles, all-integer outputs. The oracle recomputes both features
+    from the deterministic synthesized sample series, so the decode AND
+    the analysis arithmetic are hash-checked exactly
+    (`pipeline/multimodal.py::audio_analysis`)."""
+    from flink_ci_flink_spark.pipeline.multimodal import (
+        audio_analysis,
+        synthesize_wav,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return audio_analysis(synthesize_wav(t.documents.select("doc_id")))
