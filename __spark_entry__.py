@@ -49,6 +49,7 @@ _PRIORITY = [
     "streaming_hll_distinct_replay",
     "graph_dedup_canonical",
     "pipe_audio_features",
+    "catalog_column_stats",
     "graph_hits_nations",
     "lookup_join_async",
     "streaming_heavy_hitters_replay",
@@ -86,7 +87,6 @@ _PRIORITY = [
     "cep_error_burst",
     "cep_match_recognize_view_run",
     "cep_timeout_click_purchase",
-    "cep_mr_error_run_until_purchase",
     # -- (3) re-validation: oldest-proven first (r2 then r3) --
 ]
 

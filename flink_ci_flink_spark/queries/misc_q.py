@@ -565,3 +565,94 @@ def streaming_cdc_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name=f"cdc_agg_{uuid.uuid4().hex[:8]}",
     )
     return out.select("status", "n_rows", F.col("sum_cents"))
+
+
+@query(
+    "catalog_column_stats",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS k_nulls,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS k_ndv,
+             CAST(MIN(o_orderkey) AS BIGINT) AS k_min,
+             CAST(MAX(o_orderkey) AS BIGINT) AS k_max,
+             CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS p_nulls,
+             CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS p_ndv,
+             CAST(FLOOR(MIN(o_totalprice) * 100 + 0.5) AS BIGINT) AS p_min,
+             CAST(FLOOR(MAX(o_totalprice) * 100 + 0.5) AS BIGINT) AS p_max,
+             CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS s_nulls,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS s_ndv,
+             CAST(SUM(LENGTH(o_orderstatus)) AS BIGINT) AS s_total_len,
+             CAST(MAX(LENGTH(o_orderstatus)) AS BIGINT) AS s_max_len,
+             MIN(o_orderstatus) AS s_min,
+             MAX(o_orderstatus) AS s_max,
+             CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT) AS d_nulls,
+             CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS d_ndv,
+             CAST(FLOOR(EPOCH(MIN(o_orderdate))) AS BIGINT) AS d_min,
+             CAST(FLOOR(EPOCH(MAX(o_orderdate))) AS BIGINT) AS d_max
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS col_name, n_rows, k_nulls AS n_null, k_ndv AS ndv,
+           k_min AS min_scaled, k_max AS max_scaled,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+           CAST(NULL AS BIGINT) AS total_len, CAST(NULL AS BIGINT) AS max_len
+    FROM a
+    UNION ALL
+    SELECT 'o_totalprice', n_rows, p_nulls, p_ndv, p_min, p_max,
+           NULL, NULL, NULL, NULL FROM a
+    UNION ALL
+    SELECT 'o_orderstatus', n_rows, s_nulls, s_ndv, NULL, NULL,
+           s_min, s_max, s_total_len, s_max_len FROM a
+    UNION ALL
+    SELECT 'o_orderdate', n_rows, d_nulls, d_ndv, d_min, d_max,
+           NULL, NULL, NULL, NULL FROM a
+    """,
+    group="sources",
+)
+def catalog_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog column statistics — the reference's ANALYZE surface
+    (`catalog/stats/CatalogColumnStatisticsDataLong/Double/String/Date
+    .java`: nullCount/ndv/min/max, string max/avg length): long, double,
+    string, and timestamp columns of orders, computed in ONE scan (a
+    single aggregation row with every measure, unpivoted to per-column
+    rows) — numeric bounds integer-scaled, string lengths exact, so the
+    stats are engine-portable. The planner-facing shape a CBO consumes."""
+    t = load_tables(spark, sf_dir)
+    o = t.orders
+    a = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_orderkey")).cast("bigint").alias("k_nulls"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("k_ndv"),
+        F.min("o_orderkey").cast("bigint").alias("k_min"),
+        F.max("o_orderkey").cast("bigint").alias("k_max"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).cast("bigint").alias("p_nulls"),
+        F.countDistinct("o_totalprice").cast("bigint").alias("p_ndv"),
+        F.floor(F.min("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("p_min"),
+        F.floor(F.max("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("p_max"),
+        (F.count(F.lit(1)) - F.count("o_orderstatus")).cast("bigint").alias("s_nulls"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("s_ndv"),
+        F.sum(F.length("o_orderstatus")).cast("bigint").alias("s_total_len"),
+        F.max(F.length("o_orderstatus")).cast("bigint").alias("s_max_len"),
+        F.min("o_orderstatus").alias("s_min"),
+        F.max("o_orderstatus").alias("s_max"),
+        (F.count(F.lit(1)) - F.count("o_orderdate")).cast("bigint").alias("d_nulls"),
+        F.countDistinct("o_orderdate").cast("bigint").alias("d_ndv"),
+        F.unix_timestamp(F.min("o_orderdate")).cast("bigint").alias("d_min"),
+        F.unix_timestamp(F.max("o_orderdate")).cast("bigint").alias("d_max"),
+    )
+    return a.selectExpr(
+        """stack(4,
+          'o_orderkey', n_rows, k_nulls, k_ndv, k_min, k_max,
+              CAST(NULL AS STRING), CAST(NULL AS STRING),
+              CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+          'o_totalprice', n_rows, p_nulls, p_ndv, p_min, p_max,
+              CAST(NULL AS STRING), CAST(NULL AS STRING),
+              CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+          'o_orderstatus', n_rows, s_nulls, s_ndv, CAST(NULL AS BIGINT),
+              CAST(NULL AS BIGINT), s_min, s_max, s_total_len, s_max_len,
+          'o_orderdate', n_rows, d_nulls, d_ndv, d_min, d_max,
+              CAST(NULL AS STRING), CAST(NULL AS STRING),
+              CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        ) AS (col_name, n_rows, n_null, ndv, min_scaled, max_scaled,
+              min_str, max_str, total_len, max_len)"""
+    )
