@@ -47,6 +47,7 @@ _PRIORITY = [
     "streaming_manifest_sink_replay",
     "streaming_restart_recovery_replay",
     "streaming_hll_distinct_replay",
+    "streaming_countmin_replay",
     "graph_dedup_canonical",
     "pipe_audio_features",
     "catalog_column_stats",
@@ -86,7 +87,6 @@ _PRIORITY = [
     "cep_mr_sql_view_to_purchase",
     "cep_error_burst",
     "cep_match_recognize_view_run",
-    "cep_timeout_click_purchase",
     # -- (3) re-validation: oldest-proven first (r2 then r3) --
 ]
 

@@ -271,3 +271,68 @@ def streaming_hll_distinct_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     return sk.join(exact, "event_type").select(
         "event_type", "v_zero", "s_scaled", "est_distinct", "exact_distinct"
     )
+
+
+@query(
+    "streaming_countmin_replay",
+    oracle=f"""
+    WITH grid AS (SELECT unnest(generate_series(0, 3)) AS i),
+    sketch AS (
+      SELECT i,
+             {_H.format(x="CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % 512 AS bucket,
+             COUNT(*) AS cnt
+      FROM events CROSS JOIN grid
+      GROUP BY 1, 2
+    ), probes AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id < 10
+    ), pb AS (
+      SELECT p.user_id, g.i,
+             {_H.format(x="CAST(g.i AS VARCHAR) || ':' || CAST(p.user_id AS VARCHAR)")} % 512 AS bucket
+      FROM probes p CROSS JOIN grid g
+    ), est AS (
+      SELECT pb.user_id, MIN(COALESCE(s.cnt, 0)) AS est_count
+      FROM pb LEFT JOIN sketch s ON s.i = pb.i AND s.bucket = pb.bucket
+      GROUP BY 1
+    )
+    SELECT e.user_id, e.est_count, x.exact_count
+    FROM est e
+    JOIN (SELECT user_id, COUNT(*) AS exact_count FROM events
+          WHERE user_id < 10 GROUP BY 1) x
+      USING (user_id)
+    """,
+    group="streaming",
+)
+def streaming_countmin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min ingest over the 3-micro-batch replay: per-cell
+    SUM merge of each batch's partial grid (bounded d×w state), then the
+    same ten point probes as the batch sketch — bit-exact against the
+    one-shot oracle because grid merge is order-insensitive algebra
+    (`streaming/process.py::streaming_countmin_jvm`). Completes the
+    streaming sketch trio: frequency (this), distinct (HLL fold), top
+    items (Misra-Gries fold)."""
+    import tempfile
+    import uuid
+
+    from flink_ci_flink_spark.pipeline.sketches import countmin_estimate
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.process import streaming_countmin_jvm
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id", "ts", "event_id")
+    tmp = stage_ordered_replay(ev, ["ts", "event_id"])
+    sk = streaming_countmin_jvm(
+        file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),
+        value_col="user_id",
+        state_dir=tempfile.mkdtemp(prefix="cm_replay_"),
+        query_name=f"cm_replay_{uuid.uuid4().hex[:8]}",
+    )
+    probes = t.events.select("user_id").distinct().filter(F.col("user_id") < 10)
+    est = countmin_estimate(sk, probes, "user_id", depth=4, width=512)
+    exact = (
+        t.events.filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return est.join(exact, "user_id").select(
+        "user_id", "est_count", "exact_count"
+    )

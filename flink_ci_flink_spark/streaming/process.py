@@ -1328,3 +1328,35 @@ def streaming_hll_jvm(
     return jvm_keyed_fold(
         stream, prepare, fold, state_dir, emit=emit, query_name=query_name
     )
+
+
+def streaming_countmin_jvm(
+    stream: DataFrame,
+    value_col: str,
+    state_dir: str,
+    depth: int = 4,
+    width: int = 512,
+    query_name: str = "cm_jvm",
+) -> DataFrame:
+    """Streaming count-min frequency sketch on `jvm_keyed_fold`: each
+    micro-batch's d×w partial grid (map-side combinable) merges into the
+    persisted grid by per-cell SUM — associative and commutative, so the
+    fold is batching-insensitive; state is ≤ depth·width rows FOREVER.
+    With `streaming_hll_jvm` (distinct) and `streaming_misra_gries_jvm`
+    (top items), this completes the streaming corpus-stats sketch trio
+    (`CountMinSketch`-style frequency monitoring over unbounded streams;
+    reference scope: SplitAggregateRule's bounded-state aggregation
+    problem). Fourteenth fold shape. Returns the final sketch grid; point
+    estimates finish with `pipeline/sketches.py::countmin_estimate`."""
+    from flink_ci_flink_spark.pipeline.sketches import countmin_sketch
+
+    def prepare(batch_df: DataFrame) -> DataFrame:
+        return countmin_sketch(batch_df, value_col, depth, width)
+
+    def fold(prev: DataFrame | None, prepared: DataFrame) -> DataFrame:
+        u = prepared if prev is None else prev.unionByName(prepared)
+        return u.groupBy("i", "bucket").agg(
+            F.sum("cnt").cast("bigint").alias("cnt")
+        )
+
+    return jvm_keyed_fold(stream, prepare, fold, state_dir, query_name=query_name)
