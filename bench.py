@@ -391,6 +391,9 @@ def main() -> None:
         "pipe_quality_screen_scaled",
         "pipe_zorder_layout",
         "pipe_heavy_hitters",
+        "pipe_e2e_curation_v2",
+        "pipe_audio_features",
+        "catalog_column_stats",
     ]
     new_ops_t: dict[str, float] = {}
     for name in NEW_OPS:
