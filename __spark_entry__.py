@@ -35,7 +35,8 @@ FLAGSHIP = "tpch_q3_shipping_priority"
 # re-validation tail of the longest-unchecked names (latest green row r2,
 # then r3).
 _PRIORITY = [
-    # -- (1) round-8 additions, never driver-proven --
+    # -- (1) round-8 additions / changes, never driver-proven --
+    "pipe_knn_join_scaled",  # NEW fixed-point training + full hash oracle
     "streaming_interval_join_replay",
     "streaming_semi_join_replay",
     "streaming_broadcast_rules_replay",
@@ -86,7 +87,6 @@ _PRIORITY = [
     "cep_mr_price_dip",
     "cep_mr_sql_view_to_purchase",
     "cep_error_burst",
-    "cep_match_recognize_view_run",
     # -- (3) re-validation: oldest-proven first (r2 then r3) --
 ]
 

@@ -271,6 +271,130 @@ def _np_cosine_pairs():
     return cos_pairs
 
 
+#: Fixed-point scale for exactly-replayable distributed training: 2^20, so
+#: `x * FP_SCALE` is an EXACT double (power-of-two scaling of a float32) and
+#: the round-half-away-from-zero tie rule is shared by Spark's `F.round`
+#: (BigDecimal HALF_UP) and DuckDB's `ROUND`.
+FP_SCALE = 1 << 20
+
+
+def quantize_fp(vec_col, scale: int = FP_SCALE) -> Column:
+    """Fixed-point quantization of an embedding column to `array<long>`:
+    every subsequent integer sum/dot is EXACT and therefore independent of
+    aggregation order — the property that lets the production partial-agg
+    training path (map-side combinable `F.sum`) stay bit-replayable in a
+    SQL oracle. Dot products stay far below 2^53 (64 terms x (2^21)^2 ~
+    2.8e14), so even double-accumulated kernels (numpy matmul) are exact."""
+    return F.transform(
+        _to_double(vec_col), lambda x: F.round(x * float(scale)).cast("long")
+    )
+
+
+def _np_cells_probes_int(centroids: list[list[int]], nprobe: int):
+    """Integer twin of `_np_cells_probes`: int64 matmul distances against
+    integer (fixed-point) centroids — EXACT, so the vectorized fast path
+    and a SQL oracle's interpreted fold agree bit-for-bit (no FP-order
+    caveat). Ties take the lowest cell index (stable argsort)."""
+    C = np.asarray(centroids, dtype=np.int64)
+    cn = (C * C).sum(axis=1)
+
+    @F.pandas_udf("struct<cell:int,probes:array<int>,dmin:bigint>")
+    def cells_probes(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:
+            return pd.DataFrame({"cell": [], "probes": [], "dmin": []})
+        X = np.vstack(vs.to_numpy()).astype(np.int64)
+        d2 = (X * X).sum(axis=1)[:, None] - 2 * (X @ C.T) + cn[None, :]
+        order = np.argsort(d2, axis=1, kind="stable")
+        cell = order[:, 0]
+        return pd.DataFrame(
+            {
+                "cell": cell.astype("int32"),
+                "probes": list(order[:, :nprobe].astype("int32")),
+                "dmin": d2[np.arange(len(cell)), cell],
+            }
+        )
+
+    return cells_probes
+
+
+def _np_cosine_pairs_int():
+    """Integer twin of `_np_cosine_pairs`: exact int64 dots/norms, one
+    deterministic double division + sqrt at the end — bit-replayable in
+    SQL (`list_dot_product` on the quantized lists)."""
+
+    @F.pandas_udf("double")
+    def cos_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.vstack(a.to_numpy()).astype(np.int64)
+        B = np.vstack(b.to_numpy()).astype(np.int64)
+        d = (A * B).sum(axis=1).astype(np.float64)
+        return pd.Series(
+            d
+            / (
+                np.sqrt((A * A).sum(axis=1).astype(np.float64))
+                * np.sqrt((B * B).sum(axis=1).astype(np.float64))
+            )
+        )
+
+    return cos_pairs
+
+
+def ivf_centroids_fp(
+    corpus: DataFrame,
+    n_cells: int | None = None,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = FP_SCALE,
+) -> tuple[list[list[int]], int]:
+    """Fixed-point Lloyd k-means: the PRODUCTION training shape (plain
+    `F.sum`/`F.count` partial aggregates — map-side combinable, one shuffle
+    per iteration, no collect_list materialization) that is nevertheless a
+    pure function of the data: integer sums are exact in any order, and the
+    centroid update `floor((2*sum + count) / (2*count))` (round-half-up in
+    exact double arithmetic — both operands < 2^53) is one deterministic
+    division. A SQL oracle replays the whole loop bit-for-bit, closing the
+    determinism-vs-scale tradeoff `ivf_centroids(deterministic=True)` pays
+    with sorted-order summation. Assignment runs the exact int64 numpy
+    kernel (`_np_cells_probes_int`). With ``n_cells=None`` the cell count
+    derives from the corpus as ``max(8, floor(sqrt(n)))``.
+
+    Returns (integer centroids at `scale` fixed-point, n_cells)."""
+    from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
+
+    c = spread_small_scan(corpus).select(
+        F.col(id_col).alias("__id"), quantize_fp(vec_col, scale).alias("__q")
+    )
+    if n_cells is None:
+        n_cells = max(8, int(c.count() ** 0.5))
+    centroids = [
+        list(r[0]) for r in c.orderBy("__id").limit(n_cells).select("__q").collect()
+    ]
+    for _ in range(iterations):
+        cell = _np_cells_probes_int(centroids, 1)("__q").getField("cell")
+        per_pos = c.select(cell.alias("cell"), F.posexplode("__q").alias("pos", "x"))
+        means_pp = per_pos.groupBy("cell", "pos").agg(
+            F.sum("x").alias("sx"), F.count(F.lit(1)).alias("cnt")
+        ).select(
+            "cell",
+            "pos",
+            F.floor(
+                (F.lit(2.0) * F.col("sx").cast("double") + F.col("cnt"))
+                / (F.lit(2.0) * F.col("cnt"))
+            ).cast("long").alias("mx"),
+        )
+        means = means_pp.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                lambda s: s.mx,
+            ).alias("cv")
+        )
+        got = {r.cell: list(r.cv) for r in means.collect()}
+        centroids = [got.get(i, centroids[i]) for i in range(n_cells)]
+    return centroids, n_cells
+
+
 def _assign_cells(vec: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid cell index as a pure expression (argmin of squared
     L2 against the literal centroid array) — map-only, no join/shuffle;
@@ -670,6 +794,7 @@ def knn_join(
     deterministic: bool = False,
     cell_cap: int | None = None,
     vectorized: bool = False,
+    fixed_point: bool = False,
 ) -> DataFrame:
     """kNN self-join (knn-graph builder): every corpus vector finds its
     approximate k nearest neighbors through the IVF structure — the edge
@@ -706,8 +831,64 @@ def knn_join(
     non-oracle (F.avg-trained) configurations; the exact Catalyst
     expressions remain the default so SQL oracles replay bit-for-bit.
 
+    ``fixed_point=True`` is the best of both: vectors are fixed-point
+    quantized (`quantize_fp`), training runs the PRODUCTION partial-agg
+    path (`ivf_centroids_fp` — plain sums, no sorted materialization) and
+    every kernel is the exact int64 numpy twin — so the at-scale plan
+    shape AND vectorized speed come with full bit-replayability (a SQL
+    oracle unrolls the identical integer arithmetic). Cosine is scored on
+    the quantized vectors (recall impact of 2^-20 quantization is nil at
+    float32 input precision; tests assert parity of the graph shape).
+
     Returns (query_id, neighbor_id, cos_sim, rank), neighbor != self.
     """
+    from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
+
+    if fixed_point:
+        if centroids is None:
+            centroids, n_cells = ivf_centroids_fp(
+                corpus, n_cells, iterations, id_col, vec_col
+            )
+        c = spread_small_scan(corpus).select(
+            F.col(id_col), quantize_fp(vec_col).alias("__v")
+        )
+        cp = _np_cells_probes_int(centroids, nprobe)
+        base = c.select(id_col, "__v", cp("__v").alias("__cp"))
+        neigh = base.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("__v").alias("__nv"),
+            F.col("__cp.cell").alias("cell"),
+            F.col("__cp.dmin").alias("__celld"),
+        )
+        q = base.select(
+            F.col(id_col).alias("query_id"),
+            F.col("__v").alias("__qv"),
+            F.explode("__cp.probes").alias("cell"),
+        )
+        cos_sim = F.round(
+            _np_cosine_pairs_int()(F.col("__qv"), F.col("__nv")), 6
+        )
+        if cell_cap is not None:
+            wcap = Window.partitionBy("cell").orderBy(
+                F.asc("__celld"), F.asc("neighbor_id")
+            )
+            neigh = (
+                neigh.withColumn("__crn", F.row_number().over(wcap))
+                .filter(F.col("__crn") <= cell_cap)
+                .drop("__crn")
+            )
+        neigh = neigh.drop("__celld")
+        scored = (
+            q.join(neigh, "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", cos_sim.alias("cos_sim"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
     if centroids is None:
         if n_cells is None:
             n = corpus.count()
@@ -715,8 +896,6 @@ def knn_join(
         centroids = ivf_centroids(
             corpus, n_cells, iterations, id_col, vec_col, deterministic
         )
-    from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
-
     c = spread_small_scan(corpus).select(
         F.col(id_col), _to_double(vec_col).alias("__v")
     )

@@ -2004,23 +2004,114 @@ def pipe_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pipe_knn_join_scaled", oracle=None, group="pipeline")
+def _knn_fp_oracle_sql(
+    nprobe: int = 2,
+    k: int = 3,
+    iterations: int = 3,
+    dim: int = 64,
+    cell_cap: int = _KNN_CELL_CAP,
+    scale: int = 1 << 20,
+) -> str:
+    """EXACT oracle for the FIXED-POINT production kNN self-join: vectors
+    quantized to BIGINT at 2^20 (power-of-two scaling of a float32 is an
+    exact double; ROUND ties away-from-zero on both engines), corpus-derived
+    cell count (`GREATEST(8, FLOOR(SQRT(n)))` — a LIMIT subquery, so the
+    oracle is correct at any SF), then `iterations` Lloyd rounds entirely in
+    integer arithmetic: argmin over exact int64 L2 (tie -> lowest cell) and
+    centroid update `FLOOR((2*SUM + COUNT) / (2*COUNT))` — exact-operand
+    double division, replaying `ivf_centroids_fp` bit-for-bit WITHOUT any
+    sorted-order summation (integer sums are order-free). Probe selection,
+    per-cell candidate cap, integer-dot cosine, and ranking all unrolled."""
+    l2i = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+    def assign(src: str, cents: str, out: str, extra: str = "") -> str:
+        d = l2i.format(d=dim, a="s.qv", b="ct.cv")
+        return (
+            f"{out} AS (SELECT vec_id, qv, cell{extra} FROM ("
+            f"SELECT s.vec_id, s.qv, ct.cell, {d} AS dd, "
+            f"ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {d}, ct.cell) AS rn "
+            f"FROM {src} s CROSS JOIN {cents} ct) WHERE rn = 1)"
+        )
+
+    parts = [
+        f"e AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(ROUND(x::DOUBLE * {scale}) AS BIGINT)) AS qv FROM embeddings)",
+        "ncells AS (SELECT GREATEST(8, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k "
+        "FROM e)",
+        "c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv "
+        "FROM (SELECT vec_id, qv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e) "
+        "WHERE rn <= (SELECT k FROM ncells))",
+    ]
+    for it in range(iterations):
+        parts.append(assign("e", f"c{it}", f"a{it}"))
+        parts.append(
+            f"m{it} AS (SELECT cell, i AS pos, "
+            f"CAST(FLOOR((2.0 * CAST(SUM(x) AS DOUBLE) + COUNT(*)) "
+            f"/ (2.0 * COUNT(*))) AS BIGINT) AS mx "
+            f"FROM (SELECT cell, j AS i, qv[j] AS x FROM a{it}, "
+            f"generate_series(1, {dim}) AS t(j)) GROUP BY cell, i)"
+        )
+        parts.append(
+            f"c{it + 1} AS (SELECT p.cell, COALESCE(g.cv, p.cv) AS cv FROM c{it} p "
+            f"LEFT JOIN (SELECT cell, list(mx ORDER BY pos) AS cv FROM m{it} "
+            f"GROUP BY cell) g ON g.cell = p.cell)"
+        )
+    final = f"c{iterations}"
+    parts.append(assign("e", final, "afin", extra=", dd"))
+    parts.append(
+        f"capped AS (SELECT vec_id, qv, cell FROM ("
+        f"SELECT vec_id, qv, cell, "
+        f"ROW_NUMBER() OVER (PARTITION BY cell ORDER BY dd, vec_id) AS crn "
+        f"FROM afin) WHERE crn <= {cell_cap})"
+    )
+    dq = l2i.format(d=dim, a="s.qv", b="ct.cv")
+    parts.append(
+        f"vprobe AS (SELECT vec_id AS query_id, qv AS qq, cell FROM ("
+        f"SELECT s.vec_id, s.qv, ct.cell, "
+        f"ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {dq}, ct.cell) AS rn "
+        f"FROM e s CROSS JOIN {final} ct) WHERE rn <= {nprobe})"
+    )
+    parts.append(
+        "scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, "
+        "ROUND(list_dot_product(p.qq, a.qv) / "
+        "(SQRT(list_dot_product(p.qq, p.qq)) * SQRT(list_dot_product(a.qv, a.qv))), "
+        "6) AS cos_sim FROM vprobe p JOIN capped a USING (cell) "
+        "WHERE a.vec_id <> p.query_id)"
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= {k}
+    """
+    )
+
+
+@query("pipe_knn_join_scaled", oracle=_knn_fp_oracle_sql(), group="pipeline")
 def pipe_knn_join_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The kNN self-join as it would actually run at scale: corpus-derived
-    cell count (max(8, floor(sqrt(n)))), per-cell candidate cap, and the
-    PRODUCTION k-means training path — plain `F.avg` partial-aggregate
-    means (map-side combinable, one shuffle per iteration) instead of the
-    oracle-only collect_list+sorted-sum deterministic means — with every
-    distance/cosine kernel Arrow-vectorized (numpy matmul per batch)
-    instead of interpreted per-element expression folds. FP addition
-    order makes the trained centroids run-dependent, so there is no SQL
-    oracle (rows-only check): the graph's SHAPE is stable — n·k edges,
-    rank 1..k per query — and `test_knn_join_cell_cap_and_scaled_cells`
-    pins the semantics against the explicit-centroid path."""
+    """The kNN self-join as it actually runs at scale — NOW hash-provable:
+    corpus-derived cell count (max(8, floor(sqrt(n)))), per-cell candidate
+    cap, FIXED-POINT training (`ivf_centroids_fp`: vectors quantized to
+    longs at 2^20, so the PRODUCTION plain-`F.sum` partial-aggregate means
+    — map-side combinable, one shuffle per iteration, no collect_list
+    materialization — are exact integers in ANY aggregation order), and
+    every distance/cosine kernel the exact int64 numpy twin
+    (`_np_cells_probes_int`, `_np_cosine_pairs_int`: integer dots < 2^53
+    are bit-exact even double-accumulated). Fixed-point accumulation
+    replaces the previous F.avg configuration whose FP-order-dependent
+    centroids forced a rows-only check: the full training loop, probe
+    selection, per-cell cap, and ranking are unrolled in the DuckDB oracle
+    (`_knn_fp_oracle_sql`) and hash-checked. Same plan shape as
+    `pipe_knn_join` (map-only projections + ONE cell-key shuffle),
+    Arrow-vectorized kernels, ~sqrt(n) join parallelism."""
     from flink_ci_flink_spark.pipeline.similarity import knn_join
 
     t = load_tables(spark, sf_dir)
-    return knn_join(t.embeddings, cell_cap=_KNN_CELL_CAP, vectorized=True)
+    return knn_join(t.embeddings, cell_cap=_KNN_CELL_CAP, fixed_point=True)
 
 
 @query(

