@@ -37,6 +37,10 @@ FLAGSHIP = "tpch_q3_shipping_priority"
 _PRIORITY = [
     # -- (1) round-8 additions / changes, never driver-proven --
     "pipe_knn_join_scaled",  # NEW fixed-point training + full hash oracle
+    "pipe_cluster_balanced_sample",
+    "pipe_embedding_outliers",
+    "pipe_ann_recall",
+    "streaming_centroid_refresh_replay",
     "streaming_interval_join_replay",
     "streaming_semi_join_replay",
     "streaming_broadcast_rules_replay",
@@ -83,10 +87,6 @@ _PRIORITY = [
     "pipe_e2e_curation",
     "cep_mr_all_rows",
     "cep_click_click_purchase",
-    "cep_click_no_purchase",
-    "cep_mr_price_dip",
-    "cep_mr_sql_view_to_purchase",
-    "cep_error_burst",
     # -- (3) re-validation: oldest-proven first (r2 then r3) --
 ]
 

@@ -394,6 +394,9 @@ def main() -> None:
         "pipe_e2e_curation_v2",
         "pipe_audio_features",
         "catalog_column_stats",
+        "pipe_cluster_balanced_sample",
+        "pipe_embedding_outliers",
+        "pipe_ann_recall",
     ]
     new_ops_t: dict[str, float] = {}
     for name in NEW_OPS:

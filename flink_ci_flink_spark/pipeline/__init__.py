@@ -10,11 +10,15 @@ from flink_ci_flink_spark.pipeline.dedup import (  # noqa: F401
     simhash,
 )
 from flink_ci_flink_spark.pipeline.similarity import (  # noqa: F401
+    cluster_balanced_sample,
     cosine_near_dup,
+    embedding_outlier_screen,
     rerank_by_cosine,
     cosine_topk,
     ivf_ann_topk,
     ivf_centroids,
+    ivf_centroids_fp,
+    knn_join,
     lsh_ann_topk,
     random_projection,
 )

@@ -395,6 +395,112 @@ def ivf_centroids_fp(
     return centroids, n_cells
 
 
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    per_cell: int = 20,
+    n_cells: int | None = None,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "s0",
+    centroids: list[list[int]] | None = None,
+) -> DataFrame:
+    """Cluster-balanced subsampling — the diversity-preserving downsample a
+    training-data pipeline runs instead of uniform sampling (uniform keeps
+    the head topics' proportions; per-cluster caps keep the TAIL): train a
+    fixed-point k-means (`ivf_centroids_fp` — production partial-agg sums,
+    bit-replayable), assign every vector map-only against the broadcast
+    integer centroids, and keep the `per_cell` rows per cluster that rank
+    first by a portable 60-bit md5 hash of the id (`sample_hash60` — a
+    deterministic shuffle-free "random" order, id tie-break). One shuffle
+    (the per-cell window); at 100 TB the window is per-cell top-k with
+    ~sqrt(n) cells, never a global order. Output (id, cell, samp_rank)."""
+    from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
+    from flink_ci_flink_spark.pipeline.sampling import sample_hash60
+
+    if centroids is None:
+        centroids, n_cells = ivf_centroids_fp(
+            corpus, n_cells, iterations, id_col, vec_col
+        )
+    c = spread_small_scan(corpus).select(
+        F.col(id_col), quantize_fp(vec_col).alias("__q")
+    )
+    base = c.select(
+        F.col(id_col),
+        _np_cells_probes_int(centroids, 1)("__q").getField("cell").alias("cell"),
+    )
+    w = Window.partitionBy("cell").orderBy(
+        sample_hash60(F.col(id_col), seed).asc(), F.col(id_col).asc()
+    )
+    return base.withColumn("samp_rank", F.row_number().over(w)).filter(
+        F.col("samp_rank") <= per_cell
+    )
+
+
+def embedding_outlier_screen(
+    corpus: DataFrame,
+    permille: int = 100,
+    n_cells: int | None = None,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[int]] | None = None,
+) -> DataFrame:
+    """Embedding-space outlier screen: flag the vectors FARTHEST from their
+    own cluster centroid — mislabeled/noise/off-distribution rows that
+    quality filters over raw text miss (the embedding-geometry screen
+    SemDeDup-style pipelines pair with near-dup pruning). Fixed-point
+    k-means assignment gives every row an EXACT int64 squared distance to
+    its cell centroid; per cell, rows ranked by (distance DESC, id) are
+    flagged while `rank * 1000 <= cell_count * permille` — an all-integer
+    per-cell quantile cut (no float threshold), so the flagged set is
+    bit-reproducible and a SQL oracle replays it. Map-only assignment +
+    one per-cell window; output (id, cell, dist2, out_rank)."""
+    from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
+
+    if centroids is None:
+        centroids, n_cells = ivf_centroids_fp(
+            corpus, n_cells, iterations, id_col, vec_col
+        )
+    c = spread_small_scan(corpus).select(
+        F.col(id_col), quantize_fp(vec_col).alias("__q")
+    )
+    cp = _np_cells_probes_int(centroids, 1)("__q")
+    base = c.select(
+        F.col(id_col),
+        cp.getField("cell").alias("cell"),
+        cp.getField("dmin").alias("dist2"),
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("dist2"), F.asc(id_col))
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("cell"))
+    return (
+        base.withColumn("out_rank", F.row_number().over(w))
+        .withColumn("__cnt", cnt)
+        .filter(F.col("out_rank") * 1000 <= F.col("__cnt") * permille)
+        .drop("__cnt")
+    )
+
+
+def assign_cells_int_expr(vec: Column, centroids: list[list[int]]) -> Column:
+    """Integer twin of `_assign_cells` as a PURE CATALYST expression:
+    argmin of exact int64 squared L2 between a quantized `array<long>`
+    vector and literal fixed-point centroids — no Python anywhere, so
+    streaming fold shapes can assign cells inside a foreachBatch plan
+    (JVM-only contract). Ties take the lowest cell index (`array_position`
+    finds the first minimum), matching `_np_cells_probes_int`'s stable
+    argsort and the oracle's (distance, cell) ROW_NUMBER order."""
+    cent_lit = F.array(
+        *[F.array(*[F.lit(x).cast("long") for x in cv]) for cv in centroids]
+    )
+    l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    ds = F.transform(cent_lit, lambda cv: l2(vec, cv))
+    return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+
+
 def _assign_cells(vec: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid cell index as a pure expression (argmin of squared
     L2 against the literal centroid array) — map-only, no join/shuffle;

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flink_ci_flink_spark.catalog import load_tables
 from flink_ci_flink_spark.pipeline import (
@@ -2004,24 +2005,19 @@ def pipe_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_fp_oracle_sql(
-    nprobe: int = 2,
-    k: int = 3,
-    iterations: int = 3,
-    dim: int = 64,
-    cell_cap: int = _KNN_CELL_CAP,
-    scale: int = 1 << 20,
-) -> str:
-    """EXACT oracle for the FIXED-POINT production kNN self-join: vectors
-    quantized to BIGINT at 2^20 (power-of-two scaling of a float32 is an
-    exact double; ROUND ties away-from-zero on both engines), corpus-derived
-    cell count (`GREATEST(8, FLOOR(SQRT(n)))` — a LIMIT subquery, so the
-    oracle is correct at any SF), then `iterations` Lloyd rounds entirely in
-    integer arithmetic: argmin over exact int64 L2 (tie -> lowest cell) and
+def _kmeans_fp_parts(
+    iterations: int = 3, dim: int = 64, scale: int = 1 << 20
+):
+    """Shared CTE builder unrolling FIXED-POINT Lloyd k-means
+    (`similarity.ivf_centroids_fp`) into SQL: vectors quantized to BIGINT
+    at `scale` (power-of-two scaling of a float32 is an exact double;
+    ROUND ties away-from-zero on both engines), corpus-derived cell count
+    (`GREATEST(8, FLOOR(SQRT(n)))` — a LIMIT subquery, so the SQL is
+    correct at any SF), then `iterations` Lloyd rounds entirely in integer
+    arithmetic: argmin over exact int64 L2 (tie -> lowest cell) and
     centroid update `FLOOR((2*SUM + COUNT) / (2*COUNT))` — exact-operand
-    double division, replaying `ivf_centroids_fp` bit-for-bit WITHOUT any
-    sorted-order summation (integer sums are order-free). Probe selection,
-    per-cell candidate cap, integer-dot cosine, and ranking all unrolled."""
+    double division, bit-for-bit WITHOUT any sorted-order summation
+    (integer sums are order-free). Returns (parts, assign, final, l2i)."""
     l2i = (
         "list_sum(list_transform(generate_series(1, {d}), "
         "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
@@ -2059,7 +2055,21 @@ def _knn_fp_oracle_sql(
             f"LEFT JOIN (SELECT cell, list(mx ORDER BY pos) AS cv FROM m{it} "
             f"GROUP BY cell) g ON g.cell = p.cell)"
         )
-    final = f"c{iterations}"
+    return parts, assign, f"c{iterations}", l2i
+
+
+def _knn_fp_oracle_sql(
+    nprobe: int = 2,
+    k: int = 3,
+    iterations: int = 3,
+    dim: int = 64,
+    cell_cap: int = _KNN_CELL_CAP,
+    scale: int = 1 << 20,
+) -> str:
+    """EXACT oracle for the FIXED-POINT production kNN self-join: fp
+    k-means training unrolled via `_kmeans_fp_parts`, then probe selection,
+    per-cell candidate cap, integer-dot cosine, and ranking."""
+    parts, assign, final, l2i = _kmeans_fp_parts(iterations, dim, scale)
     parts.append(assign("e", final, "afin", extra=", dd"))
     parts.append(
         f"capped AS (SELECT vec_id, qv, cell FROM ("
@@ -2112,6 +2122,210 @@ def pipe_knn_join_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return knn_join(t.embeddings, cell_cap=_KNN_CELL_CAP, fixed_point=True)
+
+
+def _cluster_sample_oracle_sql(per_cell: int = 20) -> str:
+    from flink_ci_flink_spark.pipeline.sampling import hash60_sql
+
+    parts, assign, final, _ = _kmeans_fp_parts()
+    parts.append(assign("e", final, "afin"))
+    h = hash60_sql("vec_id")
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT vec_id, cell, samp_rank FROM (
+      SELECT vec_id, cell, ROW_NUMBER() OVER (
+        PARTITION BY cell ORDER BY {h}, vec_id) AS samp_rank
+      FROM afin) WHERE samp_rank <= {per_cell}
+    """
+    )
+
+
+@query(
+    "pipe_cluster_balanced_sample",
+    oracle=_cluster_sample_oracle_sql(),
+    group="pipeline",
+)
+def pipe_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subsampling: fixed-point k-means over the embedding
+    corpus (sqrt(n)-derived cells, production partial-agg training), then
+    keep 20 vectors per cluster by portable md5-hash order — the
+    diversity-preserving downsample (uniform sampling keeps head-topic
+    proportions; per-cluster caps keep the tail). Training, assignment,
+    hash order, and the per-cell cut are ALL hash-checked against the
+    unrolled oracle (`pipeline/similarity.py::cluster_balanced_sample`)."""
+    from flink_ci_flink_spark.pipeline.similarity import cluster_balanced_sample
+
+    t = load_tables(spark, sf_dir)
+    return cluster_balanced_sample(t.embeddings, per_cell=20)
+
+
+def _outlier_oracle_sql(permille: int = 100) -> str:
+    parts, assign, final, _ = _kmeans_fp_parts()
+    parts.append(assign("e", final, "afin", extra=", dd"))
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT vec_id, cell, dist2, out_rank FROM (
+      SELECT vec_id, cell, CAST(dd AS BIGINT) AS dist2,
+             ROW_NUMBER() OVER (PARTITION BY cell ORDER BY dd DESC, vec_id)
+               AS out_rank,
+             COUNT(*) OVER (PARTITION BY cell) AS cnt
+      FROM afin) WHERE out_rank * 1000 <= cnt * {permille}
+    """
+    )
+
+
+@query("pipe_embedding_outliers", oracle=_outlier_oracle_sql(), group="pipeline")
+def pipe_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier screen: per cluster, flag the ~10% of
+    vectors FARTHEST from their own fixed-point centroid — the
+    embedding-geometry noise screen that text-level quality filters miss.
+    Distances are exact int64, and the per-cell quantile cut is
+    all-integer (`rank * 1000 <= count * permille`), so the flagged set is
+    bit-reproducible across engines and partitionings
+    (`pipeline/similarity.py::embedding_outlier_screen`)."""
+    from flink_ci_flink_spark.pipeline.similarity import embedding_outlier_screen
+
+    t = load_tables(spark, sf_dir)
+    return embedding_outlier_screen(t.embeddings, permille=100)
+
+
+def _centroid_refresh_oracle_sql(dim: int = 64) -> str:
+    parts, assign, final, _ = _kmeans_fp_parts()
+    parts.append(assign("e", final, "afin"))
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT CAST(cell AS INTEGER) AS cell, CAST(j - 1 AS INTEGER) AS pos,
+           CAST(FLOOR((2.0 * CAST(SUM(x) AS DOUBLE) + COUNT(*))
+                / (2.0 * COUNT(*))) AS BIGINT) AS mx,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT cell, j, qv[j] AS x FROM afin,
+          generate_series(1, {dim}) AS t(j))
+    GROUP BY cell, j
+    """
+    )
+
+
+@query(
+    "streaming_centroid_refresh_replay",
+    oracle=_centroid_refresh_oracle_sql(),
+    group="streaming",
+)
+def streaming_centroid_refresh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN-index centroid refresh over the 3-micro-batch replay
+    (FIFTEENTH `jvm_keyed_fold` shape): a pre-trained fixed-point coarse
+    quantizer assigns each arriving embedding inside a pure-Catalyst
+    foreachBatch plan, and per-(cell, pos) integer (SUM, COUNT) state
+    accumulates across batches — exact integer algebra makes the fold
+    batching-insensitive, so the streamed refresh is BIT-EQUAL to the
+    one-shot batch means the oracle computes (training replayed via
+    `_kmeans_fp_parts`, then one assignment + the floor-mean update).
+    State ≤ n_cells x dim rows forever
+    (`streaming/process.py::streaming_centroid_refresh_jvm`)."""
+    import tempfile
+    import uuid
+
+    from flink_ci_flink_spark.pipeline.similarity import ivf_centroids_fp
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.process import (
+        streaming_centroid_refresh_jvm,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    centroids, _ = ivf_centroids_fp(emb)
+    tmp = stage_ordered_replay(emb, ["vec_id"])
+    return streaming_centroid_refresh_jvm(
+        file_stream(spark, tmp, emb.schema, max_files_per_trigger=1),
+        centroids,
+        tempfile.mkdtemp(prefix="centroid_refresh_"),
+        query_name=f"centroid_refresh_{uuid.uuid4().hex[:8]}",
+    )
+
+
+def _ann_recall_oracle_sql(k: int = 3) -> str:
+    """Composes the full fixed-point kNN oracle (nested WITH — DuckDB
+    scopes CTEs inside a derived CTE) against an exact integer-cosine
+    brute-force graph, then scores per-query recall."""
+    knn = _knn_fp_oracle_sql(k=k)
+    cos = (
+        "ROUND(list_dot_product(a.qv, b.qv) / "
+        "(SQRT(list_dot_product(a.qv, a.qv)) * "
+        "SQRT(list_dot_product(b.qv, b.qv))), 6)"
+    )
+    return f"""
+    WITH approx AS ({knn}),
+    e AS (SELECT vec_id, list_transform(embedding,
+          x -> CAST(ROUND(x::DOUBLE * {1 << 20}) AS BIGINT)) AS qv
+          FROM embeddings),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {cos} DESC, b.vec_id) AS rk
+        FROM e a JOIN e b ON b.vec_id <> a.vec_id) WHERE rk <= {k})
+    SELECT ap.query_id,
+           CAST(SUM(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           ROUND(SUM(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / {k}, 6) AS recall
+    FROM approx ap
+    LEFT JOIN exact ex ON ex.query_id = ap.query_id
+                      AND ex.neighbor_id = ap.neighbor_id
+    GROUP BY ap.query_id
+    """
+
+
+@query("pipe_ann_recall", oracle=_ann_recall_oracle_sql(), group="pipeline")
+def pipe_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measured IN-ENGINE, eval-as-a-query: per-query recall@3
+    of the production fixed-point kNN join against the exact brute-force
+    integer-cosine graph, in ONE plan (the broadcast-size centroid model is
+    shared; the exact side is the n x n self-join you run on a held-out
+    SAMPLE at 100 TB — here the whole test corpus). Both graphs and the
+    recall arithmetic are hash-checked; the aggregate recall this reports
+    is the number the repo's recall assertions in tests quote."""
+    from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
+    from flink_ci_flink_spark.pipeline.similarity import (
+        _np_cosine_pairs_int,
+        knn_join,
+        quantize_fp,
+    )
+
+    t = load_tables(spark, sf_dir)
+    k = 3
+    approx = knn_join(t.embeddings, cell_cap=_KNN_CELL_CAP, fixed_point=True, k=k)
+    c = spread_small_scan(t.embeddings).select(
+        F.col("vec_id"), quantize_fp("embedding").alias("__q")
+    )
+    a = c.select(F.col("vec_id").alias("query_id"), F.col("__q").alias("__qa"))
+    b = c.select(F.col("vec_id").alias("neighbor_id"), F.col("__q").alias("__qb"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__cos"), F.asc("neighbor_id")
+    )
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_np_cosine_pairs_int()(F.col("__qa"), F.col("__qb")), 6).alias(
+                "__cos"
+            ),
+        )
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    )
+    return (
+        approx.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) * 1.0 / k, 6
+            ).alias("recall"),
+        )
+    )
 
 
 @query(

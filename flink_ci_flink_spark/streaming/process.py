@@ -1360,3 +1360,62 @@ def streaming_countmin_jvm(
         )
 
     return jvm_keyed_fold(stream, prepare, fold, state_dir, query_name=query_name)
+
+
+def streaming_centroid_refresh_jvm(
+    stream: DataFrame,
+    centroids: list[list[int]],
+    state_dir: str,
+    vec_col: str = "embedding",
+    query_name: str = "centroid_refresh_jvm",
+) -> DataFrame:
+    """Streaming centroid refresh on `jvm_keyed_fold` — FIFTEENTH fold
+    shape, the production pattern behind periodic ANN-index re-training:
+    a pre-trained fixed-point coarse quantizer (integer centroids from
+    `similarity.ivf_centroids_fp`) assigns arriving vectors map-only
+    (`assign_cells_int_expr` — pure Catalyst, zero Python in the batch
+    plan), and the state is each cell's per-position (SUM, COUNT) over
+    every vector ever seen: integer partial sums are EXACT in any
+    accumulation order, so the fold is batching-insensitive by algebra —
+    the streamed refresh equals the one-shot batch means bit-for-bit, and
+    a SQL oracle replays it. State is ≤ n_cells x dim rows FOREVER.
+    Emits the refreshed fixed-point centroids
+    `(cell, pos, mx = floor((2*sum + count) / (2*count)), cnt)` — the
+    model-update rows a serving layer would swap in.
+    Ref: `StreamExecGroupAggregate`-class bounded-state accumulation;
+    the refresh schedule mirrors offline-quantizer IVF maintenance
+    (`similarity.streaming_ivf_ingest`)."""
+    from flink_ci_flink_spark.pipeline.similarity import (
+        assign_cells_int_expr,
+        quantize_fp,
+    )
+
+    def prepare(batch_df: DataFrame) -> DataFrame:
+        q = batch_df.select(quantize_fp(vec_col).alias("__q"))
+        cell = assign_cells_int_expr(F.col("__q"), centroids)
+        return (
+            q.select(cell.alias("cell"), F.posexplode("__q").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def fold(prev: DataFrame | None, prepared: DataFrame) -> DataFrame:
+        u = prepared if prev is None else prev.unionByName(prepared)
+        return u.groupBy("cell", "pos").agg(
+            F.sum("sx").alias("sx"), F.sum("cnt").cast("bigint").alias("cnt")
+        )
+
+    def emit(state: DataFrame, closed) -> DataFrame:
+        return state.select(
+            "cell",
+            "pos",
+            F.floor(
+                (F.lit(2.0) * F.col("sx").cast("double") + F.col("cnt"))
+                / (F.lit(2.0) * F.col("cnt"))
+            ).cast("long").alias("mx"),
+            "cnt",
+        )
+
+    return jvm_keyed_fold(
+        stream, prepare, fold, state_dir, emit=emit, query_name=query_name
+    )

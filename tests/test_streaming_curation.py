@@ -528,3 +528,60 @@ def test_streaming_mg_fold_matches_python_chain(spark):
         state = _mg_merge(state, Counter(ordered[pos : pos + s]).items(), 16)
         pos += s
     assert got == set(state.items()) and len(got) <= 16
+
+
+def test_centroid_refresh_batching_insensitive(spark, sf_dir):
+    """The fold contract, concretely: integer (SUM, COUNT) state makes the
+    streamed centroid refresh independent of how the stream is chunked —
+    2-batch and 5-batch replays of the same vectors produce identical
+    refreshed centroids, equal to the one-shot batch means."""
+    import tempfile
+    import uuid
+
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline.similarity import (
+        assign_cells_int_expr,
+        ivf_centroids_fp,
+        quantize_fp,
+    )
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.process import (
+        streaming_centroid_refresh_jvm,
+    )
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding").limit(150)
+    centroids, _ = ivf_centroids_fp(emb, iterations=2)
+
+    def run(n_batches):
+        tmp = stage_ordered_replay(emb, ["vec_id"], n_batches=n_batches)
+        out = streaming_centroid_refresh_jvm(
+            file_stream(spark, tmp, emb.schema, max_files_per_trigger=1),
+            centroids,
+            tempfile.mkdtemp(prefix="cr_test_"),
+            query_name=f"cr_test_{uuid.uuid4().hex[:8]}",
+        )
+        return {tuple(r) for r in out.collect()}
+
+    a, b = run(2), run(5)
+    assert a == b and len(a) > 0
+
+    # equals the one-shot batch means over the same assignment
+    q = emb.select(quantize_fp("embedding").alias("__q"))
+    cell = assign_cells_int_expr(F.col("__q"), centroids)
+    batch = (
+        q.select(cell.alias("cell"), F.posexplode("__q").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cell",
+            "pos",
+            F.floor(
+                (F.lit(2.0) * F.col("sx").cast("double") + F.col("cnt"))
+                / (F.lit(2.0) * F.col("cnt"))
+            ).cast("long").alias("mx"),
+            "cnt",
+        )
+    )
+    assert a == {tuple(r) for r in batch.collect()}
