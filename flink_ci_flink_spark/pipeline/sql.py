@@ -282,3 +282,19 @@ def _ptf_bm25(spark, table, k=5, n_queries=8, **kw):
         ).alias("term"),
     )
     return bm25_topk(table, queries, k=k, **kw)
+
+
+@ptf("cluster_sample")
+def _ptf_cluster_sample(spark, table, per_cell=20, n_cells=None, **kw):
+    from flink_ci_flink_spark.pipeline.similarity import cluster_balanced_sample
+
+    return cluster_balanced_sample(table, per_cell=per_cell, n_cells=n_cells, **kw)
+
+
+@ptf("embedding_outliers")
+def _ptf_embedding_outliers(spark, table, permille=100, n_cells=None, **kw):
+    from flink_ci_flink_spark.pipeline.similarity import embedding_outlier_screen
+
+    return embedding_outlier_screen(
+        table, permille=permille, n_cells=n_cells, **kw
+    )

@@ -152,3 +152,31 @@ def test_new_ptfs_equal_python_surface(spark, sf_dir):
         "SELECT query_id, doc_id, rank FROM TABLE(bm25_topk(TABLE documents, k => 5))",
     )
     assert got.count() > 0 and set(got.columns) == {"query_id", "doc_id", "rank"}
+
+
+def test_fp_clustering_ptfs_equal_python_surface(spark, sf_dir):
+    """cluster_sample and embedding_outliers are SQL-reachable and return
+    the direct Python results (deterministic fixed-point training makes
+    the two surfaces exactly comparable)."""
+    from flink_ci_flink_spark.pipeline.similarity import (
+        cluster_balanced_sample,
+        embedding_outlier_screen,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings.limit(150)
+    emb.createOrReplaceTempView("emb150")
+
+    got = pipeline_sql(
+        spark,
+        "SELECT * FROM TABLE(cluster_sample(TABLE emb150, per_cell => 5))",
+    )
+    want = cluster_balanced_sample(emb, per_cell=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    got = pipeline_sql(
+        spark,
+        "SELECT * FROM TABLE(embedding_outliers(TABLE emb150, permille => 200))",
+    )
+    want = embedding_outlier_screen(emb, permille=200)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
