@@ -397,6 +397,7 @@ def main() -> None:
         "pipe_cluster_balanced_sample",
         "pipe_embedding_outliers",
         "pipe_ann_recall",
+        "pipe_pq_trained_ann",
     ]
     new_ops_t: dict[str, float] = {}
     for name in NEW_OPS:

@@ -481,6 +481,198 @@ def embedding_outlier_screen(
     )
 
 
+def _int_l2(a: Column, b: Column) -> Column:
+    """Exact int64 squared L2 between two `array<long>` columns — a pure
+    Catalyst fold whose result is independent of evaluation order (integer
+    arithmetic), the expression twin of the numpy int kernels."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks_fp(
+    corpus: DataFrame,
+    m: int = 8,
+    n_entries: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = FP_SCALE,
+) -> list[list[list[int]]]:
+    """TRAINED product-quantization codebooks (Jegou et al., TPAMI 2011):
+    per-subspace Lloyd k-means over the fixed-point-quantized subvectors —
+    all `m` subspaces train SIMULTANEOUSLY in one DataFrame loop (subspace
+    index exploded as a key, so each iteration is ONE map-only integer
+    argmin assignment + ONE (s, entry, pos) integer partial aggregation —
+    map-side combinable, exact in any order, bit-replayable in SQL).
+    Init: each subspace's `n_entries` lowest-id subvectors. Only
+    m x n_entries x sub integers reach the driver per iteration (the
+    broadcast-sized model collect). Returns integer codebooks
+    [m][n_entries][sub] at `scale` fixed-point."""
+    from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
+
+    c = spread_small_scan(corpus).select(
+        F.col(id_col).alias("__id"), quantize_fp(vec_col, scale).alias("__q")
+    )
+    seed = [
+        list(r[0])
+        for r in c.orderBy("__id").limit(n_entries).select("__q").collect()
+    ]
+    dim = len(seed[0])
+    sub = dim // m
+    books = [
+        [sv[s * sub : (s + 1) * sub] for sv in seed] for s in range(m)
+    ]
+    subrows = c.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("__q", s * sub + 1, sub).alias("qs"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("r"),
+    ).select("__id", F.col("r.s").alias("s"), F.col("r.qs").alias("qs"))
+    for _ in range(iterations):
+        cent_all = F.array(
+            *[
+                F.array(
+                    *[
+                        F.array(*[F.lit(x).cast("long") for x in ev])
+                        for ev in books[s]
+                    ]
+                )
+                for s in range(m)
+            ]
+        )
+        ds = F.transform(
+            F.element_at(cent_all, F.col("s") + 1),
+            lambda e: _int_l2(F.col("qs"), e),
+        )
+        entry = (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+        per_pos = subrows.select(
+            "s", entry.alias("entry"), F.posexplode("qs").alias("pos", "x")
+        )
+        means = (
+            per_pos.groupBy("s", "entry", "pos")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "s",
+                "entry",
+                "pos",
+                F.floor(
+                    (F.lit(2.0) * F.col("sx").cast("double") + F.col("cnt"))
+                    / (F.lit(2.0) * F.col("cnt"))
+                ).cast("long").alias("mx"),
+            )
+        )
+        got: dict[tuple[int, int], dict[int, int]] = {}
+        for r in means.collect():
+            got.setdefault((r.s, r.entry), {})[r.pos] = r.mx
+        books = [
+            [
+                (
+                    [got[(s, e)][p] for p in range(sub)]
+                    if (s, e) in got
+                    else books[s][e]
+                )
+                for e in range(n_entries)
+            ]
+            for s in range(m)
+        ]
+    return books
+
+
+def pq_trained_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_entries: int = 16,
+    iterations: int = 2,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage PQ ANN over TRAINED codebooks (`pq_codebooks_fp`) — the
+    production PQ shape `pq_ann_topk`'s sampled codebook approximates:
+    stage 1 scores each corpus row's codebook-RECONSTRUCTED vector
+    (integer reconstruction from integer codebooks — dots stay exact)
+    against each quantized query and keeps a `shortlist`; stage 2
+    exact-integer-cosine re-ranks the shortlist only. Same I/O story (8
+    codes per corpus row in stage 1, full vectors for shortlist x queries
+    in stage 2), but training + encoding + both scoring stages are ALL
+    bit-replayable in SQL — fixed-point training extends provability to
+    the trained-codebook configuration. Output matches cosine_topk:
+    (query_id, vec_id, cos_sim, rank)."""
+    from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
+
+    books = pq_codebooks_fp(
+        corpus, m, n_entries, iterations, id_col, vec_col
+    )
+    sub = len(books[0][0])
+    c = spread_small_scan(corpus).select(
+        F.col(id_col), quantize_fp(vec_col).alias("__q")
+    )
+    recon_parts = []
+    for s in range(m):
+        ent_lit = F.array(
+            *[
+                F.array(*[F.lit(x).cast("long") for x in ev])
+                for ev in books[s]
+            ]
+        )
+        qs = F.slice("__q", s * sub + 1, sub)
+        ds = F.transform(ent_lit, lambda e: _int_l2(qs, e))
+        code = F.array_position(ds, F.array_min(ds))  # 1-based
+        recon_parts.append(F.element_at(ent_lit, code.cast("int")))
+    codes = c.select(
+        F.col(id_col), F.flatten(F.array(*recon_parts)).alias("__rv")
+    )
+    q = queries.select(
+        F.col(query_id_col), quantize_fp(vec_col).alias("__qq")
+    )
+    w1 = Window.partitionBy(query_id_col).orderBy(
+        F.desc("approx_cos"), F.asc(id_col)
+    )
+    short = (
+        codes.crossJoin(F.broadcast(q))
+        .select(
+            query_id_col,
+            id_col,
+            "__qq",
+            F.round(
+                _np_cosine_pairs_int()(F.col("__qq"), F.col("__rv")), 6
+            ).alias("approx_cos"),
+        )
+        .withColumn("srn", F.row_number().over(w1))
+        .filter(F.col("srn") <= shortlist)
+        .select(query_id_col, id_col, "__qq")
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        short.join(c, id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                _np_cosine_pairs_int()(F.col("__qq"), F.col("__q")), 6
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def assign_cells_int_expr(vec: Column, centroids: list[list[int]]) -> Column:
     """Integer twin of `_assign_cells` as a PURE CATALYST expression:
     argmin of exact int64 squared L2 between a quantized `array<long>`

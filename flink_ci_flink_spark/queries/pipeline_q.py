@@ -682,6 +682,119 @@ def pipe_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ann_topk(t.embeddings, queries, k=5)
 
 
+def _pq_trained_oracle_sql(
+    m: int = 8,
+    n_entries: int = 16,
+    iterations: int = 2,
+    k: int = 5,
+    shortlist: int = 100,
+    dim: int = 64,
+    scale: int = 1 << 20,
+) -> str:
+    """EXACT oracle for trained-codebook PQ ANN: per-subspace fixed-point
+    k-means unrolled with the subspace index as a key (one assignment +
+    one integer-mean CTE pair per iteration covers ALL m subspaces), then
+    encode, codebook reconstruction, shortlist, and exact re-rank —
+    replaying `similarity.pq_codebooks_fp` / `pq_trained_ann_topk`
+    bit-for-bit (integer sums/dots are order-free; the floor-mean update
+    is one exact-operand division)."""
+    sub = dim // m
+    l2i = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    d_assign = l2i.format(d=sub, a="r.qs", b="b.ev")
+    parts = [
+        f"e AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(ROUND(x::DOUBLE * {scale}) AS BIGINT)) AS qv FROM embeddings)",
+        f"sub AS (SELECT vec_id, s, qv[s*{sub}+1:(s+1)*{sub}] AS qs "
+        f"FROM e, generate_series(0, {m - 1}) t(s))",
+        f"b0 AS (SELECT s, rn - 1 AS entry, qs AS ev FROM ("
+        f"SELECT s, qs, ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) AS rn "
+        f"FROM sub) WHERE rn <= {n_entries})",
+    ]
+    for it in range(iterations):
+        parts.append(
+            f"a{it} AS (SELECT vec_id, s, qs, entry FROM ("
+            f"SELECT r.vec_id, r.s, r.qs, b.entry, "
+            f"ROW_NUMBER() OVER (PARTITION BY r.vec_id, r.s "
+            f"ORDER BY {d_assign}, b.entry) AS rn "
+            f"FROM sub r JOIN b{it} b USING (s)) WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{it} AS (SELECT s, entry, j AS pos, "
+            f"CAST(FLOOR((2.0 * CAST(SUM(x) AS DOUBLE) + COUNT(*)) "
+            f"/ (2.0 * COUNT(*))) AS BIGINT) AS mx "
+            f"FROM (SELECT s, entry, j, qs[j] AS x FROM a{it}, "
+            f"generate_series(1, {sub}) t(j)) GROUP BY s, entry, j)"
+        )
+        parts.append(
+            f"b{it + 1} AS (SELECT p.s, p.entry, COALESCE(g.ev, p.ev) AS ev "
+            f"FROM b{it} p LEFT JOIN (SELECT s, entry, list(mx ORDER BY pos) AS ev "
+            f"FROM m{it} GROUP BY s, entry) g "
+            f"ON g.s = p.s AND g.entry = p.entry)"
+        )
+    fb = f"b{iterations}"
+    parts.append(
+        f"af AS (SELECT vec_id, s, entry FROM ("
+        f"SELECT r.vec_id, r.s, b.entry, "
+        f"ROW_NUMBER() OVER (PARTITION BY r.vec_id, r.s "
+        f"ORDER BY {d_assign}, b.entry) AS rn "
+        f"FROM sub r JOIN {fb} b USING (s)) WHERE rn = 1)"
+    )
+    parts.append(
+        f"recon AS (SELECT a.vec_id, flatten(list(b.ev ORDER BY a.s)) AS rv "
+        f"FROM af a JOIN {fb} b ON b.s = a.s AND b.entry = a.entry "
+        f"GROUP BY a.vec_id)"
+    )
+    parts.append("q AS (SELECT vec_id AS query_id, qv AS qq FROM e WHERE vec_id < 8)")
+    parts.append(
+        f"short AS (SELECT query_id, vec_id, qq FROM ("
+        f"SELECT q.query_id, r.vec_id, q.qq, "
+        f"ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY "
+        f"ROUND(list_dot_product(q.qq, r.rv) / "
+        f"(SQRT(list_dot_product(q.qq, q.qq)) * "
+        f"SQRT(list_dot_product(r.rv, r.rv))), 6) DESC, r.vec_id) AS srn "
+        f"FROM q CROSS JOIN recon r) WHERE srn <= {shortlist})"
+    )
+    parts.append(
+        "rr AS (SELECT s.query_id, s.vec_id, "
+        "ROUND(list_dot_product(s.qq, c.qv) / "
+        "(SQRT(list_dot_product(s.qq, s.qq)) * "
+        "SQRT(list_dot_product(c.qv, c.qv))), 6) AS cos_sim "
+        "FROM short s JOIN e c ON c.vec_id = s.vec_id)"
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM rr) WHERE rank <= {k}
+    """
+    )
+
+
+@query("pipe_pq_trained_ann", oracle=_pq_trained_oracle_sql(), group="pipeline")
+def pipe_pq_trained_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with TRAINED codebooks — the real PQ of
+    Jegou et al. (sampled codebooks in `pipe_pq_ann` are its cheap
+    approximation): per-subspace fixed-point Lloyd k-means (all 8
+    subspaces train simultaneously in one exploded-key DataFrame loop —
+    one integer argmin assignment + one (s, entry, pos) partial-agg mean
+    per iteration), integer encode/reconstruct, shortlist scoring over
+    reconstructed vectors, exact re-rank. EVERYTHING is hash-checked:
+    fixed-point integer algebra makes the full training loop, encoding,
+    and both scoring stages SQL-replayable
+    (`pipeline/similarity.py::pq_codebooks_fp`, `pq_trained_ann_topk`)."""
+    from flink_ci_flink_spark.pipeline.similarity import pq_trained_ann_topk
+
+    t = load_tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_trained_ann_topk(t.embeddings, queries, k=5)
+
+
 def _kmeans_parts(n_cells: int, iterations: int, dim: int):
     """Shared CTE builder unrolling deterministic Lloyd k-means into SQL:
     init = `n_cells` lowest-id vectors, then per iteration an argmin-L2

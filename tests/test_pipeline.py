@@ -1905,3 +1905,62 @@ def test_heavy_hitters_exact_on_skewed_stream(spark):
             .collect()
         )
         assert all(r["count"] <= 50 for r in sizes)
+
+
+def test_pq_trained_distortion_and_recall(spark, sf_dir):
+    """What training provably buys: Lloyd iterations from the sampled-entry
+    init (the seed == `pq_codebook`'s 16 lowest-id vectors) monotonically
+    DECREASE total quantization distortion — so trained books must beat
+    the sampled books on the k-means objective. Recall on the tiny 40-edge
+    query sample is noise-bounded, so it only gets a floor. Also pins that
+    books stay integers and training actually moved the entries."""
+    import numpy as np
+
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline.similarity import (
+        cosine_topk,
+        pq_codebooks_fp,
+        pq_trained_ann_topk,
+    )
+
+    t = load_tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(t.embeddings, queries, k=5).collect()
+    }
+    trained = {
+        (r.query_id, r.vec_id)
+        for r in pq_trained_ann_topk(t.embeddings, queries, k=5).collect()
+    }
+    r_trained = len(exact & trained) / len(exact)
+    assert r_trained >= 0.8, f"trained pq recall {r_trained:.2f}"
+
+    seed = pq_codebooks_fp(t.embeddings, iterations=0)
+    books = pq_codebooks_fp(t.embeddings, iterations=2)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(isinstance(x, int) for b in books for ev in b for x in ev)
+    assert books != seed  # Lloyd iterations actually moved the entries
+
+    rows = t.embeddings.select("embedding").collect()
+    emb = np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    x = emb * (1 << 20)
+    qv = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+    sub = qv.shape[1] // 8
+
+    def distortion(bks):
+        total = 0
+        for s in range(8):
+            X = qv[:, s * sub : (s + 1) * sub]
+            C = np.asarray(bks[s], dtype=np.int64)
+            d = (
+                (X * X).sum(1)[:, None]
+                - 2 * (X @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            total += int(d.min(axis=1).sum())
+        return total
+
+    assert distortion(books) < distortion(seed)
