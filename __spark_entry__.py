@@ -41,6 +41,7 @@ _PRIORITY = [
     "pipe_embedding_outliers",
     "pipe_ann_recall",
     "pipe_pq_trained_ann",
+    "pipe_ivfpq_ann",
     "streaming_centroid_refresh_replay",
     "streaming_interval_join_replay",
     "streaming_semi_join_replay",
@@ -86,7 +87,6 @@ _PRIORITY = [
     "pipe_containment_pairs",
     "graph_dedup_clusters_minhash",
     "pipe_e2e_curation",
-    "cep_mr_all_rows",
     # -- (3) re-validation: oldest-proven first (r2 then r3) --
 ]
 

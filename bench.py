@@ -398,6 +398,7 @@ def main() -> None:
         "pipe_embedding_outliers",
         "pipe_ann_recall",
         "pipe_pq_trained_ann",
+        "pipe_ivfpq_ann",
     ]
     new_ops_t: dict[str, float] = {}
     for name in NEW_OPS:

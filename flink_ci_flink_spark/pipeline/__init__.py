@@ -18,7 +18,10 @@ from flink_ci_flink_spark.pipeline.similarity import (  # noqa: F401
     ivf_ann_topk,
     ivf_centroids,
     ivf_centroids_fp,
+    ivfpq_ann_topk,
     knn_join,
+    pq_codebooks_fp,
+    pq_trained_ann_topk,
     lsh_ann_topk,
     random_projection,
 )

@@ -500,6 +500,7 @@ def pq_codebooks_fp(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = FP_SCALE,
+    quantized: bool = False,
 ) -> list[list[list[int]]]:
     """TRAINED product-quantization codebooks (Jegou et al., TPAMI 2011):
     per-subspace Lloyd k-means over the fixed-point-quantized subvectors —
@@ -509,12 +510,16 @@ def pq_codebooks_fp(
     map-side combinable, exact in any order, bit-replayable in SQL).
     Init: each subspace's `n_entries` lowest-id subvectors. Only
     m x n_entries x sub integers reach the driver per iteration (the
-    broadcast-sized model collect). Returns integer codebooks
-    [m][n_entries][sub] at `scale` fixed-point."""
+    broadcast-sized model collect). ``quantized=True`` treats `vec_col`
+    as an already-fixed-point `array<long>` (e.g. IVF residuals). Returns
+    integer codebooks [m][n_entries][sub] at `scale` fixed-point."""
     from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
 
+    vexpr = (
+        F.col(vec_col) if quantized else quantize_fp(vec_col, scale)
+    )
     c = spread_small_scan(corpus).select(
-        F.col(id_col).alias("__id"), quantize_fp(vec_col, scale).alias("__q")
+        F.col(id_col).alias("__id"), vexpr.alias("__q")
     )
     seed = [
         list(r[0])
@@ -589,6 +594,143 @@ def pq_codebooks_fp(
     return books
 
 
+def _pq_recon_expr(books: list[list[list[int]]], qcol) -> Column:
+    """Codebook reconstruction as a pure expression: per subspace, argmin
+    int64 L2 encode (ties -> lowest entry) then entry lookup, flattened
+    back to a full integer vector. Encode + reconstruct in one projection
+    — no join, the codebooks ride as literals."""
+    q = F.col(qcol) if isinstance(qcol, str) else qcol
+    m = len(books)
+    sub = len(books[0][0])
+    parts = []
+    for s in range(m):
+        ent_lit = F.array(
+            *[
+                F.array(*[F.lit(x).cast("long") for x in ev])
+                for ev in books[s]
+            ]
+        )
+        qs = F.slice(q, s * sub + 1, sub)
+        ds = F.transform(ent_lit, lambda e: _int_l2(qs, e))
+        code = F.array_position(ds, F.array_min(ds))  # 1-based
+        parts.append(F.element_at(ent_lit, code.cast("int")))
+    return F.flatten(F.array(*parts))
+
+
+def _np_l2_pairs_int():
+    """Exact int64 squared-L2 over two `array<long>` columns, Arrow-batched
+    — the ADC scoring kernel for the integer ANN paths."""
+
+    @F.pandas_udf("bigint")
+    def l2_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        A = np.vstack(a.to_numpy()).astype(np.int64)
+        B = np.vstack(b.to_numpy()).astype(np.int64)
+        d = A - B
+        return pd.Series((d * d).sum(axis=1))
+
+    return l2_pairs
+
+
+def ivfpq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 8,
+    n_entries: int = 16,
+    coarse_iterations: int = 3,
+    pq_iterations: int = 2,
+    shortlist: int = 50,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ — the production large-corpus ANN index (FAISS `IVFPQ`,
+    Jegou et al.): a fixed-point coarse quantizer partitions the corpus
+    into ~sqrt(n) cells; each vector stores only its cell id + m residual
+    PQ codes (the residual x - centroid carries the fine geometry the
+    coarse cell strips); a query probes its `nprobe` nearest cells and
+    ADC-scores ONLY those cells' codes against its per-cell residual,
+    then the shortlist is exact-re-ranked. Scale shape: scan cost per
+    query = nprobe/n_cells of the codes (8 bytes/vector), the cell key is
+    the partition key (partition pruning = the inverted file), and every
+    training/encode/score step is INTEGER arithmetic — exact in any
+    order, so coarse training, residual PQ training, encoding, ADC, and
+    re-rank are all bit-replayable in a SQL oracle. L2 metric (the
+    classical IVF-PQ formulation). Output (query_id, vec_id, d2, rank),
+    d2 = exact int64 squared L2 at 2^20 fixed point."""
+    from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
+
+    centroids, n_cells = ivf_centroids_fp(
+        corpus, n_cells, coarse_iterations, id_col, vec_col
+    )
+    cent_all = F.array(
+        *[F.array(*[F.lit(x).cast("long") for x in cv]) for cv in centroids]
+    )
+    c = spread_small_scan(corpus).select(
+        F.col(id_col), quantize_fp(vec_col).alias("__q")
+    )
+    cp = _np_cells_probes_int(centroids, nprobe)
+    base = c.select(
+        F.col(id_col), "__q", cp("__q").getField("cell").alias("cell")
+    )
+    resid = base.withColumn(
+        "__rv",
+        F.zip_with(
+            "__q",
+            F.element_at(cent_all, F.col("cell") + 1),
+            lambda x, y: x - y,
+        ),
+    )
+    books = pq_codebooks_fp(
+        resid, m, n_entries, pq_iterations, id_col, "__rv", quantized=True
+    )
+    corp = resid.select(
+        F.col(id_col), "cell", _pq_recon_expr(books, "__rv").alias("__rr")
+    )
+    q = queries.select(
+        F.col(query_id_col), quantize_fp(vec_col).alias("__qq")
+    )
+    qp = q.select(
+        query_id_col, "__qq", F.explode(cp("__qq").getField("probes")).alias("cell")
+    )
+    qr = qp.withColumn(
+        "__qres",
+        F.zip_with(
+            "__qq",
+            F.element_at(cent_all, F.col("cell") + 1),
+            lambda x, y: x - y,
+        ),
+    )
+    w1 = Window.partitionBy(query_id_col).orderBy(F.asc("d2"), F.asc(id_col))
+    short = (
+        qr.join(corp, "cell")
+        .select(
+            query_id_col,
+            id_col,
+            "__qq",
+            _np_l2_pairs_int()(F.col("__qres"), F.col("__rr")).alias("d2"),
+        )
+        .withColumn("srn", F.row_number().over(w1))
+        .filter(F.col("srn") <= shortlist)
+        .select(query_id_col, id_col, "__qq")
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.asc("d2"), F.asc(id_col))
+    return (
+        short.join(c, id_col)
+        .select(
+            query_id_col,
+            id_col,
+            _np_l2_pairs_int()(F.col("__qq"), F.col("__q")).alias("d2"),
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def pq_trained_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -617,24 +759,11 @@ def pq_trained_ann_topk(
     books = pq_codebooks_fp(
         corpus, m, n_entries, iterations, id_col, vec_col
     )
-    sub = len(books[0][0])
     c = spread_small_scan(corpus).select(
         F.col(id_col), quantize_fp(vec_col).alias("__q")
     )
-    recon_parts = []
-    for s in range(m):
-        ent_lit = F.array(
-            *[
-                F.array(*[F.lit(x).cast("long") for x in ev])
-                for ev in books[s]
-            ]
-        )
-        qs = F.slice("__q", s * sub + 1, sub)
-        ds = F.transform(ent_lit, lambda e: _int_l2(qs, e))
-        code = F.array_position(ds, F.array_min(ds))  # 1-based
-        recon_parts.append(F.element_at(ent_lit, code.cast("int")))
     codes = c.select(
-        F.col(id_col), F.flatten(F.array(*recon_parts)).alias("__rv")
+        F.col(id_col), _pq_recon_expr(books, "__q").alias("__rv")
     )
     q = queries.select(
         F.col(query_id_col), quantize_fp(vec_col).alias("__qq")

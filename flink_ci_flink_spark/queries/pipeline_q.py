@@ -774,6 +774,173 @@ def _pq_trained_oracle_sql(
     )
 
 
+def _ivfpq_oracle_sql(
+    nprobe: int = 2,
+    m: int = 8,
+    n_entries: int = 16,
+    coarse_iterations: int = 3,
+    pq_iterations: int = 2,
+    k: int = 5,
+    shortlist: int = 50,
+    dim: int = 64,
+    scale: int = 1 << 20,
+) -> str:
+    """EXACT oracle for IVF-PQ: fixed-point coarse k-means
+    (`_kmeans_fp_parts` pattern with the corpus-derived cell count), one
+    assignment, integer residuals, per-subspace residual-PQ training
+    (subspace index as key), encode/reconstruct, probe selection, ADC
+    scoring over probed cells only, and the exact re-rank — the entire
+    index pipeline in integer arithmetic, hash-checked end to end."""
+    sub = dim // m
+    l2i = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+    def kassign(src: str, cents: str, out: str) -> str:
+        dd = l2i.format(d=dim, a="s.qv", b="ct.cv")
+        return (
+            f"{out} AS (SELECT vec_id, qv, cell FROM ("
+            f"SELECT s.vec_id, s.qv, ct.cell, "
+            f"ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {dd}, ct.cell) AS rn "
+            f"FROM {src} s CROSS JOIN {cents} ct) WHERE rn = 1)"
+        )
+
+    parts = [
+        f"e AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(ROUND(x::DOUBLE * {scale}) AS BIGINT)) AS qv FROM embeddings)",
+        "nc AS (SELECT GREATEST(8, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k "
+        "FROM e)",
+        "c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv "
+        "FROM (SELECT vec_id, qv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e) "
+        "WHERE rn <= (SELECT k FROM nc))",
+    ]
+    for it in range(coarse_iterations):
+        parts.append(kassign("e", f"c{it}", f"a{it}"))
+        parts.append(
+            f"m{it} AS (SELECT cell, i AS pos, "
+            f"CAST(FLOOR((2.0 * CAST(SUM(x) AS DOUBLE) + COUNT(*)) "
+            f"/ (2.0 * COUNT(*))) AS BIGINT) AS mx "
+            f"FROM (SELECT cell, j AS i, qv[j] AS x FROM a{it}, "
+            f"generate_series(1, {dim}) t(j)) GROUP BY cell, i)"
+        )
+        parts.append(
+            f"c{it + 1} AS (SELECT p.cell, COALESCE(g.cv, p.cv) AS cv FROM c{it} p "
+            f"LEFT JOIN (SELECT cell, list(mx ORDER BY pos) AS cv FROM m{it} "
+            f"GROUP BY cell) g ON g.cell = p.cell)"
+        )
+    fc = f"c{coarse_iterations}"
+    parts.append(kassign("e", fc, "afin"))
+    parts.append(
+        f"resid AS (SELECT a.vec_id, a.cell, "
+        f"list_transform(generate_series(1, {dim}), i -> a.qv[i] - ct.cv[i]) AS rv "
+        f"FROM afin a JOIN {fc} ct USING (cell))"
+    )
+    parts.append(
+        f"rsub AS (SELECT vec_id, cell, s, rv[s*{sub}+1:(s+1)*{sub}] AS qs "
+        f"FROM resid, generate_series(0, {m - 1}) t(s))"
+    )
+    parts.append(
+        f"pb0 AS (SELECT s, rn - 1 AS entry, qs AS ev FROM ("
+        f"SELECT s, qs, ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) AS rn "
+        f"FROM rsub) WHERE rn <= {n_entries})"
+    )
+    dpa = l2i.format(d=sub, a="r.qs", b="b.ev")
+    for it in range(pq_iterations):
+        parts.append(
+            f"pa{it} AS (SELECT vec_id, s, qs, entry FROM ("
+            f"SELECT r.vec_id, r.s, r.qs, b.entry, "
+            f"ROW_NUMBER() OVER (PARTITION BY r.vec_id, r.s "
+            f"ORDER BY {dpa}, b.entry) AS rn "
+            f"FROM rsub r JOIN pb{it} b USING (s)) WHERE rn = 1)"
+        )
+        parts.append(
+            f"pm{it} AS (SELECT s, entry, j AS pos, "
+            f"CAST(FLOOR((2.0 * CAST(SUM(x) AS DOUBLE) + COUNT(*)) "
+            f"/ (2.0 * COUNT(*))) AS BIGINT) AS mx "
+            f"FROM (SELECT s, entry, j, qs[j] AS x FROM pa{it}, "
+            f"generate_series(1, {sub}) t(j)) GROUP BY s, entry, j)"
+        )
+        parts.append(
+            f"pb{it + 1} AS (SELECT p.s, p.entry, COALESCE(g.ev, p.ev) AS ev "
+            f"FROM pb{it} p LEFT JOIN (SELECT s, entry, "
+            f"list(mx ORDER BY pos) AS ev FROM pm{it} GROUP BY s, entry) g "
+            f"ON g.s = p.s AND g.entry = p.entry)"
+        )
+    fpb = f"pb{pq_iterations}"
+    parts.append(
+        f"paf AS (SELECT vec_id, s, entry FROM ("
+        f"SELECT r.vec_id, r.s, b.entry, "
+        f"ROW_NUMBER() OVER (PARTITION BY r.vec_id, r.s "
+        f"ORDER BY {dpa}, b.entry) AS rn "
+        f"FROM rsub r JOIN {fpb} b USING (s)) WHERE rn = 1)"
+    )
+    parts.append(
+        f"rrec AS (SELECT a.vec_id, flatten(list(b.ev ORDER BY a.s)) AS rv "
+        f"FROM paf a JOIN {fpb} b ON b.s = a.s AND b.entry = a.entry "
+        f"GROUP BY a.vec_id)"
+    )
+    dq = l2i.format(d=dim, a="s.qv", b="ct.cv")
+    parts.append("q AS (SELECT vec_id, qv FROM e WHERE vec_id < 8)")
+    parts.append(
+        f"qprobe AS (SELECT vec_id AS query_id, qv, cell, cv FROM ("
+        f"SELECT s.vec_id, s.qv, ct.cell, ct.cv, "
+        f"ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {dq}, ct.cell) AS rn "
+        f"FROM q s CROSS JOIN {fc} ct) WHERE rn <= {nprobe})"
+    )
+    parts.append(
+        f"qres AS (SELECT query_id, qv, cell, "
+        f"list_transform(generate_series(1, {dim}), i -> qv[i] - cv[i]) AS qrv "
+        f"FROM qprobe)"
+    )
+    adc = l2i.format(d=dim, a="p.qrv", b="r.rv")
+    parts.append(
+        f"cands AS (SELECT query_id, qv, vec_id FROM ("
+        f"SELECT p.query_id, p.qv, a.vec_id, "
+        f"ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY {adc}, a.vec_id) "
+        f"AS srn FROM qres p JOIN afin a USING (cell) "
+        f"JOIN rrec r ON r.vec_id = a.vec_id) WHERE srn <= {shortlist})"
+    )
+    ed = l2i.format(d=dim, a="s.qv", b="c.qv")
+    parts.append(
+        f"rer AS (SELECT s.query_id, s.vec_id, CAST({ed} AS BIGINT) AS d2 "
+        f"FROM cands s JOIN e c ON c.vec_id = s.vec_id)"
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT query_id, vec_id, d2, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY d2, vec_id) AS rank
+      FROM rer) WHERE rank <= {k}
+    """
+    )
+
+
+@query(
+    "pipe_ivfpq_ann",
+    oracle=_ivfpq_oracle_sql(coarse_iterations=2),
+    group="pipeline",
+)
+def pipe_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, the production large-corpus ANN index (FAISS IVFPQ): coarse
+    fixed-point cells (sqrt(n)-derived), per-cell integer residuals, a
+    residual PQ codebook trained per subspace, ADC scoring over the
+    nprobe probed cells only, exact re-rank of the shortlist. Per-query
+    scan cost = nprobe/n_cells of 8-byte codes; cell id is the partition
+    key (partition pruning = the on-disk inverted file). EVERY stage —
+    coarse training, residuals, residual-PQ training, encoding, ADC,
+    re-rank — is integer arithmetic, exact in any accumulation order, so
+    the whole index pipeline is hash-checked against the unrolled oracle
+    (`pipeline/similarity.py::ivfpq_ann_topk`)."""
+    from flink_ci_flink_spark.pipeline.similarity import ivfpq_ann_topk
+
+    t = load_tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_ann_topk(t.embeddings, queries, k=5, coarse_iterations=2)
+
+
 @query("pipe_pq_trained_ann", oracle=_pq_trained_oracle_sql(), group="pipeline")
 def pipe_pq_trained_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with TRAINED codebooks — the real PQ of

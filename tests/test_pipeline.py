@@ -1964,3 +1964,47 @@ def test_pq_trained_distortion_and_recall(spark, sf_dir):
         return total
 
     assert distortion(books) < distortion(seed)
+
+
+def test_ivfpq_full_probe_equals_exact(spark, sf_dir):
+    """Semantic pin for IVF-PQ: probing ALL cells with a shortlist covering
+    the whole corpus makes the ADC stage a pure candidate generator — the
+    exact re-rank must then return the true integer-L2 top-k. Also checks
+    the partial-probe path returns well-formed ranks and decent recall."""
+    import numpy as np
+
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline.similarity import ivfpq_ann_topk
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings.limit(150)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # exact integer-L2 top-5 via numpy on the quantized vectors
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    E = np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    o = np.argsort(ids)
+    ids, E = ids[o], E[o]
+    x = E * (1 << 20)
+    qv = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+    exact = set()
+    for qi in np.where(ids < 8)[0]:
+        d = ((qv - qv[qi]) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))[:5]
+        exact |= {(int(ids[qi]), int(ids[j])) for j in order}
+
+    full = ivfpq_ann_topk(
+        emb, queries, k=5, nprobe=12, shortlist=150, n_cells=12
+    )
+    got = {(r.query_id, r.vec_id) for r in full.collect()}
+    assert got == exact
+
+    part = ivfpq_ann_topk(emb, queries, k=5, nprobe=2, n_cells=12).collect()
+    per_q = {}
+    for r in part:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    approx = {(r.query_id, r.vec_id) for r in part}
+    assert len(exact & approx) / len(exact) >= 0.5
