@@ -42,6 +42,7 @@ _PRIORITY = [
     "pipe_ann_recall",
     "pipe_pq_trained_ann",
     "pipe_ivfpq_ann",
+    "pipe_temperature_mix",
     "streaming_centroid_refresh_replay",
     "streaming_interval_join_replay",
     "streaming_semi_join_replay",
@@ -86,7 +87,6 @@ _PRIORITY = [
     "pipe_contamination_overlap",
     "pipe_containment_pairs",
     "graph_dedup_clusters_minhash",
-    "pipe_e2e_curation",
     # -- (3) re-validation: oldest-proven first (r2 then r3) --
 ]
 

@@ -399,6 +399,7 @@ def main() -> None:
         "pipe_ann_recall",
         "pipe_pq_trained_ann",
         "pipe_ivfpq_ann",
+        "pipe_temperature_mix",
     ]
     new_ops_t: dict[str, float] = {}
     for name in NEW_OPS:

@@ -140,3 +140,53 @@ def token_budget_mix(
         docs.join(F.broadcast(rates), source_col)
         .where(u < F.col("mix_rate"))
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    token_budget: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    seed: str = "s0",
+) -> DataFrame:
+    """Temperature-based dataset mixing at alpha = 0.5: source weights
+    derive from the CORPUS itself as ``w_s = sqrt(tokens_s) / sum_t
+    sqrt(tokens_t)`` — the standard multilingual/multi-domain temperature
+    resampling that upweights tail sources relative to their natural share
+    (alpha=1 is proportional, alpha->0 uniform; sqrt is the common middle).
+    Rates then follow `token_budget_mix`'s mechanics: rate_s = min(1,
+    budget * w_s / tokens_s), rows kept by the deterministic 60-bit hash.
+
+    alpha is FIXED at 0.5 because SQRT is an IEEE correctly-rounded
+    operation on both engines (bit-reproducible in a SQL oracle), while
+    general ``pow(x, alpha)`` is only ~1-ulp accurate and may differ
+    between libm implementations. The denominator sums the per-source
+    sqrt terms in SORTED order (FP addition is order-sensitive; sources
+    are few, the aggregate is tiny). Plan: one tiny aggregate broadcast
+    back, then a map-only hash filter — the corpus pass never shuffles."""
+    totals = docs.groupBy(source_col).agg(
+        F.sum(token_col).cast("long").alias("__tot")
+    )
+    den = totals.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.sqrt(F.col("__tot").cast("double")))
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("__den")
+    )
+    rates = totals.crossJoin(F.broadcast(den)).select(
+        F.col(source_col),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(token_budget))
+            * (F.sqrt(F.col("__tot").cast("double")) / F.col("__den"))
+            / F.col("__tot").cast("double"),
+        ).alias("mix_rate"),
+    )
+    u = sample_hash60(F.col(key_col), seed).cast("double") / F.lit(
+        float(HASH_DOMAIN)
+    )
+    return docs.join(F.broadcast(rates), source_col).where(u < F.col("mix_rate"))

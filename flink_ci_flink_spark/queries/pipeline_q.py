@@ -1521,6 +1521,54 @@ def pipe_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_temperature_mix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), tot AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tot FROM toks GROUP BY 1
+    ), den AS (
+      SELECT list_sum(list_sort(list(SQRT(CAST(tot AS DOUBLE))))) AS d FROM tot
+    ), rates AS (
+      SELECT source,
+             LEAST(1.0, 6000.0 * (SQRT(CAST(tot AS DOUBLE)) / (SELECT d FROM den))
+                        / CAST(tot AS DOUBLE)) AS mix_rate
+      FROM tot
+    )
+    SELECT t.doc_id, t.source, t.n_tokens,
+           FLOOR(r.mix_rate * 1000000 + 0.5) / 1000000 AS mix_rate
+    FROM toks t JOIN rates r USING (source)
+    WHERE CAST({_h60('t.doc_id')} AS DOUBLE) / 1152921504606846976.0 < r.mix_rate
+    """,
+    group="pipeline",
+)
+def pipe_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing at alpha=0.5 toward a 6000-token budget: source
+    weights derived from the corpus itself (w_s = sqrt(tokens_s) /
+    sum sqrt(tokens_t) — the multilingual tail-upweighting standard),
+    then the same broadcast-rates + map-only hash filter as
+    `pipe_mix_token_budget`. sqrt is IEEE correctly-rounded on both
+    engines and the denominator sums in sorted order, so the
+    data-derived weights are hash-checked, not just the filter
+    (`pipeline/sampling.py::temperature_mix`)."""
+    from flink_ci_flink_spark.pipeline.sampling import temperature_mix
+    from flink_ci_flink_spark.pipeline.text import token_count
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", "source", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    mixed = temperature_mix(docs, token_budget=6000)
+    return mixed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.floor(F.col("mix_rate") * 1000000 + 0.5) / 1000000).alias("mix_rate"),
+    )
+
+
+@query(
     "pipe_ivf_partial_probe",
     oracle="""
     WITH cents AS (
