@@ -44,6 +44,7 @@ _PRIORITY = [
     "pipe_ivfpq_ann",
     "pipe_temperature_mix",
     "streaming_centroid_refresh_replay",
+    "streaming_quantile_histogram_replay",
     "streaming_interval_join_replay",
     "streaming_semi_join_replay",
     "streaming_broadcast_rules_replay",
@@ -86,7 +87,6 @@ _PRIORITY = [
     "pipe_simhash",
     "pipe_contamination_overlap",
     "pipe_containment_pairs",
-    "graph_dedup_clusters_minhash",
     # -- (3) re-validation: oldest-proven first (r2 then r3) --
 ]
 

@@ -274,6 +274,126 @@ def streaming_hll_distinct_replay(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "streaming_quantile_histogram_replay",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             LEAST(255, GREATEST(CAST(0 AS BIGINT),
+               CAST(FLOOR((value - 0.0) / 2.0) AS BIGINT))) AS bin
+      FROM events
+    ), hist AS (
+      SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM b GROUP BY 1, 2
+    ), n AS (
+      SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY 1
+    ), qs AS (
+      SELECT UNNEST([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS q
+    ), tgt AS (
+      SELECT event_type, n, q, CAST(CEIL(q * n) AS BIGINT) AS t
+      FROM n CROSS JOIN qs
+    ), cum AS (
+      SELECT event_type, bin,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+      FROM hist
+    ), est AS (
+      SELECT t.event_type, t.q, t.n,
+             CAST(MIN(c.bin) AS DOUBLE) * 2.0::DOUBLE AS est_value
+      FROM tgt t JOIN cum c
+        ON c.event_type = t.event_type AND c.cum >= t.t
+      GROUP BY 1, 2, 3
+    ), rnk AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn
+      FROM events
+    )
+    SELECT e.event_type, e.q, e.n, e.est_value, r.value AS exact_value
+    FROM est e
+    JOIN tgt t ON t.event_type = e.event_type AND t.q = e.q
+    JOIN rnk r ON r.event_type = e.event_type AND r.rn = t.t
+    """,
+    group="streaming",
+)
+def streaming_quantile_histogram_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming per-type value QUANTILES with bounded state, over the
+    3-micro-batch replay — the sketch quartet's missing quarter (count-min
+    = frequency, HLL = distinct, Misra-Gries = top items, THIS =
+    distribution): a 256-bin equi-width histogram merged per-bin by SUM
+    (exact integer algebra -> batching-insensitive; state ≤ 5 types x 256
+    bins forever). p50/p95/p99 read off the cumulative counts (estimate
+    error ≤ bin width 2.0); the exact rank-based percentile rides along
+    for error inspection, and the whole read-off is hash-checked
+    (`streaming/process.py::streaming_value_histogram_jvm`)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.process import (
+        streaming_value_histogram_jvm,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("event_type", "value", "ts", "event_id")
+    tmp = stage_ordered_replay(ev, ["ts", "event_id"])
+    hist = streaming_value_histogram_jvm(
+        file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),
+        value_col="value",
+        group_cols=["event_type"],
+        lo=0.0,
+        width=2.0,
+        n_bins=256,
+        state_dir=tempfile.mkdtemp(prefix="vhist_replay_"),
+        query_name=f"vhist_replay_{uuid.uuid4().hex[:8]}",
+    )
+    n = hist.groupBy("event_type").agg(F.sum("cnt").cast("bigint").alias("n"))
+    tgt = n.select(
+        "event_type",
+        "n",
+        F.explode(
+            F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+        ).alias("q"),
+    ).withColumn("t", F.ceil(F.col("q") * F.col("n")).cast("bigint"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("event_type").orderBy("bin")
+        ),
+    )
+    est = (
+        tgt.join(cum, "event_type")
+        .filter(F.col("cum") >= F.col("t"))
+        .groupBy("event_type", "q", "n", "t")
+        .agg((F.min("bin") * F.lit(2.0)).alias("est_value"))
+    )
+    rnk = t.events.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy("value", "event_id")
+        )
+        .alias("rn"),
+    )
+    return (
+        est.join(
+            rnk,
+            (rnk.event_type == est.event_type) & (rnk.rn == est.t),
+        )
+        .select(
+            est.event_type,
+            "q",
+            "n",
+            "est_value",
+            F.col("value").alias("exact_value"),
+        )
+    )
+
+
+@query(
     "streaming_countmin_replay",
     oracle=f"""
     WITH grid AS (SELECT unnest(generate_series(0, 3)) AS i),

@@ -1419,3 +1419,48 @@ def streaming_centroid_refresh_jvm(
     return jvm_keyed_fold(
         stream, prepare, fold, state_dir, emit=emit, query_name=query_name
     )
+
+
+def streaming_value_histogram_jvm(
+    stream: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float,
+    width: float,
+    n_bins: int,
+    state_dir: str,
+    query_name: str = "value_hist_jvm",
+) -> DataFrame:
+    """Streaming quantile/distribution monitor on `jvm_keyed_fold` —
+    SIXTEENTH fold shape, completing the bounded-state monitoring quartet
+    (frequency = count-min, distinct = HLL, top items = Misra-Gries,
+    QUANTILES = this): a fixed equi-width histogram whose per-bin counts
+    merge by SUM — associative, commutative, EXACT integer algebra, so
+    the fold is batching-insensitive and the streamed histogram is
+    bit-equal to the one-shot batch histogram. State is ≤ groups x n_bins
+    rows FOREVER; quantile estimates read off the cumulative bin counts
+    with error bounded by `width`. Pick `width` a power of two so the
+    bin computation `floor((v - lo) / width)` is exact double arithmetic
+    (deterministic across engines — SQL-oracle-replayable).
+    Ref: bounded-state aggregation (`GroupAggFunction.java`); histogram
+    quantile read-off mirrors ANALYZE-style equi-width stats."""
+
+    def prepare(batch_df: DataFrame) -> DataFrame:
+        b = F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+            ),
+        ).cast("long")
+        return batch_df.groupBy(*group_cols, b.alias("bin")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+
+    def fold(prev: DataFrame | None, prepared: DataFrame) -> DataFrame:
+        u = prepared if prev is None else prev.unionByName(prepared)
+        return u.groupBy(*group_cols, "bin").agg(
+            F.sum("cnt").cast("bigint").alias("cnt")
+        )
+
+    return jvm_keyed_fold(stream, prepare, fold, state_dir, query_name=query_name)

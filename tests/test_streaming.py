@@ -461,3 +461,82 @@ def test_streaming_cdc_upsert_matches_batch_materialize(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_value_histogram_fold_batching_insensitive(spark, sf_dir):
+    """Per-bin SUM merge is exact integer algebra: the streamed histogram
+    equals the one-shot batch histogram under any chunking, and the
+    quantile read-off error is bounded by the bin width."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.process import (
+        streaming_value_histogram_jvm,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("event_type", "value", "ts", "event_id").limit(2000)
+
+    def run(n_batches):
+        tmp = stage_ordered_replay(ev, ["ts", "event_id"], n_batches=n_batches)
+        out = streaming_value_histogram_jvm(
+            file_stream(spark, tmp, ev.schema, max_files_per_trigger=1),
+            "value",
+            ["event_type"],
+            lo=0.0,
+            width=2.0,
+            n_bins=256,
+            state_dir=tempfile.mkdtemp(prefix="vh_test_"),
+            query_name=f"vh_test_{uuid.uuid4().hex[:8]}",
+        )
+        return {tuple(r) for r in out.collect()}
+
+    a, b = run(2), run(4)
+    assert a == b and len(a) > 0
+
+    bexpr = F.least(
+        F.lit(255),
+        F.greatest(F.lit(0).cast("long"), F.floor(F.col("value") / 2.0)),
+    ).cast("long")
+    batch = {
+        tuple(r)
+        for r in ev.groupBy("event_type", bexpr.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .collect()
+    }
+    assert a == batch
+
+    # estimate error bound: p95 from the histogram within one bin width
+    # of the exact rank value for every type
+    from pyspark.sql.window import Window
+
+    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        ev.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("value", "event_id")
+            ),
+        )
+        .join(n, "event_type")
+        .filter(F.col("rn") == F.ceil(F.lit(0.95) * F.col("n")).cast("long"))
+        .select("event_type", "value")
+        .collect()
+    )
+    hist = {}
+    for et, bn, cnt in sorted(a):
+        hist.setdefault(et, []).append((bn, cnt))
+    for r in exact:
+        total = sum(c for _, c in hist[r.event_type])
+        target = -(-95 * total // 100)  # ceil(0.95 * total) in integers
+        cum = 0
+        for bn, cnt in hist[r.event_type]:
+            cum += cnt
+            if cum >= target:
+                est = bn * 2.0
+                break
+        assert abs(est - r.value) <= 2.0, (r.event_type, est, r.value)
