@@ -163,30 +163,31 @@ def temperature_mix(
     general ``pow(x, alpha)`` is only ~1-ulp accurate and may differ
     between libm implementations. The denominator sums the per-source
     sqrt terms in SORTED order (FP addition is order-sensitive; sources
-    are few, the aggregate is tiny). Plan: one tiny aggregate broadcast
-    back, then a map-only hash filter — the corpus pass never shuffles."""
+    are few). Plan: ONE tiny aggregate whose k rows come to the driver
+    (the model-sized collect), rates inlined as a CASE literal, then a
+    map-only hash filter — two corpus scans total, no join, no shuffle
+    on the filter pass."""
+    import math
+
     totals = docs.groupBy(source_col).agg(
         F.sum(token_col).cast("long").alias("__tot")
     )
-    den = totals.agg(
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(F.sqrt(F.col("__tot").cast("double")))
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ).alias("__den")
-    )
-    rates = totals.crossJoin(F.broadcast(den)).select(
-        F.col(source_col),
-        F.least(
-            F.lit(1.0),
-            F.lit(float(token_budget))
-            * (F.sqrt(F.col("__tot").cast("double")) / F.col("__den"))
-            / F.col("__tot").cast("double"),
-        ).alias("mix_rate"),
-    )
+    rows = totals.collect()  # one row per source: the model-sized collect
+    den = 0.0
+    for v in sorted(math.sqrt(float(r["__tot"])) for r in rows):
+        den += v  # ascending left fold == oracle's list_sum(list_sort(...))
+    rate_expr = None
+    for r in rows:
+        tot = float(r["__tot"])
+        rate = min(1.0, float(token_budget) * (math.sqrt(tot) / den) / tot)
+        branch = F.when(
+            F.col(source_col) == F.lit(r[source_col]), F.lit(rate)
+        )
+        rate_expr = branch if rate_expr is None else rate_expr.when(
+            F.col(source_col) == F.lit(r[source_col]), F.lit(rate)
+        )
+    rate_expr = rate_expr.otherwise(F.lit(0.0)).alias("mix_rate")
     u = sample_hash60(F.col(key_col), seed).cast("double") / F.lit(
         float(HASH_DOMAIN)
     )
-    return docs.join(F.broadcast(rates), source_col).where(u < F.col("mix_rate"))
+    return docs.select("*", rate_expr).where(u < F.col("mix_rate"))
