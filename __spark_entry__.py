@@ -42,6 +42,7 @@ _PRIORITY = [
     "pipe_ann_recall",
     "pipe_pq_trained_ann",
     "pipe_ivfpq_ann",
+    "pipe_ivfpq_store_probe",
     "pipe_temperature_mix",
     "streaming_centroid_refresh_replay",
     "streaming_quantile_histogram_replay",
@@ -86,7 +87,6 @@ _PRIORITY = [
     "pipe_exact_dedup",
     "pipe_simhash",
     "pipe_contamination_overlap",
-    "pipe_containment_pairs",
     # -- (3) re-validation: oldest-proven first (r2 then r3) --
 ]
 

@@ -647,6 +647,7 @@ def ivfpq_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    store_dir: str | None = None,
 ) -> DataFrame:
     """IVF-PQ — the production large-corpus ANN index (FAISS `IVFPQ`,
     Jegou et al.): a fixed-point coarse quantizer partitions the corpus
@@ -697,6 +698,21 @@ def ivfpq_ann_topk(
     qp = q.select(
         query_id_col, "__qq", F.explode(cp("__qq").getField("probes")).alias("cell")
     )
+    if store_dir is not None:
+        # Materialize the index PARTITIONED BY cell — the on-disk inverted
+        # file: a probe reads only its cells' directories (partition
+        # pruning), exactly how a 100 TB code store is laid out. The probe
+        # cells are a bounded collect (<= |queries| * nprobe literals), so
+        # the re-read carries a literal cell filter Spark prunes on.
+        corp.write.mode("overwrite").partitionBy("cell").parquet(store_dir)
+        probe_cells = sorted(
+            {r.cell for r in qp.select("cell").distinct().collect()}
+        )
+        corp = (
+            corpus.sparkSession.read.parquet(store_dir)
+            .filter(F.col("cell").isin(probe_cells))
+            .select(id_col, F.col("cell").cast("int").alias("cell"), "__rr")
+        )
     qr = qp.withColumn(
         "__qres",
         F.zip_with(

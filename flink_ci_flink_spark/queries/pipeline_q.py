@@ -941,6 +941,38 @@ def pipe_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_ann_topk(t.embeddings, queries, k=5, coarse_iterations=2)
 
 
+@query(
+    "pipe_ivfpq_store_probe",
+    oracle=_ivfpq_oracle_sql(coarse_iterations=1, pq_iterations=1),
+    group="pipeline",
+)
+def pipe_ivfpq_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probing THROUGH the materialized on-disk inverted file: the
+    code store is written PARTITIONED BY cell, and the probe re-reads it
+    with a literal cell filter, so Spark's partition pruning touches only
+    the probed cells' directories — the physical layout a 100 TB vector
+    store runs (directory = inverted list). Results are hash-identical to
+    the in-memory `pipe_ivfpq_ann` pipeline at the same training
+    parameters (the store round-trip must not change a single rank);
+    `test_ivfpq_store_prunes_partitions` asserts the pruned file set."""
+    import tempfile
+
+    from flink_ci_flink_spark.pipeline.similarity import ivfpq_ann_topk
+
+    t = load_tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_ann_topk(
+        t.embeddings,
+        queries,
+        k=5,
+        coarse_iterations=1,
+        pq_iterations=1,
+        store_dir=tempfile.mkdtemp(prefix="ivfpq_store_"),
+    )
+
+
 @query("pipe_pq_trained_ann", oracle=_pq_trained_oracle_sql(), group="pipeline")
 def pipe_pq_trained_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with TRAINED codebooks — the real PQ of
