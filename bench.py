@@ -257,6 +257,27 @@ def _bench_stateful(spark, sf_dir: str) -> dict:
         ).count()
         dt_bo_jvm = time.perf_counter() - t8
         shutil.rmtree(state7, ignore_errors=True)
+
+        # round-8: the value-histogram quantile fold (sketch quartet's
+        # distribution quarter) — bounded groups x bins state
+        from flink_ci_flink_spark.streaming.process import (
+            streaming_value_histogram_jvm,
+        )
+
+        state8 = tempfile.mkdtemp(prefix="bench_vhist_jvm_")
+        t9 = time.perf_counter()
+        streaming_value_histogram_jvm(
+            file_stream(spark, tmp, schema).select("event_type", "value"),
+            value_col="value",
+            group_cols=["event_type"],
+            lo=0.0,
+            width=2.0,
+            n_bins=256,
+            state_dir=state8,
+            query_name=f"bench_vh_{uuid.uuid4().hex[:8]}",
+        ).count()
+        dt_vh_jvm = time.perf_counter() - t9
+        shutil.rmtree(state8, ignore_errors=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
@@ -280,6 +301,8 @@ def _bench_stateful(spark, sf_dir: str) -> dict:
         "jvm_count_sliding_rows_per_sec": round(n_rows / dt_cs_jvm),
         "jvm_bounded_over_sec": round(dt_bo_jvm, 3),
         "jvm_bounded_over_rows_per_sec": round(n_rows / dt_bo_jvm),
+        "jvm_value_histogram_sec": round(dt_vh_jvm, 3),
+        "jvm_value_histogram_rows_per_sec": round(n_rows / dt_vh_jvm),
     }
 
 
