@@ -44,6 +44,7 @@ _PRIORITY = [
     "pipe_ivfpq_ann",
     "pipe_ivfpq_store_probe",
     "pipe_temperature_mix",
+    "pipe_embedding_curation",
     "streaming_centroid_refresh_replay",
     "streaming_quantile_histogram_replay",
     "streaming_interval_join_replay",
@@ -86,7 +87,6 @@ _PRIORITY = [
     "graph_dedup_clusters",
     "pipe_exact_dedup",
     "pipe_simhash",
-    "pipe_contamination_overlap",
     # -- (3) re-validation: oldest-proven first (r2 then r3) --
 ]
 

@@ -2366,7 +2366,11 @@ def pipe_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_fp_parts(
-    iterations: int = 3, dim: int = 64, scale: int = 1 << 20
+    iterations: int = 3,
+    dim: int = 64,
+    scale: int = 1 << 20,
+    src: str | None = None,
+    prefix: str = "",
 ):
     """Shared CTE builder unrolling FIXED-POINT Lloyd k-means
     (`similarity.ivf_centroids_fp`) into SQL: vectors quantized to BIGINT
@@ -2377,45 +2381,58 @@ def _kmeans_fp_parts(
     arithmetic: argmin over exact int64 L2 (tie -> lowest cell) and
     centroid update `FLOOR((2*SUM + COUNT) / (2*COUNT))` — exact-operand
     double division, bit-for-bit WITHOUT any sorted-order summation
-    (integer sums are order-free). Returns (parts, assign, final, l2i)."""
+    (integer sums are order-free). Pass ``src`` (a CTE exposing
+    (vec_id, qv)) + a unique ``prefix`` to train a SECOND model inside
+    the same statement (chained-curation oracles). Returns
+    (parts, assign, final, l2i)."""
     l2i = (
         "list_sum(list_transform(generate_series(1, {d}), "
         "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
     )
 
-    def assign(src: str, cents: str, out: str, extra: str = "") -> str:
+    def assign(src_: str, cents: str, out: str, extra: str = "") -> str:
         d = l2i.format(d=dim, a="s.qv", b="ct.cv")
         return (
             f"{out} AS (SELECT vec_id, qv, cell{extra} FROM ("
             f"SELECT s.vec_id, s.qv, ct.cell, {d} AS dd, "
             f"ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {d}, ct.cell) AS rn "
-            f"FROM {src} s CROSS JOIN {cents} ct) WHERE rn = 1)"
+            f"FROM {src_} s CROSS JOIN {cents} ct) WHERE rn = 1)"
         )
 
-    parts = [
-        f"e AS (SELECT vec_id, list_transform(embedding, "
-        f"x -> CAST(ROUND(x::DOUBLE * {scale}) AS BIGINT)) AS qv FROM embeddings)",
-        "ncells AS (SELECT GREATEST(8, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k "
-        "FROM e)",
-        "c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv "
-        "FROM (SELECT vec_id, qv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e) "
-        "WHERE rn <= (SELECT k FROM ncells))",
-    ]
-    for it in range(iterations):
-        parts.append(assign("e", f"c{it}", f"a{it}"))
+    parts = []
+    if src is None:
         parts.append(
-            f"m{it} AS (SELECT cell, i AS pos, "
+            f"e AS (SELECT vec_id, list_transform(embedding, "
+            f"x -> CAST(ROUND(x::DOUBLE * {scale}) AS BIGINT)) AS qv "
+            f"FROM embeddings)"
+        )
+        src = "e"
+    parts.append(
+        f"ncells{prefix} AS (SELECT GREATEST(8, "
+        f"CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k FROM {src})"
+    )
+    parts.append(
+        f"{prefix}c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, "
+        f"qv AS cv FROM (SELECT vec_id, qv, "
+        f"ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM {src}) "
+        f"WHERE rn <= (SELECT k FROM ncells{prefix}))"
+    )
+    for it in range(iterations):
+        parts.append(assign(src, f"{prefix}c{it}", f"{prefix}a{it}"))
+        parts.append(
+            f"{prefix}m{it} AS (SELECT cell, i AS pos, "
             f"CAST(FLOOR((2.0 * CAST(SUM(x) AS DOUBLE) + COUNT(*)) "
             f"/ (2.0 * COUNT(*))) AS BIGINT) AS mx "
-            f"FROM (SELECT cell, j AS i, qv[j] AS x FROM a{it}, "
+            f"FROM (SELECT cell, j AS i, qv[j] AS x FROM {prefix}a{it}, "
             f"generate_series(1, {dim}) AS t(j)) GROUP BY cell, i)"
         )
         parts.append(
-            f"c{it + 1} AS (SELECT p.cell, COALESCE(g.cv, p.cv) AS cv FROM c{it} p "
-            f"LEFT JOIN (SELECT cell, list(mx ORDER BY pos) AS cv FROM m{it} "
-            f"GROUP BY cell) g ON g.cell = p.cell)"
+            f"{prefix}c{it + 1} AS (SELECT p.cell, COALESCE(g.cv, p.cv) AS cv "
+            f"FROM {prefix}c{it} p "
+            f"LEFT JOIN (SELECT cell, list(mx ORDER BY pos) AS cv "
+            f"FROM {prefix}m{it} GROUP BY cell) g ON g.cell = p.cell)"
         )
-    return parts, assign, f"c{iterations}", l2i
+    return parts, assign, f"{prefix}c{iterations}", l2i
 
 
 def _knn_fp_oracle_sql(
@@ -2600,6 +2617,72 @@ def streaming_centroid_refresh_replay(spark: SparkSession, sf_dir: str) -> DataF
         tempfile.mkdtemp(prefix="centroid_refresh_"),
         query_name=f"centroid_refresh_{uuid.uuid4().hex[:8]}",
     )
+
+
+def _embedding_curation_oracle_sql(
+    permille: int = 100, per_cell: int = 15
+) -> str:
+    """EXACT oracle for the chained embedding-curation composite: first fp
+    k-means trains on the FULL corpus and flags per-cell distance
+    outliers; the survivors feed a SECOND fp k-means (prefix-namespaced
+    CTEs, survivor-derived cell count) whose cells get the hash-capped
+    balanced sample — two full training loops replayed in one statement."""
+    from flink_ci_flink_spark.pipeline.sampling import hash60_sql
+
+    parts, assign, f1, _ = _kmeans_fp_parts(iterations=2)
+    parts.append(assign("e", f1, "afin0", extra=", dd"))
+    parts.append(
+        f"surv AS (SELECT vec_id, qv FROM ("
+        f"SELECT vec_id, qv, "
+        f"ROW_NUMBER() OVER (PARTITION BY cell ORDER BY dd DESC, vec_id) AS orn, "
+        f"COUNT(*) OVER (PARTITION BY cell) AS cnt FROM afin0) "
+        f"WHERE orn * 1000 > cnt * {permille})"
+    )
+    parts2, assign2, f2, _ = _kmeans_fp_parts(iterations=2, src="surv", prefix="s")
+    parts += parts2
+    parts.append(assign2("surv", f2, "safin"))
+    h = hash60_sql("vec_id")
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT vec_id, cell, samp_rank FROM (
+      SELECT vec_id, cell, ROW_NUMBER() OVER (
+        PARTITION BY cell ORDER BY {h}, vec_id) AS samp_rank
+      FROM safin) WHERE samp_rank <= {per_cell}
+    """
+    )
+
+
+@query(
+    "pipe_embedding_curation",
+    oracle=_embedding_curation_oracle_sql(),
+    group="pipeline",
+)
+def pipe_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-curation composite, end to end in one chain: screen
+    out each cluster's farthest ~10% (geometry outliers), then re-train a
+    fresh fixed-point quantizer on the SURVIVORS (the cell structure a
+    cleaned corpus deserves differs from the noisy one's) and keep 15 per
+    cluster by portable hash order — noise removal + diversity-preserving
+    downsample, the embedding analogue of `pipe_e2e_curation_v2`. BOTH
+    training loops, the survivor cut, and the final sample are one
+    hash-checked oracle (`_embedding_curation_oracle_sql` namespaces the
+    second unrolled k-means)."""
+    from flink_ci_flink_spark.pipeline.similarity import (
+        cluster_balanced_sample,
+        embedding_outlier_screen,
+    )
+
+    t = load_tables(spark, sf_dir)
+    flagged = embedding_outlier_screen(t.embeddings, permille=100, iterations=2)
+    survivors = t.embeddings.join(
+        flagged.select("vec_id"), "vec_id", "left_anti"
+    )
+    # cut lineage before the second training loop: without this, every one
+    # of its actions re-executes the outlier screen (including training
+    # #1's assignment kernel) — the iterative-lineage tax the graph loops
+    # pay with the same localCheckpoint
+    survivors = survivors.localCheckpoint(eager=True)
+    return cluster_balanced_sample(survivors, per_cell=15, iterations=2)
 
 
 def _ann_recall_oracle_sql(k: int = 3) -> str:
