@@ -686,6 +686,10 @@ def ivfpq_ann_topk(
             lambda x, y: x - y,
         ),
     )
+    # cut lineage before residual-PQ training: each of its per-iteration
+    # actions would otherwise re-execute the coarse assignment kernel over
+    # the whole corpus (the iterative-lineage tax the graph loops pay)
+    resid = resid.localCheckpoint(eager=True)
     books = pq_codebooks_fp(
         resid, m, n_entries, pq_iterations, id_col, "__rv", quantized=True
     )
