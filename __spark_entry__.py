@@ -45,6 +45,7 @@ _PRIORITY = [
     "pipe_ivfpq_store_probe",
     "pipe_temperature_mix",
     "pipe_embedding_curation",
+    "pipe_hard_negatives",
     "streaming_centroid_refresh_replay",
     "streaming_quantile_histogram_replay",
     "streaming_interval_join_replay",
@@ -86,7 +87,6 @@ _PRIORITY = [
     "pipe_tfidf_top_terms",
     "graph_dedup_clusters",
     "pipe_exact_dedup",
-    "pipe_simhash",
     # -- (3) re-validation: oldest-proven first (r2 then r3) --
 ]
 

@@ -423,6 +423,9 @@ def main() -> None:
         "pipe_pq_trained_ann",
         "pipe_ivfpq_ann",
         "pipe_temperature_mix",
+        "pipe_hard_negatives",
+        "pipe_embedding_curation",
+        "pipe_ivfpq_store_probe",
     ]
     new_ops_t: dict[str, float] = {}
     for name in NEW_OPS:

@@ -1408,6 +1408,86 @@ def knn_join(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    iterations: int = 3,
+    n_cells: int | None = None,
+    cell_cap: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data op: for every
+    vector, the k most SIMILAR vectors carrying a DIFFERENT label (the
+    negatives that sit closest to the decision boundary are the ones
+    worth training on; random negatives are trivially separable). Runs on
+    the fixed-point kNN machinery: sqrt(n) coarse cells, map-only
+    assignment/probing against the broadcast integer centroids, ONE
+    cell-key shuffle, label exclusion BEFORE the per-query top-k (a
+    same-label neighbor must not occupy a rank). `nprobe` defaults higher
+    than the plain kNN join because the nearest other-label vector is
+    farther out than the nearest neighbor. Fully hash-provable — integer
+    training/kernels as in `knn_join(fixed_point=True)`. Returns
+    (query_id, query_label, neighbor_id, neighbor_label, cos_sim, rank)."""
+    from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
+
+    centroids, n_cells = ivf_centroids_fp(
+        corpus, n_cells, iterations, id_col, vec_col
+    )
+    c = spread_small_scan(corpus).select(
+        F.col(id_col), F.col(label_col), quantize_fp(vec_col).alias("__v")
+    )
+    cp = _np_cells_probes_int(centroids, nprobe)
+    base = c.select(id_col, label_col, "__v", cp("__v").alias("__cp"))
+    neigh = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col("__v").alias("__nv"),
+        F.col("__cp.cell").alias("cell"),
+        F.col("__cp.dmin").alias("__celld"),
+    )
+    if cell_cap is not None:
+        wcap = Window.partitionBy("cell").orderBy(
+            F.asc("__celld"), F.asc("neighbor_id")
+        )
+        neigh = (
+            neigh.withColumn("__crn", F.row_number().over(wcap))
+            .filter(F.col("__crn") <= cell_cap)
+            .drop("__crn")
+        )
+    neigh = neigh.drop("__celld")
+    q = base.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col("__v").alias("__qv"),
+        F.explode("__cp.probes").alias("cell"),
+    )
+    scored = (
+        q.join(neigh, "cell")
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("query_label"))
+        )
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(
+                _np_cosine_pairs_int()(F.col("__qv"), F.col("__nv")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def streaming_ivf_ingest(
     stream_df,
     centroids: list[list[float]],

@@ -2619,6 +2619,72 @@ def streaming_centroid_refresh_replay(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def _hard_negatives_oracle_sql(
+    nprobe: int = 4,
+    k: int = 5,
+    iterations: int = 3,
+    dim: int = 64,
+    cell_cap: int = _KNN_CELL_CAP,
+) -> str:
+    """EXACT oracle for hard-negative mining: the fixed-point kNN oracle
+    with labels threaded through and same-label candidates excluded
+    BEFORE the per-query ranking."""
+    parts, assign, final, l2i = _kmeans_fp_parts(iterations=iterations, dim=dim)
+    parts.append(assign("e", final, "afin", extra=", dd"))
+    parts.append("lab AS (SELECT vec_id, label FROM embeddings)")
+    parts.append(
+        f"capped AS (SELECT a.vec_id, a.qv, a.cell, l.label FROM ("
+        f"SELECT vec_id, qv, cell, "
+        f"ROW_NUMBER() OVER (PARTITION BY cell ORDER BY dd, vec_id) AS crn "
+        f"FROM afin) a JOIN lab l ON l.vec_id = a.vec_id "
+        f"WHERE a.crn <= {cell_cap})"
+    )
+    dq = l2i.format(d=dim, a="s.qv", b="ct.cv")
+    parts.append(
+        f"vprobe AS (SELECT vec_id AS query_id, label AS query_label, "
+        f"qv AS qq, cell FROM ("
+        f"SELECT s.vec_id, l.label, s.qv, ct.cell, "
+        f"ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {dq}, ct.cell) AS rn "
+        f"FROM e s JOIN lab l ON l.vec_id = s.vec_id "
+        f"CROSS JOIN {final} ct) WHERE rn <= {nprobe})"
+    )
+    parts.append(
+        "scored AS (SELECT p.query_id, p.query_label, "
+        "a.vec_id AS neighbor_id, a.label AS neighbor_label, "
+        "ROUND(list_dot_product(p.qq, a.qv) / "
+        "(SQRT(list_dot_product(p.qq, p.qq)) * SQRT(list_dot_product(a.qv, a.qv))), "
+        "6) AS cos_sim FROM vprobe p JOIN capped a USING (cell) "
+        "WHERE a.vec_id <> p.query_id AND a.label <> p.query_label)"
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= {k}
+    """
+    )
+
+
+@query(
+    "pipe_hard_negatives", oracle=_hard_negatives_oracle_sql(), group="pipeline"
+)
+def pipe_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: each vector's 5 most
+    similar OTHER-LABEL vectors — the near-boundary negatives worth
+    training on (random negatives are trivially separable). Fixed-point
+    kNN machinery with the label exclusion applied BEFORE the per-query
+    top-k, nprobe=4 (the nearest other-label vector sits farther out than
+    the nearest neighbor), per-cell candidate cap. Training, probing,
+    exclusion, and ranking all hash-checked
+    (`pipeline/similarity.py::hard_negatives`)."""
+    from flink_ci_flink_spark.pipeline.similarity import hard_negatives
+
+    t = load_tables(spark, sf_dir)
+    return hard_negatives(t.embeddings, k=5, nprobe=4, cell_cap=_KNN_CELL_CAP)
+
+
 def _embedding_curation_oracle_sql(
     permille: int = 100, per_cell: int = 15
 ) -> str:

