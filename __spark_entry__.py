@@ -46,6 +46,7 @@ _PRIORITY = [
     "pipe_temperature_mix",
     "pipe_embedding_curation",
     "pipe_hard_negatives",
+    "pipe_ivfpq_recall",
     "streaming_centroid_refresh_replay",
     "streaming_quantile_histogram_replay",
     "streaming_interval_join_replay",
@@ -86,7 +87,6 @@ _PRIORITY = [
     "pipe_jaccard_prefix",
     "pipe_tfidf_top_terms",
     "graph_dedup_clusters",
-    "pipe_exact_dedup",
     # -- (3) re-validation: oldest-proven first (r2 then r3) --
 ]
 

@@ -973,6 +973,92 @@ def pipe_ivfpq_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_recall_oracle_sql(k: int = 5) -> str:
+    """Nested-WITH composition: the full IVF-PQ oracle vs the exact
+    integer-L2 graph for the 8 query vectors, scored per query."""
+    ivfpq = _ivfpq_oracle_sql(coarse_iterations=2, k=k)
+    l2 = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])))"
+    )
+    return f"""
+    WITH approx AS ({ivfpq}),
+    e AS (SELECT vec_id, list_transform(embedding,
+          x -> CAST(ROUND(x::DOUBLE * {1 << 20}) AS BIGINT)) AS qv
+          FROM embeddings),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {l2}, b.vec_id) AS rk
+        FROM e a JOIN e b ON a.vec_id < 8) WHERE rk <= {k})
+    SELECT ap.query_id,
+           CAST(SUM(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           ROUND(SUM(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / {k}, 6) AS recall
+    FROM approx ap
+    LEFT JOIN exact ex ON ex.query_id = ap.query_id
+                      AND ex.vec_id = ap.vec_id
+    GROUP BY ap.query_id
+    """
+
+
+@query("pipe_ivfpq_recall", oracle=_ivfpq_recall_oracle_sql(), group="pipeline")
+def pipe_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF-PQ index against the exact integer-L2 top-5,
+    per query, in one plan — the eval that tells you whether nprobe and
+    the residual codebooks are good enough BEFORE you serve the index
+    (run on a held-out query sample at 100 TB; here the 8-query set).
+    Note the exact side includes the self-match (both sides do, so
+    recall is not inflated). Both graphs and the recall arithmetic are
+    hash-checked via nested-WITH oracle composition."""
+    from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
+    from flink_ci_flink_spark.pipeline.similarity import (
+        _np_l2_pairs_int,
+        ivfpq_ann_topk,
+        quantize_fp,
+    )
+
+    t = load_tables(spark, sf_dir)
+    k = 5
+    queries = t.embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ivfpq_ann_topk(
+        t.embeddings, queries, k=k, coarse_iterations=2
+    )
+    c = spread_small_scan(t.embeddings).select(
+        F.col("vec_id"), quantize_fp("embedding").alias("__q")
+    )
+    a = c.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("__q").alias("__qa")
+    )
+    b = c.select(F.col("vec_id"), F.col("__q").alias("__qb"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc("vec_id"))
+    exact = (
+        b.crossJoin(F.broadcast(a))
+        .select(
+            "query_id",
+            "vec_id",
+            _np_l2_pairs_int()(F.col("__qa"), F.col("__qb")).alias("__d"),
+        )
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", "vec_id", F.lit(1).alias("__hit"))
+    )
+    return (
+        approx.join(exact, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) * 1.0 / k, 6
+            ).alias("recall"),
+        )
+    )
+
+
 @query("pipe_pq_trained_ann", oracle=_pq_trained_oracle_sql(), group="pipeline")
 def pipe_pq_trained_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with TRAINED codebooks — the real PQ of
