@@ -49,6 +49,7 @@ _PRIORITY = [
     "pipe_ivfpq_recall",
     "streaming_centroid_refresh_replay",
     "streaming_quantile_histogram_replay",
+    "streaming_ivfpq_ingest_replay",
     "streaming_interval_join_replay",
     "streaming_semi_join_replay",
     "streaming_broadcast_rules_replay",
@@ -82,7 +83,6 @@ _PRIORITY = [
     "cep_mr_prev_stream_replay",
     "pipe_sql_front_door",
     "cep_mr_secondary_order",
-    "pipe_minhash_lsh",
     "pipe_jaccard_pairs",
     "pipe_jaccard_prefix",
     "pipe_tfidf_top_terms",

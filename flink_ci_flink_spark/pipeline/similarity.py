@@ -717,6 +717,28 @@ def ivfpq_ann_topk(
             .filter(F.col("cell").isin(probe_cells))
             .select(id_col, F.col("cell").cast("int").alias("cell"), "__rr")
         )
+    return _ivfpq_score(
+        corp, c, qp, centroids, shortlist, k, id_col, query_id_col
+    )
+
+
+def _ivfpq_score(
+    corp: DataFrame,
+    c: DataFrame,
+    qp: DataFrame,
+    centroids: list[list[int]],
+    shortlist: int,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """The IVF-PQ probe tail shared by the in-memory, materialized-store,
+    and streaming-ingest paths: per-probed-cell query residuals, exact
+    int64 ADC against the cells' reconstructed codes, shortlist, exact
+    re-rank against the full quantized vectors."""
+    cent_all = F.array(
+        *[F.array(*[F.lit(x).cast("long") for x in cv]) for cv in centroids]
+    )
     qr = qp.withColumn(
         "__qres",
         F.zip_with(
@@ -1485,6 +1507,90 @@ def hard_negatives(
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def streaming_ivfpq_ingest(
+    stream_df,
+    centroids: list[list[int]],
+    books: list[list[list[int]]],
+    store_dir: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuous ENCODE-ON-INGEST into a pre-trained IVF-PQ index: each
+    arriving vector is quantized, coarse-assigned, residual-encoded, and
+    its reconstructed code row lands in its cell's partition — all inside
+    a pure-Catalyst per-batch plan (integer expressions; the models ride
+    as literals). The store IS the serving index: `ivfpq_probe_store`
+    answers queries from it with partition pruning, and because encoding
+    is a deterministic per-row projection, at-least-once replays write
+    byte-identical rows that collapse on the id at probe time — the
+    streamed index answers EXACTLY like the batch pipeline
+    (`ivfpq_ann_topk`). The online half of offline-train/online-serve."""
+    from flink_ci_flink_spark.streaming.core import foreach_batch_upsert
+
+    cent_all = F.array(
+        *[F.array(*[F.lit(x).cast("long") for x in cv]) for cv in centroids]
+    )
+
+    def merge(batch_df, epoch_id: int) -> None:
+        b = batch_df.select(F.col(id_col), quantize_fp(vec_col).alias("__q"))
+        b = b.withColumn("cell", assign_cells_int_expr(F.col("__q"), centroids))
+        b = b.withColumn(
+            "__rv",
+            F.zip_with(
+                "__q",
+                F.element_at(cent_all, F.col("cell") + 1),
+                lambda x, y: x - y,
+            ),
+        ).select(id_col, "cell", _pq_recon_expr(books, "__rv").alias("__rr"))
+        if b.take(1):
+            b.withColumn("__epoch", F.lit(int(epoch_id))).write.mode(
+                "append"
+            ).partitionBy("cell").parquet(store_dir)
+
+    return foreach_batch_upsert(stream_df, merge, checkpoint)
+
+
+def ivfpq_probe_store(
+    spark,
+    store_dir: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[int]],
+    nprobe: int = 2,
+    shortlist: int = 50,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Answer IVF-PQ queries from the streamed code store: replay-dedup on
+    the id (encode determinism makes duplicate rows identical), prune the
+    read to the probed cells, then the shared `_ivfpq_score` tail. The
+    re-rank side reads full vectors from `corpus` — at 100 TB that fetch
+    touches shortlist x queries rows only."""
+    from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
+
+    c = spread_small_scan(corpus).select(
+        F.col(id_col), quantize_fp(vec_col).alias("__q")
+    )
+    cp = _np_cells_probes_int(centroids, nprobe)
+    q = queries.select(F.col(query_id_col), quantize_fp(vec_col).alias("__qq"))
+    qp = q.select(
+        query_id_col, "__qq", F.explode(cp("__qq").getField("probes")).alias("cell")
+    )
+    probe_cells = sorted({r.cell for r in qp.select("cell").distinct().collect()})
+    corp = (
+        spark.read.parquet(store_dir)
+        .filter(F.col("cell").isin(probe_cells))
+        .select(id_col, F.col("cell").cast("int").alias("cell"), "__rr")
+        .dropDuplicates([id_col])
+    )
+    return _ivfpq_score(
+        corp, c, qp, centroids, shortlist, k, id_col, query_id_col
     )
 
 

@@ -973,6 +973,96 @@ def pipe_ivfpq_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_ivfpq_ingest_replay",
+    oracle=_ivfpq_oracle_sql(coarse_iterations=2),
+    group="streaming",
+)
+def streaming_ivfpq_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode-on-ingest into a pre-trained IVF-PQ index over the
+    3-micro-batch replay, with batch 0 DELIBERATELY re-appended (simulated
+    at-least-once redelivery): each vector's coarse cell + reconstructed
+    residual code lands in the cell-partitioned store from a
+    pure-Catalyst per-batch plan; the probe replay-dedups on the id
+    (deterministic encoding makes duplicates byte-identical) and answers
+    hash-EXACTLY like the one-shot batch pipeline — the oracle is the
+    same `_ivfpq_oracle_sql` the in-memory query uses
+    (`pipeline/similarity.py::streaming_ivfpq_ingest`,
+    `ivfpq_probe_store`)."""
+    import tempfile
+
+    from flink_ci_flink_spark.pipeline.similarity import (
+        _np_cells_probes_int,
+        assign_cells_int_expr,
+        ivf_centroids_fp,
+        ivfpq_probe_store,
+        pq_codebooks_fp,
+        quantize_fp,
+        streaming_ivfpq_ingest,
+    )
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    # offline training — identical to ivfpq_ann_topk(coarse_iterations=2)
+    centroids, _ = ivf_centroids_fp(emb, None, 2)
+    cent_all = F.array(
+        *[F.array(*[F.lit(x).cast("long") for x in cv]) for cv in centroids]
+    )
+    c = emb.select(F.col("vec_id"), quantize_fp("embedding").alias("__q"))
+    cp = _np_cells_probes_int(centroids, 1)
+    resid = (
+        c.withColumn("cell", cp("__q").getField("cell"))
+        .withColumn(
+            "__rv",
+            F.zip_with(
+                "__q",
+                F.element_at(cent_all, F.col("cell") + 1),
+                lambda x, y: x - y,
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    books = pq_codebooks_fp(
+        resid, 8, 16, 2, "vec_id", "__rv", quantized=True
+    )
+    base = tempfile.mkdtemp(prefix="ivfpq_ingest_")
+    tmp = stage_ordered_replay(emb, ["vec_id"])
+    q = streaming_ivfpq_ingest(
+        file_stream(spark, tmp, emb.schema, max_files_per_trigger=1),
+        centroids,
+        books,
+        f"{base}/store",
+        checkpoint=f"{base}/ckpt",
+    )
+    q.processAllAvailable()
+    q.stop()
+    # at-least-once redelivery: re-encode and re-append batch 0's rows
+    batch0 = spark.read.schema(emb.schema).parquet(f"{tmp}/001.parquet")
+    b = batch0.select(F.col("vec_id"), quantize_fp("embedding").alias("__q"))
+    b = b.withColumn("cell", assign_cells_int_expr(F.col("__q"), centroids))
+    from flink_ci_flink_spark.pipeline.similarity import _pq_recon_expr
+
+    b.withColumn(
+        "__rv",
+        F.zip_with(
+            "__q",
+            F.element_at(cent_all, F.col("cell") + 1),
+            lambda x, y: x - y,
+        ),
+    ).select(
+        "vec_id", "cell", _pq_recon_expr(books, "__rv").alias("__rr")
+    ).withColumn("__epoch", F.lit(99)).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{base}/store")
+    queries = t.embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_probe_store(
+        spark, f"{base}/store", t.embeddings, queries, centroids
+    )
+
+
 def _ivfpq_recall_oracle_sql(k: int = 5) -> str:
     """Nested-WITH composition: the full IVF-PQ oracle vs the exact
     integer-L2 graph for the 8 query vectors, scored per query."""
