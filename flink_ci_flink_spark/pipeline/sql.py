@@ -298,3 +298,17 @@ def _ptf_embedding_outliers(spark, table, permille=100, n_cells=None, **kw):
     return embedding_outlier_screen(
         table, permille=permille, n_cells=n_cells, **kw
     )
+
+
+@ptf("temperature_mix")
+def _ptf_temperature_mix(spark, table, token_budget=6000, **kw):
+    from flink_ci_flink_spark.pipeline.sampling import temperature_mix
+
+    return temperature_mix(table, token_budget=token_budget, **kw)
+
+
+@ptf("hard_negatives")
+def _ptf_hard_negatives(spark, table, k=5, nprobe=4, **kw):
+    from flink_ci_flink_spark.pipeline.similarity import hard_negatives
+
+    return hard_negatives(table, k=k, nprobe=nprobe, **kw)

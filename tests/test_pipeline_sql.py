@@ -180,3 +180,32 @@ def test_fp_clustering_ptfs_equal_python_surface(spark, sf_dir):
     )
     want = embedding_outlier_screen(emb, permille=200)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_session_ptfs_equal_python_surface(spark, sf_dir):
+    """temperature_mix and hard_negatives are SQL-reachable and return the
+    direct Python results."""
+    from flink_ci_flink_spark.pipeline.sampling import temperature_mix
+    from flink_ci_flink_spark.pipeline.similarity import hard_negatives
+    from flink_ci_flink_spark.pipeline.text import token_count
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", "source", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    docs.createOrReplaceTempView("doc_tokens")
+    got = pipeline_sql(
+        spark,
+        "SELECT * FROM TABLE(temperature_mix(TABLE doc_tokens, token_budget => 6000))",
+    )
+    want = temperature_mix(docs, token_budget=6000)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    emb = t.embeddings.limit(150)
+    emb.createOrReplaceTempView("emb150hn")
+    got = pipeline_sql(
+        spark,
+        "SELECT * FROM TABLE(hard_negatives(TABLE emb150hn, k => 3))",
+    )
+    want = hard_negatives(emb, k=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
