@@ -47,6 +47,7 @@ _PRIORITY = [
     "pipe_embedding_curation",
     "pipe_hard_negatives",
     "pipe_ivfpq_recall",
+    "graph_semantic_clusters",
     "streaming_centroid_refresh_replay",
     "streaming_quantile_histogram_replay",
     "streaming_ivfpq_ingest_replay",
@@ -83,7 +84,6 @@ _PRIORITY = [
     "cep_mr_prev_stream_replay",
     "pipe_sql_front_door",
     "cep_mr_secondary_order",
-    "pipe_jaccard_pairs",
     "pipe_jaccard_prefix",
     "pipe_tfidf_top_terms",
     "graph_dedup_clusters",

@@ -928,3 +928,73 @@ def graph_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max(enc) % 1000000000).cast("bigint").alias("canonical_doc"),
         )
     )
+
+
+def _semantic_clusters_oracle() -> str:
+    """Nested-WITH composition: the fixed-point kNN oracle at k=1 gives
+    every vector's single nearest neighbor; MUTUAL pairs (a's NN is b and
+    b's NN is a) become undirected edges; recursive min-id components."""
+    from flink_ci_flink_spark.queries.pipeline_q import _knn_fp_oracle_sql
+
+    knn1 = _knn_fp_oracle_sql(k=1)
+    return f"""
+    WITH RECURSIVE nn1 AS ({knn1}),
+    edges AS (
+      SELECT a.query_id AS src, a.neighbor_id AS dst
+      FROM nn1 a JOIN nn1 b
+        ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id
+      WHERE a.query_id < a.neighbor_id
+    ), undirected AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), verts AS (
+      SELECT DISTINCT src AS id FROM undirected
+    ), reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT u.dst, reach.r FROM reach JOIN undirected u ON u.src = reach.id
+    )
+    SELECT id AS vec_id, MIN(r) AS component
+    FROM reach GROUP BY id
+    """
+
+
+@query(
+    "graph_semantic_clusters",
+    oracle=_semantic_clusters_oracle(),
+    group="graph",
+)
+def graph_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic cluster discovery over the EMBEDDING corpus: mutual-
+    nearest-neighbor edges (a and b are each other's single nearest
+    neighbor through the fixed-point kNN join — the parameter-free edge
+    rule that avoids a similarity threshold) + the same min-id
+    connected-components loop the dedup clusters run. The whole chain —
+    integer k-means training, probing, top-1 ranking, the mutuality join,
+    and the iterative CC — is one hash-checked oracle (recursive CTE).
+    Edge construction is the bucketed kNN join (one cell-key shuffle,
+    ~sqrt(n) parallelism); CC is the constant-superstep Pregel loop
+    (`graph/algorithms.py::connected_components`)."""
+    from flink_ci_flink_spark.pipeline.similarity import knn_join
+
+    t = load_tables(spark, sf_dir)
+    nn1 = knn_join(
+        t.embeddings, k=1, fixed_point=True, cell_cap=64
+    ).select("query_id", "neighbor_id")
+    b = nn1.select(
+        F.col("query_id").alias("nb_query"),
+        F.col("neighbor_id").alias("nb_neighbor"),
+    )
+    edges = (
+        nn1.join(
+            b,
+            (F.col("nb_query") == F.col("neighbor_id"))
+            & (F.col("nb_neighbor") == F.col("query_id")),
+        )
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .select(
+            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+        )
+    )
+    return connected_components(None, edges).select(
+        F.col("id").alias("vec_id"), "component"
+    )
