@@ -173,6 +173,11 @@ def temperature_mix(
         F.sum(token_col).cast("long").alias("__tot")
     )
     rows = totals.collect()  # one row per source: the model-sized collect
+    # Sources with zero/NULL token totals contribute nothing to the mix
+    # (rate 0 via the CASE's otherwise) and would divide by zero below.
+    rows = [r for r in rows if r["__tot"] is not None and r["__tot"] > 0]
+    if not rows:
+        return docs.select("*", F.lit(0.0).alias("mix_rate")).where(F.lit(False))
     den = 0.0
     for v in sorted(math.sqrt(float(r["__tot"])) for r in rows):
         den += v  # ascending left fold == oracle's list_sum(list_sort(...))

@@ -371,6 +371,11 @@ def ivf_centroids_fp(
     centroids = [
         list(r[0]) for r in c.orderBy("__id").limit(n_cells).select("__q").collect()
     ]
+    if not centroids:
+        raise ValueError("ivf_centroids_fp: corpus is empty")
+    # Corpus smaller than n_cells: unreachable cells would index past the
+    # seed list in the `got.get(i, centroids[i])` refresh below.
+    n_cells = min(n_cells, len(centroids))
     for _ in range(iterations):
         cell = _np_cells_probes_int(centroids, 1)("__q").getField("cell")
         per_pos = c.select(cell.alias("cell"), F.posexplode("__q").alias("pos", "x"))
@@ -525,6 +530,11 @@ def pq_codebooks_fp(
         list(r[0])
         for r in c.orderBy("__id").limit(n_entries).select("__q").collect()
     ]
+    if not seed:
+        raise ValueError("pq_codebooks_fp: corpus is empty")
+    # Corpus smaller than n_entries would break the [m][n_entries][sub]
+    # contract consumers like _pq_recon_expr assume.
+    n_entries = min(n_entries, len(seed))
     dim = len(seed[0])
     sub = dim // m
     books = [
@@ -906,6 +916,9 @@ def ivf_centroids(
     centroids = [
         list(r[0]) for r in c.orderBy("__id").limit(n_cells).select("__v").collect()
     ]
+    if not centroids:
+        raise ValueError("ivf_centroids: corpus is empty")
+    n_cells = min(n_cells, len(centroids))
     if deterministic:
         mean_agg = F.array_sort(F.collect_list("x")).alias("xs")
     for _ in range(iterations):
@@ -1317,6 +1330,16 @@ def knn_join(
         if centroids is None:
             centroids, n_cells = ivf_centroids_fp(
                 corpus, n_cells, iterations, id_col, vec_col
+            )
+        elif any(
+            not isinstance(x, (int, np.integer)) for cv in centroids for x in cv
+        ):
+            # Float centroids (magnitude ~1) would silently truncate to
+            # all-zero int64 rows -> degenerate single-cell assignment.
+            raise ValueError(
+                "knn_join(fixed_point=True) requires integer fixed-point "
+                "centroids (train with ivf_centroids_fp, or quantize floats "
+                "with round(x * FP_SCALE))"
             )
         c = spread_small_scan(corpus).select(
             F.col(id_col), quantize_fp(vec_col).alias("__v")

@@ -2927,11 +2927,24 @@ def pipe_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_balanced_sample(survivors, per_cell=15, iterations=2)
 
 
+#: Held-out query-sample modulus for the ANN recall eval: vectors whose
+#: 60-bit id-hash is 0 mod 4 (~25% of the corpus) are the eval queries.
+_ANN_EVAL_MOD = 4
+_ANN_EVAL_SEED = "annq"
+
+
 def _ann_recall_oracle_sql(k: int = 3) -> str:
     """Composes the full fixed-point kNN oracle (nested WITH — DuckDB
     scopes CTEs inside a derived CTE) against an exact integer-cosine
-    brute-force graph, then scores per-query recall."""
+    graph computed for the HELD-OUT hash-selected query sample only,
+    then scores per-query recall on that sample."""
+    from flink_ci_flink_spark.pipeline.sampling import hash60_sql
+
     knn = _knn_fp_oracle_sql(k=k)
+    pred_a = f"({hash60_sql('a.vec_id', _ANN_EVAL_SEED)}) % {_ANN_EVAL_MOD} = 0"
+    pred_ap = (
+        f"({hash60_sql('ap.query_id', _ANN_EVAL_SEED)}) % {_ANN_EVAL_MOD} = 0"
+    )
     cos = (
         "ROUND(list_dot_product(a.qv, b.qv) / "
         "(SQRT(list_dot_product(a.qv, a.qv)) * "
@@ -2947,7 +2960,8 @@ def _ann_recall_oracle_sql(k: int = 3) -> str:
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY a.vec_id
                  ORDER BY {cos} DESC, b.vec_id) AS rk
-        FROM e a JOIN e b ON b.vec_id <> a.vec_id) WHERE rk <= {k})
+        FROM e a JOIN e b ON b.vec_id <> a.vec_id
+        WHERE {pred_a}) WHERE rk <= {k})
     SELECT ap.query_id,
            CAST(SUM(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_hit,
@@ -2956,6 +2970,7 @@ def _ann_recall_oracle_sql(k: int = 3) -> str:
     FROM approx ap
     LEFT JOIN exact ex ON ex.query_id = ap.query_id
                       AND ex.neighbor_id = ap.neighbor_id
+    WHERE {pred_ap}
     GROUP BY ap.query_id
     """
 
@@ -2964,12 +2979,16 @@ def _ann_recall_oracle_sql(k: int = 3) -> str:
 def pipe_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality measured IN-ENGINE, eval-as-a-query: per-query recall@3
     of the production fixed-point kNN join against the exact brute-force
-    integer-cosine graph, in ONE plan (the broadcast-size centroid model is
-    shared; the exact side is the n x n self-join you run on a held-out
-    SAMPLE at 100 TB — here the whole test corpus). Both graphs and the
-    recall arithmetic are hash-checked; the aggregate recall this reports
-    is the number the repo's recall assertions in tests quote."""
+    integer-cosine graph, in ONE plan, evaluated on a HELD-OUT
+    hash-selected query sample (ids with hash60 % 4 == 0, ~25% here; the
+    modulus is the scale knob — at 100 TB you dial it so the sample stays
+    a few thousand queries). The exact side is sample x corpus with the
+    sample side BROADCAST — never the n x n self-join; the approx side is
+    the production kNN graph filtered to the same sample. Both graphs and
+    the recall arithmetic are hash-checked; the aggregate recall this
+    reports is the number the repo's recall assertions in tests quote."""
     from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
+    from flink_ci_flink_spark.pipeline.sampling import sample_hash60
     from flink_ci_flink_spark.pipeline.similarity import (
         _np_cosine_pairs_int,
         knn_join,
@@ -2978,17 +2997,25 @@ def pipe_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     k = 3
-    approx = knn_join(t.embeddings, cell_cap=_KNN_CELL_CAP, fixed_point=True, k=k)
+
+    def _held_out(col):
+        return sample_hash60(col, _ANN_EVAL_SEED) % _ANN_EVAL_MOD == 0
+
+    approx = knn_join(
+        t.embeddings, cell_cap=_KNN_CELL_CAP, fixed_point=True, k=k
+    ).filter(_held_out(F.col("query_id")))
     c = spread_small_scan(t.embeddings).select(
         F.col("vec_id"), quantize_fp("embedding").alias("__q")
     )
-    a = c.select(F.col("vec_id").alias("query_id"), F.col("__q").alias("__qa"))
+    a = c.filter(_held_out(F.col("vec_id"))).select(
+        F.col("vec_id").alias("query_id"), F.col("__q").alias("__qa")
+    )
     b = c.select(F.col("vec_id").alias("neighbor_id"), F.col("__q").alias("__qb"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("__cos"), F.asc("neighbor_id")
     )
     exact = (
-        a.crossJoin(b)
+        b.crossJoin(F.broadcast(a))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -2074,3 +2074,62 @@ def test_hard_negatives_semantics(spark, sf_dir):
         assert r.neighbor_id != r.query_id
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_small_corpus_guards(spark, sf_dir):
+    """Edge-case guards on the fixed-point training surface: corpora
+    smaller than n_cells / n_entries clamp instead of IndexError; empty
+    corpora raise a clear ValueError; float centroids are rejected by the
+    fixed-point knn_join instead of silently truncating to zero."""
+    import pytest
+
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline.similarity import (
+        ivf_centroids,
+        ivf_centroids_fp,
+        knn_join,
+        pq_codebooks_fp,
+    )
+
+    t = load_tables(spark, sf_dir)
+    tiny = t.embeddings.filter(F.col("vec_id") < 5)  # 5 rows
+    empty = t.embeddings.filter(F.lit(False))
+
+    cents, n_cells = ivf_centroids_fp(tiny, n_cells=8, iterations=1)
+    assert n_cells == 5 and len(cents) == 5
+
+    cents_f = ivf_centroids(tiny, n_cells=8, iterations=1)
+    assert len(cents_f) == 5
+
+    books = pq_codebooks_fp(tiny, m=8, n_entries=16, iterations=1)
+    assert len(books) == 8 and all(len(b) == 5 for b in books)
+
+    with pytest.raises(ValueError, match="empty"):
+        ivf_centroids_fp(empty)
+    with pytest.raises(ValueError, match="empty"):
+        pq_codebooks_fp(empty)
+
+    with pytest.raises(ValueError, match="integer fixed-point"):
+        knn_join(tiny, fixed_point=True, centroids=[[0.5] * 64, [0.1] * 64])
+
+
+def test_temperature_mix_degenerate_inputs(spark, sf_dir):
+    """temperature_mix skips zero-token sources (no ZeroDivisionError) and
+    returns an empty frame with the mix_rate column on empty input."""
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.pipeline.sampling import temperature_mix
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "source", "n_chars")
+    zeroed = docs.withColumn(
+        "n_chars",
+        F.when(F.col("source") == "web", F.lit(0)).otherwise(F.col("n_chars")),
+    )
+    out = temperature_mix(zeroed, token_budget=10_000, token_col="n_chars")
+    assert out.filter(F.col("source") == "web").count() == 0
+    assert out.count() > 0
+
+    empty = docs.filter(F.lit(False))
+    eout = temperature_mix(empty, token_budget=10_000, token_col="n_chars")
+    assert "mix_rate" in eout.columns
+    assert eout.count() == 0

@@ -161,3 +161,24 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_ann_recall_no_cartesian_product(spark):
+    """The ANN recall eval's exact baseline must be the held-out-sample
+    shape its docstring prescribes: the query sample BROADCAST against the
+    corpus (BroadcastNestedLoopJoin is fine — one side is the bounded
+    sample), never an unbroadcast corpus x corpus CartesianProduct."""
+    df = QUERIES["pipe_ann_recall"].fn(spark, SF_DIR)
+    txt = _final_plan(df)
+    assert "CartesianProduct" not in txt
+    # the exact side's nested-loop join carries the broadcast sample
+    if "BroadcastNestedLoopJoin" in txt:
+        assert "BuildRight" in txt or "BuildLeft" in txt
+
+
+def test_ivfpq_recall_no_cartesian_product(spark):
+    """Same property for the IVF-PQ recall eval: exact side is the bounded
+    broadcast query set against the corpus, not a CartesianProduct."""
+    df = QUERIES["pipe_ivfpq_recall"].fn(spark, SF_DIR)
+    txt = _final_plan(df)
+    assert "CartesianProduct" not in txt
