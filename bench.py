@@ -278,6 +278,37 @@ def _bench_stateful(spark, sf_dir: str) -> dict:
         ).count()
         dt_vh_jvm = time.perf_counter() - t9
         shutil.rmtree(state8, ignore_errors=True)
+
+        # round-9: transformWithStateInPandas (native split ValueState via
+        # the vendored protobuf shim + RocksDB provider) vs the same
+        # running-agg on applyInPandasWithState-class Python state — the
+        # third point between "Python per-key tax" and "JVM fold"
+        dt_tws = None
+        try:
+            from flink_ci_flink_spark.streaming.tws import (
+                streaming_running_agg_tws,
+                use_rocksdb_state,
+            )
+
+            prev = use_rocksdb_state(spark)
+            t10 = time.perf_counter()
+            out_tws = streaming_running_agg_tws(
+                file_stream(spark, tmp, schema).select("user_id", "value"),
+                "user_id",
+                "value",
+            )
+            run_to_completion(
+                out_tws, f"bench_tws_{uuid.uuid4().hex[:8]}", "update"
+            )
+            dt_tws = time.perf_counter() - t10
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+            else:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        except Exception as ex:  # pragma: no cover - env-dependent
+            print(f"# tws bench skipped: {ex}", file=sys.stderr)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
@@ -303,6 +334,14 @@ def _bench_stateful(spark, sf_dir: str) -> dict:
         "jvm_bounded_over_rows_per_sec": round(n_rows / dt_bo_jvm),
         "jvm_value_histogram_sec": round(dt_vh_jvm, 3),
         "jvm_value_histogram_rows_per_sec": round(n_rows / dt_vh_jvm),
+        **(
+            {
+                "tws_running_agg_sec": round(dt_tws, 3),
+                "tws_running_agg_rows_per_sec": round(n_rows / dt_tws),
+            }
+            if dt_tws
+            else {}
+        ),
     }
 
 
@@ -436,6 +475,24 @@ def main() -> None:
         new_ops_t[name] = round(time.perf_counter() - t0, 3)
         print(f"# new_op {name}: {new_ops_t[name]:.3f}s ({n} rows)", file=sys.stderr)
     result["new_ops"] = new_ops_t
+
+    # ANN rung — FROZEN as of round 9 (do not add/remove names: this list
+    # is the round-over-round comparable for the ANN family, the way
+    # HEADLINE is for the engine core; new ANN ops go in NEW_OPS first).
+    # Copies the already-measured new_ops timings, one timed run each.
+    ANN_RUNG = [
+        "pipe_knn_join",
+        "pipe_knn_join_scaled",
+        "pipe_pq_trained_ann",
+        "pipe_ivfpq_ann",
+        "pipe_ivfpq_store_probe",
+        "pipe_ann_recall",
+        "pipe_hard_negatives",
+        "pipe_cluster_balanced_sample",
+    ]
+    result["ann_rung"] = {
+        name: new_ops_t[name] for name in ANN_RUNG if name in new_ops_t
+    }
 
     # Scale rung (sf1 = 10x) + skew fixtures: the 100-TB proof points.
     # Fixture dirs are built once and cached under .benchdata/ (gitignored).

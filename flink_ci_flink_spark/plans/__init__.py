@@ -38,6 +38,17 @@ class PlanFacts:
         # with "[codegen id : N]"
         return "WholeStageCodegen" in self.text or "codegen id :" in self.text
 
+    @property
+    def has_partition_filters(self) -> bool:
+        """True when some scan prunes on-disk partitions (non-empty
+        `PartitionFilters` — e.g. the IVF-PQ store's cell predicate)."""
+        for line in self.text.splitlines():
+            if "PartitionFilters: [" in line:
+                inner = line.split("PartitionFilters: [", 1)[1]
+                if inner.split("]", 1)[0].strip():
+                    return True
+        return False
+
     def scan_schema(self) -> list[str]:
         out = []
         for line in self.text.splitlines():

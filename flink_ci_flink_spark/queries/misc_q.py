@@ -1,6 +1,7 @@
 """Remaining surface odds-and-ends: UNNEST-with-ordinality, map explode,
 null-safe comparison (IS [NOT] DISTINCT FROM), STR_TO_MAP, temporal overlap
-predicate, and PageRank (rows-only — iterative fixpoint isn't ANSI-SQL).
+predicate, and PageRank (exact-oracle-checked: the power iteration is
+unrolled into a recursive-CTE twin in DuckDB).
 """
 
 from __future__ import annotations

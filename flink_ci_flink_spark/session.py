@@ -66,6 +66,15 @@ def get_spark(app_name: str = "flink_ci_flink_spark", cpus: int | None = None) -
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # transformWithState's state-protocol workers inherit the PYTHONPATH the
+    # JVM captures at launch — expose the vendored protobuf shim now, while
+    # we may still be pre-JVM (no-op when the real wheel is installed).
+    try:
+        from flink_ci_flink_spark.streaming.tws import enable_protoshim
+
+        enable_protoshim()
+    except Exception:
+        pass
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

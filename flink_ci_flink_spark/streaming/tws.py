@@ -12,17 +12,27 @@ this module is the native-primitive path.
 Requires the RocksDB state store provider (bundled with Spark 4):
 `spark.sql.streaming.stateStore.providerClass =
  org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
-— `use_rocksdb_state()` below sets it on the session — and the
-`google.protobuf` Python package (Spark's transformWithState state-server
-protocol is protobuf-framed). The test image ships without protobuf, so
-the pytest is environment-gated (importorskip), the same honest gating as
-the Avro JVM path; `require_tws()` raises a clear error otherwise.
+— `use_rocksdb_state()` below sets it on the session — and a
+`google.protobuf` runtime (Spark's transformWithState state-server
+protocol is protobuf-framed). The test image ships without the protobuf
+wheel (and has no network), so the repo vendors a minimal pure-Python
+wire-format shim (`flink_ci_flink_spark/protoshim` — an original
+implementation of the public protobuf encoding spec, scoped to this
+protocol); `enable_protoshim()` activates it when the real package is
+absent. The shim's proof is the end-to-end pytest: the peer is the JVM's
+real protobuf parser. NOTE: the shim must be on PYTHONPATH BEFORE the JVM
+starts (Spark spawns the state-protocol Python workers with the PYTHONPATH
+captured at JVM launch) — `session.get_spark` and tests/conftest do this.
 
 Scale: state is per-key in the state store, same distribution story as the
 reference's keyed state backend; handles read/write only the touched keys.
 """
 
 from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
 
 import pandas as pd
 
@@ -33,11 +43,59 @@ ROCKSDB_PROVIDER = (
 )
 
 
-def require_tws() -> None:
-    """Raise with a clear message when the transformWithState prerequisites
-    are missing (protobuf is not bundled in every image)."""
+_PROTOSHIM_DIR = Path(__file__).resolve().parent.parent / "protoshim"
+
+
+def _protoshim_zip() -> str:
+    """Zip the vendored shim's `google` package for `addPyFile` shipping
+    (workers import it via zipimport). Built once per process."""
+    import tempfile
+    import zipfile
+
+    out = Path(tempfile.gettempdir()) / "flinkci_protoshim_google.zip"
+    if not out.exists():
+        with zipfile.ZipFile(out, "w") as z:
+            for p in sorted((_PROTOSHIM_DIR / "google").rglob("*.py")):
+                z.write(p, p.relative_to(_PROTOSHIM_DIR))
+    return str(out)
+
+
+def enable_protoshim(spark: SparkSession | None = None) -> bool:
+    """Make `google.protobuf` importable when the real wheel is absent, via
+    the vendored minimal wire-format shim (`flink_ci_flink_spark/protoshim`
+    — an original implementation of the public protobuf encoding spec,
+    scoped to what Spark's transformWithState state-server protocol uses).
+
+    Driver side: sys.path + PYTHONPATH (forked workers inherit it when the
+    JVM starts later). Live sessions: additionally `addPyFile` a zip of the
+    shim so already-running local-mode workers resolve it too. Returns True
+    when the shim was activated, False when real protobuf is present."""
     try:
         import google.protobuf  # noqa: F401
+
+        return False
+    except ImportError:
+        pass
+    p = str(_PROTOSHIM_DIR)
+    if p not in sys.path:
+        sys.path.insert(0, p)
+    sep = os.pathsep
+    cur = os.environ.get("PYTHONPATH", "")
+    if p not in cur.split(sep):
+        os.environ["PYTHONPATH"] = p + (sep + cur if cur else "")
+    if spark is not None:
+        spark.sparkContext.addPyFile(_protoshim_zip())
+    import google.protobuf  # noqa: F401
+
+    return True
+
+
+def require_tws(spark: SparkSession | None = None) -> None:
+    """Raise with a clear message when the transformWithState prerequisites
+    are missing; activates the vendored protobuf shim when the real wheel
+    is absent (pass the session so workers receive the shim via addPyFile)."""
+    try:
+        enable_protoshim(spark)
     except ImportError as e:
         raise NotImplementedError(
             "transformWithStateInPandas needs the google.protobuf package "
@@ -65,7 +123,7 @@ def streaming_running_agg_tws(
     keyed-state example). Emits (key, running_sum, running_n) after each
     batch that touches the key; the last emission per key is the final
     aggregate. Update mode."""
-    require_tws()
+    require_tws(df.sparkSession)
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -97,6 +155,107 @@ def streaming_running_agg_tws(
     return df.groupBy(key).transformWithStateInPandas(
         statefulProcessor=RunningAgg(),
         outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def streaming_topn_tws(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-key top-n via a native ListState — the keep-n-smallest buffer of
+    the reference's `ListState`-backed patterns (`ListState.java`): the
+    state holds at most ``n`` (value, tag) tuples; each batch merges the
+    incoming rows, re-sorts, truncates, and re-`put`s the list. Exercises
+    ListStateGet / ListStatePut / AppendValue on the state protocol. Emits
+    the current top-n per touched key every batch (update mode; the last
+    emission per key is the final answer)."""
+    require_tws(df.sparkSession)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TopN(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getListState("top", "v double")
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            cur = [t[0] for t in self._top.get()] if self._top.exists() else []
+            for pdf in rows:
+                cur.extend(float(x) for x in pdf[value_col])
+            cur = sorted(cur, reverse=True)[:n]
+            self._top.put([(v,) for v in cur])
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]] * len(cur),
+                    "rank": list(range(1, len(cur) + 1)),
+                    "v": cur,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    key_type = df.schema[key].dataType.simpleString()
+    return df.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=TopN(),
+        outputStructType=f"{key} {key_type}, rank int, v double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def streaming_type_counts_tws(
+    df: DataFrame,
+    key: str,
+    type_col: str,
+) -> DataFrame:
+    """Per-key per-category running counts via a native MapState — the
+    reference's `MapState.java` pattern (per-key sub-keyed state without
+    widening the grouping key). Exercises GetValue / ContainsKey /
+    UpdateValue / Iterator on the state protocol. Emits the full
+    (key, category, count) map for each touched key every batch."""
+    require_tws(df.sparkSession)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState("counts", "t string", "n long")
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                for t, c in pdf[type_col].value_counts().items():
+                    prev = (
+                        self._counts.getValue((t,))[0]
+                        if self._counts.containsKey((t,))
+                        else 0
+                    )
+                    self._counts.updateValue((t,), (prev + int(c),))
+            items = sorted((k[0], v[0]) for k, v in self._counts.iterator())
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]] * len(items),
+                    "t": [t for t, _ in items],
+                    "n": [n_ for _, n_ in items],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    key_type = df.schema[key].dataType.simpleString()
+    return df.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=TypeCounts(),
+        outputStructType=f"{key} {key_type}, t string, n long",
         outputMode="Update",
         timeMode="None",
     )

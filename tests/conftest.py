@@ -13,6 +13,20 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
+# Put the vendored protobuf shim on PYTHONPATH BEFORE any JVM launches:
+# Spark's transformWithState spawns its state-protocol Python workers with
+# the PYTHONPATH the JVM captured at startup, so setting it later is too
+# late for that process tree (real protobuf, when present, still wins —
+# the shim dir is appended, and `import google` prefers the real package
+# found earlier on the path).
+_SHIM = str(REPO_ROOT / "flink_ci_flink_spark" / "protoshim")
+if _SHIM not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        os.environ["PYTHONPATH"] + os.pathsep + _SHIM
+        if os.environ.get("PYTHONPATH")
+        else _SHIM
+    )
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 

@@ -603,14 +603,19 @@ def test_changelog_group_agg_retract_stream(spark, events_stream_dir):  # noqa: 
 
 def test_transform_with_state_running_agg(spark, events_stream_dir):  # noqa: F811
     """Native split-state path (transformWithStateInPandas + ValueState):
-    last emission per key == batch aggregate. Needs google.protobuf (the
-    state-server protocol), absent from the default test image."""
-    pytest.importorskip("google.protobuf")
+    last emission per key == batch aggregate. The state-server protocol
+    needs google.protobuf — absent from the test image, so the vendored
+    wire-format shim (flink_ci_flink_spark/protoshim) is activated; this
+    test IS the shim's round-trip proof against the JVM's real protobuf
+    parser."""
     from flink_ci_flink_spark.streaming import run_to_completion
     from flink_ci_flink_spark.streaming.tws import (
+        enable_protoshim,
         streaming_running_agg_tws,
         use_rocksdb_state,
     )
+
+    enable_protoshim(spark)
 
     prev = use_rocksdb_state(spark)
     try:
@@ -1370,3 +1375,102 @@ def test_manifest_sink_idempotent_replay_and_orphan_invisible(spark, tmp_path):
 
     after = sorted(map(tuple, read_manifest(spark, base).collect()))
     assert after == before
+
+
+def test_tws_list_state_topn(spark, events_stream_dir):  # noqa: F811
+    """Native ListState top-n: final per-key top-3 == batch top-3.
+    Exercises ListStateGet/ListStatePut on the state protocol (through the
+    vendored protobuf shim when the real wheel is absent)."""
+    from flink_ci_flink_spark.streaming import run_to_completion
+    from flink_ci_flink_spark.streaming.tws import (
+        enable_protoshim,
+        streaming_topn_tws,
+        use_rocksdb_state,
+    )
+
+    enable_protoshim(spark)
+    prev = use_rocksdb_state(spark)
+    try:
+        stream = _events_stream(spark, events_stream_dir, per_trigger=1)
+        out = streaming_topn_tws(
+            stream.select("user_id", "value"), "user_id", "value", n=3
+        )
+        name = f"tws_top_{uuid.uuid4().hex[:8]}"
+        run_to_completion(out, name, "update")
+        rows = spark.table(name).collect()
+        # last emission per key: rebuild from the final batch per key is not
+        # directly tagged, so recompute: for each key keep the emission set
+        # with the HIGHEST top value count / max values — equivalently the
+        # batch answer must appear as some emission and dominate. Simpler:
+        # group by key and take, per rank, the last-written value using the
+        # fact that later emissions only improve (top-n is monotone).
+        final: dict = {}
+        for r in rows:
+            final.setdefault(r.user_id, {})
+            cur = final[r.user_id].get(r.rank)
+            if cur is None or r.v >= cur:
+                final[r.user_id][r.rank] = r.v
+        path, schema = events_stream_dir
+        batch = (
+            spark.read.schema(schema)
+            .parquet(path)
+            .groupBy("user_id")
+            .agg(F.slice(F.sort_array(F.collect_list("value"), False), 1, 3).alias("top"))
+            .collect()
+        )
+        want = {r.user_id: {i + 1: v for i, v in enumerate(r.top)} for r in batch}
+        got = {
+            u: {k: round(v, 6) for k, v in d.items()} for u, d in final.items()
+        }
+        want = {
+            u: {k: round(v, 6) for k, v in d.items()} for u, d in want.items()
+        }
+        assert got == want
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_tws_map_state_type_counts(spark, events_stream_dir):  # noqa: F811
+    """Native MapState per-(key, category) running counts: final emission
+    per key == batch counts. Exercises GetValue/ContainsKey/UpdateValue/
+    Iterator on the state protocol."""
+    from flink_ci_flink_spark.streaming import run_to_completion
+    from flink_ci_flink_spark.streaming.tws import (
+        enable_protoshim,
+        streaming_type_counts_tws,
+        use_rocksdb_state,
+    )
+
+    enable_protoshim(spark)
+    prev = use_rocksdb_state(spark)
+    try:
+        stream = _events_stream(spark, events_stream_dir, per_trigger=1)
+        out = streaming_type_counts_tws(
+            stream.select("user_id", "event_type"), "user_id", "event_type"
+        )
+        name = f"tws_map_{uuid.uuid4().hex[:8]}"
+        run_to_completion(out, name, "update")
+        rows = spark.table(name).collect()
+        # counts only grow; the max per (key, type) is the final state
+        final: dict = {}
+        for r in rows:
+            k = (r.user_id, r.t)
+            final[k] = max(final.get(k, 0), r.n)
+        path, schema = events_stream_dir
+        want = {
+            (r.user_id, r.event_type): r.n
+            for r in spark.read.schema(schema)
+            .parquet(path)
+            .groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert final == want
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
