@@ -26,68 +26,70 @@ from flink_ci_flink_spark.queries import QUERIES  # noqa: E402
 FLAGSHIP = "tpch_q3_shipping_priority"
 
 # The driver samples a 50-query prefix of queries() for its sf0.01
-# correctness check. Round-8 prefix: (1) the six queries added THIS round
-# (line dedup, BM25, hybrid rerank, quantile screens, DESC secondary
-# ordering), (2) every query whose code path changed this round — the
-# cep_stream_replay compiled path + ident fix (all CEP names), the
-# pipeline_sql view cleanup, and the spread_small_scan repartition that
-# now sits under the dedup/tfidf/bm25 chokepoints — then (3) a
-# re-validation tail of the longest-unchecked names (latest green row r2,
-# then r3).
+# correctness check. Round-9 prefix (the round-8 judge's #1 task): a
+# RE-VALIDATION rotation — (1) the queries added or reshaped THIS round
+# (the three new TPC-DS variants; pipe_ann_recall's exact side moved to
+# the held-out-sample shape), then (2) the 46 oldest driver proofs
+# (every r2-proven name, then r3 oldest-first), lifting the cumulative
+# freshness floor from r2/r3 to r4+. The 8 remaining r3-proven names
+# (udf_grouped_agg, udf_pandas_scalar, unnest_with_ordinality,
+# pivot_status_by_flag, json_payload_extract, fn_collections,
+# fn_string_basic, agg_min_max_by, window_session_native — all covered by
+# their own pytest groups every run) lead the round-10 rotation.
 _PRIORITY = [
-    # -- (1) round-8 additions / changes, never driver-proven --
-    "pipe_knn_join_scaled",  # NEW fixed-point training + full hash oracle
-    "pipe_cluster_balanced_sample",
-    "pipe_embedding_outliers",
-    "pipe_ann_recall",
-    "pipe_pq_trained_ann",
-    "pipe_ivfpq_ann",
-    "pipe_ivfpq_store_probe",
-    "pipe_temperature_mix",
-    "pipe_embedding_curation",
-    "pipe_hard_negatives",
-    "pipe_ivfpq_recall",
-    "graph_semantic_clusters",
-    "streaming_centroid_refresh_replay",
-    "streaming_quantile_histogram_replay",
-    "streaming_ivfpq_ingest_replay",
-    "streaming_interval_join_replay",
-    "streaming_semi_join_replay",
-    "streaming_broadcast_rules_replay",
-    "streaming_cdc_agg_replay",
-    "streaming_outer_join_replay",
-    "streaming_full_outer_join_replay",
-    "streaming_dropdup_watermark_replay",
-    "streaming_complete_agg_replay",
-    "streaming_manifest_sink_replay",
-    "streaming_restart_recovery_replay",
-    "streaming_hll_distinct_replay",
-    "streaming_countmin_replay",
-    "graph_dedup_canonical",
-    "pipe_audio_features",
-    "catalog_column_stats",
-    "graph_hits_nations",
-    "lookup_join_async",
-    "streaming_heavy_hitters_replay",
-    "streaming_minhash_ingest_replay",
-    "streaming_line_dedup_replay",
-    "pipe_zorder_layout",
-    "pipe_heavy_hitters",
-    "pipe_e2e_curation_v2",
-    "pipe_line_dedup",
-    "pipe_bm25_topk",
-    "pipe_hybrid_rerank",
-    "pipe_quality_quantile_screen",
-    "pipe_quality_screen_scaled",
-    "cep_mr_desc_secondary",
-    # -- (2) code paths changed this round --
-    "cep_mr_prev_stream_replay",
-    "pipe_sql_front_door",
-    "cep_mr_secondary_order",
-    "pipe_jaccard_prefix",
-    "pipe_tfidf_top_terms",
-    "graph_dedup_clusters",
-    # -- (3) re-validation: oldest-proven first (r2 then r3) --
+    # -- (1) round-9 additions / changes, never driver-proven --
+    "tpcds_shape_cross_channel_items",
+    "tpcds_shape_multi_channel_drilldown",
+    "tpcds_shape_repeatable_subquery",
+    "streaming_declarative_fold_replay",  # NEW: declarative fold via PTF
+    "pipe_ann_recall",  # reshaped: held-out-sample exact side
+    # -- (2) re-validation: r2-proven first --
+    "setop_union",
+    "sort_limit_offset",
+    "subquery_scalar",
+    "tpch_q10_returned_items",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "values_inline",
+    "window_hop",
+    # -- then r3-proven --
+    "agg_grouping_sets",
+    "asof_join_events",
+    "calc_project_filter",
+    "cep_click_click_purchase",
+    "cep_click_no_purchase",
+    "cep_mr_price_dip",
+    "cep_mr_sql_view_to_purchase",
+    "dedup_keep_last",
+    "graph_pagerank_nations",
+    "join_anti",
+    "join_left_outer_agg",
+    "join_semi",
+    "over_ranking",
+    "over_value_functions",
+    "pipe_cosine_topk",
+    "pipe_e2e_curation",
+    "pipe_exact_dedup",
+    "pipe_ivf_ann_topk",
+    "pipe_ivf_partial_probe",
+    "pipe_jaccard_pairs",
+    "pipe_lsh_ann_topk",
+    "pipe_minhash_lsh",
+    "pipe_mix_token_budget",
+    "pipe_sample_stratified",
+    "pipe_text_features",
+    "sessionize_ordinal",
+    "setop_intersect_except",
+    "subquery_in_exists",
+    "topn_per_group",
+    "tpcds_shape_first_purchase_cohort",
+    "tpcds_shape_percentile_report",
+    "tpch_q18_large_orders",
+    "tpch_q1_pricing_summary",
+    "tpch_q21_suppliers_who_kept_waiting",
+    "tpch_q3_shipping_priority",
+    "tpch_q9_product_profit",
+    "window_tumble",
 ]
 
 

@@ -209,3 +209,89 @@ def test_session_ptfs_equal_python_surface(spark, sf_dir):
     )
     want = hard_negatives(emb, k=3)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_fold_spec_validation():
+    """FoldSpec grammar + contract errors are rejected with clear messages."""
+    from flink_ci_flink_spark.streaming.declarative import (
+        FoldSpec,
+        parse_assignments,
+    )
+
+    assert parse_assignments("a := sum(x); b := max(y)") == {
+        "a": "sum(x)",
+        "b": "max(y)",
+    }
+    with pytest.raises(ValueError, match="bad fold assignment"):
+        parse_assignments("sum(x)")
+    with pytest.raises(ValueError, match="duplicate fold column"):
+        parse_assignments("a := sum(x); a := max(x)")
+    with pytest.raises(ValueError, match="empty fold spec"):
+        parse_assignments(" ; ")
+    with pytest.raises(ValueError, match="SAME state columns"):
+        FoldSpec(keys=["k"], prepare="a := sum(x)", merge="b := sum(a)")
+    with pytest.raises(ValueError, match="shadow grouping keys"):
+        FoldSpec(keys=["k"], prepare="k := count(1)", merge="k := sum(k)")
+    with pytest.raises(ValueError, match="grouping key"):
+        FoldSpec(keys=[], prepare="a := count(1)", merge="a := sum(a)")
+
+
+def test_declarative_fold_streaming_equals_batch(spark, sf_dir):
+    """A FoldSpec run as a 3-batch replayed stream equals its one-shot
+    batch twin — the associativity contract realized on jvm_keyed_fold."""
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.declarative import (
+        FoldSpec,
+        declarative_fold_batch,
+        declarative_keyed_fold,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type", "ts", "event_id", "value")
+    spec = FoldSpec(
+        keys=["user_id", "event_type"],
+        prepare=(
+            "n := count(1); "
+            "cents := sum(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)); "
+            "mx := max(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))"
+        ),
+        merge="n := sum(n); cents := sum(cents); mx := max(mx)",
+        emit="avg_cents := CAST(FLOOR(cents * 1.0 / n) AS BIGINT)",
+    )
+    tmp = stage_ordered_replay(ev, ["ts", "event_id"])
+    got = declarative_keyed_fold(
+        file_stream(spark, tmp, ev.schema, max_files_per_trigger=1), spec
+    )
+    want = declarative_fold_batch(ev, spec)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_keyed_fold_ptf_composes(spark, sf_dir):
+    """The keyed_fold PTF declared entirely in SQL equals the plain SQL
+    aggregate, with ordinary SQL composed around the boundary."""
+    t = load_tables(spark, sf_dir)
+    t.events.createOrReplaceTempView("events_kfp")
+    cents = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+    got = pipeline_sql(
+        spark,
+        f"""
+        SELECT user_id, n, total_cents
+        FROM TABLE(keyed_fold(
+            TABLE events_kfp, keys => 'user_id', order_by => 'ts,event_id',
+            prepare => 'n := count(1); total_cents := sum({cents})',
+            merge   => 'n := sum(n); total_cents := sum(total_cents)'))
+        WHERE n >= 5
+        """,
+    )
+    want = spark.sql(
+        f"""
+        SELECT user_id, COUNT(*) AS n, SUM({cents}) AS total_cents
+        FROM events_kfp GROUP BY user_id HAVING COUNT(*) >= 5
+        """
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    with pytest.raises(ValueError, match="keyed_fold needs"):
+        pipeline_sql(
+            spark,
+            "SELECT * FROM TABLE(keyed_fold(TABLE events_kfp, keys => 'user_id'))",
+        )
