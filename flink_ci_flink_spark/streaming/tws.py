@@ -259,3 +259,100 @@ def streaming_type_counts_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_session_timers_tws(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Timer-driven sessionization on native per-key EVENT-TIME timers —
+    the reference's `TimerService.java` contract end-to-end: activity
+    extends the open session and re-registers its expiry timer at
+    (session_end + gap); when the WATERMARK passes that instant the timer
+    fires and `handleExpiredTimer` emits the closed session and clears
+    state. In-batch gaps close sessions inline (same walk a batch
+    sessionizer does); only the per-key TAIL session waits on its timer.
+
+    Emits (key, start_s, end_s, n, closed_by) in append mode, closed_by ∈
+    ('gap', 'timer'). Sessions still open when the stream ends (watermark
+    never passed their expiry) are NOT emitted — exactly the reference's
+    semantics for an unbounded stream. Exercises RegisterTimer /
+    DeleteTimer / expired-timer callbacks on the state protocol.
+    Requires an event-time watermark on `ts_col` (timeMode EventTime)."""
+    require_tws(df.sparkSession)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = gap_seconds * 1000
+
+    class SessionTimers(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess", "start_ms long, end_ms long, n long"
+            )
+
+        def _emit(self, key_val, start_ms, end_ms, n, how):
+            return pd.DataFrame(
+                {
+                    key: [key_val],
+                    "start_s": [start_ms // 1000],
+                    "end_s": [end_ms // 1000],
+                    "n": [int(n)],
+                    "closed_by": [how],
+                }
+            )
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            ts_ms = []
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                ts_ms.extend(
+                    int(v.value // 1_000_000)
+                    for v in pd.to_datetime(pdf[ts_col])
+                )
+            if not ts_ms:
+                return
+            ts_ms.sort()
+            if self._sess.exists():
+                start, end, n = self._sess.get()
+                self._handle.deleteTimer(end + gap_ms)
+            else:
+                start = end = None
+                n = 0
+            for t in ts_ms:
+                if n > 0 and t - end > gap_ms:
+                    yield self._emit(key_tuple[0], start, end, n, "gap")
+                    n = 0
+                if n == 0:
+                    start = t
+                end = t
+                n += 1
+            self._sess.update((start, end, n))
+            self._handle.registerTimer(end + gap_ms)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._sess.exists():
+                start, end, n = self._sess.get()
+                if expiredTimerInfo.getExpiryTimeInMs() >= end + gap_ms:
+                    self._sess.clear()
+                    yield self._emit(key[0], start, end, n, "timer")
+
+        def close(self) -> None:
+            pass
+
+    key_type = df.schema[key].dataType.simpleString()
+    out_schema = (
+        f"{key} {key_type}, start_s long, end_s long, n long, closed_by string"
+    )
+    return df.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=SessionTimers(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

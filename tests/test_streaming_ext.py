@@ -1474,3 +1474,87 @@ def test_tws_map_state_type_counts(spark, events_stream_dir):  # noqa: F811
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_tws_event_time_timers_sessionize(spark, events_stream_dir):  # noqa: F811
+    """Native per-key EVENT-TIME timers (RegisterTimer / DeleteTimer /
+    handleExpiredTimer through the state protocol): timer-driven sessions
+    equal batch sessionization, except each key's TAIL session is emitted
+    only if the final watermark passed its expiry — exactly the unbounded-
+    stream semantics. Gap-closed and timer-closed sessions are tagged."""
+    from flink_ci_flink_spark.streaming import run_to_completion
+    from flink_ci_flink_spark.streaming.tws import (
+        enable_protoshim,
+        streaming_session_timers_tws,
+        use_rocksdb_state,
+    )
+
+    GAP = 4 * 3600
+    DELAY = "1 hour"
+    enable_protoshim(spark)
+    prev = use_rocksdb_state(spark)
+    try:
+        stream = _events_stream(spark, events_stream_dir, per_trigger=1)
+        out = streaming_session_timers_tws(
+            stream.select("user_id", "ts").withWatermark("ts", DELAY),
+            "user_id",
+            "ts",
+            gap_seconds=GAP,
+        )
+        name = f"tws_sess_{uuid.uuid4().hex[:8]}"
+        run_to_completion(out, name, "append")
+        got = {
+            (r.user_id, r.start_s, r.end_s, r.n) for r in spark.table(name).collect()
+        }
+        by_how = {}
+        for r in spark.table(name).collect():
+            by_how.setdefault(r.closed_by, 0)
+            by_how[r.closed_by] += 1
+        # batch truth: walk each key's ordered timestamps
+        path, schema = events_stream_dir
+        rows = (
+            spark.read.schema(schema)
+            .parquet(path)
+            .select("user_id", F.unix_timestamp("ts").alias("s"))
+            .orderBy("user_id", "s")
+            .collect()
+        )
+        per_key = {}
+        max_s = 0
+        for r in rows:
+            per_key.setdefault(r.user_id, []).append(r.s)
+            max_s = max(max_s, r.s)
+        final_wm = max_s - 3600  # watermark = max event time - delay
+        want = set()
+        n_open_tails = 0
+        for u, ss in per_key.items():
+            sessions = []
+            start = end = None
+            n = 0
+            for s in ss:
+                if n > 0 and s - end > GAP:
+                    sessions.append((start, end, n))
+                    n = 0
+                if n == 0:
+                    start = s
+                end = s
+                n += 1
+            tail = (start, end, n)
+            for st, en, cnt in sessions:
+                want.add((u, st, en, cnt))
+            # the tail closes only if the final watermark passed its expiry
+            if final_wm * 1000 >= (tail[1] + GAP) * 1000:
+                want.add((u, tail[0], tail[1], tail[2]))
+            else:
+                n_open_tails += 1
+        assert got == want
+        assert by_how.get("gap", 0) > 0  # in-batch splits happened
+        # every key has exactly one tail; none of them can have expired
+        # (watermark stops 1h after the last event, gap is 4h), so the
+        # timer path closes only earlier tails that crossed batches
+        assert n_open_tails == len(per_key) or by_how.get("timer", 0) > 0
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
