@@ -35,7 +35,9 @@ FLAGSHIP = "tpch_q3_shipping_priority"
 # (udf_grouped_agg, udf_pandas_scalar, unnest_with_ordinality,
 # pivot_status_by_flag, json_payload_extract, fn_collections,
 # fn_string_basic, agg_min_max_by, window_session_native — all covered by
-# their own pytest groups every run) lead the round-10 rotation.
+# their own pytest groups every run) lead the round-10 rotation, together
+# with the late-round-9 additions tpcds_shape_channel_band_agreement and
+# tpcds_shape_cross_channel_growth (sf0.01 parity-green locally).
 _PRIORITY = [
     # -- (1) round-9 additions / changes, never driver-proven --
     "tpcds_shape_cross_channel_items",

@@ -1,0 +1,175 @@
+"""In-engine trained quality classifier — the FineWeb-Edu-style model-based
+quality filter, expressed Spark-first and HASH-PROVABLE.
+
+A real 100 TB curation pipeline filters documents with a trained quality
+model (classifier-based screens are the successor to hand-tuned heuristic
+gates). The training loop here is a BATCH PERCEPTRON over integer
+features: per iteration, misclassified documents contribute ``y * x`` to
+one global gradient aggregate, and ``w += Σ`` — i.e. ONE map-side
+combinable integer aggregation per iteration over the full corpus (the
+same production partial-agg shape as the fixed-point k-means in
+`similarity.py`). Integer sums are exact in any aggregation order, so the
+entire training trajectory — and therefore every score — is a pure
+function of the data that a SQL oracle replays bit-for-bit with unrolled
+per-iteration CTEs.
+
+Features are integer text statistics (counts, capped to bound magnitudes:
+|w_j| ≤ iterations · Σ|x_j| keeps every dot product far below 2^63 even at
+corpus scale). Labels are weak supervision (a source-derived proxy here;
+at 100 TB you broadcast-join a human-rated seed set the same way).
+
+What this deliberately is NOT: SGD (per-row sequential updates are
+order-dependent — not replayable, not partial-aggregable) or logistic
+regression (exp/sigmoid are not bit-portable across engines). Batch
+perceptron updates are the maximal training loop that stays exact integer
+algebra end-to-end. Reference analogue: none — the reference has no
+in-engine model training; this extends the LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def text_feature_exprs(
+    text_col: str = "text", chars_col: str = "n_chars"
+) -> list[Column]:
+    """The default integer feature vector (bias first). Caps bound each
+    feature's magnitude so weights and scores stay far below 2^63."""
+    t = F.col(text_col)
+    return [
+        F.lit(1).cast("long").alias("x0"),  # bias
+        F.least(F.col(chars_col).cast("long"), F.lit(5000)).alias("x1"),
+        F.least(
+            (F.length(t) - F.length(F.regexp_replace(t, " ", ""))).cast("long"),
+            F.lit(1000),
+        ).alias("x2"),  # whitespace count ~ token count
+        F.least(
+            F.length(F.regexp_replace(t, "[^0-9]", "")).cast("long"), F.lit(1000)
+        ).alias("x3"),  # digit count
+        F.least(
+            F.length(F.regexp_replace(t, "[^A-Z]", "")).cast("long"), F.lit(1000)
+        ).alias("x4"),  # uppercase count
+        F.least(
+            F.length(F.regexp_replace(t, "[^.!?,;:]", "")).cast("long"),
+            F.lit(1000),
+        ).alias("x5"),  # sentence punctuation count
+    ]
+
+
+#: DuckDB twins of `text_feature_exprs` (same caps, same order).
+TEXT_FEATURES_SQL = [
+    "CAST(1 AS BIGINT)",
+    "LEAST(CAST(n_chars AS BIGINT), 5000)",
+    "LEAST(CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT), 1000)",
+    "LEAST(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT), 1000)",
+    "LEAST(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT), 1000)",
+    "LEAST(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT), 1000)",
+]
+
+
+def perceptron_train(
+    docs: DataFrame,
+    features: list[Column],
+    label: Column,
+    iterations: int = 3,
+) -> list[int]:
+    """Train integer perceptron weights: per iteration ONE aggregate over
+    the corpus (misclassified rows contribute ``y * x``, CASE-folded into
+    the sum so the pass is a plain partial aggregation — no second filter
+    job), weights updated on the driver (a k-integer model, the legitimate
+    broadcast-sized collect). Returns ``w`` with ``len(w) == len(features)``.
+    """
+    k = len(features)
+    feat = docs.select(
+        *[f.alias(f"x{i}") for i, f in enumerate(features)],
+        label.cast("long").alias("y"),
+    )
+    # the regex feature extraction is the expensive part; cut lineage so
+    # each of the `iterations` aggregates rescans columnar features, not
+    # the raw-text regexes (same localCheckpoint pattern as the k-means
+    # training loops)
+    feat = feat.localCheckpoint(eager=True)
+    w = [0] * k
+    for _ in range(iterations):
+        dot = sum(
+            (F.lit(int(w[j])) * F.col(f"x{j}") for j in range(k)),
+            F.lit(0).cast("long"),
+        )
+        mis = F.col("y") * dot <= 0
+        sums = feat.agg(
+            *[
+                F.sum(
+                    F.when(mis, F.col("y") * F.col(f"x{i}")).otherwise(F.lit(0))
+                ).alias(f"s{i}")
+                for i in range(k)
+            ]
+        ).collect()[0]
+        w = [w[i] + int(sums[i] or 0) for i in range(k)]
+    return w
+
+
+def perceptron_score(
+    docs: DataFrame,
+    features: list[Column],
+    weights: list[int],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Map-only scoring against broadcast literal weights: (id, score,
+    pred) with pred = +1 iff score > 0 (ties negative, matching the
+    margin <= 0 misclassification rule used in training)."""
+    k = len(features)
+    feat = docs.select(
+        F.col(id_col), *[f.alias(f"x{i}") for i, f in enumerate(features)]
+    )
+    dot = sum(
+        (F.lit(int(weights[j])) * F.col(f"x{j}") for j in range(k)),
+        F.lit(0).cast("long"),
+    )
+    return feat.select(
+        id_col,
+        dot.alias("score"),
+        F.when(dot > 0, F.lit(1)).otherwise(F.lit(-1)).alias("pred"),
+    )
+
+
+def perceptron_oracle_sql(
+    feats_sql: list[str],
+    label_sql: str,
+    iterations: int = 3,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """Unroll the full training loop + scoring into one DuckDB statement:
+    iteration t's weights are a 1-row CTE derived from iteration t-1's by
+    the identical integer gradient aggregate — the oracle re-trains the
+    model from scratch and must land on bit-identical scores."""
+    k = len(feats_sql)
+    feat_cols = ", ".join(f"{e} AS x{i}" for i, e in enumerate(feats_sql))
+    parts = [
+        f"feat AS (SELECT {id_col}, {feat_cols}, "
+        f"CAST({label_sql} AS BIGINT) AS y FROM {table})",
+        "it0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w{i}" for i in range(k))
+        + ")",
+    ]
+    for t in range(1, iterations + 1):
+        prev = f"it{t - 1}"
+        dot = " + ".join(f"{prev}.w{i} * x{i}" for i in range(k))
+        cols = ", ".join(
+            f"CAST(MIN({prev}.w{i}) + COALESCE(SUM(CASE WHEN y * ({dot}) <= 0 "
+            f"THEN y * x{i} ELSE 0 END), 0) AS BIGINT) AS w{i}"
+            for i in range(k)
+        )
+        parts.append(f"it{t} AS (SELECT {cols} FROM feat CROSS JOIN {prev})")
+    dotf = " + ".join(f"w.w{i} * x{i}" for i in range(k))
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT {id_col}, CAST({dotf} AS BIGINT) AS score,
+           CASE WHEN {dotf} > 0 THEN 1 ELSE -1 END AS pred
+    FROM feat CROSS JOIN it{iterations} w
+    """
+    )

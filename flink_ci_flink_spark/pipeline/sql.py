@@ -362,3 +362,30 @@ def _ptf_keyed_fold(
     )
     st = file_stream(spark, tmp, table.schema, max_files_per_trigger=1)
     return declarative_keyed_fold(st, spec)
+
+
+@ptf("quality_classifier")
+def _ptf_quality_classifier(
+    spark, table, label_expr="", iterations=3, **kw
+):
+    """Train-and-score the in-engine perceptron quality classifier
+    (`pipeline/classifier.py`) through SQL: `label_expr` is any SQL
+    expression evaluating to +1/-1 weak labels, e.g.
+
+        SELECT * FROM TABLE(quality_classifier(TABLE documents,
+            label_expr => 'CASE WHEN source = ''wiki'' THEN 1 ELSE -1 END'))
+    """
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.pipeline.classifier import (
+        perceptron_score,
+        perceptron_train,
+        text_feature_exprs,
+    )
+
+    if not label_expr:
+        raise ValueError("quality_classifier needs label_expr => '<sql>'")
+    w = perceptron_train(
+        table, text_feature_exprs(), F.expr(label_expr), iterations=iterations
+    )
+    return perceptron_score(table, text_feature_exprs(), w)

@@ -1297,7 +1297,9 @@ def pipe_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact brute-force top-k and takes the SAME oracle — turning the IVF
     machinery (k-means assign, cell-partitioned candidate join, per-cell
     scoring) into an exact-oracle-checked query. The approximate
-    (nprobe < n_cells) configuration stays rows-only + recall-tested.
+    (nprobe < n_cells) configuration is ALSO exact-oracle-checked since
+    round 3 (`pipe_ivf_partial_probe` — deterministic training unrolled
+    into the oracle) and recall-tested besides.
     Full probe makes the result centroid-independent, so the coarse
     quantizer uses 8 fixed vectors (lowest vec_ids) instead of paying
     Lloyd iterations the answer can't depend on."""
@@ -3715,3 +3717,53 @@ def pipe_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return audio_analysis(synthesize_wav(t.documents.select("doc_id")))
+
+
+def _perceptron_label_sql() -> str:
+    # weak supervision: even-indexed sources are the "curated" class
+    return "CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 0 THEN 1 ELSE -1 END"
+
+
+def _quality_perceptron_oracle() -> str:
+    from flink_ci_flink_spark.pipeline.classifier import (
+        TEXT_FEATURES_SQL,
+        perceptron_oracle_sql,
+    )
+
+    return perceptron_oracle_sql(
+        TEXT_FEATURES_SQL, _perceptron_label_sql(), iterations=3
+    )
+
+
+@query(
+    "pipe_quality_perceptron",
+    oracle=_quality_perceptron_oracle(),
+    group="pipeline",
+)
+def pipe_quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering with a classifier TRAINED IN-ENGINE —
+    the FineWeb-Edu-style successor to heuristic gates, hash-provable end
+    to end: a batch perceptron over capped integer text features (bias,
+    chars, whitespace, digits, uppercase, sentence punctuation) trains in
+    3 iterations of ONE map-side-combinable integer aggregate each
+    (misclassified docs contribute y*x; exact in any aggregation order —
+    the same production partial-agg shape as the fixed-point k-means), and
+    scoring is a map-only dot against the broadcast k-integer model. Weak
+    supervision labels (source-index parity here; a human-rated seed set
+    at scale). The oracle RE-TRAINS the model from scratch with unrolled
+    per-iteration CTEs and must land on bit-identical scores
+    (`pipeline/classifier.py`). 100 TB: cost = iterations x (one corpus
+    scan of 6 integer columns), no shuffle wider than the 1-row gradient."""
+    from flink_ci_flink_spark.pipeline.classifier import (
+        perceptron_score,
+        perceptron_train,
+        text_feature_exprs,
+    )
+
+    t = load_tables(spark, sf_dir)
+    label = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    feats = text_feature_exprs()
+    w = perceptron_train(t.documents, feats, label, iterations=3)
+    return perceptron_score(t.documents, text_feature_exprs(), w)

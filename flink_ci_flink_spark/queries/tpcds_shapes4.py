@@ -21,6 +21,13 @@ The synthetic schema has no store/catalog/web channels; as in batches 1-3,
   each order to 1.2× its priority class's mean (decorrelated to one
   aggregate + join, cross-multiplied exact), and the outer query keeps
   nations with at least 10 qualifying customers.
+- `tpcds_shape_channel_band_agreement` ~ q58: items within ±10% of the
+  three-channel average in EVERY channel — the per-channel CTE band-join
+  fused to one conditional aggregation, band cross-multiplied exact.
+- `tpcds_shape_cross_channel_growth` ~ q4/q11/q74: customers whose YoY
+  growth ratio in one channel beats the other — per-(customer, channel)
+  yearly conditional aggregation self-joined, ratio compare
+  cross-multiplied into integer products.
 
 Scale notes: the item-set INTERSECT runs on DISTINCT (partkey) sets —
 orders-of-magnitude smaller than the fact; `avg_sales` is a 1-row
@@ -281,4 +288,141 @@ def tpcds_repeatable_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_cust"))
         .filter(F.col("n_cust") >= 10)
         .orderBy("nk")
+    )
+
+
+@query(
+    "tpcds_shape_channel_band_agreement",
+    oracle=f"""
+    WITH sales AS (
+      SELECT l_partkey, {_CENT_SQL} AS cents, {_CH_SQL} AS channel
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ), per AS (
+      SELECT l_partkey,
+             SUM(CASE WHEN channel = 'expedite' THEN cents ELSE 0 END) AS e,
+             SUM(CASE WHEN channel = 'standard' THEN cents ELSE 0 END) AS s,
+             SUM(CASE WHEN channel = 'deferred' THEN cents ELSE 0 END) AS d
+      FROM sales GROUP BY l_partkey
+    )
+    SELECT l_partkey,
+           CAST(e AS BIGINT) AS expedite_cents,
+           CAST(s AS BIGINT) AS standard_cents,
+           CAST(d AS BIGINT) AS deferred_cents
+    FROM per
+    WHERE e > 0 AND s > 0 AND d > 0
+      AND 10 * 3 * e BETWEEN 9 * (e + s + d) AND 11 * (e + s + d)
+      AND 10 * 3 * s BETWEEN 9 * (e + s + d) AND 11 * (e + s + d)
+      AND 10 * 3 * d BETWEEN 9 * (e + s + d) AND 11 * (e + s + d)
+    ORDER BY l_partkey
+    """,
+    group="tpcds",
+)
+def tpcds_channel_band_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q58 shape: items whose revenue in EVERY channel sits within
+    ±10% of the three-channel average — mutual band agreement. q58 runs
+    three per-channel CTEs and band-joins them; fused here to ONE
+    conditional aggregation over the channel-tagged fact (one shuffle
+    instead of three + two joins — the planner-level rewrite the fused
+    q33/q77 shapes in batch 1 also exercise), with the band predicate
+    cross-multiplied into exact integers (`10*3*e BETWEEN 9*(e+s+d) AND
+    11*(e+s+d)` ⇔ e ∈ [0.9, 1.1]·avg). Ref: `TpcdsTestProgram.java:57-69`
+    (variant 58)."""
+    t = load_tables(spark, sf_dir)
+    sales = _with_channel(t)
+    agg = [
+        F.sum(F.when(F.col("channel") == c, F.col("cents")).otherwise(F.lit(0)))
+        .alias(a)
+        for c, a in (("expedite", "e"), ("standard", "s"), ("deferred", "d"))
+    ]
+    per = sales.groupBy("l_partkey").agg(*agg)
+    tot = F.col("e") + F.col("s") + F.col("d")
+
+    def band(col):
+        return (30 * col >= 9 * tot) & (30 * col <= 11 * tot)
+
+    return (
+        per.filter(
+            (F.col("e") > 0) & (F.col("s") > 0) & (F.col("d") > 0)
+            & band(F.col("e")) & band(F.col("s")) & band(F.col("d"))
+        )
+        .select(
+            "l_partkey",
+            F.col("e").alias("expedite_cents"),
+            F.col("s").alias("standard_cents"),
+            F.col("d").alias("deferred_cents"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+@query(
+    "tpcds_shape_cross_channel_growth",
+    oracle=f"""
+    WITH sales AS (
+      SELECT o_custkey, CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+             {_CENT_SQL} AS cents, {_CH_SQL} AS channel
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE YEAR(o_orderdate) IN (1995, 1996)
+        AND {_CH_SQL} IN ('expedite', 'deferred')
+    ), per AS (
+      SELECT o_custkey, channel,
+             SUM(CASE WHEN yr = 1995 THEN cents ELSE 0 END) AS y1,
+             SUM(CASE WHEN yr = 1996 THEN cents ELSE 0 END) AS y2
+      FROM sales GROUP BY o_custkey, channel
+    ), e AS (SELECT o_custkey, y1, y2 FROM per
+             WHERE channel = 'expedite' AND y1 > 0),
+    d AS (SELECT o_custkey, y1, y2 FROM per
+             WHERE channel = 'deferred' AND y1 > 0)
+    SELECT e.o_custkey,
+           CAST(e.y1 AS BIGINT) AS exp_y1, CAST(e.y2 AS BIGINT) AS exp_y2,
+           CAST(d.y1 AS BIGINT) AS def_y1, CAST(d.y2 AS BIGINT) AS def_y2
+    FROM e JOIN d USING (o_custkey)
+    WHERE e.y2 * d.y1 > d.y2 * e.y1
+    ORDER BY e.o_custkey
+    """,
+    group="tpcds",
+)
+def tpcds_cross_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q4/q11 shape: customers whose year-over-year growth RATIO in
+    one channel beats their ratio in another — the cross-channel
+    growth-comparison chain (per-customer per-channel yearly CTEs,
+    self-joined on the customer, ratio predicate). The two year totals
+    fuse to one conditional aggregation per (customer, channel); the ratio
+    compare `e.y2/e.y1 > d.y2/d.y1` is cross-multiplied into exact integer
+    products (q4 guards the same division with NULLIF/`> 0`). Ref:
+    `TpcdsTestProgram.java:57-69` (variants 4, 11, 74)."""
+    t = load_tables(spark, sf_dir)
+    cents = _CENT(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    ch = (
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit("expedite")
+        )
+        .when(F.col("o_orderpriority") == "5-LOW", F.lit("deferred"))
+        .otherwise(F.lit("standard"))
+    )
+    sales = (
+        t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_custkey",
+            F.year("o_orderdate").cast("long").alias("yr"),
+            cents.alias("cents"),
+            ch.alias("channel"),
+        )
+        .filter(F.col("yr").isin(1995, 1996) & F.col("channel").isin("expedite", "deferred"))
+    )
+    per = sales.groupBy("o_custkey", "channel").agg(
+        F.sum(F.when(F.col("yr") == 1995, F.col("cents")).otherwise(F.lit(0))).alias("y1"),
+        F.sum(F.when(F.col("yr") == 1996, F.col("cents")).otherwise(F.lit(0))).alias("y2"),
+    )
+    e = per.filter((F.col("channel") == "expedite") & (F.col("y1") > 0)).select(
+        "o_custkey", F.col("y1").alias("exp_y1"), F.col("y2").alias("exp_y2")
+    )
+    d = per.filter((F.col("channel") == "deferred") & (F.col("y1") > 0)).select(
+        "o_custkey", F.col("y1").alias("def_y1"), F.col("y2").alias("def_y2")
+    )
+    return (
+        e.join(d, "o_custkey")
+        .filter(F.col("exp_y2") * F.col("def_y1") > F.col("def_y2") * F.col("exp_y1"))
+        .select("o_custkey", "exp_y1", "exp_y2", "def_y1", "def_y2")
+        .orderBy("o_custkey")
     )

@@ -295,3 +295,31 @@ def test_keyed_fold_ptf_composes(spark, sf_dir):
             spark,
             "SELECT * FROM TABLE(keyed_fold(TABLE events_kfp, keys => 'user_id'))",
         )
+
+
+def test_quality_classifier_ptf(spark, sf_dir):
+    """The quality_classifier PTF equals the Python surface and errors
+    clearly without a label expression."""
+    from flink_ci_flink_spark.pipeline.classifier import (
+        perceptron_score,
+        perceptron_train,
+        text_feature_exprs,
+    )
+
+    t = load_tables(spark, sf_dir)
+    t.documents.createOrReplaceTempView("docs_qc")
+    label = "CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 0 THEN 1 ELSE -1 END"
+    got = pipeline_sql(
+        spark,
+        f"SELECT * FROM TABLE(quality_classifier(TABLE docs_qc, "
+        f"label_expr => '{label.replace(chr(39), chr(39)*2)}'))",
+    )
+    w = perceptron_train(
+        t.documents, text_feature_exprs(), F.expr(label), iterations=3
+    )
+    want = perceptron_score(t.documents, text_feature_exprs(), w)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    with pytest.raises(ValueError, match="label_expr"):
+        pipeline_sql(
+            spark, "SELECT * FROM TABLE(quality_classifier(TABLE docs_qc))"
+        )
