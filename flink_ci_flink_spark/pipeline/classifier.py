@@ -134,17 +134,17 @@ def perceptron_score(
     )
 
 
-def perceptron_oracle_sql(
+def perceptron_cte_parts(
     feats_sql: list[str],
     label_sql: str,
     iterations: int = 3,
     table: str = "documents",
     id_col: str = "doc_id",
-) -> str:
-    """Unroll the full training loop + scoring into one DuckDB statement:
-    iteration t's weights are a 1-row CTE derived from iteration t-1's by
-    the identical integer gradient aggregate — the oracle re-trains the
-    model from scratch and must land on bit-identical scores."""
+) -> tuple[list[str], str, str]:
+    """The unrolled-training CTE chain for oracle composition. Returns
+    (cte_parts, final_weights_cte_name, score_expr) where `score_expr`
+    computes the integer score given `feat` rows cross-joined with the
+    final weights CTE aliased as `w`."""
     k = len(feats_sql)
     feat_cols = ", ".join(f"{e} AS x{i}" for i, e in enumerate(feats_sql))
     parts = [
@@ -164,12 +164,29 @@ def perceptron_oracle_sql(
         )
         parts.append(f"it{t} AS (SELECT {cols} FROM feat CROSS JOIN {prev})")
     dotf = " + ".join(f"w.w{i} * x{i}" for i in range(k))
+    return parts, f"it{iterations}", dotf
+
+
+def perceptron_oracle_sql(
+    feats_sql: list[str],
+    label_sql: str,
+    iterations: int = 3,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """Unroll the full training loop + scoring into one DuckDB statement:
+    iteration t's weights are a 1-row CTE derived from iteration t-1's by
+    the identical integer gradient aggregate — the oracle re-trains the
+    model from scratch and must land on bit-identical scores."""
+    parts, final, dotf = perceptron_cte_parts(
+        feats_sql, label_sql, iterations, table, id_col
+    )
     return (
         "WITH "
         + ",\n    ".join(parts)
         + f"""
     SELECT {id_col}, CAST({dotf} AS BIGINT) AS score,
            CASE WHEN {dotf} > 0 THEN 1 ELSE -1 END AS pred
-    FROM feat CROSS JOIN it{iterations} w
+    FROM feat CROSS JOIN {final} w
     """
     )

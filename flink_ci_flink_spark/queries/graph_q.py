@@ -998,3 +998,100 @@ def graph_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(None, edges).select(
         F.col("id").alias("vec_id"), "component"
     )
+
+
+def _canonical_by_model_oracle() -> str:
+    """Composition oracle: the recursive-CTE near-dup components AND the
+    unrolled perceptron training share one statement; the canonical pick
+    replays the same (score DESC, doc_id DESC) window rank."""
+    from flink_ci_flink_spark.pipeline.classifier import (
+        TEXT_FEATURES_SQL,
+        perceptron_cte_parts,
+    )
+    from flink_ci_flink_spark.queries.pipeline_q import _perceptron_label_sql
+
+    parts, final, dotf = perceptron_cte_parts(
+        TEXT_FEATURES_SQL, _perceptron_label_sql(), iterations=3
+    )
+    ptrain = ",\n    ".join(parts)
+    return f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    undirected AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), verts AS (
+      SELECT DISTINCT src AS id FROM undirected
+    ), reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT u.dst, reach.r FROM reach JOIN undirected u ON u.src = reach.id
+    ), comp AS (
+      SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+    ),
+    {ptrain},
+    scored AS (
+      SELECT doc_id, CAST({dotf} AS BIGINT) AS score
+      FROM feat CROSS JOIN {final} w
+    )
+    SELECT component, n_docs, canonical_doc, canonical_score FROM (
+      SELECT c.component, c.doc_id AS canonical_doc, s.score AS canonical_score,
+             CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT) AS n_docs,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY s.score DESC, c.doc_id DESC) AS rn
+      FROM comp c JOIN scored s USING (doc_id))
+    WHERE rn = 1
+    """
+
+
+@query(
+    "graph_canonical_by_model",
+    oracle=_canonical_by_model_oracle(),
+    group="graph",
+)
+def graph_canonical_by_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-scored canonical selection — the trained-classifier successor
+    to graph_dedup_canonical's keep-longest policy: near-dup clusters
+    (connected components over the 3-gram Jaccard >= 0.5 graph) each keep
+    the member the IN-ENGINE-TRAINED quality perceptron scores highest
+    (doc_id DESC tie-break) — "keep the best copy as judged by the model",
+    the policy a production curation pass actually wants. Training (3
+    exact-integer gradient aggregates), component discovery, and the
+    canonical window rank compose into ONE hash-checked statement: the
+    oracle re-runs the recursive CC AND re-trains the model from scratch.
+    Scores may be negative, so arg-max is a window rank, not the
+    integer-encoding trick (which needs non-negative keys)."""
+    from pyspark.sql import Window
+
+    from flink_ci_flink_spark.pipeline.classifier import (
+        perceptron_score,
+        perceptron_train,
+        text_feature_exprs,
+    )
+
+    t = load_tables(spark, sf_dir)
+    edges = jaccard_pairs(t.documents, threshold=0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(None, edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    label = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    w = perceptron_train(t.documents, text_feature_exprs(), label, iterations=3)
+    scored = perceptron_score(t.documents, text_feature_exprs(), w).select(
+        "doc_id", "score"
+    )
+    joined = comp.join(scored, "doc_id")
+    wcomp = Window.partitionBy("component")
+    wrank = wcomp.orderBy(F.desc("score"), F.desc("doc_id"))
+    return (
+        joined.withColumn("n_docs", F.count(F.lit(1)).over(wcomp))
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("score").alias("canonical_score"),
+        )
+    )
