@@ -3767,3 +3767,147 @@ def pipe_quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = text_feature_exprs()
     w = perceptron_train(t.documents, feats, label, iterations=3)
     return perceptron_score(t.documents, text_feature_exprs(), w)
+
+
+def _e2e_v3_oracle() -> str:
+    """Composition oracle: the v2 chain's line-dedup CTEs + the unrolled
+    perceptron training, with the model gate (pred = +1) applied between
+    the structural gate and the stopword pass."""
+    from flink_ci_flink_spark.pipeline.classifier import (
+        TEXT_FEATURES_SQL,
+        perceptron_cte_parts,
+    )
+
+    parts, final, dotf = perceptron_cte_parts(
+        TEXT_FEATURES_SQL, _perceptron_label_sql(), iterations=3
+    )
+    ptrain = ",\n    ".join(parts)
+    return f"""
+    WITH toks0 AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), segs AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(0, CAST(CEIL(len(t) / 16.0) AS BIGINT) - 1),
+               i -> array_to_string(t[i*16+1 : i*16+16], ' ')
+             ) AS ss
+      FROM toks0 WHERE len(t) > 0
+    ), ex AS (
+      SELECT doc_id,
+             UNNEST(generate_series(0, len(ss) - 1)) AS pos,
+             UNNEST(ss) AS seg
+      FROM segs
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+      FROM ex
+    ), re AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             STRING_AGG(seg, ' ' ORDER BY pos) AS text
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ),
+    {ptrain},
+    scored AS (
+      SELECT doc_id, CAST({dotf} AS BIGINT) AS score
+      FROM feat CROSS JOIN {final} w
+    ), mstat AS (
+      SELECT SUM(score) AS msum, COUNT(*) AS mcnt FROM scored
+    ), dd AS (
+      SELECT r.doc_id, r.text, s.score
+      FROM re r JOIN scored s USING (doc_id), mstat
+      WHERE r.n_kept >= 3 AND s.score * mcnt >= msum
+    ), dtok AS (
+      SELECT doc_id, UNNEST({_TOKS}) AS term FROM dd
+    ), tot AS (SELECT COUNT(*) AS n FROM dtok),
+    cnt AS (SELECT term, COUNT(*) AS c FROM dtok GROUP BY 1),
+    hh AS (SELECT term FROM cnt, tot WHERE c * 200 >= n),
+    per_doc AS (
+      SELECT d.doc_id, COUNT(*) AS n_toks,
+             SUM(CASE WHEN h.term IS NULL THEN 1 ELSE 0 END) AS n_nonstop
+      FROM dtok d LEFT JOIN hh h ON h.term = d.term
+      GROUP BY d.doc_id
+    )
+    SELECT doc.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(p.n_nonstop) AS BIGINT) AS nonstop_tokens,
+           CAST(SUM(s2.score) AS BIGINT) AS total_model_score
+    FROM per_doc p
+    JOIN documents doc USING (doc_id)
+    JOIN scored s2 USING (doc_id)
+    GROUP BY doc.source
+    """
+
+
+@query("pipe_e2e_curation_v3", oracle=_e2e_v3_oracle(), group="pipeline")
+def pipe_e2e_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation composite v3 — v2's chain with a TRAINED-MODEL GATE in the
+    middle (the FineWeb-Edu recipe): (1) corpus line dedup, (2) structural
+    gate (>= 3 surviving segments), (3) the in-engine batch-perceptron
+    quality model — trained on the ORIGINAL corpus with weak labels — must
+    score the doc at or above the CORPUS-AVERAGE score (`score * n >= sum`,
+    cross-multiplied exact integers — relative gating is robust to the
+    batch perceptron's sign oscillation on unseparable labels, where an
+    absolute score>0 gate degenerates to keep-all or keep-none),
+    (4) adaptive stopword identification over the
+    survivors, (5) per-source budget summary + total model score. Model
+    training (3 exact-integer gradient aggregates), the dedup window, the
+    gate, and both aggregates compose into ONE hash-checked oracle that
+    re-trains the model from scratch — the integration proof that
+    heuristic passes and LEARNED passes chain deterministically
+    (`pipeline/classifier.py`, `pipeline/dedup.py::line_dedup`)."""
+    from flink_ci_flink_spark.pipeline.classifier import (
+        perceptron_score,
+        perceptron_train,
+        text_feature_exprs,
+    )
+    from flink_ci_flink_spark.pipeline.dedup import line_dedup
+    from flink_ci_flink_spark.pipeline.text import tokens
+
+    t = load_tables(spark, sf_dir)
+    label = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    w = perceptron_train(t.documents, text_feature_exprs(), label, iterations=3)
+    scored = perceptron_score(t.documents, text_feature_exprs(), w).select(
+        "doc_id", "score"
+    )
+    mstat = scored.agg(
+        F.sum("score").alias("msum"), F.count(F.lit(1)).alias("mcnt")
+    )
+    gated = (
+        scored.crossJoin(F.broadcast(mstat))
+        .filter(F.col("score") * F.col("mcnt") >= F.col("msum"))
+        .select("doc_id")
+    )
+    dd = (
+        line_dedup(t.documents, seg_tokens=16)
+        .filter(F.col("n_kept") >= 3)
+        .join(gated, "doc_id")
+        .select("doc_id", "text")
+    )
+    dtok = dd.select("doc_id", F.explode(tokens("text")).alias("term"))
+    from flink_ci_flink_spark.pipeline.sketches import heavy_hitters
+
+    hh = heavy_hitters(dtok, "term", k=200).select(
+        "term", F.lit(1).alias("__hh")
+    )
+    per_doc = (
+        dtok.join(F.broadcast(hh), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.sum(F.when(F.col("__hh").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nonstop"),
+        )
+    )
+    return (
+        per_doc.join(t.documents.select("doc_id", "source"), "doc_id")
+        .join(scored, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.sum("n_nonstop").cast("bigint").alias("nonstop_tokens"),
+            F.sum("score").cast("bigint").alias("total_model_score"),
+        )
+    )

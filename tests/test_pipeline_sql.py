@@ -323,3 +323,58 @@ def test_quality_classifier_ptf(spark, sf_dir):
         pipeline_sql(
             spark, "SELECT * FROM TABLE(quality_classifier(TABLE docs_qc))"
         )
+
+
+def test_fold_spec_batching_insensitive_property(spark):
+    """Hypothesis: for randomly composed decomposable specs (sum/min/max/
+    count legs) and random row multisets split into random batch
+    sequences, incremental fold(fold(None, a), b) equals the one-shot
+    batch twin — the associativity contract the streaming runtime relies
+    on, checked directly at the plan-builder level (no streaming query
+    per example)."""
+    from hypothesis import given, settings, strategies as st
+
+    from flink_ci_flink_spark.streaming.declarative import (
+        FoldSpec,
+        declarative_fold_batch,
+    )
+
+    legs = {
+        "n": ("count(1)", "sum(n)"),
+        "tot": ("sum(v)", "sum(tot)"),
+        "mx": ("max(v)", "max(mx)"),
+        "mn": ("min(v)", "min(mn)"),
+    }
+
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+            min_size=1,
+            max_size=24,
+        ),
+        cut=st.integers(1, 23),
+        picked=st.sets(st.sampled_from(sorted(legs)), min_size=1, max_size=4),
+    )
+    @settings(max_examples=8, deadline=None)
+    def check(rows, cut, picked):
+        cut = min(cut, len(rows))
+        prepare = "; ".join(f"{k} := {legs[k][0]}" for k in sorted(picked))
+        merge = "; ".join(f"{k} := {legs[k][1]}" for k in sorted(picked))
+        spec = FoldSpec(keys=["k"], prepare=prepare, merge=merge)
+        df = spark.createDataFrame(rows, "k int, v int")
+        a = spark.createDataFrame(rows[:cut] or [(0, 0)], "k int, v int")
+        b = spark.createDataFrame(rows[cut:] or None, "k int, v int") if rows[cut:] else None
+        s1 = spec.fold_plan(None, spec.prepare_plan(a))
+        incr = spec.fold_plan(s1, spec.prepare_plan(b)) if b is not None else s1
+        if not rows[:cut]:
+            return
+        want = declarative_fold_batch(df, spec)
+        got_rows = sorted(map(tuple, spec.emit_plan(incr).collect()))
+        want_rows = sorted(map(tuple, want.collect()))
+        if not rows[cut:]:
+            # a == whole input
+            assert got_rows == want_rows
+        else:
+            assert got_rows == want_rows
+
+    check()
