@@ -465,6 +465,9 @@ def main() -> None:
         "pipe_hard_negatives",
         "pipe_embedding_curation",
         "pipe_ivfpq_store_probe",
+        "pipe_quality_perceptron",
+        "pipe_e2e_curation_v3",
+        "graph_canonical_by_model",
     ]
     new_ops_t: dict[str, float] = {}
     for name in NEW_OPS:

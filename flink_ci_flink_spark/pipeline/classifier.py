@@ -190,3 +190,41 @@ def perceptron_oracle_sql(
     FROM feat CROSS JOIN {final} w
     """
     )
+
+
+def streaming_model_screen_ingest(
+    stream_df,
+    features: list[Column],
+    weights: list[int],
+    store_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+):
+    """Online serving of the offline-trained quality model: each
+    micro-batch scores its documents MAP-ONLY against the broadcast
+    literal weights (the k-integer model) and appends (id, score, pred)
+    to the screen store — the classifier twin of the IVF-PQ
+    encode-on-ingest path. Deterministic integer scoring makes
+    at-least-once redeliveries byte-identical, so `finalize_model_screen`
+    collapses them exactly on the id. Returns the started query."""
+    from flink_ci_flink_spark.streaming.core import foreach_batch_upsert
+
+    def merge(batch_df, epoch_id: int) -> None:
+        scored = perceptron_score(batch_df, features, weights, id_col=id_col)
+        if scored.take(1):
+            scored.withColumn(
+                "__epoch", F.lit(int(epoch_id))
+            ).write.mode("append").parquet(store_dir)
+
+    return foreach_batch_upsert(stream_df, merge, checkpoint)
+
+
+def finalize_model_screen(spark, store_dir: str, id_col: str = "doc_id"):
+    """Close the streaming screen: replay-dedup on the id (scores are
+    deterministic, so duplicates are byte-identical) — equal to batch
+    `perceptron_score` over the whole corpus."""
+    return (
+        spark.read.parquet(store_dir)
+        .dropDuplicates([id_col])
+        .select(id_col, "score", "pred")
+    )

@@ -3911,3 +3911,54 @@ def pipe_e2e_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score").cast("bigint").alias("total_model_score"),
         )
     )
+
+
+@query(
+    "streaming_model_screen_replay",
+    oracle=_quality_perceptron_oracle(),
+    group="streaming",
+)
+def streaming_model_screen_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier's offline-train / ONLINE-SERVE loop closed, the same
+    way IVF-PQ's encode-on-ingest closed the ANN loop: the quality
+    perceptron trains offline on the corpus snapshot (3 exact-integer
+    gradient aggregates), then documents REPLAY as a 3-micro-batch stream
+    and each batch is scored map-only against the broadcast k-integer
+    model, appending to the screen store. Batch 1 is deliberately
+    REDELIVERED (at-least-once) — deterministic integer scoring makes the
+    duplicates byte-identical, so the finalize collapses them exactly on
+    doc_id and the result hash-matches the one-shot batch oracle, which
+    re-trains the model from scratch
+    (`pipeline/classifier.py::streaming_model_screen_ingest`)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from flink_ci_flink_spark.pipeline.classifier import (
+        finalize_model_screen,
+        perceptron_train,
+        streaming_model_screen_ingest,
+        text_feature_exprs,
+    )
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text", "n_chars", "source")
+    label = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    w = perceptron_train(docs, text_feature_exprs(), label, iterations=3)
+    tmp = stage_ordered_replay(docs, ["doc_id"])
+    first = sorted(glob.glob(f"{tmp}/*.parquet"))[0]
+    shutil.copyfile(first, first.replace(".parquet", "_redelivered.parquet"))
+    base = tempfile.mkdtemp(prefix="model_screen_")
+    q = streaming_model_screen_ingest(
+        file_stream(spark, tmp, docs.schema, max_files_per_trigger=1),
+        text_feature_exprs(),
+        w,
+        f"{base}/store",
+        checkpoint=f"{base}/ckpt",
+    )
+    q.processAllAvailable()
+    q.stop()
+    return finalize_model_screen(spark, f"{base}/store")
