@@ -3962,3 +3962,63 @@ def streaming_model_screen_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     q.processAllAvailable()
     q.stop()
     return finalize_model_screen(spark, f"{base}/store")
+
+
+@query(
+    "streaming_feature_drift_replay",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(LEAST(CAST(n_chars AS BIGINT), 5000)) AS BIGINT)
+             AS sum_chars,
+           CAST(SUM(LEAST(CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+             AS BIGINT), 1000)) AS BIGINT) AS sum_digits,
+           CAST(FLOOR(SUM(LEAST(CAST(n_chars AS BIGINT), 5000)) * 1.0
+             / COUNT(*)) AS BIGINT) AS mean_chars,
+           CAST(FLOOR(SUM(LEAST(CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+             AS BIGINT), 1000)) * 1.0 / COUNT(*)) AS BIGINT) AS mean_digits
+    FROM documents GROUP BY source
+    """,
+    group="streaming",
+)
+def streaming_feature_drift_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A SECOND production monitor on the declarative fold surface,
+    declared entirely as SQL expressions — per-source FEATURE-DRIFT
+    tracking for the quality classifier: running sums/means of the model's
+    input features (chars, digit count — the same capped integer exprs
+    `text_feature_exprs` uses) per source on ingest. Comparing these
+    against the training snapshot's means is how a deployed model screen
+    detects input drift (retrain trigger). State = one row per source
+    (sums + count — decomposable), merged by the zero-per-key-Python
+    `jvm_keyed_fold` runtime through the same `FoldSpec` the
+    `keyed_fold` PTF exposes; exact integers make the streamed fold
+    hash-match the one-shot batch aggregate."""
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.declarative import (
+        FoldSpec,
+        declarative_keyed_fold,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "source", "text", "n_chars")
+    chars = "least(cast(n_chars as bigint), 5000)"
+    digits = "least(cast(length(regexp_replace(text, '[^0-9]', '')) as bigint), 1000)"
+    spec = FoldSpec(
+        keys=["source"],
+        prepare=(
+            f"n := count(1); sum_chars := sum({chars}); "
+            f"sum_digits := sum({digits})"
+        ),
+        merge=(
+            "n := sum(n); sum_chars := sum(sum_chars); "
+            "sum_digits := sum(sum_digits)"
+        ),
+        emit=(
+            "mean_chars := CAST(FLOOR(sum_chars * 1.0 / n) AS BIGINT); "
+            "mean_digits := CAST(FLOOR(sum_digits * 1.0 / n) AS BIGINT)"
+        ),
+    )
+    tmp = stage_ordered_replay(docs, ["doc_id"])
+    return declarative_keyed_fold(
+        file_stream(spark, tmp, docs.schema, max_files_per_trigger=1), spec
+    )
