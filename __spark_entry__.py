@@ -36,8 +36,11 @@ FLAGSHIP = "tpch_q3_shipping_priority"
 # pivot_status_by_flag, json_payload_extract, fn_collections,
 # fn_string_basic, agg_min_max_by, window_session_native — all covered by
 # their own pytest groups every run) lead the round-10 rotation, together
-# with the late-round-9 additions tpcds_shape_channel_band_agreement and
-# tpcds_shape_cross_channel_growth (sf0.01 parity-green locally).
+# with the late-round-9 additions (each sf0.01 parity + driver-sim green
+# locally): tpcds_shape_channel_band_agreement,
+# tpcds_shape_cross_channel_growth, pipe_quality_perceptron,
+# graph_canonical_by_model, pipe_e2e_curation_v3,
+# streaming_model_screen_replay, streaming_feature_drift_replay.
 _PRIORITY = [
     # -- (1) round-9 additions / changes, never driver-proven --
     "tpcds_shape_cross_channel_items",

@@ -13,10 +13,15 @@ entire training trajectory — and therefore every score — is a pure
 function of the data that a SQL oracle replays bit-for-bit with unrolled
 per-iteration CTEs.
 
-Features are integer text statistics (counts, capped to bound magnitudes:
-|w_j| ≤ iterations · Σ|x_j| keeps every dot product far below 2^63 even at
-corpus scale). Labels are weak supervision (a source-derived proxy here;
-at 100 TB you broadcast-join a human-rated seed set the same way).
+Features are integer text statistics (counts, capped to bound magnitudes).
+Precise overflow bound: |w_j| <= iterations * n_docs * cap_j, so
+|score| <= iterations * n_docs * sum_j(cap_j^2) ~= 8.7e7 * n_docs with the
+default caps (5000 + 5x1000) and 3 iterations. A 100 TB corpus at ~5 KB
+per document is ~2e10 docs -> |score| <= ~1.7e18, inside int64 (9.2e18)
+with ~5x headroom; past ~1e11 docs, train on a hash-sample or normalize
+the gradient (floor(sum/n) — still exact integer) before scaling further.
+Labels are weak supervision (a source-derived proxy here; at 100 TB you
+broadcast-join a human-rated seed set the same way).
 
 What this deliberately is NOT: SGD (per-row sequential updates are
 order-dependent — not replayable, not partial-aggregable) or logistic
