@@ -144,6 +144,36 @@ class FoldSpec:
         )
 
 
+def self_check(spec: FoldSpec, sample: DataFrame, n_splits: int = 3) -> None:
+    """Runtime validator for USER-SUPPLIED specs: runs the spec
+    incrementally over ``n_splits`` deterministic hash-slices of `sample`
+    and compares against the one-shot twin. Raises ValueError with the
+    offending columns if the merge leg is not a true canonicalizer of
+    prepare-unions (e.g. someone declared ``avg(x)`` in prepare — averages
+    don't merge; carry (sum, count) and derive in emit). Run it once on a
+    representative sample before deploying a new monitor."""
+    import pyspark.sql.functions as F
+
+    slices = [
+        sample.filter(F.crc32(F.concat_ws("\x1f", *sample.columns)) % n_splits == i)
+        for i in range(n_splits)
+    ]
+    state = None
+    for sl in slices:
+        state = spec.fold_plan(state, spec.prepare_plan(sl))
+    got = sorted(map(tuple, spec.emit_plan(state).collect()))
+    want = sorted(map(tuple, declarative_fold_batch(sample, spec).collect()))
+    if got != want:
+        diff = [(g, w) for g, w in zip(got, want) if g != w][:3]
+        raise ValueError(
+            "FoldSpec failed the batching-insensitivity self-check: "
+            "incremental fold over split batches != one-shot aggregate "
+            f"(first diffs: {diff}). The merge leg must canonicalize a "
+            "UNION of prepare outputs (sum/sum, count->sum, max/max, "
+            "min/min compose; avg must be carried as sum+count)."
+        )
+
+
 def declarative_keyed_fold(
     stream: DataFrame,
     spec: FoldSpec,

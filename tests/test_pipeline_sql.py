@@ -378,3 +378,26 @@ def test_fold_spec_batching_insensitive_property(spark):
             assert got_rows == want_rows
 
     check()
+
+
+def test_fold_spec_self_check_catches_non_mergeable(spark, sf_dir):
+    """The runtime validator passes a correct spec and rejects a broken
+    one (avg declared directly — averages don't merge) with the
+    actionable message."""
+    from flink_ci_flink_spark.streaming.declarative import FoldSpec, self_check
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id", F.floor("value").cast("long").alias("v"))
+    good = FoldSpec(
+        keys=["user_id"],
+        prepare="n := count(1); tot := sum(v)",
+        merge="n := sum(n); tot := sum(tot)",
+    )
+    self_check(good, ev)  # must not raise
+    bad = FoldSpec(
+        keys=["user_id"],
+        prepare="a := avg(v)",
+        merge="a := avg(a)",
+    )
+    with pytest.raises(ValueError, match="batching-insensitivity"):
+        self_check(bad, ev)
