@@ -426,3 +426,121 @@ def tpcds_cross_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "exp_y1", "exp_y2", "def_y1", "def_y2")
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "tpcds_shape_except_chain",
+    oracle="""
+    WITH p1 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    ), p2 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    ), p3 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ), lapsed AS (
+      SELECT o_custkey FROM p1
+      EXCEPT
+      SELECT o_custkey FROM p2
+      EXCEPT
+      SELECT o_custkey FROM p3
+    )
+    SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_lapsed
+    FROM lapsed JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_nationkey
+    ORDER BY nk
+    """,
+    group="tpcds",
+)
+def tpcds_except_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q87 shape: the EXCEPT chain — distinct customer sets per
+    period subtracted left-to-right (active in 1995, never again in
+    1996/1997 = "lapsed"), then a dimension rollup of the survivors.
+    EXCEPT chains left-associatively in both engines; each period's
+    DISTINCT runs on its date-pruned slice (the filter lands in the scan),
+    and the set ops work on deduped keys, far smaller than the fact. Ref:
+    `TpcdsTestProgram.java:57-69` (variants 87, 38)."""
+    t = load_tables(spark, sf_dir)
+
+    def period(y0: str, y1: str):
+        return (
+            t.orders.filter(
+                (F.col("o_orderdate") >= y0) & (F.col("o_orderdate") < y1)
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    lapsed = (
+        period("1995-01-01", "1996-01-01")
+        .exceptAll(period("1996-01-01", "1997-01-01"))
+        .distinct()
+        .exceptAll(period("1997-01-01", "1998-01-01"))
+        .distinct()
+    )
+    return (
+        lapsed.join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").cast("long").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_lapsed"))
+        .orderBy("nk")
+    )
+
+
+@query(
+    "tpcds_shape_band_count_ratio",
+    oracle="""
+    WITH b AS (
+      SELECT
+        SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS hi,
+        SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS lo
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    )
+    SELECT CAST(hi AS BIGINT) AS hi_band,
+           CAST(lo AS BIGINT) AS lo_band,
+           ROUND(hi * 1.0 / NULLIF(lo, 0), 6) AS band_ratio
+    FROM b
+    """,
+    group="tpcds",
+)
+def tpcds_band_count_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q90 shape: the two-band count ratio — two scalar subqueries
+    over disjoint slices of the same fact, divided into one ratio row.
+    Both counts FUSE into one conditional aggregation (one scan, one
+    1-row aggregate — the q88/q90 scalar-subquery family rewrite), the
+    division NULLIF-guarded and rounded identically on both engines. Ref:
+    `TpcdsTestProgram.java:57-69` (variants 90, 88)."""
+    t = load_tables(spark, sf_dir)
+    b = (
+        t.orders.filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0)
+            ).alias("hi"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0)
+            ).alias("lo"),
+        )
+    )
+    return b.select(
+        F.col("hi").cast("bigint").alias("hi_band"),
+        F.col("lo").cast("bigint").alias("lo_band"),
+        F.round(
+            F.col("hi") * 1.0 / F.nullif(F.col("lo"), F.lit(0)), 6
+        ).alias("band_ratio"),
+    )
