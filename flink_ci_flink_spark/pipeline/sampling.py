@@ -142,6 +142,108 @@ def token_budget_mix(
     )
 
 
+def dsir_select(
+    docs: DataFrame,
+    is_target: Column,
+    n_keep: int = 100,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection via hashed n-gram importance weights
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling" — public literature). A small TARGET slice of the corpus
+    (``is_target`` predicate — e.g. a curated domain) defines the
+    distribution to match; every RAW document is scored by how much more
+    likely its hashed-n-gram bag is under the target model than under the
+    raw model, and the top ``n_keep`` raw documents are selected.
+
+    Features are hashed unigrams + bigrams (the paper's n<=2 bag), bucketed
+    to ``n_buckets`` via the portable 60-bit md5 token hash. Both models are
+    add-1-smoothed bucket counts. Following the repo's rational-weight
+    convention (`text.py::bm25_topk`), the per-bucket log-likelihood-ratio
+    is replaced by the integer-scaled likelihood ratio
+
+        lam(b) = floor(1e6 * (ct+1) * (tot_r + B) / ((cr+1) * (tot_t + B)))
+
+    and a document's importance score is ``sum(lam - 1e6)`` over its n-gram
+    occurrences (ratio 1 contributes 0; to first order 1e6*sum(ln r)). Every
+    step is integer inputs through IEEE correctly-rounded double ops, so the
+    score — and the selected SET — is bit-identical in the DuckDB oracle.
+    Selection is the deterministic top-k variant of the paper's Gumbel
+    resampling (rank by weight; reproducible across cluster sizes).
+
+    Scale shape (100 TB): the bucket model is ONE partial-aggregable
+    groupBy over <= n_buckets keys; the weight table (<= n_buckets rows) and
+    the 1-row totals BROADCAST back onto the postings; the per-doc score is
+    a second partial-aggregable sum; the final top-k is a distributed
+    TakeOrdered (sort + limit), never a global single-partition window —
+    rank is assigned by a window over the n_keep survivors only.
+
+    Returns (doc_id, score, rank) for the n_keep highest-scoring raw docs.
+    """
+    from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
+    from flink_ci_flink_spark.pipeline.text import token_hash, tokens
+
+    t = tokens(text_col)
+    base = spread_small_scan(docs).select(
+        F.col(id_col), is_target.alias("__tgt"), t.alias("__t")
+    )
+    # Non-distinct bigrams (bag features — shingles_from_tokens dedups, DSIR
+    # must not); guarded like it against Spark's backward sequence(1, 0).
+    arr = F.col("__t")
+    bigrams = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    posts = base.select(
+        F.col(id_col),
+        F.col("__tgt"),
+        F.explode(F.concat(arr, bigrams)).alias("__g"),
+    ).select(
+        id_col,
+        "__tgt",
+        (token_hash(F.col("__g")) % F.lit(n_buckets)).alias("__b"),
+    )
+    tgt1 = F.when(F.col("__tgt"), F.lit(1)).otherwise(F.lit(0))
+    raw1 = F.when(F.col("__tgt"), F.lit(0)).otherwise(F.lit(1))
+    model = posts.groupBy("__b").agg(
+        F.sum(tgt1).cast("long").alias("__ct"),
+        F.sum(raw1).cast("long").alias("__cr"),
+    )
+    tots = posts.agg(
+        F.sum(tgt1).cast("long").alias("__tt"),
+        F.sum(raw1).cast("long").alias("__tr"),
+    )
+    lam = F.floor(
+        (
+            F.lit(1e6)
+            * (F.col("__ct") + 1).cast("double")
+            * (F.col("__tr") + F.lit(n_buckets))
+        )
+        / ((F.col("__cr") + 1).cast("double") * (F.col("__tt") + F.lit(n_buckets)))
+    ).cast("long")
+    weights = model.crossJoin(F.broadcast(tots)).select(
+        "__b", lam.alias("__lam")
+    )
+    scored = (
+        posts.filter(~F.col("__tgt"))
+        .join(F.broadcast(weights), "__b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__lam") - F.lit(1000000)).cast("long").alias("score"))
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(n_keep)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.select(
+        id_col, "score", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
 def temperature_mix(
     docs: DataFrame,
     token_budget: int,

@@ -4022,3 +4022,60 @@ def streaming_feature_drift_replay(spark: SparkSession, sf_dir: str) -> DataFram
     return declarative_keyed_fold(
         file_stream(spark, tmp, docs.schema, max_files_per_trigger=1), spec
     )
+
+
+@query(
+    "pipe_dsir_select",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, (source IN ('src1', 'src2', 'src3')) AS tgt,
+             {_TOKS} AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, tgt,
+             UNNEST(t || list_transform(generate_series(1, len(t) - 1),
+                                        i -> concat_ws(' ', t[i], t[i+1]))) AS g
+      FROM base
+    ), posts AS (
+      SELECT doc_id, tgt, {_TOKHASH.format(x='g')} % 1024 AS b FROM grams
+    ), model AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+      FROM posts GROUP BY b
+    ), tots AS (
+      SELECT CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+             CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS tr
+      FROM posts
+    ), wt AS (
+      SELECT b,
+             CAST(FLOOR((1e6 * CAST(ct + 1 AS DOUBLE) * (tr + 1024))
+                  / (CAST(cr + 1 AS DOUBLE) * (tt + 1024))) AS BIGINT) AS lam
+      FROM model, tots
+    ), scored AS (
+      SELECT doc_id, CAST(SUM(lam - 1000000) AS BIGINT) AS score
+      FROM posts JOIN wt USING (b) WHERE NOT tgt GROUP BY doc_id
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+             AS rank
+    FROM scored ORDER BY score DESC, doc_id ASC LIMIT 100
+    """,
+    group="pipeline",
+)
+def pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023): treat sources
+    src1-src3 as the curated TARGET domain, fit add-1-smoothed hashed
+    unigram+bigram bucket models (1024 buckets, portable md5 hash) for
+    target vs raw, score every raw doc by the integer-scaled likelihood
+    ratio sum (rational surrogate for the paper's log-ratio, per repo
+    convention), and keep the deterministic top-100. The bucket model is
+    one <=1024-key partial agg; weights + totals broadcast back; top-k is
+    a distributed TakeOrdered — two corpus-scale shuffle-free passes plus
+    one bounded-key agg (`pipeline/sampling.py::dsir_select`)."""
+    from flink_ci_flink_spark.pipeline.sampling import dsir_select
+
+    t = load_tables(spark, sf_dir)
+    return dsir_select(
+        t.documents, F.col("source").isin("src1", "src2", "src3"), n_keep=100
+    )

@@ -2174,3 +2174,28 @@ def test_perceptron_learns_separable_quality(spark):
     w2 = perceptron_train(docs, feats, F.col("y"), iterations=4)
     if acc == 1.0:
         assert w2 == w
+
+
+def test_dsir_upweights_target_like_docs(spark):
+    """DSIR importance selection must rank raw docs that share the target
+    domain's n-grams above raw docs that don't."""
+    from flink_ci_flink_spark.pipeline.sampling import dsir_select
+
+    rows = []
+    # Target domain: legal boilerplate vocabulary.
+    for i in range(10):
+        rows.append((i, "tgt", f"the party of the first part agrees clause {i}"))
+    # Raw pool: 5 legal-ish docs (should win) and 5 cooking docs.
+    for i in range(5):
+        rows.append((100 + i, "raw", f"the party agrees to the clause terms {i}"))
+    for i in range(5):
+        rows.append((200 + i, "raw", f"simmer the onions with butter and salt {i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = dsir_select(
+        docs, F.col("source") == "tgt", n_keep=10, n_buckets=256
+    ).collect()
+    assert len(out) == 10  # all raw docs ranked, none of the 10 targets
+    top5 = {r.doc_id for r in out if r.rank <= 5}
+    assert top5 == {100, 101, 102, 103, 104}, top5
+    # ranks are dense 1..10
+    assert sorted(r.rank for r in out) == list(range(1, 11))
