@@ -817,3 +817,85 @@ def quality_quantile_screen_scaled(
         ranked.filter(F.col("pr") <= frac)
         .select(by, id_col, "quality", F.round("pr", 6).alias("pct"))
     )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    mean_len_lo10: int = 30,
+    mean_len_hi10: int = 100,
+    stop_min: int = 2,
+) -> DataFrame:
+    """Gopher-style document-quality rule filter (Rae et al. 2021, table A1
+    — the published heuristics every large crawl pipeline runs; RedPajama /
+    FineWeb reuse the same set). Seven rules, each an EXACT integer
+    comparison (ratios cross-multiplied, mean word length compared at x10
+    scale), composed into a per-document failure BITMASK so downstream
+    stages can attribute drops to specific rules:
+
+        bit 0  word count outside [min_words, max_words]
+        bit 1  mean word length outside [mean_len_lo10, mean_len_hi10]/10
+        bit 2  symbol-to-word ratio ('#' + '...') > 0.1
+        bit 3  > 90% of lines start with a bullet ('- ' / '* ')
+        bit 4  > 30% of lines end with an ellipsis
+        bit 5  < 80% of words contain an alphabetic character
+        bit 6  fewer than ``stop_min`` of Gopher's 8 stopwords
+
+    Map-only — one projection over the scan, no shuffle, no UDF; every
+    expression is whole-stage-codegen'd. Returns
+    (id, n_words, fail_mask, kept) with kept = 1 iff fail_mask == 0.
+    """
+    t = tokens(text_col)
+    txt = F.col(text_col)
+    nw = F.size(t).cast("long")
+    sumlen = F.aggregate(
+        t, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    n_hash = (F.length(txt) - F.length(F.replace(txt, F.lit("#")))).cast("long")
+    n_ell = (
+        (F.length(txt) - F.length(F.replace(txt, F.lit("...")))) / F.lit(3)
+    ).cast("long")
+    lines = F.split(txt, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith(F.lit("- ")) | x.startswith(F.lit("* ")),
+        )
+    ).cast("long")
+    n_ell_end = F.size(
+        F.filter(lines, lambda x: x.endswith(F.lit("...")))
+    ).cast("long")
+    n_alpha = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    stops = F.array(
+        *[F.lit(w) for w in ("the", "be", "to", "of", "and", "that", "have", "with")]
+    )
+    n_stop = F.size(
+        F.filter(t, lambda x: F.array_contains(stops, F.lower(x)))
+    ).cast("long")
+
+    def bit(cond, i):
+        return F.when(cond, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+
+    mask = (
+        bit((nw < min_words) | (nw > max_words), 0)
+        + bit(
+            (sumlen * 10 < F.lit(mean_len_lo10) * nw)
+            | (sumlen * 10 > F.lit(mean_len_hi10) * nw),
+            1,
+        )
+        + bit((n_hash + n_ell) * 10 > nw, 2)
+        + bit(n_bullet * 10 > n_lines * 9, 3)
+        + bit(n_ell_end * 10 > n_lines * 3, 4)
+        + bit(n_alpha * 10 < nw * 8, 5)
+        + bit(n_stop < stop_min, 6)
+    )
+    return docs.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        mask.alias("fail_mask"),
+        F.when(mask == 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("kept"),
+    )

@@ -4079,3 +4079,64 @@ def pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(
         t.documents, F.col("source").isin("src1", "src2", "src3"), n_keep=100
     )
+
+
+@query(
+    "pipe_gopher_rules",
+    oracle=rf"""
+    WITH f AS (
+      SELECT doc_id, {_TOKS} AS t, str_split(text, chr(10)) AS l, text
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        CAST(len(t) AS BIGINT) AS nw,
+        CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT)
+          AS sumlen,
+        CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT)
+          AS n_ell,
+        CAST(len(l) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(l, x -> starts_with(x, '- ')
+                                  OR starts_with(x, '* '))) AS BIGINT)
+          AS n_bullet,
+        CAST(len(list_filter(l, x -> ends_with(x, '...'))) AS BIGINT)
+          AS n_ell_end,
+        CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+          AS BIGINT) AS n_alpha,
+        CAST(len(list_filter(t, x -> list_contains(
+          ['the','be','to','of','and','that','have','with'], lower(x))))
+          AS BIGINT) AS n_stop
+      FROM f
+    ), r AS (
+      SELECT doc_id, nw,
+        CAST(
+          (CASE WHEN nw < 25 OR nw > 100000 THEN 1 ELSE 0 END)
+        + (CASE WHEN sumlen * 10 < 30 * nw OR sumlen * 10 > 45 * nw
+                THEN 2 ELSE 0 END)
+        + (CASE WHEN (n_hash + n_ell) * 10 > nw THEN 4 ELSE 0 END)
+        + (CASE WHEN n_bullet * 10 > n_lines * 9 THEN 8 ELSE 0 END)
+        + (CASE WHEN n_ell_end * 10 > n_lines * 3 THEN 16 ELSE 0 END)
+        + (CASE WHEN n_alpha * 10 < nw * 8 THEN 32 ELSE 0 END)
+        + (CASE WHEN n_stop < 2 THEN 64 ELSE 0 END) AS BIGINT) AS fail_mask
+      FROM m
+    )
+    SELECT doc_id, CAST(nw AS BIGINT) AS n_words, fail_mask,
+           CAST(CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM r ORDER BY doc_id
+    """,
+    group="pipeline",
+)
+def pipe_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule filter (Rae et al. 2021 table A1) as a per-document
+    failure bitmask: word-count band, mean-word-length band (registered at
+    [3.0, 4.5] so the rule discriminates on this corpus; published default
+    is [3, 10]), symbol ratio, bullet/ellipsis line ratios, alpha-word
+    share, stopword floor — every ratio cross-multiplied to exact
+    integers. Map-only, zero shuffles, fully codegen'd
+    (`pipeline/text.py::gopher_rules`)."""
+    from flink_ci_flink_spark.pipeline.text import gopher_rules
+
+    t = load_tables(spark, sf_dir)
+    return gopher_rules(
+        t.documents, min_words=25, mean_len_lo10=30, mean_len_hi10=45
+    ).orderBy("doc_id")

@@ -2199,3 +2199,28 @@ def test_dsir_upweights_target_like_docs(spark):
     assert top5 == {100, 101, 102, 103, 104}, top5
     # ranks are dense 1..10
     assert sorted(r.rank for r in out) == list(range(1, 11))
+
+
+def test_gopher_rules_bitmask(spark):
+    """Each Gopher rule must set its own bit on a doc built to violate it."""
+    from flink_ci_flink_spark.pipeline.text import gopher_rules
+
+    good = "the quick brown fox and the lazy dog went to town with all of them " * 5
+    rows = [
+        (1, good),                                     # passes everything
+        (2, "the of and"),                             # bit 0: too short
+        (3, "### " * 60 + good),                       # bit 2: symbol ratio
+        (4, "\n".join(["- item the of and"] * 30)),    # bit 3: bullet lines
+        (5, "\n".join(["the of and to..."] * 30)),     # bit 4: ellipsis ends
+        (6, " ".join(["123456"] * 40) + " the of"),    # bit 5: non-alpha words
+        (7, " ".join(["zebra"] * 60)),                 # bit 6: no stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(docs, min_words=8).collect()}
+    assert out[1].fail_mask == 0 and out[1].kept == 1
+    assert out[2].fail_mask & 1
+    assert out[3].fail_mask & 4
+    assert out[4].fail_mask & 8
+    assert out[5].fail_mask & 16
+    assert out[6].fail_mask & 32
+    assert out[7].fail_mask & 64 and out[7].kept == 0
