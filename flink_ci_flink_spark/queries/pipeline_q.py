@@ -4140,3 +4140,76 @@ def pipe_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(
         t.documents, min_words=25, mean_len_lo10=30, mean_len_hi10=45
     ).orderBy("doc_id")
+
+
+@query(
+    "pipe_lsh_dedup_recall",
+    oracle=f"""
+    {_MINHASH_BASE}, banded AS ({_BANDS_SQL}), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ), stoks AS (
+      SELECT doc_id, t FROM toks
+      WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lshrec'), 1, 15)
+                 AS BIGINT) < {int(0.4 * (1 << 60))}
+    ), ssh AS (
+      SELECT doc_id, UNNEST({_SHINGLES.replace("(t)", "(t)")}) AS s FROM stoks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM ssh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ssh a JOIN ssh b USING (s)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ), truth AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5
+    ), flagged AS (
+      SELECT t.id_a, t.id_b,
+             CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM truth t
+      LEFT JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_caught,
+           CAST(FLOOR((1e6 * COALESCE(SUM(hit), 0))
+                / GREATEST(COUNT(*), 1)) AS BIGINT) AS recall_ppm
+    FROM flagged
+    """,
+    group="pipeline",
+)
+def pipe_lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-recall eval-as-a-query: the PRODUCTION MinHash-LSH candidate
+    pass (32 hashes, 8 bands — the same plan `pipe_minhash_lsh` runs) is
+    measured against exact 3-gram Jaccard >= 0.5 ground truth computed on a
+    hash-held-out 40% document sample. The exact side is the sampled shape
+    from the start (the round-8 verdict's ANN-eval lesson): its
+    inverted-index pair join runs on sample^2 density, never the full
+    corpus, while the LSH side stays the corpus-scale banded pass being
+    evaluated. One row: (n_truth, n_caught, recall_ppm), all exact
+    integers (`pipeline/dedup.py::{{jaccard_pairs, minhash_lsh_pairs}}`)."""
+    from flink_ci_flink_spark.pipeline.sampling import HASH_DOMAIN, sample_hash60
+
+    t = load_tables(spark, sf_dir)
+    sampled = t.documents.where(
+        sample_hash60(F.col("doc_id"), "lshrec") < F.lit(int(0.4 * HASH_DOMAIN))
+    )
+    truth = jaccard_pairs(sampled, threshold=0.5).select("id_a", "id_b")
+    cand = minhash_lsh_pairs(t.documents).select(
+        "id_a", "id_b", F.lit(1).alias("__hit")
+    )
+    flagged = truth.join(cand, ["id_a", "id_b"], "left")
+    n_truth = F.count(F.lit(1)).cast("long")
+    n_caught = F.coalesce(F.sum("__hit"), F.lit(0)).cast("long")
+    return flagged.agg(
+        n_truth.alias("n_truth"),
+        n_caught.alias("n_caught"),
+        F.floor(
+            (F.lit(1e6) * n_caught) / F.greatest(n_truth, F.lit(1).cast("long"))
+        )
+        .cast("long")
+        .alias("recall_ppm"),
+    )
