@@ -1,0 +1,314 @@
+"""TPC-DS-shaped queries, batch 5 — four more distinctive planner shapes
+toward the reference's 103-variant bar
+(`flink-end-to-end-tests/flink-tpcds-test/.../TpcdsTestProgram.java:57-69`),
+mapped onto the synthetic schema like batches 1-4:
+
+- `tpcds_shape_cov_pair` ~ q39: per-(supplier, month) coefficient of
+  variation of quantity, self-joined on CONSECUTIVE months where BOTH
+  sides exceed the CV threshold — the inventory "unstable demand" pair
+  report. CV > 0.3 is evaluated entirely in integer moments
+  (100·n·(n·Σq² − (Σq)²) > 9·(Σq)²·(n−1) — sample variance
+  cross-multiplied), so the pair SET is exact.
+- `tpcds_shape_rank_position_join` ~ q44: best-sellers and worst-sellers
+  ranked independently, then joined ON RANK POSITION (rank i's best vs
+  rank i's worst) — two TakeOrdered branches meeting on a tiny key.
+- `tpcds_shape_week_over_year` ~ q2/q59: day-of-week pivot per ISO week,
+  self-joined with the SAME week one year later, keeping weeks whose
+  Sunday revenue grew — the classic calendar-aligned self-join.
+- `tpcds_shape_order_count_exists` ~ q16/q94: COUNT(DISTINCT orders) +
+  revenue over orders with lines from >= 2 suppliers (correlated EXISTS
+  on a different key) and NO returned line (NOT EXISTS) in a date band.
+
+Scale notes: the CV aggregate is one partial-aggregable groupBy on
+(supplier, month) — pair join on month+1 is key-local; q44's two rankings
+are distributed TakeOrdered (limit 10) joined on a 10-row key; the
+week-over-year join keys on (year, week) — hundreds of groups; q16's
+EXISTS/NOT EXISTS decorrelate to per-order aggregates (one shuffle on
+orderkey), and the final distinct-count is over the surviving key set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_ci_flink_spark.catalog import load_tables
+from flink_ci_flink_spark.queries.registry import query
+
+_CENT = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+_CENT_SQL = "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+
+
+@query(
+    "tpcds_shape_cov_pair",
+    oracle="""
+    WITH m AS (
+      SELECT l_suppkey,
+             CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  AS BIGINT) AS sq2
+      FROM lineitem
+      WHERE year(l_shipdate) = 1997
+      GROUP BY 1, 2
+    ), flagged AS (
+      SELECT * FROM m
+      WHERE n > 1 AND 100 * n * (n * sq2 - sq * sq) > 9 * sq * sq * (n - 1)
+    )
+    SELECT a.l_suppkey AS suppkey,
+           a.ym AS ym1, b.ym AS ym2,
+           a.n AS n1, a.sq AS sq1, a.sq2 AS sq21,
+           b.n AS n2, b.sq AS sq2_, b.sq2 AS sq22
+    FROM flagged a
+    JOIN flagged b
+      ON a.l_suppkey = b.l_suppkey AND b.ym = a.ym + 1
+    ORDER BY suppkey, ym1
+    """,
+    group="tpcds",
+)
+def tpcds_cov_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q39 shape (inventory coefficient-of-variation pairs): per
+    (supplier, month) quantity moments; months where sample-CV > 0.3 —
+    cross-multiplied into exact integer moments so no stdev/sqrt float ever
+    materializes — self-joined on the consecutive month. One
+    partial-aggregable groupBy, then a key-local join on (supplier,
+    month+1). Ref: `TpcdsTestProgram.java:57-69` (variants 39a/39b)."""
+    t = load_tables(spark, sf_dir)
+    q = F.col("l_quantity").cast("long")
+    m = (
+        t.lineitem.filter(F.year("l_shipdate") == 1997)
+        .groupBy(
+            "l_suppkey",
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+            .cast("long")
+            .alias("ym"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(q).cast("long").alias("sq"),
+            F.sum(q * q).cast("long").alias("sq2"),
+        )
+    )
+    flagged = m.filter(
+        (F.col("n") > 1)
+        & (
+            100 * F.col("n") * (F.col("n") * F.col("sq2") - F.col("sq") * F.col("sq"))
+            > 9 * F.col("sq") * F.col("sq") * (F.col("n") - 1)
+        )
+    )
+    a, b = flagged.alias("a"), flagged.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_suppkey") == F.col("b.l_suppkey"))
+            & (F.col("b.ym") == F.col("a.ym") + 1),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("suppkey"),
+            F.col("a.ym").alias("ym1"),
+            F.col("b.ym").alias("ym2"),
+            F.col("a.n").alias("n1"),
+            F.col("a.sq").alias("sq1"),
+            F.col("a.sq2").alias("sq21"),
+            F.col("b.n").alias("n2"),
+            F.col("b.sq").alias("sq2_"),
+            F.col("b.sq2").alias("sq22"),
+        )
+        .orderBy("suppkey", "ym1")
+    )
+
+
+@query(
+    "tpcds_shape_rank_position_join",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey, CAST(SUM({_CENT_SQL}) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ), best AS (
+      SELECT l_partkey, cents,
+             row_number() OVER (ORDER BY cents DESC, l_partkey ASC) AS rnk
+      FROM rev
+    ), worst AS (
+      SELECT l_partkey, cents,
+             row_number() OVER (ORDER BY cents ASC, l_partkey ASC) AS rnk
+      FROM rev
+    )
+    SELECT CAST(b.rnk AS BIGINT) AS rnk,
+           b.l_partkey AS best_part, b.cents AS best_cents,
+           w.l_partkey AS worst_part, w.cents AS worst_cents
+    FROM best b JOIN worst w ON b.rnk = w.rnk
+    WHERE b.rnk <= 10
+    ORDER BY rnk
+    """,
+    group="tpcds",
+)
+def tpcds_rank_position_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q44 shape (best/worst performers joined ON RANK POSITION):
+    part revenue ranked ascending and descending independently, rank i's
+    best joined to rank i's worst. Executed as two distributed TakeOrdered
+    top-10s (sort+limit, never a global window over the full part set)
+    meeting on a 10-row join key. Ref: `TpcdsTestProgram.java:57-69`
+    (variant 44)."""
+    t = load_tables(spark, sf_dir)
+    rev = t.lineitem.groupBy("l_partkey").agg(
+        F.sum(_CENT(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("long")
+        .alias("cents")
+    )
+    top_b = rev.orderBy(F.col("cents").desc(), F.col("l_partkey").asc()).limit(10)
+    top_w = rev.orderBy(F.col("cents").asc(), F.col("l_partkey").asc()).limit(10)
+    wb = Window.orderBy(F.col("cents").desc(), F.col("l_partkey").asc())
+    ww = Window.orderBy(F.col("cents").asc(), F.col("l_partkey").asc())
+    best = top_b.select(
+        F.row_number().over(wb).cast("long").alias("rnk"),
+        F.col("l_partkey").alias("best_part"),
+        F.col("cents").alias("best_cents"),
+    )
+    worst = top_w.select(
+        F.row_number().over(ww).cast("long").alias("rnk"),
+        F.col("l_partkey").alias("worst_part"),
+        F.col("cents").alias("worst_cents"),
+    )
+    return (
+        best.join(F.broadcast(worst), "rnk")
+        .select("rnk", "best_part", "best_cents", "worst_part", "worst_cents")
+        .orderBy("rnk")
+    )
+
+
+@query(
+    "tpcds_shape_week_over_year",
+    oracle=f"""
+    WITH li AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(weekofyear(o_orderdate) AS BIGINT) AS wk,
+             CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+             {_CENT_SQL} AS cents
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE year(o_orderdate) IN (1997, 1998)
+        AND weekofyear(o_orderdate) BETWEEN 2 AND 50
+    ), wkagg AS (
+      SELECT yr, wk,
+             CAST(SUM(CASE WHEN dow = 1 THEN cents ELSE 0 END) AS BIGINT) AS sun,
+             CAST(SUM(CASE WHEN dow = 2 THEN cents ELSE 0 END) AS BIGINT) AS mon,
+             CAST(SUM(CASE WHEN dow = 7 THEN cents ELSE 0 END) AS BIGINT) AS sat
+      FROM li GROUP BY yr, wk
+    )
+    SELECT a.wk AS wk,
+           a.sun AS sun1, b.sun AS sun2,
+           a.mon AS mon1, b.mon AS mon2,
+           a.sat AS sat1, b.sat AS sat2
+    FROM wkagg a
+    JOIN wkagg b ON b.wk = a.wk AND a.yr = 1997 AND b.yr = 1998
+    WHERE b.sun > a.sun
+    ORDER BY wk
+    """,
+    group="tpcds",
+)
+def tpcds_week_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q2/q59 shape (day-of-week pivot self-joined across a one-year
+    calendar shift): per (year, ISO week) conditional-sum pivot of revenue
+    into weekday columns, week w of 1997 joined to week w of 1998, keeping
+    weeks whose Sunday revenue grew. Weeks 2-50 only, so ISO-week/calendar-
+    year boundary rows can't differ between engines. The pivot is one
+    partial-aggregable groupBy on ~100 (yr, wk) groups; the calendar join
+    is key-local. Ref: `TpcdsTestProgram.java:57-69` (variants 2, 59)."""
+    t = load_tables(spark, sf_dir)
+    li = (
+        t.lineitem.join(
+            t.orders, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .filter(
+            F.year("o_orderdate").isin(1997, 1998)
+            & F.weekofyear("o_orderdate").between(2, 50)
+        )
+        .select(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.weekofyear("o_orderdate").cast("long").alias("wk"),
+            F.dayofweek("o_orderdate").cast("long").alias("dow"),
+            _CENT(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "cents"
+            ),
+        )
+    )
+    def dsum(d, name):
+        return (
+            F.sum(F.when(F.col("dow") == d, F.col("cents")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(name)
+        )
+
+    wkagg = li.groupBy("yr", "wk").agg(
+        dsum(1, "sun"), dsum(2, "mon"), dsum(7, "sat")
+    )
+    a = wkagg.filter(F.col("yr") == 1997).alias("a")
+    b = wkagg.filter(F.col("yr") == 1998).alias("b")
+    return (
+        a.join(b, F.col("a.wk") == F.col("b.wk"))
+        .filter(F.col("b.sun") > F.col("a.sun"))
+        .select(
+            F.col("a.wk").alias("wk"),
+            F.col("a.sun").alias("sun1"),
+            F.col("b.sun").alias("sun2"),
+            F.col("a.mon").alias("mon1"),
+            F.col("b.mon").alias("mon2"),
+            F.col("a.sat").alias("sat1"),
+            F.col("b.sat").alias("sat2"),
+        )
+        .orderBy("wk")
+    )
+
+
+@query(
+    "tpcds_shape_order_count_exists",
+    oracle=f"""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ret,
+             CAST(SUM({_CENT_SQL}) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS order_count,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM orders JOIN per_order ON l_orderkey = o_orderkey
+    WHERE year(o_orderdate) = 1997
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND n_supp >= 2
+      AND n_ret = 0
+    """,
+    group="tpcds",
+)
+def tpcds_order_count_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q16/q94 shape (distinct-order count under EXISTS on a
+    different key + NOT EXISTS returns): urgent 1997 orders whose lines
+    come from >= 2 distinct suppliers (the correlated EXISTS "shipped from
+    another warehouse", decorrelated to a per-order distinct count) and
+    with NO returned line (the NOT EXISTS, decorrelated to a zero-count).
+    One shuffle on orderkey for the per-order aggregate; the date/priority
+    filters push to the orders scan; final 1-row rollup. Ref:
+    `TpcdsTestProgram.java:57-69` (variants 16, 94)."""
+    t = load_tables(spark, sf_dir)
+    per_order = t.lineitem.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("n_ret"),
+        F.sum(_CENT(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        t.orders.filter(
+            (F.year("o_orderdate") == 1997)
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        .join(per_order, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_ret") == 0))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("order_count"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
