@@ -48,6 +48,14 @@ _PRIORITY = [
     "tpcds_shape_repeatable_subquery",
     "streaming_declarative_fold_replay",  # NEW: declarative fold via PTF
     "pipe_ann_recall",  # reshaped: held-out-sample exact side
+    "pipe_dsir_select",  # NEW: DSIR importance resampling
+    "pipe_gopher_rules",  # NEW: Gopher rule bitmask
+    "pipe_lsh_dedup_recall",  # NEW: LSH dedup-recall eval (sampled shape)
+    "pipe_leakage_safe_split",  # NEW: split + decontamination composite
+    "tpcds_shape_cov_pair",  # NEW: q39 CV pairs
+    "tpcds_shape_rank_position_join",  # NEW: q44
+    "tpcds_shape_week_over_year",  # NEW: q2/q59
+    "tpcds_shape_order_count_exists",  # NEW: q16/q94
     # -- (2) re-validation: r2-proven first --
     "setop_union",
     "sort_limit_offset",

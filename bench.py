@@ -468,6 +468,10 @@ def main() -> None:
         "pipe_quality_perceptron",
         "pipe_e2e_curation_v3",
         "graph_canonical_by_model",
+        "pipe_dsir_select",
+        "pipe_gopher_rules",
+        "pipe_lsh_dedup_recall",
+        "pipe_leakage_safe_split",
     ]
     new_ops_t: dict[str, float] = {}
     for name in NEW_OPS:

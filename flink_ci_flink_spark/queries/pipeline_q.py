@@ -4213,3 +4213,83 @@ def pipe_lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_ppm"),
     )
+
+
+@query(
+    "pipe_leakage_safe_split",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS t,
+             (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15)
+                   AS BIGINT) < {int(0.1 * (1 << 60))}) AS is_test
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, is_test,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, len(t) - 4),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))) AS g
+      FROM base
+    ), test_grams AS (
+      SELECT DISTINCT g FROM sh WHERE is_test
+    ), leaked AS (
+      SELECT DISTINCT sh.doc_id FROM sh
+      JOIN test_grams USING (g) WHERE NOT is_test
+    )
+    SELECT b.doc_id,
+           CASE WHEN b.is_test THEN 'test' ELSE 'train' END AS split,
+           CAST(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS leaked,
+           CAST(CASE WHEN b.is_test OR l.doc_id IS NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS kept
+    FROM base b LEFT JOIN leaked l ON b.doc_id = l.doc_id
+    ORDER BY b.doc_id
+    """,
+    group="pipeline",
+)
+def pipe_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: a deterministic 10% hash split, then
+    the GPT-3-style decontamination pass WITHIN the corpus — any train doc
+    sharing a distinct word 5-gram with any test doc is flagged leaked and
+    dropped from train (test rows always survive). The gram join is an
+    inverted-index semi-join whose build side is the test split's bounded
+    distinct-gram set; the split itself is map-only. Returns every doc
+    with (split, leaked, kept) (`pipeline/dedup.py::shingles` at n=5)."""
+    from flink_ci_flink_spark.pipeline.dedup import shingles_from_tokens
+    from flink_ci_flink_spark.pipeline.sampling import HASH_DOMAIN, sample_hash60
+    from flink_ci_flink_spark.pipeline.text import tokens
+
+    t = load_tables(spark, sf_dir)
+    is_test = sample_hash60(F.col("doc_id"), "split") < F.lit(
+        int(0.1 * HASH_DOMAIN)
+    )
+    base = t.documents.select(
+        "doc_id", tokens("text").alias("__t"), is_test.alias("is_test")
+    )
+    sh = base.select(
+        "doc_id",
+        "is_test",
+        F.explode(shingles_from_tokens(F.col("__t"), 5)).alias("g"),
+    )
+    test_grams = sh.filter(F.col("is_test")).select("g").distinct()
+    leaked = (
+        sh.filter(~F.col("is_test"))
+        .join(test_grams, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__leak", F.lit(1))
+    )
+    return (
+        base.join(leaked, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_test"), F.lit("test"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+            F.coalesce(F.col("__leak"), F.lit(0)).cast("long").alias("leaked"),
+            F.when(F.col("is_test") | F.col("__leak").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
