@@ -4081,9 +4081,7 @@ def pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pipe_gopher_rules",
-    oracle=rf"""
+_GOPHER_RULES_ORACLE = rf"""
     WITH f AS (
       SELECT doc_id, {_TOKS} AS t, str_split(text, chr(10)) AS l, text
       FROM documents
@@ -4123,7 +4121,12 @@ def pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, CAST(nw AS BIGINT) AS n_words, fail_mask,
            CAST(CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
     FROM r ORDER BY doc_id
-    """,
+    """
+
+
+@query(
+    "pipe_gopher_rules",
+    oracle=_GOPHER_RULES_ORACLE,
     group="pipeline",
 )
 def pipe_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4292,4 +4295,57 @@ def pipe_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "streaming_gopher_screen_replay",
+    oracle=_GOPHER_RULES_ORACLE,
+    group="streaming",
+)
+def streaming_gopher_screen_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule filter served ONLINE, the way the perceptron screen
+    and IVF-PQ encode-on-ingest close their loops: documents replay as a
+    3-micro-batch stream, each batch runs the map-only exact-integer rule
+    bitmask (`pipeline/text.py::gopher_rules` — no model, no state) and
+    appends to the screen store. Batch 1 is deliberately REDELIVERED;
+    deterministic integer masks make duplicates byte-identical, so the
+    finalize dedups exactly on doc_id and hash-matches the one-shot batch
+    oracle."""
+    import glob
+    import shutil
+    import tempfile
+
+    from flink_ci_flink_spark.pipeline.text import gopher_rules
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.core import foreach_batch_upsert
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    tmp = stage_ordered_replay(docs, ["doc_id"])
+    first = sorted(glob.glob(f"{tmp}/*.parquet"))[0]
+    shutil.copyfile(first, first.replace(".parquet", "_redelivered.parquet"))
+    base = tempfile.mkdtemp(prefix="gopher_screen_")
+    store = f"{base}/store"
+
+    def merge(batch_df, epoch_id: int) -> None:
+        masked = gopher_rules(
+            batch_df, min_words=25, mean_len_lo10=30, mean_len_hi10=45
+        )
+        if masked.take(1):
+            masked.withColumn("__epoch", F.lit(int(epoch_id))).write.mode(
+                "append"
+            ).parquet(store)
+
+    q = foreach_batch_upsert(
+        file_stream(spark, tmp, docs.schema, max_files_per_trigger=1),
+        merge,
+        f"{base}/ckpt",
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.read.parquet(store)
+        .dropDuplicates(["doc_id"])
+        .select("doc_id", "n_words", "fail_mask", "kept")
     )
