@@ -314,6 +314,39 @@ def _ptf_hard_negatives(spark, table, k=5, nprobe=4, **kw):
     return hard_negatives(table, k=k, nprobe=nprobe, **kw)
 
 
+@ptf("gopher_rules")
+def _ptf_gopher_rules(
+    spark, table, min_words=50, mean_len_lo10=30, mean_len_hi10=100, **kw
+):
+    from flink_ci_flink_spark.pipeline.text import gopher_rules
+
+    return gopher_rules(
+        table,
+        min_words=min_words,
+        mean_len_lo10=mean_len_lo10,
+        mean_len_hi10=mean_len_hi10,
+        **kw,
+    )
+
+
+@ptf("dsir_select")
+def _ptf_dsir_select(
+    spark, table, target_expr="", n_keep=100, n_buckets=1024, **kw
+):
+    """DSIR selection with the target domain declared as a SQL boolean
+    expression: TABLE(dsir_select(TABLE docs,
+    target_expr => 'source = ''src1''', n_keep => 50))."""
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.pipeline.sampling import dsir_select
+
+    if not target_expr:
+        raise ValueError("dsir_select needs target_expr => '<sql boolean>'")
+    return dsir_select(
+        table, F.expr(target_expr), n_keep=n_keep, n_buckets=n_buckets, **kw
+    )
+
+
 @ptf("keyed_fold")
 def _ptf_keyed_fold(
     spark,

@@ -401,3 +401,32 @@ def test_fold_spec_self_check_catches_non_mergeable(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="batching-insensitivity"):
         self_check(bad, ev)
+
+
+def test_curation_ptfs_equal_python_surface(spark, sf_dir):
+    """gopher_rules and dsir_select are SQL-reachable and return the
+    direct Python-surface results."""
+    from flink_ci_flink_spark.pipeline.sampling import dsir_select
+    from flink_ci_flink_spark.pipeline.text import gopher_rules
+
+    t = load_tables(spark, sf_dir)
+    t.documents.createOrReplaceTempView("documents")
+
+    got = pipeline_sql(
+        spark,
+        "SELECT * FROM TABLE(gopher_rules(TABLE documents, "
+        "min_words => 25, mean_len_hi10 => 45))",
+    )
+    want = gopher_rules(t.documents, min_words=25, mean_len_hi10=45)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    got = pipeline_sql(
+        spark,
+        "SELECT * FROM TABLE(dsir_select(TABLE documents, "
+        "target_expr => 'source IN (''src1'', ''src2'', ''src3'')', "
+        "n_keep => 20))",
+    )
+    want = dsir_select(
+        t.documents, F.col("source").isin("src1", "src2", "src3"), n_keep=20
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
