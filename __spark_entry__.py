@@ -57,6 +57,8 @@ _PRIORITY = [
     "tpcds_shape_rank_position_join",  # NEW: q44
     "tpcds_shape_week_over_year",  # NEW: q2/q59
     "tpcds_shape_order_count_exists",  # NEW: q16/q94
+    "tpcds_shape_band_distinct_stats",  # NEW: q28
+    "tpcds_shape_yoy_net_decline",  # NEW: q75
     # -- (2) re-validation: r2-proven first --
     "setop_union",
     "sort_limit_offset",

@@ -312,3 +312,121 @@ def tpcds_order_count_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("total_cents"),
         )
     )
+
+
+@query(
+    "tpcds_shape_band_distinct_stats",
+    oracle=f"""
+    WITH li AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q, {_CENT_SQL} AS cents
+      FROM lineitem
+    )
+    SELECT
+      CAST(COUNT(CASE WHEN q BETWEEN 1 AND 15 THEN 1 END) AS BIGINT) AS n1,
+      CAST(COUNT(DISTINCT CASE WHEN q BETWEEN 1 AND 15 THEN q END)
+           AS BIGINT) AS d1,
+      CAST(SUM(CASE WHEN q BETWEEN 1 AND 15 THEN cents ELSE 0 END)
+           AS BIGINT) AS c1,
+      CAST(COUNT(CASE WHEN q BETWEEN 16 AND 30 THEN 1 END) AS BIGINT) AS n2,
+      CAST(COUNT(DISTINCT CASE WHEN q BETWEEN 16 AND 30 THEN q END)
+           AS BIGINT) AS d2,
+      CAST(SUM(CASE WHEN q BETWEEN 16 AND 30 THEN cents ELSE 0 END)
+           AS BIGINT) AS c2,
+      CAST(COUNT(CASE WHEN q BETWEEN 31 AND 50 THEN 1 END) AS BIGINT) AS n3,
+      CAST(COUNT(DISTINCT CASE WHEN q BETWEEN 31 AND 50 THEN q END)
+           AS BIGINT) AS d3,
+      CAST(SUM(CASE WHEN q BETWEEN 31 AND 50 THEN cents ELSE 0 END)
+           AS BIGINT) AS c3
+    FROM li
+    """,
+    group="tpcds",
+)
+def tpcds_band_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q28 shape: one row of per-band (count, COUNT DISTINCT, sum)
+    stats — q88's fused-scan twist plus the DISTINCT aggregates that force
+    the planner's expand/partial-distinct machinery (Spark rewrites the
+    three distinct conditions into one Expand + two-stage aggregate; the
+    reference runs six separate scans). Ref: `TpcdsTestProgram.java:57-69`
+    (variant 28)."""
+    t = load_tables(spark, sf_dir)
+    q = F.col("l_quantity").cast("long")
+    cents = _CENT(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    li = t.lineitem.select(q.alias("q"), cents.alias("cents"))
+
+    def band(lo, hi, i):
+        inb = F.col("q").between(lo, hi)
+        return [
+            F.count(F.when(inb, F.lit(1))).cast("long").alias(f"n{i}"),
+            F.countDistinct(F.when(inb, F.col("q"))).cast("long").alias(f"d{i}"),
+            F.sum(F.when(inb, F.col("cents")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"c{i}"),
+        ]
+
+    return li.agg(*(band(1, 15, 1) + band(16, 30, 2) + band(31, 50, 3)))
+
+
+@query(
+    "tpcds_shape_yoy_net_decline",
+    oracle=f"""
+    WITH net AS (
+      SELECT p_brand,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(SUM(CASE WHEN l_returnflag = 'R'
+                           THEN -CAST(l_quantity AS BIGINT)
+                           ELSE CAST(l_quantity AS BIGINT) END) AS BIGINT)
+               AS net_qty,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN -{_CENT_SQL}
+                           ELSE {_CENT_SQL} END) AS BIGINT) AS net_cents
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN part ON p_partkey = l_partkey
+      WHERE year(o_orderdate) IN (1997, 1998)
+      GROUP BY 1, 2
+    )
+    SELECT a.p_brand AS brand,
+           a.net_qty AS qty1, b.net_qty AS qty2,
+           a.net_cents AS cents1, b.net_cents AS cents2
+    FROM net a
+    JOIN net b ON a.p_brand = b.p_brand AND a.yr = 1997 AND b.yr = 1998
+    WHERE b.net_qty < a.net_qty
+    ORDER BY brand
+    """,
+    group="tpcds",
+)
+def tpcds_yoy_net_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q75 shape (year-over-year decline NET OF RETURNS): per-brand
+    yearly quantity/revenue where returned lines SUBTRACT (q75's
+    sales-minus-returns union folded into one signed conditional
+    aggregate), year 1997 self-joined to 1998 keeping brands whose net
+    quantity declined. One partial-aggregable groupBy on (brand, year);
+    the decline join is key-local on the small brand set. Ref:
+    `TpcdsTestProgram.java:57-69` (variants 75, 74)."""
+    t = load_tables(spark, sf_dir)
+    qty = F.col("l_quantity").cast("long")
+    cents = _CENT(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    sign = F.when(F.col("l_returnflag") == "R", F.lit(-1)).otherwise(F.lit(1))
+    net = (
+        t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(F.year("o_orderdate").isin(1997, 1998))
+        .groupBy("p_brand", F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.sum(sign * qty).cast("long").alias("net_qty"),
+            F.sum(sign * cents).cast("long").alias("net_cents"),
+        )
+    )
+    a = net.filter(F.col("yr") == 1997).alias("a")
+    b = net.filter(F.col("yr") == 1998).alias("b")
+    return (
+        a.join(b, F.col("a.p_brand") == F.col("b.p_brand"))
+        .filter(F.col("b.net_qty") < F.col("a.net_qty"))
+        .select(
+            F.col("a.p_brand").alias("brand"),
+            F.col("a.net_qty").alias("qty1"),
+            F.col("b.net_qty").alias("qty2"),
+            F.col("a.net_cents").alias("cents1"),
+            F.col("b.net_cents").alias("cents2"),
+        )
+        .orderBy("brand")
+    )
