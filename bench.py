@@ -472,6 +472,7 @@ def main() -> None:
         "pipe_gopher_rules",
         "pipe_lsh_dedup_recall",
         "pipe_leakage_safe_split",
+        "pipe_classifier_eval",
     ]
     new_ops_t: dict[str, float] = {}
     for name in NEW_OPS:

@@ -4349,3 +4349,75 @@ def streaming_gopher_screen_replay(spark: SparkSession, sf_dir: str) -> DataFram
         .dropDuplicates(["doc_id"])
         .select("doc_id", "n_words", "fail_mask", "kept")
     )
+
+
+def _classifier_eval_oracle() -> str:
+    from flink_ci_flink_spark.pipeline.classifier import (
+        TEXT_FEATURES_SQL,
+        perceptron_cte_parts,
+    )
+
+    parts, final, dotf = perceptron_cte_parts(
+        TEXT_FEATURES_SQL, _perceptron_label_sql(), iterations=3
+    )
+    ptrain = ",\n    ".join(parts)
+    return f"""
+    WITH {ptrain}, scored AS (
+      SELECT doc_id, y,
+             CASE WHEN {dotf} > 0 THEN 1 ELSE -1 END AS pred
+      FROM feat CROSS JOIN {final} w
+    )
+    SELECT
+      CAST(COUNT(CASE WHEN y = 1  AND pred = 1  THEN 1 END) AS BIGINT) AS tp,
+      CAST(COUNT(CASE WHEN y = -1 AND pred = 1  THEN 1 END) AS BIGINT) AS fp,
+      CAST(COUNT(CASE WHEN y = -1 AND pred = -1 THEN 1 END) AS BIGINT) AS tn,
+      CAST(COUNT(CASE WHEN y = 1  AND pred = -1 THEN 1 END) AS BIGINT) AS fn,
+      CAST(FLOOR((1e6 * (COUNT(CASE WHEN y = 1 AND pred = 1 THEN 1 END)
+                         + COUNT(CASE WHEN y = -1 AND pred = -1 THEN 1 END)))
+           / COUNT(*)) AS BIGINT) AS accuracy_ppm
+    FROM scored
+    """
+
+
+@query(
+    "pipe_classifier_eval",
+    oracle=_classifier_eval_oracle(),
+    group="pipeline",
+)
+def pipe_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-eval-as-a-query for the in-engine trained quality perceptron
+    (the classifier twin of the ANN recall evals): confusion-matrix counts
+    and accuracy of the trained model against its weak-supervision labels,
+    in one corpus pass after training. The oracle RE-TRAINS the model from
+    scratch (unrolled per-iteration CTEs) and must land on identical
+    counts. 100 TB: training = iterations x one integer-column scan;
+    the eval is one more map-only scan + a 1-row rollup
+    (`pipeline/classifier.py`)."""
+    from flink_ci_flink_spark.pipeline.classifier import (
+        perceptron_score,
+        perceptron_train,
+        text_feature_exprs,
+    )
+
+    t = load_tables(spark, sf_dir)
+    label = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    w = perceptron_train(t.documents, text_feature_exprs(), label, iterations=3)
+    scored = perceptron_score(t.documents, text_feature_exprs(), w)
+    labeled = scored.join(
+        t.documents.select("doc_id", label.cast("long").alias("y")), "doc_id"
+    )
+    cnt = lambda cond: F.count(F.when(cond, F.lit(1))).cast("long")  # noqa: E731
+    y, p = F.col("y"), F.col("pred")
+    tp = cnt((y == 1) & (p == 1))
+    tn = cnt((y == -1) & (p == -1))
+    return labeled.agg(
+        tp.alias("tp"),
+        cnt((y == -1) & (p == 1)).alias("fp"),
+        tn.alias("tn"),
+        cnt((y == 1) & (p == -1)).alias("fn"),
+        F.floor((F.lit(1e6) * (tp + tn)) / F.count(F.lit(1)))
+        .cast("long")
+        .alias("accuracy_ppm"),
+    )
