@@ -473,6 +473,7 @@ def main() -> None:
         "pipe_lsh_dedup_recall",
         "pipe_leakage_safe_split",
         "pipe_classifier_eval",
+        "pipe_e2e_curation_v4",
     ]
     new_ops_t: dict[str, float] = {}
     for name in NEW_OPS:

@@ -142,46 +142,16 @@ def token_budget_mix(
     )
 
 
-def dsir_select(
+def dsir_scores(
     docs: DataFrame,
     is_target: Column,
-    n_keep: int = 100,
     n_buckets: int = 1024,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """DSIR-style data selection via hashed n-gram importance weights
-    (Xie et al. 2023, "Data Selection for Language Models via Importance
-    Resampling" — public literature). A small TARGET slice of the corpus
-    (``is_target`` predicate — e.g. a curated domain) defines the
-    distribution to match; every RAW document is scored by how much more
-    likely its hashed-n-gram bag is under the target model than under the
-    raw model, and the top ``n_keep`` raw documents are selected.
-
-    Features are hashed unigrams + bigrams (the paper's n<=2 bag), bucketed
-    to ``n_buckets`` via the portable 60-bit md5 token hash. Both models are
-    add-1-smoothed bucket counts. Following the repo's rational-weight
-    convention (`text.py::bm25_topk`), the per-bucket log-likelihood-ratio
-    is replaced by the integer-scaled likelihood ratio
-
-        lam(b) = floor(1e6 * (ct+1) * (tot_r + B) / ((cr+1) * (tot_t + B)))
-
-    and a document's importance score is ``sum(lam - 1e6)`` over its n-gram
-    occurrences (ratio 1 contributes 0; to first order 1e6*sum(ln r)). Every
-    step is integer inputs through IEEE correctly-rounded double ops, so the
-    score — and the selected SET — is bit-identical in the DuckDB oracle.
-    Selection is the deterministic top-k variant of the paper's Gumbel
-    resampling (rank by weight; reproducible across cluster sizes).
-
-    Scale shape (100 TB): the bucket model is ONE partial-aggregable
-    groupBy over <= n_buckets keys; the weight table (<= n_buckets rows) and
-    the 1-row totals BROADCAST back onto the postings; the per-doc score is
-    a second partial-aggregable sum; the final top-k is a distributed
-    TakeOrdered (sort + limit), never a global single-partition window —
-    rank is assigned by a window over the n_keep survivors only.
-
-    Returns (doc_id, score, rank) for the n_keep highest-scoring raw docs.
-    """
+    """The scoring stage of :func:`dsir_select`: (id, score) for every RAW
+    document (target docs define the model and are excluded). Factored out
+    so composites can re-rank an already-gated candidate set."""
     from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
     from flink_ci_flink_spark.pipeline.text import token_hash, tokens
 
@@ -231,12 +201,55 @@ def dsir_select(
     weights = model.crossJoin(F.broadcast(tots)).select(
         "__b", lam.alias("__lam")
     )
-    scored = (
+    return (
         posts.filter(~F.col("__tgt"))
         .join(F.broadcast(weights), "__b")
         .groupBy(id_col)
         .agg(F.sum(F.col("__lam") - F.lit(1000000)).cast("long").alias("score"))
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    is_target: Column,
+    n_keep: int = 100,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection via hashed n-gram importance weights
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling" — public literature). A small TARGET slice of the corpus
+    (``is_target`` predicate — e.g. a curated domain) defines the
+    distribution to match; every RAW document is scored by how much more
+    likely its hashed-n-gram bag is under the target model than under the
+    raw model, and the top ``n_keep`` raw documents are selected.
+
+    Features are hashed unigrams + bigrams (the paper's n<=2 bag), bucketed
+    to ``n_buckets`` via the portable 60-bit md5 token hash. Both models are
+    add-1-smoothed bucket counts. Following the repo's rational-weight
+    convention (`text.py::bm25_topk`), the per-bucket log-likelihood-ratio
+    is replaced by the integer-scaled likelihood ratio
+
+        lam(b) = floor(1e6 * (ct+1) * (tot_r + B) / ((cr+1) * (tot_t + B)))
+
+    and a document's importance score is ``sum(lam - 1e6)`` over its n-gram
+    occurrences (ratio 1 contributes 0; to first order 1e6*sum(ln r)). Every
+    step is integer inputs through IEEE correctly-rounded double ops, so the
+    score — and the selected SET — is bit-identical in the DuckDB oracle.
+    Selection is the deterministic top-k variant of the paper's Gumbel
+    resampling (rank by weight; reproducible across cluster sizes).
+
+    Scale shape (100 TB): the bucket model is ONE partial-aggregable
+    groupBy over <= n_buckets keys; the weight table (<= n_buckets rows) and
+    the 1-row totals BROADCAST back onto the postings; the per-doc score is
+    a second partial-aggregable sum; the final top-k is a distributed
+    TakeOrdered (sort + limit), never a global single-partition window —
+    rank is assigned by a window over the n_keep survivors only.
+
+    Returns (doc_id, score, rank) for the n_keep highest-scoring raw docs.
+    """
+    scored = dsir_scores(docs, is_target, n_buckets, text_col, id_col)
     top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(n_keep)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return top.select(

@@ -4081,8 +4081,7 @@ def pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GOPHER_RULES_ORACLE = rf"""
-    WITH f AS (
+_GOPHER_CTES = rf"""f AS (
       SELECT doc_id, {_TOKS} AS t, str_split(text, chr(10)) AS l, text
       FROM documents
     ), m AS (
@@ -4117,7 +4116,10 @@ _GOPHER_RULES_ORACLE = rf"""
         + (CASE WHEN n_alpha * 10 < nw * 8 THEN 32 ELSE 0 END)
         + (CASE WHEN n_stop < 2 THEN 64 ELSE 0 END) AS BIGINT) AS fail_mask
       FROM m
-    )
+    )"""
+
+_GOPHER_RULES_ORACLE = f"""
+    WITH {_GOPHER_CTES}
     SELECT doc_id, CAST(nw AS BIGINT) AS n_words, fail_mask,
            CAST(CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
     FROM r ORDER BY doc_id
@@ -4420,4 +4422,129 @@ def pipe_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.lit(1e6) * (tp + tn)) / F.count(F.lit(1)))
         .cast("long")
         .alias("accuracy_ppm"),
+    )
+
+
+def _e2e_v4_oracle() -> str:
+    """Composition oracle for curation v4: the Gopher rule CTEs + the
+    unrolled perceptron training + the DSIR bucket models, chained into
+    one statement that re-derives every stage from scratch."""
+    from flink_ci_flink_spark.pipeline.classifier import (
+        TEXT_FEATURES_SQL,
+        perceptron_cte_parts,
+    )
+
+    parts, final, dotf = perceptron_cte_parts(
+        TEXT_FEATURES_SQL, _perceptron_label_sql(), iterations=3
+    )
+    ptrain = ",\n    ".join(parts)
+    return rf"""
+    WITH {_GOPHER_CTES}, {ptrain}, mscored AS (
+      SELECT doc_id, CAST({dotf} AS BIGINT) AS mscore
+      FROM feat CROSS JOIN {final} w
+    ), mstat AS (
+      SELECT CAST(SUM(mscore) AS BIGINT) AS msum, COUNT(*) AS mcnt
+      FROM mscored
+    ), surv AS (
+      SELECT r.doc_id, mscored.mscore
+      FROM r JOIN mscored USING (doc_id) CROSS JOIN mstat
+      WHERE r.fail_mask = 0 AND mscore * mcnt >= msum
+    ), dbase AS (
+      SELECT doc_id, (source IN ('src1', 'src2', 'src3')) AS tgt,
+             {_TOKS} AS t
+      FROM documents
+    ), dgrams AS (
+      SELECT doc_id, tgt,
+             UNNEST(t || list_transform(generate_series(1, len(t) - 1),
+                                        i -> concat_ws(' ', t[i], t[i+1]))) AS g
+      FROM dbase
+    ), dposts AS (
+      SELECT doc_id, tgt, {_TOKHASH.format(x='g')} % 1024 AS b FROM dgrams
+    ), dmodel AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+      FROM dposts GROUP BY b
+    ), dtots AS (
+      SELECT CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+             CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS tr
+      FROM dposts
+    ), dwt AS (
+      SELECT b,
+             CAST(FLOOR((1e6 * CAST(ct + 1 AS DOUBLE) * (tr + 1024))
+                  / (CAST(cr + 1 AS DOUBLE) * (tt + 1024))) AS BIGINT) AS lam
+      FROM dmodel, dtots
+    ), dscored AS (
+      SELECT doc_id, CAST(SUM(lam - 1000000) AS BIGINT) AS dsir_score
+      FROM dposts JOIN dwt USING (b) WHERE NOT tgt GROUP BY doc_id
+    )
+    SELECT s.doc_id, d.dsir_score, s.mscore,
+           CAST(row_number() OVER (ORDER BY d.dsir_score DESC, s.doc_id ASC)
+                AS BIGINT) AS rank
+    FROM surv s JOIN dscored d USING (doc_id)
+    ORDER BY d.dsir_score DESC, s.doc_id ASC LIMIT 50
+    """
+
+
+@query("pipe_e2e_curation_v4", oracle=_e2e_v4_oracle(), group="pipeline")
+def pipe_e2e_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation composite v4 — the modern three-regime pipeline in one
+    deterministic chain: (1) HEURISTIC gate (the Gopher rule bitmask must
+    be clean), (2) LEARNED gate (the in-engine batch perceptron, trained
+    on the original corpus, must score the doc at or above the corpus
+    average — v3's cross-multiplied relative gate), (3) DISTRIBUTION
+    MATCHING (DSIR importance scores against the src1-3 target domain
+    re-rank the survivors; top 50 raw docs selected via distributed
+    TakeOrdered). Rule mask, model training, and both DSIR bucket models
+    all derive from the ORIGINAL corpus, so stages stay independently
+    cacheable at 100 TB (no stage re-fits on another stage's output); the
+    oracle re-derives ALL of it — seven-rule mask, 3-iteration unrolled
+    training, n-gram bucket models — in one statement to identical rows
+    (`pipeline/{text.py::gopher_rules, classifier.py, sampling.py::
+    dsir_scores}`)."""
+    from flink_ci_flink_spark.pipeline.classifier import (
+        perceptron_score,
+        perceptron_train,
+        text_feature_exprs,
+    )
+    from flink_ci_flink_spark.pipeline.sampling import dsir_scores
+    from flink_ci_flink_spark.pipeline.text import gopher_rules
+
+    t = load_tables(spark, sf_dir)
+    label = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    w = perceptron_train(t.documents, text_feature_exprs(), label, iterations=3)
+    mscored = perceptron_score(t.documents, text_feature_exprs(), w).select(
+        "doc_id", F.col("score").alias("mscore")
+    )
+    mstat = mscored.agg(
+        F.sum("mscore").alias("msum"), F.count(F.lit(1)).alias("mcnt")
+    )
+    gated = (
+        mscored.crossJoin(F.broadcast(mstat))
+        .filter(F.col("mscore") * F.col("mcnt") >= F.col("msum"))
+        .select("doc_id", "mscore")
+    )
+    clean = (
+        gopher_rules(
+            t.documents, min_words=25, mean_len_lo10=30, mean_len_hi10=45
+        )
+        .filter(F.col("fail_mask") == 0)
+        .select("doc_id")
+    )
+    surv = clean.join(gated, "doc_id")
+    dsir = dsir_scores(
+        t.documents, F.col("source").isin("src1", "src2", "src3")
+    ).select("doc_id", F.col("score").alias("dsir_score"))
+    joined = surv.join(dsir, "doc_id")
+    top = joined.orderBy(
+        F.col("dsir_score").desc(), F.col("doc_id").asc()
+    ).limit(50)
+    rw = Window.orderBy(F.col("dsir_score").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id",
+        "dsir_score",
+        "mscore",
+        F.row_number().over(rw).cast("long").alias("rank"),
     )
