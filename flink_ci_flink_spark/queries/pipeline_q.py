@@ -4548,3 +4548,151 @@ def pipe_e2e_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mscore",
         F.row_number().over(rw).cast("long").alias("rank"),
     )
+
+
+@query(
+    "streaming_dsir_screen_replay",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, (source IN ('src1', 'src2', 'src3')) AS tgt,
+             {_TOKS} AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, tgt,
+             UNNEST(t || list_transform(generate_series(1, len(t) - 1),
+                                        i -> concat_ws(' ', t[i], t[i+1]))) AS g
+      FROM base
+    ), posts AS (
+      SELECT doc_id, tgt, {_TOKHASH.format(x='g')} % 1024 AS b FROM grams
+    ), model AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+      FROM posts GROUP BY b
+    ), tots AS (
+      SELECT CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+             CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS tr
+      FROM posts
+    ), wt AS (
+      SELECT b,
+             CAST(FLOOR((1e6 * CAST(ct + 1 AS DOUBLE) * (tr + 1024))
+                  / (CAST(cr + 1 AS DOUBLE) * (tt + 1024))) AS BIGINT) AS lam
+      FROM model, tots
+    )
+    SELECT doc_id, CAST(SUM(lam - 1000000) AS BIGINT) AS score
+    FROM posts JOIN wt USING (b) WHERE NOT tgt GROUP BY doc_id
+    """,
+    group="streaming",
+)
+def streaming_dsir_screen_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring served ONLINE — the third offline-train /
+    online-serve loop (after the IVF-PQ encoder and the perceptron
+    screen): the n-gram bucket models fit offline on the corpus snapshot;
+    documents then replay as a 3-micro-batch stream and each batch's raw
+    docs are scored by exploding their hashed n-grams against the
+    BROADCAST <=1024-row weight table — per batch one map-side explode +
+    bounded-key join + per-doc sum, no cross-batch state. Batch 1 is
+    deliberately REDELIVERED; deterministic integer scores collapse
+    byte-identically at finalize, hash-matching the one-shot batch oracle
+    (`pipeline/sampling.py::dsir_scores`)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.core import foreach_batch_upsert
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "source", "text")
+    tgt = F.col("source").isin("src1", "src2", "src3")
+    # Offline fit: the <=1024-row bucket weight table is MATERIALIZED once
+    # (the "published model" artifact); each micro-batch then only explodes
+    # its own n-grams against the frozen broadcast table.
+    from flink_ci_flink_spark.pipeline.text import token_hash, tokens
+
+    toks = tokens("text")
+    arr = F.col("__t")
+    bigrams = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def posts_of(df):
+        base = df.select(
+            "doc_id", tgt.alias("__tgt"), toks.alias("__t")
+        )
+        return base.select(
+            "doc_id",
+            "__tgt",
+            F.explode(F.concat(arr, bigrams)).alias("__g"),
+        ).select(
+            "doc_id",
+            "__tgt",
+            (token_hash(F.col("__g")) % F.lit(1024)).alias("__b"),
+        )
+
+    snap_posts = posts_of(docs)
+    tgt1 = F.when(F.col("__tgt"), F.lit(1)).otherwise(F.lit(0))
+    raw1 = F.when(F.col("__tgt"), F.lit(0)).otherwise(F.lit(1))
+    model = snap_posts.groupBy("__b").agg(
+        F.sum(tgt1).cast("long").alias("__ct"),
+        F.sum(raw1).cast("long").alias("__cr"),
+    )
+    tots = snap_posts.agg(
+        F.sum(tgt1).cast("long").alias("__tt"),
+        F.sum(raw1).cast("long").alias("__tr"),
+    )
+    lam = F.floor(
+        (
+            F.lit(1e6)
+            * (F.col("__ct") + 1).cast("double")
+            * (F.col("__tr") + F.lit(1024))
+        )
+        / ((F.col("__cr") + 1).cast("double") * (F.col("__tt") + F.lit(1024)))
+    ).cast("long")
+    base_dir = tempfile.mkdtemp(prefix="dsir_screen_")
+    wt_dir = f"{base_dir}/weights"
+    model.crossJoin(F.broadcast(tots)).select(
+        "__b", lam.alias("__lam")
+    ).write.parquet(wt_dir)
+    weights = spark.read.parquet(wt_dir)
+
+    tmp = stage_ordered_replay(docs, ["doc_id"])
+    first = sorted(glob.glob(f"{tmp}/*.parquet"))[0]
+    shutil.copyfile(first, first.replace(".parquet", "_redelivered.parquet"))
+    store = f"{base_dir}/store"
+
+    def merge(batch_df, epoch_id: int) -> None:
+        scored = (
+            posts_of(batch_df)
+            .filter(~F.col("__tgt"))
+            .join(F.broadcast(weights), "__b")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.col("__lam") - F.lit(1000000))
+                .cast("long")
+                .alias("score")
+            )
+        )
+        if scored.take(1):
+            scored.withColumn("__epoch", F.lit(int(epoch_id))).write.mode(
+                "append"
+            ).parquet(store)
+
+    q = foreach_batch_upsert(
+        file_stream(spark, tmp, docs.schema, max_files_per_trigger=1),
+        merge,
+        f"{base_dir}/ckpt",
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.read.parquet(store)
+        .dropDuplicates(["doc_id"])
+        .select("doc_id", "score")
+    )
