@@ -182,3 +182,31 @@ def test_ivfpq_recall_no_cartesian_product(spark):
     df = QUERIES["pipe_ivfpq_recall"].fn(spark, SF_DIR)
     txt = _final_plan(df)
     assert "CartesianProduct" not in txt
+
+
+def test_dsir_select_plan_shape(spark):
+    """DSIR's weight table must reach the postings as a BROADCAST (never a
+    shuffled join on the bucket key), and nothing may cartesian-product."""
+    df = QUERIES["pipe_dsir_select"].fn(spark, SF_DIR)
+    txt = _final_plan(df)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastHashJoin" in txt
+    # top-k is the distributed sort+limit, not a global all-rows window
+    assert "TakeOrderedAndProject" in txt
+
+
+def test_lsh_dedup_recall_no_cartesian_product(spark):
+    """The dedup-recall eval's exact side is the sampled inverted-index
+    join — no unbroadcast cross product anywhere in the plan."""
+    df = QUERIES["pipe_lsh_dedup_recall"].fn(spark, SF_DIR)
+    txt = _final_plan(df)
+    assert "CartesianProduct" not in txt
+
+
+def test_gopher_rules_map_only(spark):
+    """The rule bitmask is one projection over the scan: no exchange, no
+    join, no aggregate in the plan."""
+    df = QUERIES["pipe_gopher_rules"].fn(spark, SF_DIR)
+    txt = _final_plan(df)
+    assert "Exchange" not in txt.replace("Exchange rangepartitioning", "")
+    assert "Join" not in txt
