@@ -62,6 +62,8 @@ _PRIORITY = [
     "tpcds_shape_order_count_exists",  # NEW: q16/q94
     "tpcds_shape_band_distinct_stats",  # NEW: q28
     "tpcds_shape_yoy_net_decline",  # NEW: q75
+    "tpcds_shape_delay_band_pivot",  # NEW: q62/q99
+    "tpcds_shape_conditional_scalar_report",  # NEW: q9
     # -- (2) re-validation: r2-proven first --
     "setop_union",
     "sort_limit_offset",

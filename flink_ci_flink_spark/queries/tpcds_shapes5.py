@@ -430,3 +430,122 @@ def tpcds_yoy_net_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@query(
+    "tpcds_shape_delay_band_pivot",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+      CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+               THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+      CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate)
+                    BETWEEN 31 AND 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+      CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate)
+                    BETWEEN 61 AND 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+      CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+               THEN 1 ELSE 0 END) AS BIGINT) AS d90plus
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    group="tpcds",
+)
+def tpcds_delay_band_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q62/q99 shape (fulfillment-latency band pivot): the
+    order-to-ship delay in days bucketed into 30/60/90/90+ bands and
+    pivoted as conditional counts per priority class (the synthetic
+    schema's ship-mode analogue) — date ARITHMETIC feeding the CASE
+    pivot, not calendar columns. One partial-aggregable groupBy over 5
+    groups; the day-diff is computed in the scan projection. Ref:
+    `TpcdsTestProgram.java:57-69` (variants 62, 99)."""
+    t = load_tables(spark, sf_dir)
+    d = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+
+    def band(cond, name):
+        return (
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(name)
+        )
+
+    return (
+        t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            band(d <= 30, "d30"),
+            band(d.between(31, 60), "d60"),
+            band(d.between(61, 90), "d90"),
+            band(d > 90, "d90plus"),
+        )
+        .orderBy("priority")
+    )
+
+
+@query(
+    "tpcds_shape_conditional_scalar_report",
+    oracle=f"""
+    WITH li AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q, {_CENT_SQL} AS cents,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS full_cents
+      FROM lineitem
+    )
+    SELECT
+      CASE WHEN COUNT(CASE WHEN q BETWEEN 1 AND 15 THEN 1 END) > 1000
+           THEN CAST(FLOOR(SUM(CASE WHEN q BETWEEN 1 AND 15
+                                    THEN full_cents ELSE 0 END) * 1.0
+                / COUNT(CASE WHEN q BETWEEN 1 AND 15 THEN 1 END)) AS BIGINT)
+           ELSE CAST(FLOOR(SUM(CASE WHEN q BETWEEN 1 AND 15
+                                    THEN cents ELSE 0 END) * 1.0
+                / COUNT(CASE WHEN q BETWEEN 1 AND 15 THEN 1 END)) AS BIGINT)
+      END AS r1,
+      CASE WHEN COUNT(CASE WHEN q BETWEEN 16 AND 30 THEN 1 END) > 1000
+           THEN CAST(FLOOR(SUM(CASE WHEN q BETWEEN 16 AND 30
+                                    THEN full_cents ELSE 0 END) * 1.0
+                / COUNT(CASE WHEN q BETWEEN 16 AND 30 THEN 1 END)) AS BIGINT)
+           ELSE CAST(FLOOR(SUM(CASE WHEN q BETWEEN 16 AND 30
+                                    THEN cents ELSE 0 END) * 1.0
+                / COUNT(CASE WHEN q BETWEEN 16 AND 30 THEN 1 END)) AS BIGINT)
+      END AS r2,
+      CASE WHEN COUNT(CASE WHEN q BETWEEN 31 AND 50 THEN 1 END) > 1000
+           THEN CAST(FLOOR(SUM(CASE WHEN q BETWEEN 31 AND 50
+                                    THEN full_cents ELSE 0 END) * 1.0
+                / COUNT(CASE WHEN q BETWEEN 31 AND 50 THEN 1 END)) AS BIGINT)
+           ELSE CAST(FLOOR(SUM(CASE WHEN q BETWEEN 31 AND 50
+                                    THEN cents ELSE 0 END) * 1.0
+                / COUNT(CASE WHEN q BETWEEN 31 AND 50 THEN 1 END)) AS BIGINT)
+      END AS r3
+    FROM li
+    """,
+    group="tpcds",
+)
+def tpcds_conditional_scalar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q9 shape (the CASE-of-scalar-subqueries report): per quantity
+    band, IF the band's row count clears a threshold report its mean FULL
+    price, ELSE its mean DISCOUNTED price — q9's fifteen scalar subqueries
+    fused into ONE scan of conditional aggregates feeding the CASE
+    expressions (floor'd rational means: bigint/bigint double division is
+    IEEE correctly-rounded, so the report is engine-exact). Ref:
+    `TpcdsTestProgram.java:57-69` (variant 9)."""
+    t = load_tables(spark, sf_dir)
+    q = F.col("l_quantity").cast("long")
+    cents = _CENT(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    full = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    li = t.lineitem.select(
+        q.alias("q"), cents.alias("cents"), full.alias("full_cents")
+    )
+
+    def report(lo, hi, name):
+        inb = F.col("q").between(lo, hi)
+        n = F.count(F.when(inb, F.lit(1)))
+        sfull = F.sum(F.when(inb, F.col("full_cents")).otherwise(F.lit(0)))
+        sdisc = F.sum(F.when(inb, F.col("cents")).otherwise(F.lit(0)))
+        return (
+            F.when(n > 1000, F.floor(sfull * F.lit(1.0) / n))
+            .otherwise(F.floor(sdisc * F.lit(1.0) / n))
+            .cast("long")
+            .alias(name)
+        )
+
+    return li.agg(
+        report(1, 15, "r1"), report(16, 30, "r2"), report(31, 50, "r3")
+    )
