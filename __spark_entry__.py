@@ -27,20 +27,17 @@ FLAGSHIP = "tpch_q3_shipping_priority"
 
 # The driver samples a 50-query prefix of queries() for its sf0.01
 # correctness check. Round-9 prefix (the round-8 judge's #1 task): a
-# RE-VALIDATION rotation — (1) the queries added or reshaped THIS round
-# (the three new TPC-DS variants; pipe_ann_recall's exact side moved to
-# the held-out-sample shape), then (2) the 46 oldest driver proofs
-# (every r2-proven name, then r3 oldest-first), lifting the cumulative
-# freshness floor from r2/r3 to r4+. The 8 remaining r3-proven names
-# (udf_grouped_agg, udf_pandas_scalar, unnest_with_ordinality,
-# pivot_status_by_flag, json_payload_extract, fn_collections,
-# fn_string_basic, agg_min_max_by, window_session_native — all covered by
-# their own pytest groups every run) lead the round-10 rotation, together
-# with the late-round-9 additions (each sf0.01 parity + driver-sim green
-# locally): tpcds_shape_channel_band_agreement,
+# RE-VALIDATION rotation — (1) every query added or reshaped THIS round
+# (both sessions: 21 names, each sf0.01 parity- AND driver-sim-green
+# locally), then (2) the oldest driver proofs (r2-proven first, then r3
+# oldest-first). 50 fit the prefix, so ~29 of the 45 re-validation names
+# land this round; the tail of the r3 list plus the late-round-9
+# additions that miss the cut (tpcds_shape_channel_band_agreement,
 # tpcds_shape_cross_channel_growth, pipe_quality_perceptron,
 # graph_canonical_by_model, pipe_e2e_curation_v3,
-# streaming_model_screen_replay, streaming_feature_drift_replay.
+# streaming_model_screen_replay, streaming_feature_drift_replay, and the
+# r3-proven udf/fn/pivot/json names — all covered by their own pytest
+# groups every run) lead the round-10 rotation.
 _PRIORITY = [
     # -- (1) round-9 additions / changes, never driver-proven --
     "tpcds_shape_cross_channel_items",
