@@ -4696,3 +4696,102 @@ def streaming_dsir_screen_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_id"])
         .select("doc_id", "score")
     )
+
+
+@query(
+    "pipe_blocklist_screen",
+    oracle=rf"""
+    WITH hits AS (
+      SELECT doc_id,
+             CAST(CASE WHEN contains(lower(text), 'big order') THEN 1 ELSE 0 END
+                + CASE WHEN contains(lower(text), 'slow key') THEN 2 ELSE 0 END
+                + CASE WHEN contains(lower(text), 'merge group') THEN 4 ELSE 0 END
+                + CASE WHEN contains(lower(text), 'lorem ipsum') THEN 8 ELSE 0 END
+                AS BIGINT) AS hit_mask
+      FROM documents
+    )
+    SELECT doc_id, hit_mask,
+           CAST(CASE WHEN hit_mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM hits ORDER BY doc_id
+    """,
+    group="pipeline",
+)
+def pipe_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banned-phrase screen (the spam/boilerplate blocklist every crawl
+    pipeline runs): case-folded substring match against a small phrase
+    list, reported as a per-phrase hit BITMASK for drop attribution (same
+    contract as the Gopher mask). Map-only, fully codegen'd `contains`
+    over the scan — at 100 TB the phrase list broadcasts as literals and
+    the pass is one linear scan, no shuffle. (For thousand-phrase lists
+    the gram-join variant in `boilerplate_ngrams` is the scale path.)"""
+    t = load_tables(spark, sf_dir)
+    lt = F.lower(F.col("text"))
+    phrases = [("big order", 1), ("slow key", 2), ("merge group", 4),
+               ("lorem ipsum", 8)]
+    mask = None
+    for p, bit in phrases:
+        term = F.when(lt.contains(p), F.lit(bit)).otherwise(F.lit(0))
+        mask = term if mask is None else mask + term
+    mask = mask.cast("long")
+    return (
+        t.documents.select(
+            "doc_id",
+            mask.alias("hit_mask"),
+            F.when(mask == 0, F.lit(1)).otherwise(F.lit(0))
+            .cast("long")
+            .alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "pipe_dup_source_matrix",
+    oracle=f"""
+    {_MINHASH_BASE}, banded AS ({_BANDS_SQL}), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM cand
+    JOIN documents da ON da.doc_id = id_a
+    JOIN documents db ON db.doc_id = id_b
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    group="pipeline",
+)
+def pipe_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the provenance report a curation
+    team reads before picking dedup priorities: MinHash-LSH near-dup
+    candidate PAIRS (the production `pipe_minhash_lsh` pass) counted per
+    unordered (source, source) cell. One banded self-join (postings-
+    capped) plus two id-keyed joins back to the tiny (doc_id, source)
+    projection; least/greatest folds each pair onto one triangle cell
+    regardless of which doc has the lower id."""
+    t = load_tables(spark, sf_dir)
+    cand = minhash_lsh_pairs(t.documents).select("id_a", "id_b")
+    src = t.documents.select("doc_id", "source")
+    return (
+        cand.join(
+            src.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "source", "src_a"
+            ),
+            "id_a",
+        )
+        .join(
+            src.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "source", "src_b"
+            ),
+            "id_b",
+        )
+        .groupBy(
+            F.least(F.col("src_a"), F.col("src_b")).alias("source_a"),
+            F.greatest(F.col("src_a"), F.col("src_b")).alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
