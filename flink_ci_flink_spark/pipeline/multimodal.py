@@ -914,3 +914,60 @@ def audio_analysis(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         analyze,
         schema=f"{id_col} long, zero_crossings long, max_frame_energy long",
     )
+
+
+def image_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Image screening features over REAL decoded BMP payloads — the image
+    twin of :func:`audio_analysis` (the brightness/saturation gates of an
+    image-curation pass): per-channel sums, the integer BT.601 luma sum
+    (299·R + 587·G + 114·B per pixel — x1000 scaled, exact), and the max
+    channel value, computed from the DECODED pixel rows by the stdlib BMP
+    walker inside Arrow-batched mapInPandas. Map-only, zero shuffles,
+    all-integer outputs, payloads never reach the driver."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id",
+                    "width",
+                    "height",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                    "luma_milli",
+                    "max_chan",
+                )
+            }
+            for did, payload in zip(pdf[id_col].astype("int64"), pdf["payload"]):
+                w, h, rows = _parse_bmp(bytes(payload), int(did))
+                sr = sg = sb = luma = mx = 0
+                for row in rows:
+                    for x in range(w):
+                        b, g, r = row[x * 3], row[x * 3 + 1], row[x * 3 + 2]
+                        sr += r
+                        sg += g
+                        sb += b
+                        luma += 299 * r + 587 * g + 114 * b
+                        if r > mx:
+                            mx = r
+                        if g > mx:
+                            mx = g
+                        if b > mx:
+                            mx = b
+                out["doc_id"].append(int(did))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(sr)
+                out["sum_g"].append(sg)
+                out["sum_b"].append(sb)
+                out["luma_milli"].append(luma)
+                out["max_chan"].append(mx)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        stats,
+        "doc_id long, width long, height long, sum_r long, sum_g long,"
+        " sum_b long, luma_milli long, max_chan long",
+    )

@@ -4795,3 +4795,49 @@ def pipe_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "pipe_image_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 1 + doc_id % 13 AS w, 1 + doc_id % 7 AS h
+      FROM documents
+    ), px AS (
+      SELECT d.doc_id, d.w, d.h,
+             ((d.doc_id * 3  + x.x * 19 + y.y * 23) % 256) AS r,
+             ((d.doc_id * 11 + x.x * 17 + y.y * 5)  % 256) AS g,
+             ((d.doc_id * 7  + x.x * 13 + y.y * 31) % 256) AS b
+      FROM dims d
+      JOIN (SELECT UNNEST(generate_series(0, 12)) AS x) x ON x.x < d.w
+      JOIN (SELECT UNNEST(generate_series(0, 6))  AS y) y ON y.y < d.h
+    )
+    SELECT doc_id,
+           CAST(MIN(w) AS BIGINT) AS width,
+           CAST(MIN(h) AS BIGINT) AS height,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM(299 * r + 587 * g + 114 * b) AS BIGINT) AS luma_milli,
+           CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS max_chan
+    FROM px GROUP BY doc_id
+    """,
+    group="pipeline",
+)
+def pipe_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image screening features over REAL decoded BMP payloads (the image
+    twin of `pipe_audio_features`): per-channel sums, the x1000-scaled
+    integer BT.601 luma sum, and the max channel value — the
+    brightness/clipping gates of an image-curation pass — computed by the
+    stdlib BMP walker inside Arrow-batched mapInPandas. The oracle
+    recomputes every pixel from the deterministic synthesis formulas, so
+    the DECODE (header walk, bottom-up row reversal, BGR order, stride
+    padding) and the stats arithmetic are hash-checked exactly
+    (`pipeline/multimodal.py::image_stats`)."""
+    from flink_ci_flink_spark.pipeline.multimodal import (
+        image_stats,
+        synthesize_bmp,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return image_stats(synthesize_bmp(t.documents.select("doc_id")))
