@@ -64,6 +64,7 @@ _PRIORITY = [
     "tpcds_shape_yoy_net_decline",  # NEW: q75
     "tpcds_shape_delay_band_pivot",  # NEW: q62/q99
     "tpcds_shape_conditional_scalar_report",  # NEW: q9
+    "tpcds_shape_disjunctive_in",  # NEW: q45
     # -- (2) re-validation: r2-proven first --
     "setop_union",
     "sort_limit_offset",

@@ -474,6 +474,9 @@ def main() -> None:
         "pipe_leakage_safe_split",
         "pipe_classifier_eval",
         "pipe_e2e_curation_v4",
+        "pipe_blocklist_screen",
+        "pipe_dup_source_matrix",
+        "pipe_image_stats",
     ]
     new_ops_t: dict[str, float] = {}
     for name in NEW_OPS:

@@ -549,3 +549,61 @@ def tpcds_conditional_scalar_report(spark: SparkSession, sf_dir: str) -> DataFra
     return li.agg(
         report(1, 15, "r1"), report(16, 30, "r2"), report(31, 50, "r3")
     )
+
+
+@query(
+    "tpcds_shape_disjunctive_in",
+    oracle=f"""
+    WITH big_buyers AS (
+      SELECT o_custkey
+      FROM orders
+      GROUP BY o_custkey
+      HAVING SUM(o_totalprice) > 1000000
+    )
+    SELECT n_name,
+           CAST(SUM({_CENT_SQL}) AS BIGINT) AS sales_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE n_name IN ('FRANCE', 'GERMANY', 'JAPAN')
+       OR o_custkey IN (SELECT o_custkey FROM big_buyers)
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    group="tpcds",
+)
+def tpcds_disjunctive_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q45 shape (a LITERAL IN-list OR'd with a SUBQUERY IN): keep
+    rows in a fixed dimension set OR whose key appears in a derived set —
+    the disjunction defeats simple pushdown (neither branch alone filters
+    the scan), so the planner must evaluate the literal branch post-join
+    and the subquery branch as a join against the derived key set. Spark
+    expresses the subquery side as a left-semi flag join (broadcast — the
+    big-buyer set is aggregate-bounded) and the disjunction as one filter.
+    Ref: `TpcdsTestProgram.java:57-69` (variant 45)."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t.orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("__tot"))
+        .filter(F.col("__tot") > 1000000)
+        .select("o_custkey", F.lit(1).alias("__big"))
+    )
+    cents = _CENT(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.nation, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(big), "o_custkey", "left")
+        .filter(
+            F.col("n_name").isin("FRANCE", "GERMANY", "JAPAN")
+            | F.col("__big").isNotNull()
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(cents).cast("long").alias("sales_cents"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("n_name")
+    )
