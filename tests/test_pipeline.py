@@ -2224,3 +2224,64 @@ def test_gopher_rules_bitmask(spark):
     assert out[5].fail_mask & 16
     assert out[6].fail_mask & 32
     assert out[7].fail_mask & 64 and out[7].kept == 0
+
+
+def test_gopher_rules_matches_python_reference(spark):
+    """Hypothesis: the Spark expression bitmask equals a pure-Python
+    reimplementation of the published rules on random unicode-ish docs
+    (one Spark round-trip per example — a whole BATCH of docs each)."""
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    STOPS = {"the", "be", "to", "of", "and", "that", "have", "with"}
+
+    def ref_mask(text, min_words=8, lo10=30, hi10=100, stop_min=2):
+        toks = [w for w in re.split(r"\s+", text) if w]
+        nw = len(toks)
+        sumlen = sum(len(w) for w in toks)
+        n_hash = text.count("#")
+        n_ell = text.count("...")
+        lines = text.split("\n")
+        nl = len(lines)
+        n_bul = sum(1 for x in lines if x.startswith(("- ", "* ")))
+        n_ee = sum(1 for x in lines if x.endswith("..."))
+        n_alpha = sum(1 for w in toks if re.search("[A-Za-z]", w))
+        n_stop = sum(1 for w in toks if w.lower() in STOPS)
+        m = 0
+        if nw < min_words or nw > 100_000:
+            m |= 1
+        if sumlen * 10 < lo10 * nw or sumlen * 10 > hi10 * nw:
+            m |= 2
+        if (n_hash + n_ell) * 10 > nw:
+            m |= 4
+        if n_bul * 10 > nl * 9:
+            m |= 8
+        if n_ee * 10 > nl * 3:
+            m |= 16
+        if n_alpha * 10 < nw * 8:
+            m |= 32
+        if n_stop < stop_min:
+            m |= 64
+        return m
+
+    word = st.text(
+        alphabet=st.sampled_from("ab# .zéの1-*\n"), min_size=0, max_size=6
+    )
+    doc = st.lists(word, min_size=0, max_size=30).map(" ".join)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=20))
+    def check(texts):
+        from flink_ci_flink_spark.pipeline.text import gopher_rules
+
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r.fail_mask
+            for r in gopher_rules(df, min_words=8).collect()
+        }
+        want = {i: ref_mask(t) for i, t in rows}
+        assert got == want
+
+    check()
