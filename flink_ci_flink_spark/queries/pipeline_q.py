@@ -4841,3 +4841,78 @@ def pipe_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return image_stats(synthesize_bmp(t.documents.select("doc_id")))
+
+
+def _tokenizer_fertility_oracle(k: int = 3) -> str:
+    """Per-source fertility report oracle: re-derive the k BPE merges,
+    re-encode every doc, roll up chars/words/BPE-tokens per source."""
+    parts = _bpe_parts(k)
+    sym = (
+        "' ' || array_to_string("
+        "list_filter(str_split(lower(w), ''), c -> c != ''), ' ') || ' _ '"
+    )
+    for i in range(1, k + 1):
+        sym = (
+            f"REPLACE({sym}, ' ' || (SELECT p FROM b{i}) || ' ', "
+            f"' ' || REPLACE((SELECT p FROM b{i}), ' ', '') || ' ')"
+        )
+    parts.append(
+        f"""enc AS (
+      SELECT doc_id,
+             len(list_filter(str_split(trim({sym}), ' '), x -> x != '')) AS ns
+      FROM (SELECT doc_id, UNNEST({_TOKS}) AS w FROM documents)
+    ), per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nw,
+             CAST(SUM(ns) AS BIGINT) AS nt
+      FROM enc GROUP BY doc_id
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + """
+    SELECT d.source,
+           CAST(SUM(length(d.text)) AS BIGINT) AS total_chars,
+           CAST(SUM(p.nw) AS BIGINT) AS total_words,
+           CAST(SUM(p.nt) AS BIGINT) AS total_bpe_tokens,
+           CAST(FLOOR((1e6 * SUM(length(d.text))) / SUM(p.nt)) AS BIGINT)
+             AS chars_per_token_ppm
+    FROM documents d JOIN per_doc p USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """
+    )
+
+
+@query(
+    "pipe_tokenizer_fertility",
+    oracle=_tokenizer_fertility_oracle(3),
+    group="pipeline",
+)
+def pipe_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY report — the per-source chars-per-token metric a
+    tokenizer/data team reads to spot domains the vocabulary serves badly
+    (high fertility = more tokens per char = worse compression): train the
+    BPE merges in-engine, re-encode the corpus map-only (broadcast merge
+    list), roll up chars/words/BPE-tokens per source with the ratio as an
+    exact integer ppm. The oracle re-derives training AND encoding. One
+    corpus scan after training; the rollup keys on the small source set
+    (`pipeline/text.py::{bpe_merges, bpe_encode_counts}`)."""
+    from flink_ci_flink_spark.pipeline.text import bpe_encode_counts, bpe_merges
+
+    t = load_tables(spark, sf_dir)
+    merges = [r.pair for r in bpe_merges(t.documents, k=3).collect()]
+    per_doc = bpe_encode_counts(t.documents, merges)
+    return (
+        t.documents.select("doc_id", "source", F.length("text").alias("__nc"))
+        .join(per_doc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("__nc").cast("long").alias("total_chars"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
+            F.floor(
+                (F.lit(1e6) * F.sum("__nc")) / F.sum("n_bpe_tokens")
+            )
+            .cast("long")
+            .alias("chars_per_token_ppm"),
+        )
+        .orderBy("source")
+    )
