@@ -66,6 +66,7 @@ _PRIORITY = [
     "tpcds_shape_delay_band_pivot",  # NEW: q62/q99
     "tpcds_shape_conditional_scalar_report",  # NEW: q9
     "tpcds_shape_disjunctive_in",  # NEW: q45
+    "tpcds_shape_deviation_with_neighbors",  # NEW: q47/q57
     # -- (2) re-validation: r2-proven first --
     "setop_union",
     "sort_limit_offset",

@@ -607,3 +607,90 @@ def tpcds_disjunctive_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "tpcds_shape_deviation_with_neighbors",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_suppkey,
+             CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+             CAST(SUM({_CENT_SQL}) AS BIGINT) AS cents
+      FROM lineitem
+      WHERE year(l_shipdate) = 1997
+      GROUP BY 1, 2
+    ), y AS (
+      SELECT l_suppkey, CAST(SUM(cents) AS BIGINT) AS ytot,
+             CAST(COUNT(*) AS BIGINT) AS nmon
+      FROM m GROUP BY 1
+    ), w AS (
+      SELECT m.*,
+             lag(cents)  OVER (PARTITION BY l_suppkey ORDER BY ym) AS prev_c,
+             lead(cents) OVER (PARTITION BY l_suppkey ORDER BY ym) AS next_c
+      FROM m
+    )
+    SELECT w.l_suppkey AS suppkey, w.ym, w.cents,
+           CAST(COALESCE(w.prev_c, -1) AS BIGINT) AS prev_cents,
+           CAST(COALESCE(w.next_c, -1) AS BIGINT) AS next_cents,
+           y.ytot, y.nmon
+    FROM w JOIN y ON y.l_suppkey = w.l_suppkey
+    WHERE 10 * ABS(w.cents * y.nmon - y.ytot) > y.ytot
+    ORDER BY suppkey, ym
+    """,
+    group="tpcds",
+)
+def tpcds_deviation_with_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q47/q57 shape (months deviating from the yearly mean,
+    reported WITH their lag/lead neighbor months): monthly revenue per
+    supplier, the supplier-year aggregate joined back, months whose
+    deviation from the mean exceeds 10% kept — the mean comparison
+    cross-multiplied to exact integers (|m·nmon − Y|·10 > Y, no division)
+    — each with its previous/next month via window lag/lead (NULL edges
+    coalesced to -1 on both engines). One groupBy + one key-local window
+    + a broadcast-sized year join. Ref: `TpcdsTestProgram.java:57-69`
+    (variants 47, 57)."""
+    t = load_tables(spark, sf_dir)
+    cents = _CENT(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    m = (
+        t.lineitem.filter(F.year("l_shipdate") == 1997)
+        .groupBy(
+            "l_suppkey",
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+            .cast("long")
+            .alias("ym"),
+        )
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    y = m.groupBy("l_suppkey").agg(
+        F.sum("cents").cast("long").alias("ytot"),
+        F.count(F.lit(1)).cast("long").alias("nmon"),
+    )
+    wspec = Window.partitionBy("l_suppkey").orderBy("ym")
+    w = m.select(
+        "l_suppkey",
+        "ym",
+        "cents",
+        F.coalesce(F.lag("cents").over(wspec), F.lit(-1))
+        .cast("long")
+        .alias("prev_cents"),
+        F.coalesce(F.lead("cents").over(wspec), F.lit(-1))
+        .cast("long")
+        .alias("next_cents"),
+    )
+    return (
+        w.join(F.broadcast(y), "l_suppkey")
+        .filter(
+            10 * F.abs(F.col("cents") * F.col("nmon") - F.col("ytot"))
+            > F.col("ytot")
+        )
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            "ym",
+            "cents",
+            "prev_cents",
+            "next_cents",
+            "ytot",
+            "nmon",
+        )
+        .orderBy("suppkey", "ym")
+    )
