@@ -4916,3 +4916,104 @@ def pipe_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _gopher_mask_spark_sql() -> str:
+    """The full 7-rule Gopher bitmask as ONE Spark SQL expression (the
+    registered thresholds: min_words=25, mean len in [3.0, 4.5]) — the
+    text-expression twin of `pipeline/text.py::gopher_rules`, written for
+    the declarative fold surface where operators are SQL strings."""
+    toks = r"filter(split(text, '\\s+'), x -> x != '')"
+    lines = r"split(text, '\n')"
+    nw = f"size({toks})"
+    sumlen = f"aggregate({toks}, 0L, (a, x) -> a + length(x))"
+    n_hash = "(length(text) - length(replace(text, '#', '')))"
+    n_ell = "CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)"
+    n_lines = f"size({lines})"
+    n_bullet = (
+        f"size(filter({lines}, x -> startswith(x, '- ') OR startswith(x, '* ')))"
+    )
+    n_ell_end = f"size(filter({lines}, x -> endswith(x, '...')))"
+    n_alpha = f"size(filter({toks}, x -> x rlike '[A-Za-z]'))"
+    stops = "array('the','be','to','of','and','that','have','with')"
+    n_stop = f"size(filter({toks}, x -> array_contains({stops}, lower(x))))"
+    return (
+        f"(CASE WHEN {nw} < 25 OR {nw} > 100000 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {sumlen} * 10 < 30 * {nw}"
+        f"          OR {sumlen} * 10 > 45 * {nw} THEN 2 ELSE 0 END)"
+        f" + (CASE WHEN ({n_hash} + {n_ell}) * 10 > {nw} THEN 4 ELSE 0 END)"
+        f" + (CASE WHEN {n_bullet} * 10 > {n_lines} * 9 THEN 8 ELSE 0 END)"
+        f" + (CASE WHEN {n_ell_end} * 10 > {n_lines} * 3 THEN 16 ELSE 0 END)"
+        f" + (CASE WHEN {n_alpha} * 10 < {nw} * 8 THEN 32 ELSE 0 END)"
+        f" + (CASE WHEN {n_stop} < 2 THEN 64 ELSE 0 END)"
+    )
+
+
+@query(
+    "streaming_rule_monitor_replay",
+    oracle=f"""
+    WITH {_GOPHER_CTES}, blocked AS (
+      SELECT doc_id,
+             CASE WHEN contains(lower(text), 'big order')
+                    OR contains(lower(text), 'slow key')
+                    OR contains(lower(text), 'merge group')
+                  THEN 1 ELSE 0 END AS is_blocked
+      FROM documents
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN r.fail_mask = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(b.is_blocked) AS BIGINT) AS n_blocked,
+           CAST(FLOOR(1000.0 * SUM(CASE WHEN r.fail_mask = 0 THEN 1 ELSE 0 END)
+                / COUNT(*)) AS BIGINT) AS kept_permille
+    FROM documents d
+    JOIN r ON r.doc_id = d.doc_id
+    JOIN blocked b ON b.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+    group="streaming",
+)
+def streaming_rule_monitor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A THIRD production monitor on the declarative fold surface — the
+    rule-screen health dashboard: per-source counts of Gopher-clean and
+    blocklist-hit documents on ingest, with the ENTIRE 7-rule bitmask
+    declared as one Spark SQL expression inside the FoldSpec prepare leg
+    (no Python operator code anywhere — the monitor is three strings).
+    State = one (n, n_kept, n_blocked) row per source, decomposable;
+    executed by the zero-per-key-Python `jvm_keyed_fold` runtime on a
+    3-micro-batch replay; exact integers make the streamed fold
+    hash-match the one-shot batch oracle (which recomputes the mask via
+    the shared Gopher CTEs)."""
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.declarative import (
+        FoldSpec,
+        declarative_keyed_fold,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "source", "text")
+    mask = _gopher_mask_spark_sql()
+    blocked = (
+        "CASE WHEN contains(lower(text), 'big order')"
+        " OR contains(lower(text), 'slow key')"
+        " OR contains(lower(text), 'merge group') THEN 1 ELSE 0 END"
+    )
+    spec = FoldSpec(
+        keys=["source"],
+        prepare=(
+            f"n := count(1); "
+            f"n_kept := sum(CASE WHEN ({mask}) = 0 THEN 1 ELSE 0 END); "
+            f"n_blocked := sum({blocked})"
+        ),
+        merge=(
+            "n := sum(n); n_kept := sum(n_kept); n_blocked := sum(n_blocked)"
+        ),
+        emit=(
+            "kept_permille := CAST(FLOOR(1000.0 * n_kept / n) AS BIGINT)"
+        ),
+    )
+    tmp = stage_ordered_replay(docs, ["doc_id"])
+    return declarative_keyed_fold(
+        file_stream(spark, tmp, docs.schema, max_files_per_trigger=1), spec
+    )
