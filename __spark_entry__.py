@@ -58,6 +58,7 @@ _PRIORITY = [
     "pipe_image_stats",  # NEW: decoded-BMP luminance screen
     "pipe_tokenizer_fertility",  # NEW: per-source chars-per-token report
     "streaming_rule_monitor_replay",  # NEW: declarative rule dashboard
+    "pipe_simhash_band_pairs",  # NEW: banded SimHash candidate pairs
     "tpcds_shape_cov_pair",  # NEW: q39 CV pairs
     "tpcds_shape_rank_position_join",  # NEW: q44
     "tpcds_shape_week_over_year",  # NEW: q2/q59

@@ -795,3 +795,66 @@ def finalize_line_dedup(spark, segs_dir: str, id_col: str = "doc_id") -> DataFra
         F.count(F.lit(1)).cast("bigint").alias("n_segments")
     )
     return _resolve_line_dedup(ex, totals, id_col)
+
+
+def simhash_band_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate CANDIDATE PAIRS at scale — the banded
+    counterpart `minhash_lsh_pairs` has and SimHash lacked: by the
+    pigeonhole principle, two signatures within Hamming distance
+    ``max_hamming < bands`` must agree EXACTLY on at least one of the
+    ``bands`` contiguous bit-bands, so candidates come from equality
+    joins on (band_index, band_value) buckets — never an all-pairs
+    comparison — and are then verified with one ``bit_count(xor)``
+    (Manku, Jarvelin & Sarma's web-dedup construction; public
+    literature). Pair volume is bounded by bucket sizes exactly like the
+    MinHash path. Returns (id_a, id_b, hamming) with hamming <=
+    max_hamming.
+    """
+    assert bits % bands == 0, "bits must divide into equal bands"
+    width = bits // bands
+    mask = (1 << width) - 1
+    sigs = simhash(df, text_col, id_col, bits)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"shiftright(simhash, {b * width}) & {mask}"
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -5017,3 +5017,53 @@ def streaming_rule_monitor_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     return declarative_keyed_fold(
         file_stream(spark, tmp, docs.schema, max_files_per_trigger=1), spec
     )
+
+
+_SIMHASH_SIG_CTES = f"""toks AS (
+      SELECT doc_id, UNNEST(list_distinct({_TOKS})) AS tok FROM documents
+    ), th AS (
+      SELECT doc_id, {_TOKHASH.format(x='tok')} AS h FROM toks
+    ), votes AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS bit)
+      GROUP BY doc_id, bit
+    ), sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << bit)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )"""
+
+
+@query(
+    "pipe_simhash_band_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_CTES}, banded AS (
+      SELECT doc_id, simhash, b.b AS band,
+             (simhash >> (b.b * 8)) & 255 AS key
+      FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS b) b
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.key = b.key
+                 AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY id_a, id_b
+    """,
+    group="pipeline",
+)
+def pipe_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs AT SCALE — the banded bucket-join
+    construction (Manku et al.'s web-dedup): Hamming distance <= 3 over 32
+    bits means at least one of 4 contiguous 8-bit bands matches exactly
+    (pigeonhole), so candidates come from (band, band_value) equality
+    buckets and one bit_count(xor) verify — never an all-pairs scan. The
+    signature, the banding, and the verify are all integer-exact, so the
+    PAIR SET hash-matches the oracle
+    (`pipeline/dedup.py::simhash_band_pairs`)."""
+    from flink_ci_flink_spark.pipeline.dedup import simhash_band_pairs
+
+    t = load_tables(spark, sf_dir)
+    return simhash_band_pairs(t.documents)
