@@ -477,6 +477,8 @@ def main() -> None:
         "pipe_blocklist_screen",
         "pipe_dup_source_matrix",
         "pipe_image_stats",
+        "pipe_tokenizer_fertility",
+        "pipe_simhash_band_pairs",
     ]
     new_ops_t: dict[str, float] = {}
     for name in NEW_OPS:
