@@ -804,20 +804,40 @@ def simhash_band_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """SimHash near-duplicate CANDIDATE PAIRS at scale — the banded
     counterpart `minhash_lsh_pairs` has and SimHash lacked: by the
     pigeonhole principle, two signatures within Hamming distance
     ``max_hamming < bands`` must agree EXACTLY on at least one of the
     ``bands`` contiguous bit-bands, so candidates come from equality
-    joins on (band_index, band_value) buckets — never an all-pairs
+    matches on (band_index, band_value) buckets — never an all-pairs
     comparison — and are then verified with one ``bit_count(xor)``
     (Manku, Jarvelin & Sarma's web-dedup construction; public
-    literature). Pair volume is bounded by bucket sizes exactly like the
-    MinHash path. Returns (id_a, id_b, hamming) with hamming <=
+    literature). Returns (id_a, id_b, hamming) with hamming <=
     max_hamming.
-    """
-    assert bits % bands == 0, "bits must divide into equal bands"
+
+    ``max_bucket`` guards the hot-bucket quadratic corner (r9 VERDICT):
+    SimHash buckets are MORE collision-prone than MinHash bands — short or
+    boilerplate documents collapse to a handful of signatures and an
+    all-zero band value is a classic hot key — so pairs come from the same
+    capped groupBy/collect_list generation the MinHash twin uses, never an
+    uncapped self-join: buckets larger than the cap emit all pairs among
+    their first ``max_bucket`` members (id-sorted, deterministic) plus one
+    (ids[0], dropped_id) representative pair per truncated member — linear
+    in the tail, and identical docs verify at hamming 0 so the cluster
+    stays connected through the representative. Default 1000 never binds
+    at test SFs (oracle-neutral); None disables the guard."""
+    if bits % bands != 0:
+        raise ValueError(
+            f"bits ({bits}) must divide into {bands} equal bands"
+        )
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}): the "
+            "pigeonhole guarantee needs at least one band untouched by "
+            "the allowed bit flips, or true near-duplicates are missed"
+        )
     width = bits // bands
     mask = (1 << width) - 1
     sigs = simhash(df, text_col, id_col, bits)
@@ -838,21 +858,65 @@ def simhash_band_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "simhash", "bk.band", "bk.key")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    ).cast("long")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # One shuffle on the band key; in-bucket combination generation carries
+    # the signature alongside the id so hamming verification needs no
+    # join-back. array_sort on (id, sig) structs orders by the unique id.
+    groups = (
+        banded.groupBy("band", "key")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("id"), F.col("simhash").alias("sig")
+                    )
+                )
+            ).alias("ms")
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        .filter(F.size("ms") >= 2)
+    )
+    if max_bucket is not None:
+        groups = groups.withColumn(
+            "tail",
+            F.slice(
+                F.col("ms"),
+                max_bucket + 1,
+                F.greatest(F.size("ms") - max_bucket, F.lit(0)),
+            ),
+        ).withColumn("ms", F.slice("ms", 1, max_bucket))
+    else:
+        groups = groups.withColumn("tail", F.slice(F.col("ms"), 1, 0))
+    combos = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["sig"].alias("sig_a"),
+                    y["sig"].alias("sig_b"),
+                ),
+            ),
+        )
+    )
+    rep = F.element_at(F.col("ms"), 1)
+    rep_tail = F.transform(
+        F.col("tail"),
+        lambda y: F.struct(
+            rep["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            rep["sig"].alias("sig_a"),
+            y["sig"].alias("sig_b"),
+        ),
+    )
+    pairs = groups.select(F.explode(F.concat(combos, rep_tail)).alias("p"))
+    ham = F.bit_count(F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b"))).cast(
+        "long"
+    )
+    return (
+        pairs.select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)

@@ -373,17 +373,51 @@ def default_pool() -> DescriptorPoolShim:
 # --- dynamic message runtime ---
 
 
+class _RepeatedField(list):
+    """Repeated-field container that commits its owning message into the
+    parent chain on first mutation, so `msg.sub.items.append(x)` sticks
+    exactly like real protobuf (reading alone never marks presence)."""
+
+    __slots__ = ("_owner",)
+
+    def __init__(self, owner):
+        super().__init__()
+        self._owner = owner
+
+    def append(self, item):
+        super().append(item)
+        self._owner._attach()
+
+    def extend(self, items):
+        super().extend(items)
+        self._owner._attach()
+
+    def insert(self, index, item):
+        super().insert(index, item)
+        self._owner._attach()
+
+
 class ShimMessage:
     """Base for generated message classes. Field values live in
     `self._values` (presence = key present); attribute access falls back to
     proto3 defaults. Supports kwargs construction, SerializeToString,
-    ParseFromString, repeated fields, sub-messages, oneof clearing."""
+    ParseFromString, repeated fields, sub-messages, oneof clearing.
+
+    Submessage access auto-vivifies like real protobuf: reading an unset
+    message field returns a LIVE view (same instance each read, cached in
+    `_views`) that is linked to its parent and commits itself — and every
+    unattached ancestor — into `_values` on the first WRITE anywhere in the
+    subtree. Reading alone never marks presence, so `HasField` and
+    serialization semantics match the real runtime; nested writes such as
+    `cmd.ttl.durationMs = 9` are never silently dropped."""
 
     DESCRIPTOR: Descriptor = None  # set on subclasses
     _POOL: DescriptorPoolShim = None
 
     def __init__(self, **kwargs):
         object.__setattr__(self, "_values", {})
+        object.__setattr__(self, "_views", {})
+        object.__setattr__(self, "_parent", None)
         for k, v in kwargs.items():
             if v is None:
                 continue
@@ -403,12 +437,44 @@ class ShimMessage:
         if name in values:
             return values[name]
         if f.is_repeated:
-            lst: list = []
+            lst = _RepeatedField(self)
             values[name] = lst  # auto-vivify so .append() sticks
             return lst
         if f.type == TYPE_MESSAGE:
-            return _message_class_for(f, type(self)._POOL)()  # default view
+            # Live parent-linked view: repeated reads return the same
+            # instance; a write anywhere below attaches the whole chain.
+            views = self.__dict__.setdefault("_views", {})
+            child = views.get(name)
+            if child is None:
+                child = _message_class_for(f, type(self)._POOL)()
+                object.__setattr__(child, "_parent", (self, f))
+                views[name] = child
+            return child
         return f.default()
+
+    def _attach(self) -> None:
+        """Commit this message into its parent's `_values` (and recursively
+        up the chain) the first time it is written to. No-op when already
+        attached or top-level."""
+        parent = self.__dict__.get("_parent")
+        if parent is None:
+            return
+        object.__setattr__(self, "_parent", None)
+        pmsg, f = parent
+        pvalues = pmsg.__dict__["_values"]
+        # real oneofs: attaching one member clears the others
+        if f.oneof_index is not None and not f.proto3_optional:
+            for other in type(pmsg).DESCRIPTOR.fields:
+                if (
+                    other.name != f.name
+                    and other.oneof_index == f.oneof_index
+                    and not other.proto3_optional
+                    and other.name in pvalues
+                ):
+                    del pvalues[other.name]
+        pvalues[f.name] = self
+        pmsg.__dict__.get("_views", {}).pop(f.name, None)
+        pmsg._attach()
 
     def __setattr__(self, name, value):
         desc = type(self).DESCRIPTOR
@@ -448,7 +514,13 @@ class ShimMessage:
                     and other.name in values
                 ):
                     del values[other.name]
+        if isinstance(value, ShimMessage):
+            # direct assignment severs any stale parent link so a later
+            # write can't attach the instance somewhere it no longer lives
+            object.__setattr__(value, "_parent", None)
         values[name] = value
+        self.__dict__.get("_views", {}).pop(name, None)
+        self._attach()
 
     # -- serialization --
 
@@ -503,6 +575,7 @@ class ShimMessage:
 
     def ParseFromString(self, data: bytes) -> int:
         self.__dict__["_values"].clear()
+        self.__dict__.setdefault("_views", {}).clear()
         self.MergeFromString(data)
         return len(data)
 
@@ -578,6 +651,10 @@ class ShimMessage:
                     values[f.name] = v
             else:
                 pos = _skip(data, pos, wt)
+        if values:
+            # merging real content into an auto-vivified view (e.g.
+            # `msg.sub.CopyFrom(x)`) marks it present, like real protobuf
+            self._attach()
         return n
 
     # -- conveniences mirroring the real API surface we rely on --

@@ -48,15 +48,31 @@ _PROTOSHIM_DIR = Path(__file__).resolve().parent.parent / "protoshim"
 
 def _protoshim_zip() -> str:
     """Zip the vendored shim's `google` package for `addPyFile` shipping
-    (workers import it via zipimport). Built once per process."""
+    (workers import it via zipimport). The zip is named by a content hash
+    of the shim sources, so a stale zip from an earlier shim version is
+    never reused and concurrent processes/users never collide on a shared
+    /tmp path (r9 ADVICE); the build is write-to-unique-then-rename so a
+    half-written file is never observed."""
+    import hashlib
+    import os
     import tempfile
     import zipfile
 
-    out = Path(tempfile.gettempdir()) / "flinkci_protoshim_google.zip"
+    files = sorted((_PROTOSHIM_DIR / "google").rglob("*.py"))
+    h = hashlib.sha256()
+    for p in files:
+        h.update(str(p.relative_to(_PROTOSHIM_DIR)).encode())
+        h.update(p.read_bytes())
+    out = Path(tempfile.gettempdir()) / (
+        f"flinkci_protoshim_google-{h.hexdigest()[:16]}.zip"
+    )
     if not out.exists():
-        with zipfile.ZipFile(out, "w") as z:
-            for p in sorted((_PROTOSHIM_DIR / "google").rglob("*.py")):
+        fd, tmp = tempfile.mkstemp(suffix=".zip", dir=out.parent)
+        os.close(fd)
+        with zipfile.ZipFile(tmp, "w") as z:
+            for p in files:
                 z.write(p, p.relative_to(_PROTOSHIM_DIR))
+        os.replace(tmp, out)
     return str(out)
 
 
@@ -76,13 +92,17 @@ def enable_protoshim(spark: SparkSession | None = None) -> bool:
         return False
     except ImportError:
         pass
+    # APPEND (not prepend) so the shim can never shadow installed google.*
+    # namespace distributions (google-auth etc.); the shim's google package
+    # also extends the namespace via pkgutil, and tests/conftest.py appends
+    # for the same reason — the two activation paths now agree (r9 ADVICE).
     p = str(_PROTOSHIM_DIR)
     if p not in sys.path:
-        sys.path.insert(0, p)
+        sys.path.append(p)
     sep = os.pathsep
     cur = os.environ.get("PYTHONPATH", "")
     if p not in cur.split(sep):
-        os.environ["PYTHONPATH"] = p + (sep + cur if cur else "")
+        os.environ["PYTHONPATH"] = (cur + sep if cur else "") + p
     if spark is not None:
         spark.sparkContext.addPyFile(_protoshim_zip())
     import google.protobuf  # noqa: F401

@@ -2285,3 +2285,47 @@ def test_gopher_rules_matches_python_reference(spark):
         assert got == want
 
     check()
+
+
+def test_simhash_band_pairs_hot_bucket_capped(spark):
+    """SimHash's hot-bucket guard (r9 VERDICT #3): identical docs collapse
+    to ONE signature, so every band is a single hot bucket. Uncapped that
+    emits k^2/2 pairs; the capped path emits all pairs among the first
+    max_bucket members plus one (representative, dropped) pair per tail
+    member — linear — and connectivity survives for cluster collapse."""
+    from flink_ci_flink_spark.pipeline.dedup import simhash_band_pairs
+
+    rows = [(i, "identical boilerplate words shared by every single doc") for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = {(r.id_a, r.id_b) for r in simhash_band_pairs(df).collect()}
+    assert base == {(a, b) for a in range(1, 9) for b in range(a + 1, 9)}
+    uncapped = {
+        (r.id_a, r.id_b) for r in simhash_band_pairs(df, max_bucket=None).collect()
+    }
+    assert uncapped == base
+    capped = {
+        (r.id_a, r.id_b) for r in simhash_band_pairs(df, max_bucket=3).collect()
+    }
+    # pairs among kept {1,2,3} + representative 1 paired with each of 4..8
+    assert capped == {(1, 2), (1, 3), (2, 3)} | {(1, b) for b in range(4, 9)}
+    touched = {x for p in capped for x in p}
+    assert touched == set(range(1, 9))
+    # identical docs verify at hamming 0 through the representative pairs
+    hams = {r.hamming for r in simhash_band_pairs(df, max_bucket=3).collect()}
+    assert hams == {0}
+
+
+def test_simhash_band_pairs_validations(spark):
+    """The pigeonhole guarantee needs max_hamming < bands, and bits must
+    split into equal bands; both are hard errors, not silent recall loss
+    (and not bare asserts that vanish under python -O)."""
+    import pytest as _pytest
+
+    from flink_ci_flink_spark.pipeline.dedup import simhash_band_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="max_hamming"):
+        simhash_band_pairs(df, bands=4, max_hamming=4)
+    with _pytest.raises(ValueError, match="equal bands"):
+        simhash_band_pairs(df, bits=32, bands=5)

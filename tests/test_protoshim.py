@@ -177,3 +177,66 @@ def test_parse_overwrites_previous_state(sm):
     b = sm.StateResponse(statusCode=5)
     a.ParseFromString(b.SerializeToString())
     assert a.statusCode == 5 and a.errorMessage == ""
+
+
+def test_nested_write_auto_vivifies(sm):
+    # the exact pattern pyspark's stateful_processor_api_client uses when a
+    # TTL is configured: read-then-write on an unset submessage. With the
+    # r9 shim this was silently dropped (TTL absent after round-trip).
+    cmd = sm.StateCallCommand(stateName="s")
+    cmd.ttl.durationMs = 9
+    _, out = _rt(cmd)
+    assert out.HasField("ttl") and out.ttl.durationMs == 9
+
+
+def test_deep_nested_write_attaches_whole_chain(sm):
+    req = sm.StateRequest()
+    req.statefulProcessorCall.getValueState.stateName = "v"
+    req.statefulProcessorCall.getValueState.ttl.durationMs = 7
+    _, out = _rt(req)
+    assert out.statefulProcessorCall.getValueState.stateName == "v"
+    assert out.statefulProcessorCall.getValueState.ttl.durationMs == 7
+
+
+def test_read_only_access_keeps_absence(sm):
+    # reading an unset submessage must NOT mark it present (real-protobuf
+    # presence semantics): serialization stays empty, HasField stays False
+    cmd = sm.StateCallCommand()
+    assert cmd.ttl.durationMs == 0
+    assert not cmd.HasField("ttl")
+    assert cmd.SerializeToString() == b""
+
+
+def test_unset_submessage_view_is_live_and_stable(sm):
+    # repeated reads return the SAME view; a write through any copy of the
+    # reference lands in the parent (real protobuf identity semantics)
+    cmd = sm.StateCallCommand()
+    v1 = cmd.ttl
+    v2 = cmd.ttl
+    assert v1 is v2
+    v1.durationMs = 4
+    assert cmd.ttl.durationMs == 4 and cmd.HasField("ttl")
+
+
+def test_nested_attach_clears_oneof_siblings(sm):
+    call = sm.StatefulProcessorCall(getValueState=sm.StateCallCommand(stateName="a"))
+    # nested WRITE on a different oneof member must clear the first one,
+    # exactly like direct assignment does
+    call.getListState.stateName = "b"
+    _, out = _rt(call)
+    assert out.getListState.stateName == "b"
+    assert out.getValueState.stateName == ""
+
+
+def test_repeated_append_inside_unset_submessage_attaches(sm):
+    resp = sm.StateResponseWithTimer()
+    resp.timer.append(sm.TimerInfo(timestampMs=3))
+    _, out = _rt(resp)
+    assert [t.timestampMs for t in out.timer] == [3]
+
+
+def test_copyfrom_into_unset_view_attaches(sm):
+    cmd = sm.StateCallCommand()
+    cmd.ttl.CopyFrom(sm.TTLConfig(durationMs=11))
+    _, out = _rt(cmd)
+    assert out.ttl.durationMs == 11 and out.HasField("ttl")
