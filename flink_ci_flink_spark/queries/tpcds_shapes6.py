@@ -1,0 +1,451 @@
+"""TPC-DS-shaped queries, batch 6 — the four distinctive planner shapes the
+round-9 verdict listed as still absent from the 103-variant bar
+(`flink-end-to-end-tests/flink-tpcds-test/.../TpcdsTestProgram.java:57-69`),
+mapped onto the synthetic schema like batches 1-5:
+
+- `tpcds_shape_cumulative_channel_compare` ~ q51: per-channel CUMULATIVE
+  revenue windows computed independently, FULL OUTER joined on (brand,
+  month), then the q51 signature move — `MAX(cum) OVER (ORDER BY month
+  ROWS UNBOUNDED PRECEDING)` carries each channel's last seen cumulative
+  forward across the months where the outer join left a null — and the
+  filter keeps months where the priority channel's cumulative overtakes
+  the standard channel's.
+- `tpcds_shape_mega_join_chain` ~ q64: the multi-chain mega-join — a
+  6-way dimension chain (orders, customer, nation, supplier, nation
+  AGAIN in a second role, part) aggregated per (customer, brand, year),
+  then the fact chain self-joined across consecutive years keeping pairs
+  whose average unit price DECLINED (cross-multiplied integers, no
+  division).
+- `tpcds_shape_channel_ratio_nulls` ~ q78: per-(customer, year) channel
+  ratio that RETAINS null-channel rows — the LEFT JOIN keeps customers
+  with zero standard-channel sales (an inner join silently drops them,
+  the q78 trap), and the ratio coalesces the missing side.
+- `tpcds_shape_overlap_matrix` ~ q97 extended: the overlap-counts MATRIX
+  via CHAINED FULL OUTER JOINs of three per-channel distinct-buyer sets,
+  counted by all 7 presence patterns in one pass.
+
+Scale notes: q51's channel aggregates are partial-aggregable groupBys on
+(brand, month) — hundreds of groups — and both windows are key-local
+after one shuffle on brand; q64's dimension joins are all broadcasts
+(nation/supplier/customer/part are small dims at any SF — broadcast the
+dims, never the fact) and the year-pair self-join keys on (custkey,
+brand); q78 is two channel aggregates met by one shuffle on (custkey,
+year); q97's three distinct-sets are semi-aggregations shuffled once on
+custkey, and the chained FULL OUTERs reuse that partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_ci_flink_spark.catalog import load_tables
+from flink_ci_flink_spark.queries.registry import query
+
+_CENT = lambda: F.floor(  # noqa: E731
+    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+).cast("long")
+_CENT_SQL = "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+_PRI = ("1-URGENT", "2-HIGH")
+
+
+@query(
+    "tpcds_shape_cumulative_channel_compare",
+    oracle=f"""
+    WITH sales AS (
+      SELECT p_brand AS brand,
+             CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+             o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_pri,
+             {_CENT_SQL} AS cents
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE year(o_orderdate) IN (1996, 1997)
+    ), pc AS (
+      SELECT brand, ym,
+             SUM(SUM(cents)) OVER (PARTITION BY brand ORDER BY ym
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+      FROM sales WHERE is_pri GROUP BY brand, ym
+    ), sc AS (
+      SELECT brand, ym,
+             SUM(SUM(cents)) OVER (PARTITION BY brand ORDER BY ym
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+      FROM sales WHERE NOT is_pri GROUP BY brand, ym
+    ), j AS (
+      SELECT COALESCE(p.brand, s.brand) AS brand,
+             COALESCE(p.ym, s.ym) AS ym,
+             p.cum AS pcum, s.cum AS scum
+      FROM pc p FULL OUTER JOIN sc s ON p.brand = s.brand AND p.ym = s.ym
+    ), filled AS (
+      SELECT brand, ym,
+             MAX(pcum) OVER (PARTITION BY brand ORDER BY ym
+                             ROWS UNBOUNDED PRECEDING) AS cum_pri,
+             MAX(scum) OVER (PARTITION BY brand ORDER BY ym
+                             ROWS UNBOUNDED PRECEDING) AS cum_std
+      FROM j
+    )
+    SELECT brand, ym,
+           CAST(cum_pri AS BIGINT) AS cum_pri,
+           CAST(cum_std AS BIGINT) AS cum_std
+    FROM filled
+    WHERE cum_pri > cum_std
+    ORDER BY brand, ym
+    """,
+    group="tpcds",
+)
+def tpcds_cumulative_channel_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q51 shape: independent per-channel cumulative-revenue windows
+    FULL OUTER joined on (brand, month), nulls carried forward with the
+    q51 `MAX(cum) OVER (ROWS UNBOUNDED PRECEDING)` trick (cumulative sums
+    of nonnegative cents are nondecreasing, so the running max IS the last
+    seen value), keeping months where the priority channel's cumulative
+    overtakes the standard channel's. Ref: `TpcdsTestProgram.java:57-69`
+    (variant 51)."""
+    t = load_tables(spark, sf_dir)
+    sales = (
+        t.lineitem.join(
+            t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey
+        )
+        .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .select(
+            F.col("p_brand").alias("brand"),
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("ym"),
+            F.col("o_orderpriority").isin(*_PRI).alias("is_pri"),
+            _CENT().alias("cents"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("brand")
+        .orderBy("ym")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pc = (
+        sales.filter("is_pri")
+        .groupBy("brand", "ym")
+        .agg(F.sum("cents").alias("c"))
+        .select("brand", "ym", F.sum("c").over(w_cum).alias("pcum"))
+    )
+    sc = (
+        sales.filter("NOT is_pri")
+        .groupBy("brand", "ym")
+        .agg(F.sum("cents").alias("c"))
+        .select("brand", "ym", F.sum("c").over(w_cum).alias("scum"))
+    )
+    j = (
+        pc.alias("p")
+        .join(
+            sc.alias("s"),
+            (F.col("p.brand") == F.col("s.brand"))
+            & (F.col("p.ym") == F.col("s.ym")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("p.brand"), F.col("s.brand")).alias("brand"),
+            F.coalesce(F.col("p.ym"), F.col("s.ym")).alias("ym"),
+            F.col("p.pcum").alias("pcum"),
+            F.col("s.scum").alias("scum"),
+        )
+    )
+    filled = j.select(
+        "brand",
+        "ym",
+        F.max("pcum").over(w_cum).alias("cum_pri"),
+        F.max("scum").over(w_cum).alias("cum_std"),
+    )
+    return filled.filter(F.col("cum_pri") > F.col("cum_std")).orderBy(
+        "brand", "ym"
+    )
+
+
+@query(
+    "tpcds_shape_mega_join_chain",
+    oracle=f"""
+    WITH sales AS (
+      SELECT o_custkey AS custkey, p_brand AS brand,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+             {_CENT_SQL} AS cents, CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE year(o_orderdate) IN (1996, 1997)
+    ), agg AS (
+      SELECT custkey, brand, yr,
+             MIN(cust_nation) AS cust_nation,
+             MIN(supp_nation) AS first_supp_nation,
+             CAST(SUM(cents) AS BIGINT) AS cents,
+             CAST(SUM(qty) AS BIGINT) AS qty,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM sales GROUP BY custkey, brand, yr
+    )
+    SELECT a.custkey, a.brand, a.cust_nation,
+           a.first_supp_nation AS supp_nation_y1,
+           b.first_supp_nation AS supp_nation_y2,
+           a.cents AS cents_y1, b.cents AS cents_y2,
+           a.qty AS qty_y1, b.qty AS qty_y2,
+           a.n AS n_y1, b.n AS n_y2
+    FROM agg a
+    JOIN agg b ON a.custkey = b.custkey AND a.brand = b.brand
+              AND a.yr = 1996 AND b.yr = 1997
+    WHERE b.cents * a.qty < a.cents * b.qty
+    ORDER BY a.custkey, a.brand
+    """,
+    group="tpcds",
+)
+def tpcds_mega_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q64 shape: the mega-join — six dimension joins on one fact
+    scan with nation playing TWO roles (customer's and supplier's), fused
+    per (customer, brand, year), then the fact chain self-joined across
+    consecutive years keeping (customer, brand) pairs whose average unit
+    price declined — `cents_97 * qty_96 < cents_96 * qty_97`
+    cross-multiplied so no division ever materializes. All dims broadcast;
+    the self-join shuffles once on (custkey, brand). Ref:
+    `TpcdsTestProgram.java:57-69` (variant 64)."""
+    t = load_tables(spark, sf_dir)
+    cn = t.nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = t.nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    sales = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("p_brand").alias("brand"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            "cust_nation",
+            "supp_nation",
+            _CENT().alias("cents"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+    )
+    agg = sales.groupBy("custkey", "brand", "yr").agg(
+        F.min("cust_nation").alias("cust_nation"),
+        F.min("supp_nation").alias("first_supp_nation"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.sum("qty").cast("long").alias("qty"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a, b = agg.alias("a"), agg.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.custkey") == F.col("b.custkey"))
+            & (F.col("a.brand") == F.col("b.brand"))
+            & (F.col("a.yr") == 1996)
+            & (F.col("b.yr") == 1997),
+        )
+        .filter(
+            F.col("b.cents") * F.col("a.qty") < F.col("a.cents") * F.col("b.qty")
+        )
+        .select(
+            F.col("a.custkey").alias("custkey"),
+            F.col("a.brand").alias("brand"),
+            F.col("a.cust_nation").alias("cust_nation"),
+            F.col("a.first_supp_nation").alias("supp_nation_y1"),
+            F.col("b.first_supp_nation").alias("supp_nation_y2"),
+            F.col("a.cents").alias("cents_y1"),
+            F.col("b.cents").alias("cents_y2"),
+            F.col("a.qty").alias("qty_y1"),
+            F.col("b.qty").alias("qty_y2"),
+            F.col("a.n").alias("n_y1"),
+            F.col("b.n").alias("n_y2"),
+        )
+        .orderBy("custkey", "brand")
+    )
+
+
+@query(
+    "tpcds_shape_channel_ratio_nulls",
+    oracle=f"""
+    WITH pri AS (
+      SELECT o_custkey AS custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(SUM({_CENT_SQL}) AS BIGINT) AS cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY 1, 2
+    ), std AS (
+      SELECT o_custkey AS custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(SUM({_CENT_SQL}) AS BIGINT) AS cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      GROUP BY 1, 2
+    )
+    SELECT p.custkey, p.yr,
+           p.qty AS pri_qty, p.cents AS pri_cents,
+           s.qty AS std_qty, s.cents AS std_cents,
+           CAST(FLOOR(p.qty * 100.0 / GREATEST(COALESCE(s.qty, 0), 1) + 0.5)
+                AS BIGINT) AS ratio_pct
+    FROM pri p LEFT JOIN std s ON p.custkey = s.custkey AND p.yr = s.yr
+    WHERE s.custkey IS NULL OR p.cents > s.cents
+    ORDER BY p.custkey, p.yr
+    """,
+    group="tpcds",
+)
+def tpcds_channel_ratio_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q78 shape: per-(customer, year) cross-channel ratio that
+    RETAINS null-channel rows — the LEFT JOIN keeps customers with zero
+    standard-channel sales (an inner join silently drops exactly the
+    customers q78 exists to find), the ratio coalesces the missing side,
+    and the nullable std_qty/std_cents columns survive to the output.
+    Ratio is one division of exact integers (correctly-rounded, so
+    hash-identical across engines). Ref: `TpcdsTestProgram.java:57-69`
+    (variant 78)."""
+    t = load_tables(spark, sf_dir)
+    joined = t.lineitem.join(
+        t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+
+    def channel(pred):
+        return (
+            joined.filter(pred)
+            .groupBy(
+                F.col("o_custkey").alias("custkey"),
+                F.year("o_orderdate").cast("long").alias("yr"),
+            )
+            .agg(
+                F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+                F.sum(_CENT()).cast("long").alias("cents"),
+            )
+        )
+
+    pri = channel(F.col("o_orderpriority").isin(*_PRI))
+    std = channel(~F.col("o_orderpriority").isin(*_PRI))
+    p, s = pri.alias("p"), std.alias("s")
+    return (
+        p.join(
+            s,
+            (F.col("p.custkey") == F.col("s.custkey"))
+            & (F.col("p.yr") == F.col("s.yr")),
+            "left",
+        )
+        .filter(
+            F.col("s.custkey").isNull() | (F.col("p.cents") > F.col("s.cents"))
+        )
+        .select(
+            F.col("p.custkey").alias("custkey"),
+            F.col("p.yr").alias("yr"),
+            F.col("p.qty").alias("pri_qty"),
+            F.col("p.cents").alias("pri_cents"),
+            F.col("s.qty").alias("std_qty"),
+            F.col("s.cents").alias("std_cents"),
+            F.floor(
+                F.col("p.qty")
+                * 100.0
+                / F.greatest(F.coalesce(F.col("s.qty"), F.lit(0)), F.lit(1))
+                + 0.5
+            )
+            .cast("long")
+            .alias("ratio_pct"),
+        )
+        .orderBy("custkey", "yr")
+    )
+
+
+@query(
+    "tpcds_shape_overlap_matrix",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT o_custkey AS ck FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND year(o_orderdate) = 1996
+    ), b AS (
+      SELECT DISTINCT o_custkey AS ck FROM orders
+      WHERE o_orderpriority = '3-MEDIUM' AND year(o_orderdate) = 1996
+    ), c AS (
+      SELECT DISTINCT o_custkey AS ck FROM orders
+      WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+        AND year(o_orderdate) = 1996
+    ), j AS (
+      SELECT COALESCE(ab.ck, c.ck) AS ck,
+             ab.in_a, ab.in_b, c.ck IS NOT NULL AS in_c
+      FROM (
+        SELECT COALESCE(a.ck, b.ck) AS ck,
+               a.ck IS NOT NULL AS in_a, b.ck IS NOT NULL AS in_b
+        FROM a FULL OUTER JOIN b ON a.ck = b.ck
+      ) ab FULL OUTER JOIN c ON ab.ck = c.ck
+    )
+    SELECT
+      CAST(SUM(CASE WHEN COALESCE(in_a, FALSE) AND NOT COALESCE(in_b, FALSE)
+                     AND NOT in_c THEN 1 ELSE 0 END) AS BIGINT) AS a_only,
+      CAST(SUM(CASE WHEN NOT COALESCE(in_a, FALSE) AND COALESCE(in_b, FALSE)
+                     AND NOT in_c THEN 1 ELSE 0 END) AS BIGINT) AS b_only,
+      CAST(SUM(CASE WHEN NOT COALESCE(in_a, FALSE)
+                     AND NOT COALESCE(in_b, FALSE) AND in_c
+                    THEN 1 ELSE 0 END) AS BIGINT) AS c_only,
+      CAST(SUM(CASE WHEN COALESCE(in_a, FALSE) AND COALESCE(in_b, FALSE)
+                     AND NOT in_c THEN 1 ELSE 0 END) AS BIGINT) AS ab_only,
+      CAST(SUM(CASE WHEN COALESCE(in_a, FALSE) AND NOT COALESCE(in_b, FALSE)
+                     AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS ac_only,
+      CAST(SUM(CASE WHEN NOT COALESCE(in_a, FALSE) AND COALESCE(in_b, FALSE)
+                     AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS bc_only,
+      CAST(SUM(CASE WHEN COALESCE(in_a, FALSE) AND COALESCE(in_b, FALSE)
+                     AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS abc
+    FROM j
+    """,
+    group="tpcds",
+)
+def tpcds_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q97-extended shape: the channel-overlap MATRIX — three
+    per-channel distinct-buyer sets met by CHAINED FULL OUTER JOINs
+    (the second join keys on the COALESCE of the first pair's keys, the
+    planner shape that trips naive null-key handling), counted by all 7
+    presence patterns in one aggregate row. The three distinct-sets are
+    semi-aggregations shuffled once on custkey; the chained full outers
+    reuse that partitioning. Ref: `TpcdsTestProgram.java:57-69`
+    (variant 97)."""
+    t = load_tables(spark, sf_dir)
+    o96 = t.orders.filter(F.year("o_orderdate") == 1996)
+
+    def buyers(pred, name):
+        return (
+            o96.filter(pred)
+            .select(F.col("o_custkey").alias(name))
+            .distinct()
+        )
+
+    a = buyers(F.col("o_orderpriority").isin(*_PRI), "a_ck")
+    b = buyers(F.col("o_orderpriority") == "3-MEDIUM", "b_ck")
+    c = buyers(
+        F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW"), "c_ck"
+    )
+    ab = a.join(b, F.col("a_ck") == F.col("b_ck"), "full_outer").select(
+        F.coalesce(F.col("a_ck"), F.col("b_ck")).alias("ck"),
+        F.col("a_ck").isNotNull().alias("in_a"),
+        F.col("b_ck").isNotNull().alias("in_b"),
+    )
+    j = ab.join(c, F.col("ck") == F.col("c_ck"), "full_outer").select(
+        F.coalesce(F.col("in_a"), F.lit(False)).alias("in_a"),
+        F.coalesce(F.col("in_b"), F.lit(False)).alias("in_b"),
+        F.col("c_ck").isNotNull().alias("in_c"),
+    )
+
+    def n(expr, name):
+        return F.sum(F.when(expr, 1).otherwise(0)).cast("long").alias(name)
+
+    ia, ib, ic = F.col("in_a"), F.col("in_b"), F.col("in_c")
+    return j.agg(
+        n(ia & ~ib & ~ic, "a_only"),
+        n(~ia & ib & ~ic, "b_only"),
+        n(~ia & ~ib & ic, "c_only"),
+        n(ia & ib & ~ic, "ab_only"),
+        n(ia & ~ib & ic, "ac_only"),
+        n(~ia & ib & ic, "bc_only"),
+        n(ia & ib & ic, "abc"),
+    )
