@@ -922,3 +922,137 @@ def simhash_band_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def winnow_fingerprint_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """(id, fp) DISTINCT winnowing fingerprints per document — the MOSS
+    local document sketch (Schleimer, Wilkerson & Aiken, "Winnowing: Local
+    Algorithms for Document Fingerprinting", SIGMOD 2003; public
+    literature): positional k-gram hashes, and every window of ``w``
+    consecutive gram hashes selects its MINIMUM; the distinct selected set
+    is the sketch. Guarantee: two documents sharing any token run of
+    length >= w + k - 1 share at least one fingerprint — position-aware
+    (unlike MinHash's set sketch) and with sketch density ~2/(w+1).
+
+    All per-document array work in one projection — no explode until the
+    final (id, fp) emission, no shuffle. Documents shorter than k tokens
+    have no grams and are absent; documents with fewer than ``w`` grams
+    contribute the single min over all their grams (one degenerate
+    window)."""
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be positive")
+    base = _tokenized(df, text_col, id_col)
+    toks = F.col("__toks")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.md5(
+                F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select(F.col(id_col), grams.alias("__grams")).filter(
+        F.size("__grams") >= 1
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("__grams") - (w - 1), F.lit(1))
+            ),
+            lambda p: F.array_min(F.slice(F.col("__grams"), p, w)),
+        )
+    )
+    return g.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by SHARED WINNOWING FINGERPRINTS —
+    position-aware overlap detection (copied runs, quoted passages) that
+    set-sketch dedup misses when the surrounding document diverges.
+    Output (id_a, id_b, n_shared) with n_shared >= ``min_shared``.
+
+    Pair generation reuses the capped in-bucket path the MinHash/SimHash
+    twins use (`_pairs_from_bands`): one shuffle on the fingerprint key,
+    buckets over ``max_bucket`` emit a linear representative tail instead
+    of k²/2 pairs (a boilerplate k-gram shared by everything is exactly a
+    hot bucket). Note the cap interacts with min_shared: a truncated tail
+    member counts only its representative pair, so with min_shared > 1 it
+    can drop out — acceptable for a CANDIDATE generator whose hot buckets
+    are boilerplate, and the default cap never binds at test SFs (oracle-
+    neutral)."""
+    tbl = winnow_fingerprint_table(df, text_col, id_col, k, w).select(
+        F.col(id_col), F.lit(0).alias("band"), F.col("fp").alias("key")
+    )
+    return (
+        _pairs_from_bands(tbl, id_col, max_bucket)
+        .withColumnRenamed("n_bands_shared", "n_shared")
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def streaming_winnow_ingest(
+    stream_df,
+    fps_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+):
+    """Continuous corpus ingest for winnowing dedup: fingerprints are
+    per-document (no cross-doc dependency), so each micro-batch appends
+    its (id, fp) rows epoch-stamped; `finalize_winnow_pairs` runs the one
+    fingerprint-key shuffle over the accumulated store — equal to the
+    one-shot `winnow_pairs`. The expensive tokenize/gram/window work runs
+    once at ingest. Returns the started StreamingQuery."""
+    from flink_ci_flink_spark.streaming.core import foreach_batch_upsert
+
+    def merge(batch_df, epoch_id: int) -> None:
+        ft = winnow_fingerprint_table(batch_df, text_col, id_col, k, w)
+        if ft.take(1):
+            ft.withColumn("__epoch", F.lit(int(epoch_id))).write.mode(
+                "append"
+            ).parquet(fps_dir)
+
+    return foreach_batch_upsert(stream_df, merge, checkpoint)
+
+
+def finalize_winnow_pairs(
+    spark,
+    fps_dir: str,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Close the streaming winnowing ingest: dropDuplicates collapses any
+    at-least-once epoch replays ((id, fp) rows are unique in the corpus —
+    the per-doc sketch is a distinct set), then the same capped pair
+    generation as the batch path."""
+    ft = (
+        spark.read.parquet(fps_dir)
+        .drop("__epoch")
+        .dropDuplicates([id_col, "fp"])
+    )
+    tbl = ft.select(
+        F.col(id_col), F.lit(0).alias("band"), F.col("fp").alias("key")
+    )
+    return (
+        _pairs_from_bands(tbl, id_col, max_bucket)
+        .withColumnRenamed("n_bands_shared", "n_shared")
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -899,3 +899,61 @@ def gopher_rules(
         mask.alias("fail_mask"),
         F.when(mask == 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("kept"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k bigram COLLOCATIONS by pointwise-mutual-information lift —
+    the classic corpus-analysis report (Church & Hanks 1990; public
+    literature): lift(x,y) = P(x,y) / (P(x)·P(y)) estimated over the
+    corpus bigram count N as ``c_xy · N / (c_x · c_y)``, keeping bigrams
+    seen at least ``min_count`` times. Surfaces multiword expressions and
+    templated boilerplate, both of which matter for training-data audits.
+
+    Exactness: counts are integers; the score is computed as
+    ``c_xy * 1.0 * N / (c_x * 1.0 * c_y)`` — double multiplies and one
+    divide over exact integers, each IEEE correctly-rounded, so Spark and
+    the DuckDB oracle agree bit-for-bit; the ordering ties break on
+    (w1, w2). Scale: one tokenize pass feeds both count tables (explode →
+    partial-aggregable groupBys), marginals attach by two word-key
+    shuffles, N broadcasts as a 1-row aggregate, and the top-k is a
+    distributed TakeOrdered — no global sort, no collect."""
+    toks = docs.select(F.explode(tokens(text_col)).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c_w"))
+    bi = (
+        docs.select(F.explode(bigrams(text_col)).alias("bg"))
+        .select(
+            F.split("bg", " ").getItem(0).alias("w1"),
+            F.split("bg", " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    n_bi = docs.select(
+        F.sum(F.size(bigrams(text_col))).cast("long").alias("n")
+    )
+    scored = (
+        bi.join(F.broadcast(n_bi))
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_x"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c_y"), "w2")
+        .withColumn(
+            "score",
+            F.floor(
+                F.col("c_xy") * 1.0 * F.col("n")
+                / (F.col("c_x") * 1.0 * F.col("c_y"))
+                * 1000000
+                + 0.5
+            )
+            / 1000000,
+        )
+    )
+    return (
+        scored.select("w1", "w2", "c_xy", "c_x", "c_y", "score")
+        .orderBy(F.desc("score"), "w1", "w2")
+        .limit(top_k)
+    )

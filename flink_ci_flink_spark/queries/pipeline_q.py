@@ -5067,3 +5067,232 @@ def pipe_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return simhash_band_pairs(t.documents)
+
+
+# Shared by pipe_winnow_pairs (batch) and streaming_winnow_ingest_replay —
+# the streaming ingest finalizes to the identical pair set by construction.
+_WINNOW_PAIRS_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(generate_series(1, len(t) - 2),
+                         i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2])))
+                  ELSE CAST([] AS VARCHAR[]) END AS g
+      FROM toks
+    ), fps AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(g) - 3, 1)),
+               p -> list_min(g[p:p+3]))) AS fps
+      FROM g WHERE len(g) >= 1
+    ), fp AS (
+      SELECT doc_id, unnest(fps) AS fp FROM fps
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    ORDER BY id_a, id_b
+    """
+
+
+@query(
+    "pipe_winnow_pairs",
+    oracle=_WINNOW_PAIRS_ORACLE,
+    group="pipeline",
+)
+def pipe_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-AWARE near-dup candidate pairs by shared winnowing
+    fingerprints (Schleimer/Wilkerson/Aiken MOSS, SIGMOD 2003): every
+    window of 4 consecutive 3-gram hashes selects its minimum, so any two
+    docs sharing a token run of >= 6 words share a fingerprint — catches
+    copied passages and quoted runs that set-sketch dedup (MinHash)
+    dilutes away when the surrounding documents diverge. Per-doc sketch is
+    one projection (no shuffle); pairs come from the same capped in-bucket
+    generation as the MinHash/SimHash twins — one fingerprint-key shuffle,
+    hot buckets linear (`pipeline/dedup.py::winnow_pairs`)."""
+    from flink_ci_flink_spark.pipeline.dedup import winnow_pairs
+
+    t = load_tables(spark, sf_dir)
+    return winnow_pairs(t.documents)
+
+
+@query(
+    "streaming_winnow_ingest_replay",
+    oracle=_WINNOW_PAIRS_ORACLE,
+    group="streaming",
+)
+def streaming_winnow_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup candidate generation as a CONTINUOUS
+    INGEST over a 3-micro-batch replay of the documents table: each batch
+    computes its docs' fingerprint sketches once (per-document work, no
+    cross-doc dependency) and appends them epoch-stamped; finalize runs
+    the single fingerprint-key shuffle over the accumulated store.
+    Hash-proven equal to the one-shot batch `winnow_pairs` — arriving
+    shards never re-tokenize the existing corpus
+    (`pipeline/dedup.py::streaming_winnow_ingest`)."""
+    import tempfile
+
+    from flink_ci_flink_spark.pipeline.dedup import (
+        finalize_winnow_pairs,
+        streaming_winnow_ingest,
+    )
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    tmp = stage_ordered_replay(docs, ["doc_id"])
+    base = tempfile.mkdtemp(prefix="wn_ingest_replay_")
+    q = streaming_winnow_ingest(
+        file_stream(spark, tmp, docs.schema, max_files_per_trigger=1),
+        fps_dir=f"{base}/fps",
+        checkpoint=f"{base}/ckpt",
+    )
+    q.processAllAvailable()
+    q.stop()
+    return finalize_winnow_pairs(spark, f"{base}/fps")
+
+
+@query(
+    "pipe_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_TOKS} AS t FROM documents
+    ), w AS (
+      SELECT unnest(t) AS w FROM toks
+    ), uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM w GROUP BY w
+    ), bg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ), bi AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bg
+    )
+    SELECT w1, w2, c_xy, x.c_w AS c_x, y.c_w AS c_y,
+           FLOOR(c_xy * 1.0 * tot.n / (x.c_w * 1.0 * y.c_w) * 1000000 + 0.5)
+             / 1000000 AS score
+    FROM bi
+    JOIN uni x ON bi.w1 = x.w
+    JOIN uni y ON bi.w2 = y.w
+    CROSS JOIN tot
+    ORDER BY score DESC, w1, w2
+    LIMIT 20
+    """,
+    group="pipeline",
+)
+def pipe_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by PMI lift (Church & Hanks 1990) over
+    the documents corpus — multiword-expression and boilerplate-template
+    discovery for training-data audits. Counts are exact integers; the
+    lift is double multiplies + one divide over them (correctly-rounded,
+    hash-identical across engines); ties break on the words. One tokenize
+    pass, partial-aggregable counts, two word-key shuffles for marginals,
+    broadcast 1-row total, distributed TakeOrdered for the top-k
+    (`pipeline/text.py::pmi_collocations`)."""
+    from flink_ci_flink_spark.pipeline.text import pmi_collocations
+
+    t = load_tables(spark, sf_dir)
+    return pmi_collocations(t.documents)
+
+
+@query(
+    "pipe_minhash_est_error",
+    oracle=_MINHASH_BASE
+    + f""", banded AS ({_BANDS_SQL}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id < b.doc_id
+    ), est AS (
+      SELECT p.id_a, p.id_b,
+             CAST(len(list_filter(generate_series(1, 32),
+                  i -> sa.sg[i] = sb.sg[i])) AS BIGINT) AS matches,
+             CAST(len(list_filter(ga.s, x -> list_contains(gb.s, x)))
+                  AS BIGINT) AS inter,
+             CAST(len(ga.s) AS BIGINT) AS n_a,
+             CAST(len(gb.s) AS BIGINT) AS n_b
+      FROM pairs p
+      JOIN sig sa ON p.id_a = sa.doc_id
+      JOIN sig sb ON p.id_b = sb.doc_id
+      JOIN sh ga ON p.id_a = ga.doc_id
+      JOIN sh gb ON p.id_b = gb.doc_id
+    )
+    SELECT id_a, id_b, matches, inter, n_a + n_b - inter AS uni
+    FROM est ORDER BY id_a, id_b
+    """,
+    group="pipeline",
+)
+def pipe_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR-QUALITY eval: for every LSH candidate pair,
+    the signature agreement count (matches/32 estimates Jaccard) next to
+    the EXACT shingle intersection and union — all integers, so the
+    estimator's per-pair error is auditable bit-exactly (the batch twin
+    of the sketch-accuracy evals: ann_recall, lsh_dedup_recall). Scale:
+    candidates bound the join (never all-pairs); signatures and shingle
+    sets attach to surviving pairs only, by id-key shuffles
+    (`pipeline/dedup.py::minhash_signatures`, `minhash_lsh_pairs`)."""
+    from flink_ci_flink_spark.pipeline.dedup import (
+        _tokenized,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        shingles_from_tokens,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    pairs = minhash_lsh_pairs(docs).select("id_a", "id_b")
+    sigs = minhash_signatures(docs)
+    sh = _tokenized(docs, "text", "doc_id").select(
+        "doc_id", shingles_from_tokens(F.col("__toks")).alias("s")
+    )
+    j = (
+        pairs.join(
+            sigs.select(
+                F.col("doc_id").alias("id_a"), F.col("signature").alias("sig_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("id_b"), F.col("signature").alias("sig_b")
+            ),
+            "id_b",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b")),
+            "id_b",
+        )
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    ).cast("long")
+    inter = F.size(F.array_intersect("s_a", "s_b")).cast("long")
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            matches.alias("matches"),
+            inter.alias("inter"),
+            (F.size("s_a") + F.size("s_b")).cast("long").alias("__nab"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "matches",
+            "inter",
+            (F.col("__nab") - F.col("inter")).alias("uni"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -2329,3 +2329,48 @@ def test_simhash_band_pairs_validations(spark):
         simhash_band_pairs(df, bands=4, max_hamming=4)
     with _pytest.raises(ValueError, match="equal bands"):
         simhash_band_pairs(df, bits=32, bands=5)
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al.): docs sharing a token run of
+    length >= w + k - 1 (= 6 with k=3, w=4) share at least one fingerprint,
+    wherever the run sits in otherwise-disjoint documents."""
+    from flink_ci_flink_spark.pipeline.dedup import winnow_fingerprint_table
+
+    run = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two three {run} four five"),
+        (2, f"{run} completely different tail words here"),
+        (3, "nothing in common with anything at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprint_table(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_winnowing_short_doc_edges(spark):
+    """Docs with fewer than k tokens have no fingerprints; docs with fewer
+    than w grams contribute exactly one (the min over all their grams)."""
+    from flink_ci_flink_spark.pipeline.dedup import winnow_fingerprint_table
+
+    rows = [(1, "a b"), (2, "a b c d")]  # doc2: 2 grams < w=4 -> 1 window
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprint_table(df).collect()
+    assert {r.doc_id for r in fps} == {2}
+    assert len([r for r in fps if r.doc_id == 2]) == 1
+
+
+def test_pmi_collocations_planted(spark):
+    """A planted always-together bigram outranks frequent-but-independent
+    word pairs."""
+    from flink_ci_flink_spark.pipeline.text import pmi_collocations
+
+    rows = [(i, "zig zag common common common common word%d common" % i) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = pmi_collocations(df, min_count=5).collect()
+    assert (top[0].w1, top[0].w2) == ("zig", "zag")
+    assert top[0].c_xy == 10 and top[0].c_x == 10 and top[0].c_y == 10
