@@ -156,7 +156,13 @@ def streaming_running_agg_tws(
             )
 
         def handleInputRows(self, key_tuple, rows, timer_values):
-            total, n = self._agg.get() if self._agg.exists() else (0.0, 0)
+            # ValueState.get() returns None when absent — one state-server
+            # round-trip per key per batch instead of exists()+get()'s two.
+            # (Measured ~1% locally — per-key cost lives in the invocation
+            # machinery, not any single RPC; see bench tws_tax — but at N
+            # keys it's N fewer protocol round-trips per batch for free.)
+            cur = self._agg.get()
+            total, n = cur if cur is not None else (0.0, 0)
             for pdf in rows:
                 if len(pdf) == 0:
                     continue
@@ -339,8 +345,9 @@ def streaming_session_timers_tws(
             if not ts_ms:
                 return
             ts_ms.sort()
-            if self._sess.exists():
-                start, end, n = self._sess.get()
+            cur = self._sess.get()  # None when absent — saves the exists() RPC
+            if cur is not None:
+                start, end, n = cur
                 self._handle.deleteTimer(end + gap_ms)
             else:
                 start = end = None
@@ -357,8 +364,9 @@ def streaming_session_timers_tws(
             self._handle.registerTimer(end + gap_ms)
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            if self._sess.exists():
-                start, end, n = self._sess.get()
+            cur = self._sess.get()
+            if cur is not None:
+                start, end, n = cur
                 if expiredTimerInfo.getExpiryTimeInMs() >= end + gap_ms:
                     self._sess.clear()
                     yield self._emit(key[0], start, end, n, "timer")
