@@ -507,6 +507,9 @@ def main() -> None:
         "pipe_image_stats",
         "pipe_tokenizer_fertility",
         "pipe_simhash_band_pairs",
+        "pipe_winnow_pairs",
+        "pipe_pmi_collocations",
+        "pipe_minhash_est_error",
     ]
     new_ops_t: dict[str, float] = {}
     for name in NEW_OPS:

@@ -66,9 +66,20 @@ def _marker(path: str) -> str:
 
 
 def ensure_scaled_dir(
-    spark: SparkSession, src_dir: str, dst_dir: str, factor: int = 10
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    factor: int = 10,
+    tables: list[str] | None = None,
+    perturb_embeddings: bool = False,
 ) -> str:
-    """Build (once) a `factor`x id-shifted replica of `src_dir`."""
+    """Build (once) a `factor`x id-shifted replica of `src_dir`.
+
+    ``tables`` restricts which fact tables are written (dims always copied)
+    — the 100x rehearsal only needs documents+embeddings and skips the 1 GB
+    lineitem union. ``perturb_embeddings`` nudges each copy's vectors by a
+    per-copy epsilon on the first component so a scaled ANN corpus isn't
+    `factor` exact clones of every vector (distance-tie degeneracy)."""
     if os.path.exists(_marker(dst_dir)):
         return dst_dir
     os.makedirs(dst_dir, exist_ok=True)
@@ -83,6 +94,8 @@ def ensure_scaled_dir(
     for t in _DIMS:  # shared dims: single copy
         read[t].write.mode("overwrite").parquet(os.path.join(dst_dir, f"{t}.parquet"))
     for t, shifts in _SHIFTS.items():
+        if tables is not None and t not in tables:
+            continue
         df = read[t]
         copies = []
         for k in range(factor):
@@ -90,10 +103,35 @@ def ensure_scaled_dir(
             for stride_name, col in shifts:
                 c = c.withColumn(col, F.col(col) + F.lit(k * strides[stride_name]))
             if t == "documents" and k > 0:
-                # salt every shingle: replace one letter with a per-copy
-                # digit -> within-copy near-dup structure preserved,
-                # cross-copy similarity destroyed (linear growth)
-                c = c.withColumn("text", F.translate("text", "e", str(k)))
+                # salt every shingle: replace letters with per-copy digits
+                # -> within-copy near-dup structure preserved, cross-copy
+                # similarity destroyed (linear growth). k < 10 keeps the
+                # historical single-char salt (sf1-rung fixture unchanged);
+                # k >= 10 needs a second mapped char for uniqueness
+                # (translate uses only the first replacement char per
+                # matched char, so str(k) alone collides for k >= 10).
+                if k < 10:
+                    c = c.withColumn("text", F.translate("text", "e", str(k)))
+                else:
+                    c = c.withColumn(
+                        "text",
+                        F.translate("text", "ea", f"{k % 10}{k // 10}"),
+                    )
+            if t == "embeddings" and perturb_embeddings and k > 0:
+                eps = float(k) * 1e-5
+                c = c.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.array(
+                            (F.element_at("embedding", 1) + F.lit(eps)).cast(
+                                "float"
+                            )
+                        ),
+                        F.slice(
+                            "embedding", 2, F.size("embedding") - 1
+                        ),
+                    ),
+                )
             copies.append(c)
         out: DataFrame = copies[0]
         for c in copies[1:]:
