@@ -64,6 +64,17 @@ def main() -> None:
     )
     print(f"# fixture ready in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    # load_tables registers views for every table; the chains only read
+    # documents/embeddings, so the rest resolve to unscaled sf0.1 symlinks
+    import os
+
+    for t in (
+        "region nation customer supplier part orders lineitem events".split()
+    ):
+        dst = Path(big) / f"{t}.parquet"
+        if not dst.exists():
+            os.symlink(f"{src}/{t}.parquet", dst)
+
     small = run(spark, src)
     large = run(spark, big)
 
