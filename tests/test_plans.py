@@ -210,3 +210,34 @@ def test_gopher_rules_map_only(spark):
     txt = _final_plan(df)
     assert "Exchange" not in txt.replace("Exchange rangepartitioning", "")
     assert "Join" not in txt
+
+
+def test_repeat_purchase_range_is_hash_join(spark):
+    """The q72-shape date-RANGE self-join must plan as an EQUI hash join
+    on custkey with the 30-day band as a residual filter — a
+    BroadcastNestedLoopJoin/CartesianProduct here is quadratic in orders
+    at 100 TB."""
+    df = QUERIES["tpcds_shape_repeat_purchase_range"].fn(spark, SF_DIR)
+    txt = _final_plan(df)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "Join" in txt  # hash (broadcast or shuffled) on the equi key
+
+
+def test_excess_discount_single_scan(spark):
+    """The q32-shape correlated scalar subquery must stay FUSED: one
+    lineitem scan + a partition window, never the naive rescan
+    (scan-per-correlated-group reads the fact table twice)."""
+    df = QUERIES["tpcds_shape_excess_discount"].fn(spark, SF_DIR)
+    txt = _final_plan(df)
+    assert txt.count("Scan parquet") == 1
+
+
+def test_class_revenue_ratio_broadcasts_part(spark):
+    """Ratio-to-parent window: part is the small dim (broadcast), and the
+    class window must be key-local (exactly one shuffle for the groupBy +
+    window pair plus the final order)."""
+    df = QUERIES["tpcds_shape_class_revenue_ratio"].fn(spark, SF_DIR)
+    txt = _final_plan(df)
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt

@@ -145,6 +145,13 @@ AUDIT = [
     "pipe_winnow_pairs",
     "pipe_pmi_collocations",
     "pipe_minhash_est_error",
+    # round-10 batch 7: q98/q72/q95/q53/q31/q32 shapes
+    "tpcds_shape_class_revenue_ratio",
+    "tpcds_shape_repeat_purchase_range",
+    "tpcds_shape_multi_supplier_orders",
+    "tpcds_shape_monthly_avg_dev",
+    "tpcds_shape_quarter_growth_chain",
+    "tpcds_shape_excess_discount",
 ]
 
 
