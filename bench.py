@@ -510,6 +510,8 @@ def main() -> None:
         "pipe_winnow_pairs",
         "pipe_pmi_collocations",
         "pipe_minhash_est_error",
+        "pipe_delta_dedup",
+        "pipe_langid_confusion",
     ]
     new_ops_t: dict[str, float] = {}
     for name in NEW_OPS:

@@ -5296,3 +5296,230 @@ def pipe_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# --- incremental shard-vs-corpus dedup -------------------------------------
+
+_DELTA_SHARD_SQL = "source IN ('src0', 'src1')"
+
+_DELTA_BANDS_SQL = " UNION ALL ".join(
+    "SELECT doc_id, is_shard, sg, {b} AS band, "
+    "md5(concat_ws(',', {cols})) AS key FROM sig".format(
+        b=b,
+        cols=", ".join(f"CAST(sg[{b * 4 + r + 1}] AS VARCHAR)" for r in range(4)),
+    )
+    for b in range(8)
+)
+
+
+@query(
+    "pipe_delta_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DELTA_SHARD_SQL} AS is_shard, {_TOKS} AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, is_shard, {_SHINGLES} AS s FROM toks
+    ), hashes AS (
+      SELECT doc_id, is_shard,
+             list_transform(s, g -> {_TOKHASH.format(x='g')} % {MINHASH_PRIME}) AS hs
+      FROM sh
+    ), sig AS (
+      SELECT doc_id, is_shard, {_minhash_sig_sql()} AS sg FROM hashes
+    ), banded AS ({_DELTA_BANDS_SQL}),
+    cand AS (
+      SELECT a.doc_id AS sid, b.doc_id AS cid,
+             len(list_filter(generate_series(1, 32),
+                             i -> a.sg[i] = b.sg[i])) AS agree
+      FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+      WHERE a.is_shard AND NOT b.is_shard
+      GROUP BY 1, 2, 3
+    ), scored AS (
+      SELECT sid, cid, agree,
+             COUNT(*) OVER (PARTITION BY sid) AS n_candidates,
+             MAX(agree) OVER (PARTITION BY sid) AS best_agree
+      FROM cand
+    ), best AS (
+      SELECT sid, n_candidates, best_agree, MIN(cid) AS best_match
+      FROM scored WHERE agree = best_agree
+      GROUP BY sid, n_candidates, best_agree
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(b.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(b.best_agree AS BIGINT) AS best_agree,
+           CAST(b.best_match AS BIGINT) AS best_match,
+           CASE WHEN b.best_agree >= 16 THEN 'drop' ELSE 'keep' END AS verdict
+    FROM documents d LEFT JOIN best b ON b.sid = d.doc_id
+    WHERE {_DELTA_SHARD_SQL}
+    """,
+    group="pipeline",
+)
+def pipe_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental curation: dedupe an INCOMING shard (sources src0/src1)
+    against the already-ingested corpus (every other source) — MinHash-LSH
+    band collisions restricted to shard x corpus, verified by signature
+    agreement (no second text pass; sigs ride the band shuffle), one
+    keep/drop decision row per shard doc. `pipeline/dedup.py::delta_dedup`."""
+    from flink_ci_flink_spark.pipeline.dedup import delta_dedup
+
+    t = load_tables(spark, sf_dir)
+    return delta_dedup(
+        t.documents, F.col("source").isin("src0", "src1"), min_agree=16
+    )
+
+
+# --- trained n-gram language ID --------------------------------------------
+
+_LANGID_GRAMS_SQL = (
+    "list_distinct(list_transform(generate_series(1, length(text) - 2), "
+    "i -> substr(lower(text), i, 3)))"
+)
+
+
+@query(
+    "pipe_langid_confusion",
+    oracle=f"""
+    WITH grams_all AS (
+      SELECT doc_id, lang, UNNEST({_LANGID_GRAMS_SQL}) AS gram
+      FROM documents
+    ), train AS (
+      SELECT lang AS lang_profile, gram, COUNT(*) AS df_count
+      FROM grams_all WHERE doc_id % 4 <> 0
+      GROUP BY 1, 2
+    ), prof AS (
+      SELECT lang_profile, gram FROM (
+        SELECT lang_profile, gram,
+               ROW_NUMBER() OVER (PARTITION BY lang_profile
+                                  ORDER BY df_count DESC, gram ASC) AS rn
+        FROM train) t WHERE rn <= 50
+    ), hits AS (
+      SELECT g.doc_id, p.lang_profile, COUNT(*) AS hits
+      FROM grams_all g JOIN prof p USING (gram)
+      WHERE g.doc_id % 4 = 0
+      GROUP BY 1, 2
+    ), best AS (
+      SELECT doc_id, lang_profile FROM (
+        SELECT doc_id, lang_profile,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY hits DESC, lang_profile ASC) AS rn
+        FROM hits) h WHERE rn = 1
+    )
+    SELECT d.lang, COALESCE(b.lang_profile, 'und') AS lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d LEFT JOIN best b USING (doc_id)
+    WHERE d.doc_id % 4 = 0
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    group="pipeline",
+)
+def pipe_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained n-gram language ID (Cavnar-Trenkle profiles), the 4th
+    offline-train / online-serve loop: train top-50 char-trigram profiles
+    per language on the doc_id%4!=0 split, serve the broadcast model over
+    the held-out quarter (map-only argmax), report the confusion matrix
+    against the labeled `lang` column. The oracle RE-TRAINS from scratch
+    in SQL — profiles and predictions are bit-identical.
+    `pipeline/text.py::langid_train_profiles/langid_predict`."""
+    from flink_ci_flink_spark.pipeline.text import (
+        langid_predict,
+        langid_train_profiles,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "lang", "text")
+    train = docs.filter(F.col("doc_id") % 4 != 0)
+    test = docs.filter(F.col("doc_id") % 4 == 0)
+    prof = langid_train_profiles(train, top_k=50)
+    pred = langid_predict(test, prof)
+    return (
+        test.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@query(
+    "streaming_langid_screen_replay",
+    oracle=f"""
+    WITH grams_all AS (
+      SELECT doc_id, lang, UNNEST({_LANGID_GRAMS_SQL}) AS gram
+      FROM documents
+    ), train AS (
+      SELECT lang AS lang_profile, gram, COUNT(*) AS df_count
+      FROM grams_all WHERE doc_id % 4 <> 0
+      GROUP BY 1, 2
+    ), prof AS (
+      SELECT lang_profile, gram FROM (
+        SELECT lang_profile, gram,
+               ROW_NUMBER() OVER (PARTITION BY lang_profile
+                                  ORDER BY df_count DESC, gram ASC) AS rn
+        FROM train) t WHERE rn <= 50
+    ), hits AS (
+      SELECT g.doc_id, p.lang_profile, COUNT(*) AS hits
+      FROM grams_all g JOIN prof p USING (gram)
+      WHERE g.doc_id % 4 = 0
+      GROUP BY 1, 2
+    ), best AS (
+      SELECT doc_id, lang_profile FROM (
+        SELECT doc_id, lang_profile,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY hits DESC, lang_profile ASC) AS rn
+        FROM hits) h WHERE rn = 1
+    )
+    SELECT d.lang, COALESCE(b.lang_profile, 'und') AS lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d LEFT JOIN best b USING (doc_id)
+    WHERE d.doc_id % 4 = 0
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    group="streaming",
+)
+def streaming_langid_screen_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The language-ID model's offline-train / ONLINE-SERVE loop closed —
+    the 4th such loop (after IVF-PQ, the quality classifier, and DSIR):
+    profiles train offline on the 3/4 labeled split, the model collects to
+    a bounded n_langs x 50 artifact, and the held-out quarter REPLAYS as a
+    3-micro-batch stream scored map-only via literal-array intersections
+    (`langid_serve_exprs` — zero joins in the serve path). Batch 1 is
+    redelivered (at-least-once); deterministic integer hits make the
+    duplicates byte-identical, so the finalize collapses exactly and the
+    confusion matrix hash-matches the from-scratch SQL re-train.
+    `pipeline/text.py::streaming_langid_screen_ingest`."""
+    import glob
+    import shutil
+    import tempfile
+
+    from flink_ci_flink_spark.pipeline.text import (
+        finalize_langid_screen,
+        langid_train_profiles,
+        streaming_langid_screen_ingest,
+    )
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "lang", "text")
+    prof_rows = (
+        langid_train_profiles(docs.filter(F.col("doc_id") % 4 != 0), top_k=50)
+        .collect()
+    )
+    profile: dict[str, list[str]] = {}
+    for r in prof_rows:
+        profile.setdefault(r["lang_profile"], []).append(r["gram"])
+    held_out = docs.filter(F.col("doc_id") % 4 == 0)
+    tmp = stage_ordered_replay(held_out, ["doc_id"])
+    first = sorted(glob.glob(f"{tmp}/*.parquet"))[0]
+    shutil.copyfile(first, first.replace(".parquet", "_redelivered.parquet"))
+    base = tempfile.mkdtemp(prefix="langid_screen_")
+    q = streaming_langid_screen_ingest(
+        file_stream(spark, tmp, held_out.schema, max_files_per_trigger=1),
+        profile,
+        f"{base}/store",
+        checkpoint=f"{base}/ckpt",
+    )
+    q.processAllAvailable()
+    q.stop()
+    return finalize_langid_screen(spark, f"{base}/store")

@@ -2374,3 +2374,80 @@ def test_pmi_collocations_planted(spark):
     top = pmi_collocations(df, min_count=5).collect()
     assert (top[0].w1, top[0].w2) == ("zig", "zag")
     assert top[0].c_xy == 10 and top[0].c_x == 10 and top[0].c_y == 10
+
+
+def test_delta_dedup_decisions_and_cap(spark):
+    """Shard-vs-corpus delta dedup: identical shard/corpus docs collide in
+    every band (agreement 32/32 -> drop); a unique shard doc has zero
+    candidates (keep, 'und'-style nulls); the corpus-side bucket cap keeps
+    hot buckets linear while every shard member still gets a candidate."""
+    from flink_ci_flink_spark.pipeline.dedup import delta_dedup
+    from pyspark.sql import functions as F
+
+    dup = "identical boilerplate words shared by every single doc in here"
+    uniq = "completely different content about mountains rivers and valleys"
+    rows = (
+        [(1, dup, "new"), (2, uniq, "new")]
+        + [(i, dup, "old") for i in range(10, 16)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.doc_id: r
+        for r in delta_dedup(df, F.col("source") == "new").collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1].verdict == "drop"
+    assert out[1].best_agree == 32
+    assert out[1].best_match == 10  # smallest corpus id on full-agree ties
+    assert out[1].n_candidates == 6
+    assert out[2].verdict == "keep"
+    assert out[2].n_candidates == 0
+    assert out[2].best_agree is None and out[2].best_match is None
+
+    capped = {
+        r.doc_id: r
+        for r in delta_dedup(
+            df, F.col("source") == "new", max_bucket_corpus=3
+        ).collect()
+    }
+    assert capped[1].verdict == "drop"
+    assert capped[1].n_candidates == 3  # corpus bucket capped at 3
+    assert capped[1].best_match == 10
+
+
+def test_langid_serve_matches_batch_predict(spark):
+    """The map-only literal-array serve path must predict exactly what the
+    join-based batch path predicts, including the lexicographic tie-break
+    and the zero-hit 'und' fallback."""
+    from flink_ci_flink_spark.pipeline.text import (
+        char_trigrams,
+        langid_predict,
+        langid_serve_exprs,
+        langid_train_profiles,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "aaa bbb ccc shared prefix tokens", "xx"),
+        (2, "aaa bbb ccc shared prefix tokens", "yy"),
+        (3, "zzz qqq completely disjoint words", "zz"),
+        (4, "??", "xx"),  # len < 3 -> no grams -> 'und'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    prof = langid_train_profiles(df, top_k=10)
+    batch = {r.doc_id: (r.lang_pred, r.hits) for r in langid_predict(df, prof).collect()}
+
+    profile: dict[str, list[str]] = {}
+    for r in prof.collect():
+        profile.setdefault(r.lang_profile, []).append(r.gram)
+    pred, hits = langid_serve_exprs(profile)
+    served = {
+        r.doc_id: (r.lang_pred, r.hits)
+        for r in df.withColumn("__grams", char_trigrams())
+        .select("doc_id", pred.alias("lang_pred"), hits.cast("long").alias("hits"))
+        .collect()
+    }
+    assert served == batch
+    assert batch[4][0] == "und"
+    # docs 1 and 2 have identical text; xx and yy profiles tie -> 'xx'
+    assert batch[1][0] == "xx" and batch[2][0] == "xx"

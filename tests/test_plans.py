@@ -241,3 +241,23 @@ def test_class_revenue_ratio_broadcasts_part(spark):
     txt = _final_plan(df)
     assert "BroadcastHashJoin" in txt
     assert "CartesianProduct" not in txt
+
+
+def test_delta_dedup_no_cartesian(spark):
+    """Shard x corpus candidates come from the banded join — never a cross
+    product — and the corpus bucket cap's collect_list stays in-plan as a
+    bounded groupBy, not a driver collect."""
+    df = QUERIES["pipe_delta_dedup"].fn(spark, SF_DIR)
+    txt = _final_plan(df)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_langid_confusion_broadcasts_model(spark):
+    """The trained profile table (n_langs x 50 rows) must reach the test
+    docs as a BROADCAST — shuffling the corpus on gram to meet a 250-row
+    model would be the classic small-side mistake at 100 TB."""
+    df = QUERIES["pipe_langid_confusion"].fn(spark, SF_DIR)
+    txt = _final_plan(df)
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt

@@ -152,6 +152,8 @@ AUDIT = [
     "tpcds_shape_monthly_avg_dev",
     "tpcds_shape_quarter_growth_chain",
     "tpcds_shape_excess_discount",
+    "pipe_delta_dedup",
+    "pipe_langid_confusion",
 ]
 
 
