@@ -261,3 +261,15 @@ def test_langid_confusion_broadcasts_model(spark):
     txt = _final_plan(df)
     assert "BroadcastHashJoin" in txt
     assert "CartesianProduct" not in txt
+
+
+def test_top_region_rollup_semi_join_broadcast(spark):
+    """q70 shape: the ranked-subquery region filter must reach the fact as
+    a BROADCAST semi join (the subquery aggregates to ~5 rows), and the
+    rollup must be Spark's native Expand — no rescan of the fact for the
+    subquery."""
+    df = QUERIES["tpcds_shape_top_region_rollup"].fn(spark, SF_DIR)
+    txt = _final_plan(df)
+    assert "Expand" in txt
+    assert "CartesianProduct" not in txt
+    assert "BroadcastHashJoin" in txt

@@ -154,6 +154,10 @@ AUDIT = [
     "tpcds_shape_excess_discount",
     "pipe_delta_dedup",
     "pipe_langid_confusion",
+    # round-10 batch 8: q49/q65/q70 shapes
+    "tpcds_shape_dual_ratio_ranks",
+    "tpcds_shape_below_supplier_avg",
+    "tpcds_shape_top_region_rollup",
 ]
 
 
