@@ -1107,14 +1107,44 @@ def delta_dedup(
     is one shuffle on the shard id. Reference scope note: the reference
     (Flink 1.11) has no such operator; this extends the LLM-data surface.
     """
-    rows = num_hashes // bands
-    sigs = minhash_signatures(
+    banded = _banded_signatures(
         df.withColumn("__is_shard", is_shard),
         text_col,
         id_col,
         num_hashes,
+        bands,
         shingle_n,
         carry=["__is_shard"],
+    )
+    # Corpus members per bucket, capped smallest-id-first (deterministic;
+    # keeps hot boilerplate buckets linear in the shard side).
+    corpus_buckets = _cap_band_buckets(
+        banded.filter(~F.col("__is_shard")), max_bucket_corpus
+    )
+    shard_ids = df.filter(is_shard).select(F.col(id_col))
+    return _delta_decide(
+        banded.filter(F.col("__is_shard")),
+        corpus_buckets,
+        shard_ids,
+        id_col,
+        min_agree,
+    )
+
+
+def _banded_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """(id, signature, band, key [, carry...]) LSH band rows with the full
+    signature riding along (join-back-free verify downstream)."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, carry=carry
     )
     band_cols = []
     for bi in range(bands):
@@ -1127,36 +1157,49 @@ def delta_dedup(
                 ).alias("key"),
             )
         )
-    banded = sigs.select(
+    extra = list(carry or [])
+    return sigs.select(
         F.col(id_col).alias("id"),
-        "__is_shard",
         "signature",
         F.explode(F.array(*band_cols)).alias("bk"),
+        *extra,
     ).select(
         "id",
-        "__is_shard",
         "signature",
         F.col("bk.band").alias("band"),
         F.col("bk.key").alias("key"),
+        *extra,
     )
-    # Corpus members per bucket, capped smallest-id-first (deterministic;
-    # keeps hot boilerplate buckets linear in the shard side).
-    corpus_buckets = (
-        banded.filter(~F.col("__is_shard"))
-        .groupBy("band", "key")
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("id"), F.col("signature")))
-                ),
-                1,
-                max_bucket_corpus,
-            ).alias("members")
-        )
+
+
+def _cap_band_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """(band, key, members) buckets with members = the first ``max_bucket``
+    (id, signature) structs smallest-id-first — the corpus-side index the
+    delta decision probes."""
+    return banded.groupBy("band", "key").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("id"), F.col("signature")))
+            ),
+            1,
+            max_bucket,
+        ).alias("members")
     )
+
+
+def _delta_decide(
+    shard_banded: DataFrame,
+    corpus_buckets: DataFrame,
+    shard_ids: DataFrame,
+    id_col: str,
+    min_agree: int,
+) -> DataFrame:
+    """The shared decision core of batch delta_dedup and its streaming
+    ingest twin: probe the capped corpus buckets with the shard's band
+    rows, verify by signature agreement, emit one keep/drop row per shard
+    doc (docs with zero candidates included via the left join)."""
     cand = (
-        banded.filter(F.col("__is_shard"))
-        .join(corpus_buckets, ["band", "key"])
+        shard_banded.join(corpus_buckets, ["band", "key"])
         .select(
             F.col("id").alias("sid"),
             F.col("signature").alias("sig_s"),
@@ -1185,8 +1228,7 @@ def delta_dedup(
         F.count(F.lit(1)).alias("n_candidates"),
         F.max(F.struct(F.col("agree"), (-F.col("cid")).alias("nc"))).alias("b"),
     )
-    shard_docs = df.filter(is_shard).select(F.col(id_col))
-    out = shard_docs.join(best, F.col(id_col) == F.col("sid"), "left").select(
+    return shard_ids.join(best, F.col(id_col) == F.col("sid"), "left").select(
         F.col(id_col),
         F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long").alias(
             "n_candidates"
@@ -1197,4 +1239,70 @@ def delta_dedup(
         .otherwise(F.lit("keep"))
         .alias("verdict"),
     )
-    return out
+
+
+def corpus_band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_corpus: int = 1000,
+) -> DataFrame:
+    """Build the STATIC corpus-side index for streaming delta dedup: the
+    capped (band, key, members) bucket table, materialized once offline
+    (the dedup twin of the IVF-PQ store) and probed by every incoming
+    micro-batch as a stream-static join."""
+    return _cap_band_buckets(
+        _banded_signatures(df, text_col, id_col, num_hashes, bands, shingle_n),
+        max_bucket_corpus,
+    )
+
+
+def streaming_delta_dedup_ingest(
+    stream_df,
+    buckets_dir: str,
+    store_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    min_agree: int = 16,
+):
+    """Online serve of delta dedup: each incoming micro-batch of NEW docs
+    is banded map-only and probed against the STATIC corpus bucket index
+    (a parquet artifact — the stream-static join pattern), appending one
+    deterministic decision row per doc. At-least-once redeliveries are
+    byte-identical, so the finalize collapses them exactly on the id."""
+    from flink_ci_flink_spark.streaming.core import foreach_batch_upsert
+
+    def merge(batch_df, epoch_id: int) -> None:
+        buckets = batch_df.sparkSession.read.parquet(buckets_dir)
+        out = _delta_decide(
+            _banded_signatures(
+                batch_df, text_col, id_col, num_hashes, bands, shingle_n
+            ),
+            buckets,
+            batch_df.select(F.col(id_col)),
+            id_col,
+            min_agree,
+        )
+        if out.take(1):
+            out.withColumn("__epoch", F.lit(int(epoch_id))).write.mode(
+                "append"
+            ).parquet(store_dir)
+
+    return foreach_batch_upsert(stream_df, merge, checkpoint)
+
+
+def finalize_delta_dedup(spark, store_dir: str, id_col: str = "doc_id"):
+    """Close the streaming delta-dedup screen: replay-dedup on the id
+    (decisions are deterministic, duplicates byte-identical)."""
+    return (
+        spark.read.parquet(store_dir)
+        .dropDuplicates([id_col])
+        .drop("__epoch")
+    )

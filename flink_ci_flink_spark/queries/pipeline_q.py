@@ -28,6 +28,7 @@ from flink_ci_flink_spark.pipeline import (
     with_text_features,
 )
 from flink_ci_flink_spark.pipeline.dedup import MINHASH_PRIME, _coeffs
+from flink_ci_flink_spark.queries.registry import QUERIES as _REGISTRY
 from flink_ci_flink_spark.queries.registry import query
 
 # ---------------------------------------------------------------------------
@@ -5523,3 +5524,49 @@ def streaming_langid_screen_replay(spark: SparkSession, sf_dir: str) -> DataFram
     q.processAllAvailable()
     q.stop()
     return finalize_langid_screen(spark, f"{base}/store")
+
+
+@query(
+    "streaming_delta_dedup_replay",
+    oracle=_REGISTRY["pipe_delta_dedup"].oracle,
+    group="streaming",
+)
+def streaming_delta_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta dedup's offline-index / ONLINE-SERVE twin: the corpus (all
+    sources except src0/src1) builds its capped LSH bucket index ONCE
+    offline (`corpus_band_buckets` — the dedup analog of the IVF-PQ
+    store), then the incoming shard REPLAYS as a 3-micro-batch stream;
+    each batch bands its docs map-only and probes the static index (the
+    stream-static join pattern), appending deterministic keep/drop rows.
+    Batch 1 is redelivered (at-least-once) — decisions are byte-identical,
+    so the finalize collapses exactly and the result hash-matches the
+    one-shot batch oracle. `pipeline/dedup.py::streaming_delta_dedup_ingest`."""
+    import glob
+    import shutil
+    import tempfile
+
+    from flink_ci_flink_spark.pipeline.dedup import (
+        corpus_band_buckets,
+        finalize_delta_dedup,
+        streaming_delta_dedup_ingest,
+    )
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text", "source")
+    is_shard = F.col("source").isin("src0", "src1")
+    base = tempfile.mkdtemp(prefix="delta_dedup_")
+    corpus_band_buckets(docs.filter(~is_shard)).write.parquet(f"{base}/index")
+    shard = docs.filter(is_shard)
+    tmp = stage_ordered_replay(shard, ["doc_id"])
+    first = sorted(glob.glob(f"{tmp}/*.parquet"))[0]
+    shutil.copyfile(first, first.replace(".parquet", "_redelivered.parquet"))
+    q = streaming_delta_dedup_ingest(
+        file_stream(spark, tmp, shard.schema, max_files_per_trigger=1),
+        f"{base}/index",
+        f"{base}/store",
+        checkpoint=f"{base}/ckpt",
+    )
+    q.processAllAvailable()
+    q.stop()
+    return finalize_delta_dedup(spark, f"{base}/store")
