@@ -1078,6 +1078,7 @@ def delta_dedup(
     shingle_n: int = 3,
     min_agree: int = 16,
     max_bucket_corpus: int = 1000,
+    materialize_index: bool = True,
 ) -> DataFrame:
     """Incremental shard-vs-corpus dedup: screen an INCOMING shard against
     an existing corpus without ever pairing corpus docs with each other.
@@ -1098,32 +1099,42 @@ def delta_dedup(
     ``best_match`` tie-breaks deterministically (max agreement, then
     smallest corpus id).
 
-    Scale design (100 TB): ONE scan of the full table computes signatures
-    for both sides; bands shuffle once on the band key; the corpus side of
-    each bucket is capped at ``max_bucket_corpus`` members (smallest ids —
-    deterministic) so a boilerplate hot bucket emits at most
+    Scale design (100 TB): the corpus bucket index MATERIALIZES once to a
+    temp parquet (Catalyst has no exchange reuse across the shard/corpus
+    filter split, so building index and probe in one lazy plan would
+    tokenize+hash the corpus TWICE — the dominant cost; the index is a few
+    percent of corpus bytes: 8 band rows x a 32-long signature per doc),
+    then exactly one signature pass runs over each side. The corpus side
+    of each bucket is capped at ``max_bucket_corpus`` members (smallest
+    ids — deterministic) so a boilerplate hot bucket emits at most
     shard_members x cap candidates instead of shard x corpus (the cap
     never binds at test SFs, so oracles are unaffected); the decision agg
-    is one shuffle on the shard id. Reference scope note: the reference
-    (Flink 1.11) has no such operator; this extends the LLM-data surface.
+    is one shuffle on the shard id. ``materialize_index=False`` keeps the
+    fully-lazy single-plan form (useful for plan tests). Reference scope
+    note: the reference (Flink 1.11) has no such operator; this extends
+    the LLM-data surface.
     """
-    banded = _banded_signatures(
-        df.withColumn("__is_shard", is_shard),
+    corpus_buckets = corpus_band_buckets(
+        df.filter(~is_shard),
         text_col,
         id_col,
         num_hashes,
         bands,
         shingle_n,
-        carry=["__is_shard"],
+        max_bucket_corpus,
     )
-    # Corpus members per bucket, capped smallest-id-first (deterministic;
-    # keeps hot boilerplate buckets linear in the shard side).
-    corpus_buckets = _cap_band_buckets(
-        banded.filter(~F.col("__is_shard")), max_bucket_corpus
+    if materialize_index:
+        import tempfile
+
+        index_dir = tempfile.mkdtemp(prefix="delta_dedup_index_") + "/index"
+        corpus_buckets.write.parquet(index_dir)
+        corpus_buckets = df.sparkSession.read.parquet(index_dir)
+    shard_banded = _banded_signatures(
+        df.filter(is_shard), text_col, id_col, num_hashes, bands, shingle_n
     )
     shard_ids = df.filter(is_shard).select(F.col(id_col))
     return _delta_decide(
-        banded.filter(F.col("__is_shard")),
+        shard_banded,
         corpus_buckets,
         shard_ids,
         id_col,

@@ -243,14 +243,20 @@ def test_class_revenue_ratio_broadcasts_part(spark):
     assert "CartesianProduct" not in txt
 
 
-def test_delta_dedup_no_cartesian(spark):
+def test_delta_dedup_no_cartesian_single_text_pass(spark):
     """Shard x corpus candidates come from the banded join — never a cross
-    product — and the corpus bucket cap's collect_list stays in-plan as a
-    bounded groupBy, not a driver collect."""
+    product — and because the corpus bucket index materializes first, the
+    PROBE plan tokenizes text exactly once (the shard side): Catalyst has
+    no exchange reuse across the shard/corpus filter split, so the lazy
+    single-plan form would hash the corpus twice at 100 TB."""
     df = QUERIES["pipe_delta_dedup"].fn(spark, SF_DIR)
     txt = _final_plan(df)
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
+    import re
+
+    schemas = re.findall(r"ReadSchema: (\S+)", txt)
+    assert sum("text:string" in s for s in schemas) == 1
 
 
 def test_langid_confusion_broadcasts_model(spark):
