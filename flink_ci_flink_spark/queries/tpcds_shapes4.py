@@ -93,7 +93,7 @@ def _with_channel(t):
     )
     SELECT channel, l_partkey, sales_cents, n
     FROM per, avg_sales
-    WHERE sales_cents * c > n * s
+    WHERE CAST(sales_cents AS HUGEINT) * c > CAST(n AS HUGEINT) * s
     ORDER BY channel, l_partkey
     """,
     group="tpcds",
@@ -122,9 +122,14 @@ def tpcds_cross_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("channel", "l_partkey")
         .agg(F.sum("cents").alias("sales_cents"), F.count(F.lit(1)).alias("n"))
     )
+    # The compare multiplies a per-item sum by the GLOBAL row count (and a
+    # per-item count by the GLOBAL cents sum) — both products blow past
+    # int64 near 100 TB, so the comparison runs in decimal(38,0)
+    # (HUGEINT in the oracle); emitted columns stay BIGINT.
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     return (
         per.crossJoin(F.broadcast(avg_sales))
-        .filter(F.col("sales_cents") * F.col("c") > F.col("n") * F.col("s"))
+        .filter(dec("sales_cents") * dec("c") > dec("n") * dec("s"))
         .select("channel", "l_partkey", "sales_cents", "n")
         .orderBy("channel", "l_partkey")
     )
@@ -236,7 +241,7 @@ _TPC = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
       SELECT DISTINCT o_custkey
       FROM o JOIN cls USING (o_orderpriority)
       WHERE o.ym = (SELECT ym FROM peak)
-        AND o.cents * c * 10 > s * 12
+        AND CAST(o.cents AS HUGEINT) * c * 10 > CAST(s AS HUGEINT) * 12
     )
     SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
     FROM qual JOIN customer ON c_custkey = o_custkey
@@ -275,7 +280,12 @@ def tpcds_repeatable_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     qual = (
         o.join(F.broadcast(peak), "ym")
         .join(F.broadcast(cls), "o_orderpriority")
-        .filter(F.col("cents") * F.col("c") * 10 > F.col("s") * 12)
+        # per-order cents x class-wide COUNT overflows int64 near 100 TB
+        # (class count ~3e10 x cents ~6e7) — compare in decimal(38,0)
+        .filter(
+            F.col("cents").cast("decimal(38,0)") * F.col("c") * 10
+            > F.col("s").cast("decimal(38,0)") * 12
+        )
         .select("o_custkey")
         .distinct()
     )

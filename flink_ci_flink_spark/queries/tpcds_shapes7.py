@@ -325,8 +325,8 @@ def tpcds_monthly_avg_dev(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT nation, pri_q1, pri_q2, pri_q3, std_q1, std_q2, std_q3
     FROM piv
     WHERE pri_q1 > 0 AND pri_q2 > 0 AND std_q1 > 0 AND std_q2 > 0
-      AND pri_q2 * std_q1 > std_q2 * pri_q1
-      AND pri_q3 * std_q2 > std_q3 * pri_q2
+      AND CAST(pri_q2 AS HUGEINT) * std_q1 > CAST(std_q2 AS HUGEINT) * pri_q1
+      AND CAST(pri_q3 AS HUGEINT) * std_q2 > CAST(std_q3 AS HUGEINT) * pri_q2
     ORDER BY nation
     """,
     group="tpcds",
@@ -373,13 +373,18 @@ def tpcds_quarter_growth_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell(False, 2, "std_q2"),
         cell(False, 3, "std_q3"),
     )
+    # Growth cross-multiplies compare PRODUCTS of two channel-quarter
+    # sums — two ~1e14-cent operands at 100 TB overflow int64 (the SF1
+    # rung caught exactly this), so the comparison runs in decimal(38,0)
+    # (HUGEINT in the oracle); emitted columns stay BIGINT.
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     return piv.filter(
         (F.col("pri_q1") > 0)
         & (F.col("pri_q2") > 0)
         & (F.col("std_q1") > 0)
         & (F.col("std_q2") > 0)
-        & (F.col("pri_q2") * F.col("std_q1") > F.col("std_q2") * F.col("pri_q1"))
-        & (F.col("pri_q3") * F.col("std_q2") > F.col("std_q3") * F.col("pri_q2"))
+        & (dec("pri_q2") * dec("std_q1") > dec("std_q2") * dec("pri_q1"))
+        & (dec("pri_q3") * dec("std_q2") > dec("std_q3") * dec("pri_q2"))
     ).orderBy("nation")
 
 
