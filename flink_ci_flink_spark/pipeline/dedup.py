@@ -1152,10 +1152,25 @@ def _banded_signatures(
     carry: list[str] | None = None,
 ) -> DataFrame:
     """(id, signature, band, key [, carry...]) LSH band rows with the full
-    signature riding along (join-back-free verify downstream)."""
+    signature riding along (join-back-free verify downstream).
+
+    Docs too short to shingle (< n tokens) are dropped from banding —
+    otherwise their all-null signatures collide into the single
+    md5-of-empty bucket (a degenerate hot bucket at 100 TB whose
+    agreement is always 0). They still surface as keep/zero-candidate
+    decision rows via the shard-ids left join. The guard filters on
+    TOKEN COUNT before the signature pipeline: an equivalent
+    `signature[0] IS NOT NULL` filter AFTER it gets alias-substituted
+    below the projection boundaries by filter pushdown and re-inlines
+    the whole tokenize+md5+minhash chain (measured 10x)."""
     rows = num_hashes // bands
     sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_n, carry=carry
+        df.filter(F.size(tokens(text_col)) >= shingle_n),
+        text_col,
+        id_col,
+        num_hashes,
+        shingle_n,
+        carry=carry,
     )
     band_cols = []
     for bi in range(bands):

@@ -5327,6 +5327,7 @@ _DELTA_BANDS_SQL = " UNION ALL ".join(
       FROM sh
     ), sig AS (
       SELECT doc_id, is_shard, {_minhash_sig_sql()} AS sg FROM hashes
+      WHERE len(hs) > 0
     ), banded AS ({_DELTA_BANDS_SQL}),
     cand AS (
       SELECT a.doc_id AS sid, b.doc_id AS cid,

@@ -2451,3 +2451,168 @@ def test_langid_serve_matches_batch_predict(spark):
     assert batch[4][0] == "und"
     # docs 1 and 2 have identical text; xx and yy profiles tie -> 'xx'
     assert batch[1][0] == "xx" and batch[2][0] == "xx"
+
+
+def test_langid_matches_python_reference(spark):
+    """Hypothesis: Spark-trained trigram profiles and the join-based
+    prediction equal a pure-Python reimplementation (document-frequency
+    top-k with (count desc, gram asc) ties; argmax with (hits desc, lang
+    asc) ties; zero hits -> 'und') on random batches. Alphabet restricted
+    to chars whose lower() agrees between Python and the JVM."""
+    from collections import Counter, defaultdict
+
+    from hypothesis import given, settings, strategies as st
+
+    from flink_ci_flink_spark.pipeline.text import (
+        langid_predict,
+        langid_train_profiles,
+    )
+
+    alpha = "abcXYZ 09é中"
+    texts = st.text(alphabet=alpha, min_size=0, max_size=24)
+    langs = st.sampled_from(["aa", "bb", "cc"])
+    docs_strat = st.lists(
+        st.tuples(langs, texts), min_size=1, max_size=10
+    )
+
+    def grams_of(text: str) -> set[str]:
+        t = text.lower()
+        return {t[i : i + 3] for i in range(len(t) - 2)} if len(t) >= 3 else set()
+
+    def ref(docs, top_k):
+        per_lang: dict[str, Counter] = defaultdict(Counter)
+        for _, lang, text in docs:
+            for g in grams_of(text):
+                per_lang[lang][g] += 1
+        profiles = {
+            lang: {
+                g
+                for g, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[
+                    :top_k
+                ]
+            }
+            for lang, cnt in per_lang.items()
+        }
+        preds = {}
+        for did, _, text in docs:
+            hits = {
+                lang: len(grams_of(text) & prof)
+                for lang, prof in profiles.items()
+            }
+            best = sorted(hits.items(), key=lambda kv: (-kv[1], kv[0]))
+            if not best or best[0][1] == 0:
+                preds[did] = ("und", 0)
+            else:
+                preds[did] = best[0]
+        return profiles, preds
+
+    @given(docs_strat, st.integers(min_value=1, max_value=4))
+    @settings(max_examples=12, deadline=None)
+    def check(pairs, top_k):
+        docs = [(i, lang, text) for i, (lang, text) in enumerate(pairs)]
+        df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+        prof_df = langid_train_profiles(df, top_k=top_k)
+        got_prof: dict[str, set] = defaultdict(set)
+        for r in prof_df.collect():
+            got_prof[r.lang_profile].add(r.gram)
+        exp_prof, exp_pred = ref(docs, top_k)
+        assert dict(got_prof) == {k: v for k, v in exp_prof.items() if v}
+        got_pred = {
+            r.doc_id: (r.lang_pred, r.hits)
+            for r in langid_predict(df, prof_df).collect()
+        }
+        assert got_pred == exp_pred
+
+    check()
+
+
+def test_delta_dedup_matches_python_reference(spark):
+    """Hypothesis: the full delta-dedup decision table (LSH candidates,
+    signature agreement, deterministic best-match tie-break, keep/drop)
+    equals a pure-Python reimplementation of the whole chain (md5 token
+    hashes, the _coeffs permutations, banding, shard x corpus candidate
+    generation) on random batches — including docs too short to shingle,
+    which must come back keep/0-candidates, never band-collide."""
+    import hashlib
+    import re as _re
+    from collections import defaultdict
+
+    from hypothesis import given, settings, strategies as st
+
+    from flink_ci_flink_spark.pipeline.dedup import (
+        MINHASH_PRIME as P,
+        _coeffs,
+        delta_dedup,
+    )
+
+    words = st.sampled_from(["alpha", "beta", "gamma", "delta", "x9"])
+    texts = st.lists(words, min_size=0, max_size=8).map(" ".join)
+    docs_strat = st.lists(
+        st.tuples(st.booleans(), texts), min_size=1, max_size=10
+    ).filter(lambda ps: any(s for s, _ in ps))
+
+    COEFFS = _coeffs(32)
+
+    def tok_hash(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def signature(text: str):
+        toks = [w for w in _re.split(r"\s+", text) if w]
+        sh = {  # distinct 3-gram shingles
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        if not sh:
+            return None
+        hs = [tok_hash(g) % P for g in sh]
+        return [min((h * a + b) % P for h in hs) for a, b in COEFFS]
+
+    def ref(docs, min_agree=16):
+        sigs = {did: signature(t) for did, _, t in docs}
+        buckets = defaultdict(lambda: (set(), set()))  # (shard, corpus) ids
+        for did, is_shard, _ in docs:
+            sg = sigs[did]
+            if sg is None:
+                continue
+            for b in range(8):
+                key = (b, ",".join(str(x) for x in sg[b * 4 : b * 4 + 4]))
+                buckets[key][0 if is_shard else 1].add(did)
+        cand = defaultdict(dict)  # sid -> cid -> agree
+        for (b, _k), (sh_ids, co_ids) in buckets.items():
+            for sid in sh_ids:
+                for cid in co_ids:
+                    agree = sum(
+                        1 for x, y in zip(sigs[sid], sigs[cid]) if x == y
+                    )
+                    cand[sid][cid] = agree
+        out = {}
+        for did, is_shard, _ in docs:
+            if not is_shard:
+                continue
+            cs = cand.get(did, {})
+            if not cs:
+                out[did] = (0, None, None, "keep")
+            else:
+                best_agree = max(cs.values())
+                best = min(c for c, a in cs.items() if a == best_agree)
+                out[did] = (
+                    len(cs),
+                    best_agree,
+                    best,
+                    "drop" if best_agree >= min_agree else "keep",
+                )
+        return out
+
+    @given(docs_strat)
+    @settings(max_examples=10, deadline=None)
+    def check(pairs):
+        docs = [(i, s, t) for i, (s, t) in enumerate(pairs)]
+        df = spark.createDataFrame(
+            docs, "doc_id long, is_shard boolean, text string"
+        )
+        got = {
+            r.doc_id: (r.n_candidates, r.best_agree, r.best_match, r.verdict)
+            for r in delta_dedup(df, F.col("is_shard")).collect()
+        }
+        assert got == ref(docs)
+
+    check()
