@@ -512,6 +512,7 @@ def main() -> None:
         "pipe_minhash_est_error",
         "pipe_delta_dedup",
         "pipe_langid_confusion",
+        "pipe_e2e_curation_v5",
     ]
     new_ops_t: dict[str, float] = {}
     for name in NEW_OPS:

@@ -5571,3 +5571,140 @@ def streaming_delta_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return finalize_delta_dedup(spark, f"{base}/store")
+
+
+# --- curation composite v5: delta dedup + trained language gate ------------
+
+
+@query(
+    "pipe_e2e_curation_v5",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DELTA_SHARD_SQL} AS is_shard, {_TOKS} AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, is_shard, {_SHINGLES} AS s FROM toks
+    ), hashes AS (
+      SELECT doc_id, is_shard,
+             list_transform(s, g -> {_TOKHASH.format(x='g')} % {MINHASH_PRIME}) AS hs
+      FROM sh
+    ), sig AS (
+      SELECT doc_id, is_shard, {_minhash_sig_sql()} AS sg FROM hashes
+      WHERE len(hs) > 0
+    ), banded AS ({_DELTA_BANDS_SQL}),
+    cand AS (
+      SELECT a.doc_id AS sid, b.doc_id AS cid,
+             len(list_filter(generate_series(1, 32),
+                             i -> a.sg[i] = b.sg[i])) AS agree
+      FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+      WHERE a.is_shard AND NOT b.is_shard
+      GROUP BY 1, 2, 3
+    ), dup_shard AS (
+      SELECT DISTINCT sid AS doc_id FROM cand WHERE agree >= 16
+    ), post_dedup AS (
+      SELECT d.doc_id, d.lang, d.source, d.n_chars,
+             {_DELTA_SHARD_SQL} AS is_shard
+      FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM dup_shard)
+    ), grams_all AS (
+      SELECT doc_id, lang, UNNEST({_LANGID_GRAMS_SQL}) AS gram
+      FROM documents
+    ), train AS (
+      SELECT g.lang AS lang_profile, g.gram, COUNT(*) AS df_count
+      FROM grams_all g JOIN documents d USING (doc_id)
+      WHERE NOT (d.{_DELTA_SHARD_SQL})
+      GROUP BY 1, 2
+    ), prof AS (
+      SELECT lang_profile, gram FROM (
+        SELECT lang_profile, gram,
+               ROW_NUMBER() OVER (PARTITION BY lang_profile
+                                  ORDER BY df_count DESC, gram ASC) AS rn
+        FROM train) t WHERE rn <= 50
+    ), hits AS (
+      SELECT g.doc_id, p.lang_profile, COUNT(*) AS hits
+      FROM grams_all g
+      JOIN prof p USING (gram)
+      WHERE g.doc_id IN (SELECT doc_id FROM post_dedup)
+      GROUP BY 1, 2
+    ), best AS (
+      SELECT doc_id, lang_profile FROM (
+        SELECT doc_id, lang_profile,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY hits DESC, lang_profile ASC) AS rn
+        FROM hits) h WHERE rn = 1
+    ), gated AS (
+      SELECT pd.*,
+             COALESCE(b.lang_profile, 'und') = pd.lang AS lang_ok
+      FROM post_dedup pd LEFT JOIN best b USING (doc_id)
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_ingested,
+           CAST(SUM(CASE WHEN d.doc_id IN (SELECT doc_id FROM dup_shard)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_dropped,
+           CAST(SUM(CASE WHEN g.lang_ok = FALSE THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lang_dropped,
+           CAST(SUM(CASE WHEN g.lang_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN g.lang_ok THEN d.n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM documents d
+    LEFT JOIN gated g ON g.doc_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    group="pipeline",
+)
+def pipe_e2e_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation composite v5 — the two ROUND-10 loops composed end-to-end,
+    the continuous-ingest recipe: (1) the incoming shard (src0/src1) is
+    delta-deduped against the already-curated corpus (LSH candidates +
+    signature-agreement verify, `delta_dedup`), (2) the trained
+    language-ID model — profiles trained ONLY on the corpus stock — gates
+    every surviving doc on predicted == labeled language, (3) per-source
+    accounting: ingested / dup-dropped / lang-dropped / kept / kept chars
+    — all exact integers. The oracle re-runs BOTH trainings from scratch
+    in SQL, so the hash check proves the dedup decisions, the re-trained
+    profiles, the argmax gate, and the accounting compose
+    deterministically. `pipeline/dedup.py::delta_dedup`,
+    `pipeline/text.py::langid_train_profiles/langid_predict`."""
+    from flink_ci_flink_spark.pipeline.dedup import delta_dedup
+    from flink_ci_flink_spark.pipeline.text import (
+        langid_predict,
+        langid_train_profiles,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "lang", "source", "n_chars", "text")
+    is_shard = F.col("source").isin("src0", "src1")
+    decisions = delta_dedup(docs, is_shard, min_agree=16)
+    dup_shard = decisions.filter(F.col("verdict") == "drop").select("doc_id")
+    post_dedup = docs.join(dup_shard, "doc_id", "left_anti")
+    profiles = langid_train_profiles(docs.filter(~is_shard), top_k=50)
+    pred = langid_predict(post_dedup, profiles)
+    gated = post_dedup.join(pred.select("doc_id", "lang_pred"), "doc_id").select(
+        "doc_id", (F.col("lang_pred") == F.col("lang")).alias("lang_ok")
+    )
+    acct = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(dup_shard.withColumn("__dup", F.lit(1)), "doc_id", "left")
+        .join(gated, "doc_id", "left")
+    )
+    return (
+        acct.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_ingested"),
+            F.sum(F.when(F.col("__dup") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_dropped"),
+            F.sum(F.when(F.col("lang_ok") == False, 1).otherwise(0))  # noqa: E712
+            .cast("long")
+            .alias("n_lang_dropped"),
+            F.sum(F.when(F.col("lang_ok"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("lang_ok"), F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

@@ -158,6 +158,7 @@ AUDIT = [
     "tpcds_shape_dual_ratio_ranks",
     "tpcds_shape_below_supplier_avg",
     "tpcds_shape_top_region_rollup",
+    "pipe_e2e_curation_v5",
 ]
 
 
