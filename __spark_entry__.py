@@ -34,13 +34,13 @@ FLAGSHIP = "tpch_q3_shipping_priority"
 # official), (3) all 33 names whose latest driver proof is still r3.
 # 8+9+33 = 50 exactly: after this round every query registered at
 # rotation-freeze time has an official driver proof and the freshness
-# floor moves to r4+. The CONTINUATION session then added 14 more
+# floor moves to r4+. The CONTINUATION session then added 15 more
 # queries (TPC-DS batches 7-8, delta dedup + its streaming twin, the
-# trained language-ID loop, curation composite v5) — each verified
-# hash-green at sf0.001 AND sf0.01 in the local driver sim (see
-# COVERAGE.md round-10 notes) and queued to lead the round-11 rotation;
-# displacing prefix names mid-round would orphan the 42 mandatory
-# carry-overs above.
+# trained language-ID loop, curation composite v5 + its composed
+# streaming twin) — each verified hash-green at sf0.001 AND sf0.01 in
+# the local driver sim (see COVERAGE.md round-10 notes) and queued to
+# lead the round-11 rotation; displacing prefix names mid-round would
+# orphan the 42 mandatory carry-overs above.
 # (pipe_simhash_band_pairs was RESHAPED this round — hot-bucket cap,
 # oracle-neutral — and re-verified hash-green at sf0.001+sf0.01 in the
 # local driver sim; it keeps its r9 official proof.)

@@ -5708,3 +5708,185 @@ def pipe_e2e_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "streaming_curation_v5_replay",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DELTA_SHARD_SQL} AS is_shard, {_TOKS} AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, is_shard, {_SHINGLES} AS s FROM toks
+    ), hashes AS (
+      SELECT doc_id, is_shard,
+             list_transform(s, g -> {_TOKHASH.format(x='g')} % {MINHASH_PRIME}) AS hs
+      FROM sh
+    ), sig AS (
+      SELECT doc_id, is_shard, {_minhash_sig_sql()} AS sg FROM hashes
+      WHERE len(hs) > 0
+    ), banded AS ({_DELTA_BANDS_SQL}),
+    cand AS (
+      SELECT a.doc_id AS sid, b.doc_id AS cid,
+             len(list_filter(generate_series(1, 32),
+                             i -> a.sg[i] = b.sg[i])) AS agree
+      FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+      WHERE a.is_shard AND NOT b.is_shard
+      GROUP BY 1, 2, 3
+    ), dup_shard AS (
+      SELECT DISTINCT sid AS doc_id FROM cand WHERE agree >= 16
+    ), grams_all AS (
+      SELECT doc_id, lang, UNNEST({_LANGID_GRAMS_SQL}) AS gram
+      FROM documents
+    ), train AS (
+      SELECT g.lang AS lang_profile, g.gram, COUNT(*) AS df_count
+      FROM grams_all g JOIN documents d USING (doc_id)
+      WHERE NOT (d.{_DELTA_SHARD_SQL})
+      GROUP BY 1, 2
+    ), prof AS (
+      SELECT lang_profile, gram FROM (
+        SELECT lang_profile, gram,
+               ROW_NUMBER() OVER (PARTITION BY lang_profile
+                                  ORDER BY df_count DESC, gram ASC) AS rn
+        FROM train) t WHERE rn <= 50
+    ), shard_kept AS (
+      SELECT d.doc_id, d.lang, d.source, d.n_chars
+      FROM documents d
+      WHERE d.{_DELTA_SHARD_SQL}
+        AND d.doc_id NOT IN (SELECT doc_id FROM dup_shard)
+    ), hits AS (
+      SELECT g.doc_id, p.lang_profile, COUNT(*) AS hits
+      FROM grams_all g
+      JOIN prof p USING (gram)
+      WHERE g.doc_id IN (SELECT doc_id FROM shard_kept)
+      GROUP BY 1, 2
+    ), best AS (
+      SELECT doc_id, lang_profile FROM (
+        SELECT doc_id, lang_profile,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY hits DESC, lang_profile ASC) AS rn
+        FROM hits) h WHERE rn = 1
+    ), gated AS (
+      SELECT sk.*,
+             COALESCE(b.lang_profile, 'und') = sk.lang AS lang_ok
+      FROM shard_kept sk LEFT JOIN best b USING (doc_id)
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_ingested,
+           CAST(SUM(CASE WHEN d.doc_id IN (SELECT doc_id FROM dup_shard)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_dropped,
+           CAST(SUM(CASE WHEN g.lang_ok = FALSE THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lang_dropped,
+           CAST(SUM(CASE WHEN g.lang_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN g.lang_ok THEN d.n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM documents d
+    LEFT JOIN gated g ON g.doc_id = d.doc_id
+    WHERE d.{_DELTA_SHARD_SQL}
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    group="streaming",
+)
+def streaming_curation_v5_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v5's accounting computed entirely ON THE INGEST PATH — the
+    first replay twin composing TWO offline model artifacts in one
+    micro-batch pipeline: the corpus's capped LSH bucket index (parquet,
+    stream-static probed) and the trained language profiles (literal
+    arrays, map-only argmax). Each replayed shard batch is delta-dedup
+    probed, language-gated, and appends one deterministic accounting row
+    per doc; batch-1 redelivery collapses byte-identically, and the
+    per-source summary hash-matches the batch oracle that re-trains both
+    models from scratch. Output = v5's accounting restricted to the
+    incoming shard's sources (the corpus stock never streams)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from flink_ci_flink_spark.pipeline.dedup import (
+        _banded_signatures,
+        _delta_decide,
+        corpus_band_buckets,
+    )
+    from flink_ci_flink_spark.pipeline.text import (
+        char_trigrams,
+        langid_serve_exprs,
+        langid_train_profiles,
+    )
+    from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
+    from flink_ci_flink_spark.streaming.core import foreach_batch_upsert
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "lang", "source", "n_chars", "text")
+    is_shard = F.col("source").isin("src0", "src1")
+    base = tempfile.mkdtemp(prefix="curation_v5_")
+    corpus_band_buckets(docs.filter(~is_shard)).write.parquet(f"{base}/index")
+    prof_rows = langid_train_profiles(
+        docs.filter(~is_shard), top_k=50
+    ).collect()
+    profile: dict[str, list[str]] = {}
+    for r in prof_rows:
+        profile.setdefault(r.lang_profile, []).append(r.gram)
+    pred, _hits = langid_serve_exprs(profile)
+
+    def merge(batch_df, epoch_id: int) -> None:
+        buckets = batch_df.sparkSession.read.parquet(f"{base}/index")
+        decisions = _delta_decide(
+            _banded_signatures(batch_df, "text", "doc_id", 32, 8, 3),
+            buckets,
+            batch_df.select("doc_id"),
+            "doc_id",
+            16,
+        ).select("doc_id", (F.col("verdict") == "drop").alias("is_dup"))
+        scored = (
+            batch_df.withColumn("__grams", char_trigrams("text"))
+            .select(
+                "doc_id",
+                "source",
+                "n_chars",
+                "lang",
+                pred.alias("lang_pred"),
+            )
+            .join(decisions, "doc_id")
+        )
+        if scored.take(1):
+            scored.withColumn("__epoch", F.lit(int(epoch_id))).write.mode(
+                "append"
+            ).parquet(f"{base}/store")
+
+    shard = docs.filter(is_shard)
+    tmp = stage_ordered_replay(shard, ["doc_id"])
+    first = sorted(glob.glob(f"{tmp}/*.parquet"))[0]
+    shutil.copyfile(first, first.replace(".parquet", "_redelivered.parquet"))
+    q = foreach_batch_upsert(
+        file_stream(spark, tmp, shard.schema, max_files_per_trigger=1),
+        merge,
+        f"{base}/ckpt",
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.read.parquet(f"{base}/store").dropDuplicates(["doc_id"])
+    lang_ok = F.when(
+        ~F.col("is_dup"), F.col("lang_pred") == F.col("lang")
+    )  # null for dup-dropped docs, like the batch LEFT JOIN
+    return (
+        rows.withColumn("lang_ok", lang_ok)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_ingested"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_dropped"),
+            F.sum(F.when(F.col("lang_ok") == False, 1).otherwise(0))  # noqa: E712
+            .cast("long")
+            .alias("n_lang_dropped"),
+            F.sum(F.when(F.col("lang_ok"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("lang_ok"), F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
