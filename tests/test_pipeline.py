@@ -2616,3 +2616,47 @@ def test_delta_dedup_matches_python_reference(spark):
         assert got == ref(docs)
 
     check()
+
+
+def test_winnow_matches_python_reference(spark):
+    """Hypothesis: the winnowing sketch equals a pure-Python
+    implementation of the SIGMOD-2003 definition (positional k-gram md5
+    hashes, min per w-window, distinct) on random token sequences —
+    including the degenerate fewer-than-w-grams single-window case."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    from flink_ci_flink_spark.pipeline.dedup import winnow_fingerprint_table
+
+    words = st.sampled_from(["a", "bb", "ccc", "dd", "e9", "zz"])
+    docs_strat = st.lists(
+        st.lists(words, min_size=0, max_size=12), min_size=1, max_size=8
+    )
+
+    def ref_sketch(toks, k=3, w=4):
+        if len(toks) < k:
+            return set()
+        grams = [
+            hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+            for i in range(len(toks) - k + 1)
+        ]
+        n_win = max(len(grams) - (w - 1), 1)
+        return {min(grams[p : p + w]) for p in range(n_win)}
+
+    @given(docs_strat)
+    @settings(max_examples=12, deadline=None)
+    def check(token_lists):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got: dict[int, set] = {}
+        for r in winnow_fingerprint_table(df).collect():
+            got.setdefault(r.doc_id, set()).add(r.fp)
+        exp = {
+            i: ref_sketch(toks)
+            for i, toks in enumerate(token_lists)
+            if ref_sketch(toks)
+        }
+        assert got == exp
+
+    check()
