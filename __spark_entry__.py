@@ -26,78 +26,69 @@ from flink_ci_flink_spark.queries import QUERIES  # noqa: E402
 FLAGSHIP = "tpch_q3_shipping_priority"
 
 # The driver samples a 50-query prefix of queries() for its sf0.01
-# correctness check. Round-10 prefix (the round-9 judge's #1 task,
-# finishing the rotation the r9 prefix started): (1) the 8 queries added
-# EARLY this round (each sf0.001 AND sf0.01 driver-sim hash-green
-# locally), (2) the 9 registry names no driver round has ever sampled
-# (the r9 judge driver-sim'd them independently — this makes them
-# official), (3) all 33 names whose latest driver proof is still r3.
-# 8+9+33 = 50 exactly: after this round every query registered at
-# rotation-freeze time has an official driver proof and the freshness
-# floor moves to r4+. The CONTINUATION session then added 15 more
-# queries (TPC-DS batches 7-8, delta dedup + its streaming twin, the
-# trained language-ID loop, curation composite v5 + its composed
-# streaming twin) — each verified hash-green at sf0.001 AND sf0.01 in
-# the local driver sim (see COVERAGE.md round-10 notes) and queued to
-# lead the round-11 rotation; displacing prefix names mid-round would
-# orphan the 42 mandatory carry-overs above.
-# (pipe_simhash_band_pairs was RESHAPED this round — hot-bucket cap,
-# oracle-neutral — and re-verified hash-green at sf0.001+sf0.01 in the
-# local driver sim; it keeps its r9 official proof.)
+# correctness check. Round-11 prefix (the round-10 judge's #1 task):
+# (1) the 15 round-10-continuation queries that have never appeared in
+# an official CORRECTNESS_rN artifact (the r10 judge driver-sim'd all
+# 15 independently, 15/15 hash-green — this round makes them official),
+# then (2) 35 of the 49 names whose latest official proof is still r4,
+# lifting the freshness floor. 15+35 = 50 exactly; the remaining 14
+# r4-proven names (flinksql_* dialect trio, sketch/span/PII pipeline
+# rows) rotate in round 12. Queries ADDED in round 11 (TPC-DS batch 9)
+# queue behind this prefix — displacing the mandated carry-overs would
+# orphan the rotation plan.
 _PRIORITY = [
-    # -- (1) round-10 additions --
-    "tpcds_shape_cumulative_channel_compare",  # NEW: q51
-    "tpcds_shape_mega_join_chain",  # NEW: q64
-    "tpcds_shape_channel_ratio_nulls",  # NEW: q78
-    "tpcds_shape_overlap_matrix",  # NEW: q97 3-way matrix
-    "pipe_winnow_pairs",  # NEW: MOSS winnowing near-dup candidates
-    "streaming_winnow_ingest_replay",  # NEW: its continuous-ingest twin
-    "pipe_pmi_collocations",  # NEW: PMI collocation report
-    "pipe_minhash_est_error",  # NEW: sketch-accuracy eval
-    # -- (2) never officially driver-sampled (judge-verified r9) --
-    "pipe_quality_perceptron",
-    "pipe_e2e_curation_v3",
-    "streaming_model_screen_replay",
-    "streaming_feature_drift_replay",
-    "graph_canonical_by_model",
-    "tpcds_shape_channel_band_agreement",
-    "tpcds_shape_cross_channel_growth",
-    "tpcds_shape_except_chain",
-    "tpcds_shape_band_count_ratio",
-    # -- (3) freshness floor: every remaining r3-proven name --
-    "agg_min_max_by",
-    "fn_collections",
-    "fn_string_basic",
-    "json_payload_extract",
-    "over_value_functions",
-    "pipe_cosine_topk",
-    "pipe_e2e_curation",
-    "pipe_exact_dedup",
-    "pipe_ivf_ann_topk",
-    "pipe_ivf_partial_probe",
-    "pipe_jaccard_pairs",
-    "pipe_lsh_ann_topk",
-    "pipe_minhash_lsh",
-    "pipe_mix_token_budget",
-    "pipe_sample_stratified",
-    "pipe_text_features",
-    "pivot_status_by_flag",
-    "sessionize_ordinal",
-    "setop_intersect_except",
-    "subquery_in_exists",
-    "topn_per_group",
-    "tpcds_shape_first_purchase_cohort",
-    "tpcds_shape_percentile_report",
-    "tpch_q18_large_orders",
-    "tpch_q1_pricing_summary",
-    "tpch_q21_suppliers_who_kept_waiting",
-    "tpch_q3_shipping_priority",
-    "tpch_q9_product_profit",
-    "udf_grouped_agg",
-    "udf_pandas_scalar",
-    "unnest_with_ordinality",
-    "window_session_native",
-    "window_tumble",
+    # -- (1) never officially driver-sampled (r10 judge-sim green x15) --
+    "pipe_delta_dedup",
+    "streaming_delta_dedup_replay",
+    "pipe_langid_confusion",
+    "streaming_langid_screen_replay",
+    "pipe_e2e_curation_v5",
+    "streaming_curation_v5_replay",
+    "tpcds_shape_class_revenue_ratio",
+    "tpcds_shape_repeat_purchase_range",
+    "tpcds_shape_multi_supplier_orders",
+    "tpcds_shape_monthly_avg_dev",
+    "tpcds_shape_quarter_growth_chain",
+    "tpcds_shape_excess_discount",
+    "tpcds_shape_dual_ratio_ranks",
+    "tpcds_shape_below_supplier_avg",
+    "tpcds_shape_top_region_rollup",
+    # -- (2) freshness floor: 35 of the 49 r4-stale names --
+    "cdc_debezium_materialize",
+    "cep_error_burst",
+    "cep_mr_all_rows",
+    "fn_json",
+    "graph_degrees_triangles",
+    "join_bloom_semi",
+    "pipe_bpe_encode",
+    "pipe_bpe_train",
+    "pipe_decode_bmp",
+    "pipe_decode_wav",
+    "pipe_pq_ann",
+    "pipe_semdedup",
+    "pipe_simhash",
+    "tpcds_shape_anti_ratio",
+    "tpcds_shape_channel_band",
+    "tpcds_shape_channel_rollup",
+    "tpcds_shape_cross_year_parts",
+    "tpcds_shape_cumulative_crossover",
+    "tpcds_shape_frequent_best",
+    "tpcds_shape_full_outer_overlap",
+    "tpcds_shape_grouping_rank",
+    "tpcds_shape_moving_dev",
+    "tpcds_shape_net_after_returns",
+    "tpcds_shape_pivot_months",
+    "tpcds_shape_rank_over_rollup",
+    "tpcds_shape_returns_above_avg",
+    "tpcds_shape_revenue_bands",
+    "tpcds_shape_union_channel_agg",
+    "tpcds_shape_yoy_growth",
+    "tpch_q11_important_stock",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "udf_python_udtf",
+    "window_dedup",
+    "window_topn",
 ]
 
 
