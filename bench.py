@@ -373,9 +373,51 @@ def _bench_stateful(spark, sf_dir: str) -> dict:
     }
 
 
+def _bench_environment() -> dict:
+    """Pre-run environment gate (pinned methodology, BASELINE.md §Bench).
+
+    Headline totals on this box have a measured same-code spread of
+    31.9-54.0s (byte-identical code, committed in bench_adjudications.json
+    / BENCH_NOTES.md) driven entirely by concurrent load. The gate records
+    the 1-minute load average + uptime BEFORE any Spark work and annotates
+    the run ``"loaded": true`` when load1 exceeds max(2.0, 0.15 x cpus) —
+    such a run must be read against the same-code variance envelope, never
+    as a code regression. Acceptance rule: compare officials only within
+    that envelope; sub-10% headline moves are noise (BENCH_NOTES r8-r10
+    adjudications).
+    """
+    env: dict = {}
+    try:
+        load1, load5, load15 = os.getloadavg()
+    except OSError:  # pragma: no cover - non-POSIX fallback
+        return {"loaded": None}
+    ncpu = os.cpu_count() or 1
+    env["load1_prerun"] = round(load1, 2)
+    env["load5_prerun"] = round(load5, 2)
+    env["load15_prerun"] = round(load15, 2)
+    env["cpus"] = ncpu
+    try:
+        with open("/proc/uptime") as fh:
+            env["uptime_sec"] = int(float(fh.read().split()[0]))
+    except (OSError, ValueError, IndexError):  # pragma: no cover
+        pass
+    env["load_gate"] = round(max(2.0, 0.15 * ncpu), 2)
+    env["loaded"] = load1 > env["load_gate"]
+    return env
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    env = _bench_environment()
+    if env.get("loaded"):
+        print(
+            f"# WARNING: pre-run load1={env['load1_prerun']} exceeds gate "
+            f"{env['load_gate']} ({env['cpus']} cpus) — run annotated "
+            '"loaded": headline is box-state, not a code signal '
+            "(BASELINE.md bench methodology)",
+            file=sys.stderr,
+        )
     spark = get_spark("bench")
 
     # Warm the JVM + file listings + codegen/shuffle machinery with
@@ -434,7 +476,14 @@ def main() -> None:
         "runs": runs,
         "query_samples": samples,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "env": env,
     }
+    # Post-run load closes the bracket: a run that STARTED idle but shows a
+    # post-run load1 far above cpus was contended mid-flight.
+    try:
+        result["env"]["load1_postrun"] = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover
+        pass
 
     # Superstep accounting for the iterative CC under graph_dedup_clusters:
     # explains whether sf1 scale-up is iteration-count growth (benign,
@@ -692,6 +741,9 @@ def main() -> None:
         "queries": result["queries"],
         "runs": result["runs"],
         "sf": result["sf"],
+        # env rides the official line so a loaded-box run is annotated in
+        # BENCH_r{N}.json itself (pinned methodology, BASELINE.md §Bench).
+        "env": result["env"],
     }
     line = json.dumps(headline, separators=(",", ":"))
     if len(line) > 1900:  # hard guarantee: drop per-query detail before truncating

@@ -59,3 +59,19 @@ def test_bench_detail_carries_adjudications():
         "bench_detail.json lost its 'adjudications' key — bench.py must "
         "merge bench_adjudications.json into every write"
     )
+
+
+def test_bench_environment_gate():
+    # Round-10 VERDICT "Next round #2": the bench methodology is pinned in
+    # BASELINE.md and bench.py must emit the pre-run environment fields on
+    # every run so a loaded-box official is self-annotating.
+    import bench
+
+    env = bench._bench_environment()
+    assert env.get("loaded") is not None, "load gate unavailable on POSIX box"
+    for key in ("load1_prerun", "load5_prerun", "cpus", "load_gate"):
+        assert key in env, f"bench environment record lost {key}"
+    assert env["load_gate"] == round(max(2.0, 0.15 * env["cpus"]), 2)
+    text = (REPO / "BASELINE.md").read_text()
+    assert "Bench methodology (pinned, round 11)" in text
+    assert "same-code variance envelope" in text
