@@ -918,29 +918,81 @@ def pmi_collocations(
     ``c_xy * 1.0 * N / (c_x * 1.0 * c_y)`` — double multiplies and one
     divide over exact integers, each IEEE correctly-rounded, so Spark and
     the DuckDB oracle agree bit-for-bit; the ordering ties break on
-    (w1, w2). Scale: one tokenize pass feeds both count tables (explode →
-    partial-aggregable groupBys), marginals attach by two word-key
-    shuffles, N broadcasts as a 1-row aggregate, and the top-k is a
-    distributed TakeOrdered — no global sort, no collect."""
-    toks = docs.select(F.explode(tokens(text_col)).alias("w"))
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c_w"))
-    bi = (
-        docs.select(F.explode(bigrams(text_col)).alias("bg"))
-        .select(
-            F.split("bg", " ").getItem(0).alias("w1"),
-            F.split("bg", " ").getItem(1).alias("w2"),
+    (w1, w2). Scale: ONE corpus scan + tokenize pass feeds everything
+    (round-10 VERDICT "What's wrong #2" — the old shape paid tokenization
+    three times). Per doc we explode the bigram pairs PLUS a
+    ``(last_token, '')`` sentinel, so one ``groupBy(w1, w2)`` yields both
+    the bigram counts (w2 != '') and — re-aggregated by w1, a linear
+    extension of the same lineage — the EXACT unigram marginals (every
+    token occurrence appears exactly once as w1: positions 1..n-1 as a
+    bigram head, position n as the sentinel). N is a conditional 1-row
+    sum over the same grouped table, broadcast back.
+
+    Plan-shape contract (why this is genuinely one scan): Catalyst reuses
+    a branch only when the exchange subplans are byte-identical, and it
+    PUSHES filters on grouping keys below the aggregate — which would
+    specialize each branch's exchange and force a re-scan per branch. So
+    the branch gates here filter on AGGREGATE OUTPUTS only (``w2_tag =
+    max(w2)`` instead of the grouping column w2; c_xy), which cannot be
+    pushed below the aggregate, and the marginal joins use NULL-SAFE
+    equality (``eqNullSafe``) so the optimizer cannot infer and push
+    ``isnotnull`` key filters either (w1/w2 are never null by
+    construction). Result: every branch shares one
+    scan→tokenize→explode→partial-agg→exchange, verified by the
+    scans-per-table column in PLANS.md and tests/test_plans.py."""
+    t = tokens(text_col)
+    n_t = F.size(t)
+    pair_t = "array<struct<w1:string,w2:string>>"
+    big = F.when(n_t < 2, F.expr(f"cast(array() as {pair_t})")).otherwise(
+        F.zip_with(
+            F.slice(t, 1, n_t - 1),
+            F.slice(t, 2, n_t - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         )
+    )
+    sent = F.when(n_t < 1, F.expr(f"cast(array() as {pair_t})")).otherwise(
+        F.array(
+            F.struct(
+                F.element_at(t, -1).alias("w1"), F.lit("").alias("w2")
+            )
+        )
+    )
+    counts = (
+        docs.select(F.explode(F.concat(big, sent)).alias("g"))
+        .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
         .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
-        .filter(F.col("c_xy") >= min_count)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            # w2_tag == w2 (single-valued per group) but is an AGGREGATE
+            # output, so filtering on it cannot be pushed below the agg —
+            # this is what keeps every branch's exchange identical.
+            F.max("w2").alias("w2_tag"),
+        )
     )
-    n_bi = docs.select(
-        F.sum(F.size(bigrams(text_col))).cast("long").alias("n")
+    # Unigram marginals: linear re-aggregation of the grouped table (the
+    # sentinel rows make sum(c) over w1 the exact token-occurrence count).
+    # The when() wrapper is value-neutral (w2_tag is never null) but keeps
+    # w2_tag REFERENCED in this branch: otherwise ColumnPruning drops
+    # max(w2) from this branch's partial aggregate, the exchange subplan
+    # stops canonicalizing equal to the bi/N branches', and AQE re-scans
+    # the corpus for the marginals (measured: 2 scans instead of 1).
+    marg = counts.groupBy("w1").agg(
+        F.sum(F.when(F.col("w2_tag").isNotNull(), F.col("c"))).alias("c_w")
     )
+    # Corpus bigram total N: conditional 1-row sum (sentinels excluded),
+    # no filter below the agg, broadcast back.
+    n_bi = counts.agg(
+        F.sum(F.when(F.col("w2_tag") != "", F.col("c"))).cast("long").alias("n")
+    )
+    bi = counts.filter(
+        (F.col("w2_tag") != "") & (F.col("c") >= min_count)
+    ).select("w1", "w2", F.col("c").alias("c_xy"))
+    m1 = marg.select(F.col("w1").alias("mw1"), F.col("c_w").alias("c_x"))
+    m2 = marg.select(F.col("w1").alias("mw2"), F.col("c_w").alias("c_y"))
     scored = (
         bi.join(F.broadcast(n_bi))
-        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_x"), "w1")
-        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c_y"), "w2")
+        .join(m1, F.col("w1").eqNullSafe(F.col("mw1")))
+        .join(m2, F.col("w2").eqNullSafe(F.col("mw2")))
         .withColumn(
             "score",
             F.floor(
@@ -966,13 +1018,22 @@ def char_trigrams(text_col: str = "text") -> Column:
     """Distinct lowercase char trigrams, array-side (no explode here).
     Guarded for len < 3: Spark's sequence(1, 0) DESCENDS instead of
     returning empty (the classic trap); DuckDB's generate_series(1, 0)
-    is empty, so the guard also keeps oracles aligned."""
+    is empty, so the guard also keeps oracles aligned.
+
+    Length basis: EVERY length here is taken over ``lower(text)`` — the
+    guard, the sequence bound, and the substr source — and the DuckDB
+    oracle (`queries/pipeline_q.py::_LANGID_GRAMS_SQL`) mirrors the same
+    basis. Unicode lowercasing can CHANGE string length ('İ' lowers to
+    a 2-codepoint 'i̇'), so mixing length(text) with positions over
+    lower(text) would emit different gram sets per engine (round-10
+    ADVICE item #1)."""
+    lowered = F.lower(F.col(text_col))
     grams = F.expr(
         f"transform(sequence(1, length(lower({text_col})) - 2), "
         f"i -> substr(lower({text_col}), i, 3))"
     )
     return F.when(
-        F.length(F.col(text_col)) >= 3, F.array_distinct(grams)
+        F.length(lowered) >= 3, F.array_distinct(grams)
     ).otherwise(F.array().cast("array<string>"))
 
 

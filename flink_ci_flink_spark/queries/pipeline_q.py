@@ -5372,8 +5372,11 @@ def pipe_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- trained n-gram language ID --------------------------------------------
 
+# Same length basis as pipeline/text.py::char_trigrams — every length is
+# over lower(text) (Unicode lowercasing can change length; mixed bases
+# would emit engine-divergent gram sets — round-10 ADVICE item #1).
 _LANGID_GRAMS_SQL = (
-    "list_distinct(list_transform(generate_series(1, length(text) - 2), "
+    "list_distinct(list_transform(generate_series(1, length(lower(text)) - 2), "
     "i -> substr(lower(text), i, 3)))"
 )
 
@@ -5547,8 +5550,8 @@ def streaming_delta_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from flink_ci_flink_spark.pipeline.dedup import (
-        corpus_band_buckets,
         finalize_delta_dedup,
+        materialize_corpus_index,
         streaming_delta_dedup_ingest,
     )
     from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
@@ -5557,7 +5560,9 @@ def streaming_delta_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t.documents.select("doc_id", "text", "source")
     is_shard = F.col("source").isin("src0", "src1")
     base = tempfile.mkdtemp(prefix="delta_dedup_")
-    corpus_band_buckets(docs.filter(~is_shard)).write.parquet(f"{base}/index")
+    # one shared index-construction entry point with batch delta_dedup
+    # (same artifact layout; an explicit dir is caller-owned)
+    materialize_corpus_index(docs.filter(~is_shard), f"{base}/index")
     shard = docs.filter(is_shard)
     tmp = stage_ordered_replay(shard, ["doc_id"])
     first = sorted(glob.glob(f"{tmp}/*.parquet"))[0]
@@ -5807,7 +5812,7 @@ def streaming_curation_v5_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_ci_flink_spark.pipeline.dedup import (
         _banded_signatures,
         _delta_decide,
-        corpus_band_buckets,
+        materialize_corpus_index,
     )
     from flink_ci_flink_spark.pipeline.text import (
         char_trigrams,
@@ -5821,7 +5826,7 @@ def streaming_curation_v5_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t.documents.select("doc_id", "lang", "source", "n_chars", "text")
     is_shard = F.col("source").isin("src0", "src1")
     base = tempfile.mkdtemp(prefix="curation_v5_")
-    corpus_band_buckets(docs.filter(~is_shard)).write.parquet(f"{base}/index")
+    materialize_corpus_index(docs.filter(~is_shard), f"{base}/index")
     prof_rows = langid_train_profiles(
         docs.filter(~is_shard), top_k=50
     ).collect()

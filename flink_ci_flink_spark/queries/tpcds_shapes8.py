@@ -226,7 +226,8 @@ def tpcds_below_supplier_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROW_NUMBER() OVER (
              PARTITION BY lochierarchy,
                           CASE WHEN lochierarchy = 0 THEN region END
-             ORDER BY cents DESC, nation ASC NULLS FIRST) AS BIGINT)
+             ORDER BY cents DESC, nation ASC NULLS FIRST,
+                      region ASC NULLS FIRST) AS BIGINT)
              AS rank_within_parent
     FROM rolled
     ORDER BY lochierarchy DESC, region NULLS FIRST, nation NULLS FIRST
@@ -279,10 +280,18 @@ def tpcds_top_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lochierarchy"),
         )
     )
+    # region is the FINAL tie-break: in the lochierarchy=1 partition
+    # nation is NULL on every row, so a cents tie between the two
+    # surviving regions would otherwise make row_number nondeterministic
+    # in both engines (round-10 ADVICE item #4).
     w = Window.partitionBy(
         "lochierarchy",
         F.when(F.col("lochierarchy") == 0, F.col("region")),
-    ).orderBy(F.col("cents").desc(), F.col("nation").asc_nulls_first())
+    ).orderBy(
+        F.col("cents").desc(),
+        F.col("nation").asc_nulls_first(),
+        F.col("region").asc_nulls_first(),
+    )
     return rolled.select(
         "region",
         "nation",
