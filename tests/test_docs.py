@@ -75,3 +75,20 @@ def test_bench_environment_gate():
     text = (REPO / "BASELINE.md").read_text()
     assert "Bench methodology (pinned, round 11)" in text
     assert "same-code variance envelope" in text
+
+
+def test_xref_is_current():
+    # Round-10 judge task #8: a generated cross-reference (query ->
+    # proving round -> PLANS row -> COVERAGE mention) asserted by a test,
+    # so the hand-maintained views can't drift from the registry again.
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from tools.make_xref import render
+
+    expected = render()
+    actual = (REPO / "XREF.md").read_text()
+    assert actual == expected, (
+        "XREF.md is stale — regenerate with `python tools/make_xref.py` "
+        "(a query/doc/audit change moved the cross-reference)"
+    )
