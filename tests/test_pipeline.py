@@ -2457,8 +2457,13 @@ def test_langid_matches_python_reference(spark):
     """Hypothesis: Spark-trained trigram profiles and the join-based
     prediction equal a pure-Python reimplementation (document-frequency
     top-k with (count desc, gram asc) ties; argmax with (hits desc, lang
-    asc) ties; zero hits -> 'und') on random batches. Alphabet restricted
-    to chars whose lower() agrees between Python and the JVM."""
+    asc) ties; zero hits -> 'und') on random batches. Alphabet includes
+    'İ' (U+0130), whose lowercase EXPANDS to two codepoints ('i' + U+0307)
+    in both Python and the JVM: this exercises the round-10 ADVICE fix —
+    every length in char_trigrams is taken over lower(text), so grams stay
+    consistent when lowering changes the string length. (The reference
+    impl below lowers FIRST and derives positions from the lowered string,
+    which is the definition both engines must match.)"""
     from collections import Counter, defaultdict
 
     from hypothesis import given, settings, strategies as st
@@ -2468,7 +2473,7 @@ def test_langid_matches_python_reference(spark):
         langid_train_profiles,
     )
 
-    alpha = "abcXYZ 09é中"
+    alpha = "abcXYZ 09é中İ"
     texts = st.text(alphabet=alpha, min_size=0, max_size=24)
     langs = st.sampled_from(["aa", "bb", "cc"])
     docs_strat = st.lists(
