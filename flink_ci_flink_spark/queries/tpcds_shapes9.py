@@ -120,16 +120,27 @@ def tpcds_max_channel_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ny") >= 5)
         .select("l_partkey")
     )
+    # The spend CTE feeds BOTH the best-customer filter and the
+    # max-of-sum scalar. Same exchange-reuse discipline as
+    # pmi_collocations: the threshold filters on the AGGREGATE output `s`
+    # (not pushable below the agg) and the final semi-join key is
+    # null-safe (no inferred isnotnull pushdown), so both branches share
+    # one scan->join->agg(custkey) exchange — the fact is read 3x (freq /
+    # spend / final gate), not 4x.
     spend = fact.groupBy("o_custkey").agg(F.sum("c").alias("s"))
     max_spend = spend.agg(F.max("s").alias("mx"))
     best = (
         spend.join(F.broadcast(max_spend))
         .filter(F.col("s") > F.lit(0.6) * F.col("mx"))
-        .select("o_custkey")
+        .select(F.col("o_custkey").alias("bk"))
     )
     return (
         fact.join(F.broadcast(frequent), "l_partkey", "left_semi")
-        .join(F.broadcast(best), "o_custkey", "left_semi")
+        .join(
+            F.broadcast(best),
+            F.col("o_custkey").eqNullSafe(F.col("bk")),
+            "left_semi",
+        )
         .groupBy(
             F.when(
                 F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
