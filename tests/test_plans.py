@@ -297,3 +297,15 @@ def test_executed_scans_per_table_single_pass_ops(spark):
             f"{name} reads documents {scans.get('documents')}x "
             f"(full map: {scans}) — expected a single corpus scan"
         )
+
+
+def test_above_avg_of_sums_single_fact_scan(spark):
+    """q24's avg-of-the-aggregate-itself scalar must ride the detail
+    branch's exchange (threshold filters only on aggregate outputs; the
+    scalar joins as a conditionless 1-row broadcast): one fact scan."""
+    from flink_ci_flink_spark.plans import executed_scans_per_table
+
+    df = QUERIES["tpcds_shape_above_avg_of_sums"].fn(spark, SF_DIR)
+    df.collect()
+    scans = executed_scans_per_table(df)
+    assert scans.get("lineitem") == 1 and scans.get("orders") == 1, scans

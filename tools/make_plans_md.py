@@ -165,6 +165,10 @@ AUDIT = [
     "tpcds_shape_exists_not_exists",
     "tpcds_shape_triple_fact_stats",
     "tpcds_shape_line_net_returns",
+    # round-11 batch 10
+    "tpcds_shape_above_avg_of_sums",
+    "tpcds_shape_disjunctive_bands",
+    "tpcds_shape_cross_nation_basket",
 ]
 
 
