@@ -403,6 +403,11 @@ def _bench_environment() -> dict:
         pass
     env["load_gate"] = round(max(2.0, 0.15 * ncpu), 2)
     env["loaded"] = load1 > env["load_gate"]
+    # A decayed load1 with an elevated load5 means the box JUST came off
+    # heavy work (page cache, JIT/thermal state still churned): measured
+    # in round 11 as a 51.5s headline at load1=0.52 / load5=6.96 vs 39.4s
+    # under live load — "settling" runs read against the envelope too.
+    env["settling"] = (not env["loaded"]) and load5 > env["load_gate"]
     return env
 
 

@@ -69,9 +69,11 @@ def test_bench_environment_gate():
 
     env = bench._bench_environment()
     assert env.get("loaded") is not None, "load gate unavailable on POSIX box"
-    for key in ("load1_prerun", "load5_prerun", "cpus", "load_gate"):
+    for key in ("load1_prerun", "load5_prerun", "cpus", "load_gate",
+                "settling"):
         assert key in env, f"bench environment record lost {key}"
     assert env["load_gate"] == round(max(2.0, 0.15 * env["cpus"]), 2)
+    assert not (env["loaded"] and env["settling"])  # mutually exclusive
     text = (REPO / "BASELINE.md").read_text()
     assert "Bench methodology (pinned, round 11)" in text
     assert "same-code variance envelope" in text
