@@ -297,17 +297,35 @@ def misra_gries_summaries(
 
     def summarize(batches):
         state: dict = {}
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             vc = pdf[col].value_counts()
             state = _mg_merge(state, vc.items(), k)
         if state:
+            # n_part rides the first summary row (0 elsewhere): the classic
+            # MG summary carries its stream length n, so heavy_hitters can
+            # derive the global n from the summaries instead of paying a
+            # second full pass over the (expensive-to-produce) item stream.
+            n_col = [n_rows] + [0] * (len(state) - 1)
             yield pd.DataFrame(
-                {col: list(state.keys()), "mg_count": list(state.values())}
+                {
+                    col: list(state.keys()),
+                    "mg_count": list(state.values()),
+                    "n_part": n_col,
+                }
+            )
+        elif n_rows:
+            # all counters cancelled (possible when every item ties): emit
+            # one null-item marker so n_part is never lost; a null item
+            # joins nothing downstream.
+            yield pd.DataFrame(
+                {col: [None], "mg_count": [0], "n_part": [n_rows]}
             )
 
     field = df.schema[col].dataType.simpleString()
     return df.select(col).mapInPandas(
-        summarize, schema=f"{col} {field}, mg_count long"
+        summarize, schema=f"{col} {field}, mg_count long, n_part long"
     )
 
 
@@ -330,28 +348,33 @@ def heavy_hitters(
     Regime note (measured): at local scale with modest cardinality the
     plain JVM ``groupBy(col)`` matches this path — the sketch's win is
     the 100 TB regime where the full-cardinality shuffle (distinct items
-    × row width across the cluster) is the constraint, not CPU."""
-    if hashed:
-        hcol = F.xxhash64(F.col(col)).alias("__h")
-        cands = (
-            misra_gries_summaries(df.select(hcol), "__h", k)
-            .select("__h")
-            .distinct()
-        )
-        keyed = df.withColumn("__h", F.xxhash64(F.col(col)))
-        counted = (
-            keyed.join(F.broadcast(cands), "__h")
-            .groupBy(col)
-            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        )
-    else:
-        cands = misra_gries_summaries(df, col, k).select(col).distinct()
-        counted = (
-            df.join(F.broadcast(cands), col)
-            .groupBy(col)
-            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        )
-    total = df.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    return counted.crossJoin(F.broadcast(total)).filter(
+    × row width across the cluster) is the constraint, not CPU.
+
+    The summaries MATERIALIZE at the driver at construction time (an
+    eager collect) — they are k×partitions-bounded, the exact rows the
+    broadcast join ships anyway — so both the candidate set AND the
+    stream length n come out of ONE pass over the item stream. The old
+    lazy form paid a third full pass (re-tokenization included, when the
+    items come from an explode) just to COUNT(*) the stream for n:
+    round-11 scans-per-table audit caught documents:3 on
+    pipe_heavy_hitters; now 2 (summaries + exact recount), the minimum
+    the exact-recount contract allows."""
+    key = "__h" if hashed else col
+    src = (
+        df.select(F.xxhash64(F.col(col)).alias("__h")) if hashed else df
+    )
+    rows = misra_gries_summaries(src, key, k).collect()
+    n = sum(r["n_part"] for r in rows)
+    items = sorted({r[key] for r in rows if r[key] is not None})
+    spark = df.sparkSession
+    field = src.schema[key].dataType.simpleString()
+    cands = spark.createDataFrame([(i,) for i in items], f"{key} {field}")
+    keyed = df.withColumn("__h", F.xxhash64(F.col(col))) if hashed else df
+    counted = (
+        keyed.join(F.broadcast(cands), key)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return counted.withColumn("n", F.lit(n).cast("bigint")).filter(
         F.col("cnt") * k >= F.col("n")
     )

@@ -158,13 +158,23 @@ def pipe_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     ev = t.events.select("user_id")
     sk = countmin_sketch(ev, "user_id", depth=4, width=512)
-    probes = ev.distinct().filter(F.col("user_id") < 10)
-    est = countmin_estimate(sk, probes, "user_id", depth=4, width=512)
     exact = (
         ev.filter(F.col("user_id") < 10)
         .groupBy("user_id")
         .agg(F.count("*").alias("exact_count"))
     )
+    # probes derive from the exact side (same keys as DISTINCT user_id<10)
+    # so the probe set costs no third events pass: the exact groupBy's
+    # exchange canonicalizes identically in both branches and AQE reuses
+    # it (round-11 scans audit caught events:3 here; now 2 — sketch pass
+    # + exact pass, the minimum an estimator-vs-truth eval allows). The
+    # value-neutral `> 0` filter (true for every existing group, but not
+    # statically provable, so it survives constant folding — isNotNull
+    # folds away because count(1) is provably non-null) keeps exact_count
+    # REFERENCED so ColumnPruning can't drop partial_count from this
+    # branch's aggregate and de-canonicalize the exchange.
+    probes = exact.filter(F.col("exact_count") > 0).select("user_id")
+    est = countmin_estimate(sk, probes, "user_id", depth=4, width=512)
     return est.join(exact, "user_id").select("user_id", "est_count", "exact_count")
 
 
