@@ -26,69 +26,73 @@ from flink_ci_flink_spark.queries import QUERIES  # noqa: E402
 FLAGSHIP = "tpch_q3_shipping_priority"
 
 # The driver samples a 50-query prefix of queries() for its sf0.01
-# correctness check. Round-11 prefix (the round-10 judge's #1 task):
-# (1) the 15 round-10-continuation queries that have never appeared in
-# an official CORRECTNESS_rN artifact (the r10 judge driver-sim'd all
-# 15 independently, 15/15 hash-green — this round makes them official),
-# then (2) 35 of the 49 names whose latest official proof is still r4,
-# lifting the freshness floor. 15+35 = 50 exactly; the remaining 14
-# r4-proven names (flinksql_* dialect trio, sketch/span/PII pipeline
-# rows) rotate in round 12. Queries ADDED in round 11 (TPC-DS batch 9)
-# queue behind this prefix — displacing the mandated carry-overs would
-# orphan the rotation plan.
+# correctness check. Round-12 prefix (the round-11 judge's #1 task):
+# (1) the final 14 names whose latest official proof is still r4 —
+# closing the r4 freshness floor for good (two of them, countmin/
+# heavy-hitters family, had their PLANS changed in r11, so a fresh
+# official row matters more than usual); (2) the 8 TPC-DS batch-9/10
+# shapes that have never appeared in an official CORRECTNESS_rN
+# artifact (the r11 judge driver-sim'd all 8 green); (3) the first 28
+# (alphabetical) of the 49 names whose latest proof is r6. 14+8+28 =
+# 50 exactly. Round-13 prefix, recorded now so the rotation stays
+# mechanical: the remaining 21 r6-stale names
+# (tpcds_shape_histogram_buckets .. tpch_q*, udf_cogroup,
+# udf_map_partitions) + the batch-11 shapes added this round + ~24 of
+# the 46 r7-stale names.
 _PRIORITY = [
-    # -- (1) never officially driver-sampled (r10 judge-sim green x15) --
-    "pipe_delta_dedup",
-    "streaming_delta_dedup_replay",
-    "pipe_langid_confusion",
-    "streaming_langid_screen_replay",
-    "pipe_e2e_curation_v5",
-    "streaming_curation_v5_replay",
-    "tpcds_shape_class_revenue_ratio",
-    "tpcds_shape_repeat_purchase_range",
-    "tpcds_shape_multi_supplier_orders",
-    "tpcds_shape_monthly_avg_dev",
-    "tpcds_shape_quarter_growth_chain",
-    "tpcds_shape_excess_discount",
-    "tpcds_shape_dual_ratio_ranks",
-    "tpcds_shape_below_supplier_avg",
-    "tpcds_shape_top_region_rollup",
-    # -- (2) freshness floor: 35 of the 49 r4-stale names --
-    "cdc_debezium_materialize",
-    "cep_error_burst",
-    "cep_mr_all_rows",
-    "fn_json",
-    "graph_degrees_triangles",
-    "join_bloom_semi",
-    "pipe_bpe_encode",
-    "pipe_bpe_train",
-    "pipe_decode_bmp",
-    "pipe_decode_wav",
-    "pipe_pq_ann",
-    "pipe_semdedup",
-    "pipe_simhash",
-    "tpcds_shape_anti_ratio",
-    "tpcds_shape_channel_band",
-    "tpcds_shape_channel_rollup",
-    "tpcds_shape_cross_year_parts",
-    "tpcds_shape_cumulative_crossover",
-    "tpcds_shape_frequent_best",
-    "tpcds_shape_full_outer_overlap",
-    "tpcds_shape_grouping_rank",
-    "tpcds_shape_moving_dev",
-    "tpcds_shape_net_after_returns",
-    "tpcds_shape_pivot_months",
-    "tpcds_shape_rank_over_rollup",
-    "tpcds_shape_returns_above_avg",
-    "tpcds_shape_revenue_bands",
-    "tpcds_shape_union_channel_agg",
-    "tpcds_shape_yoy_growth",
-    "tpch_q11_important_stock",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "udf_python_udtf",
-    "window_dedup",
-    "window_topn",
+    # -- (1) the last 14 r4-proven names (freshness floor -> r6) --
+    "flinksql_tumble",
+    "flinksql_session",
+    "flinksql_temporal_join",
+    "pipe_hll_distinct",
+    "pipe_kmv_distinct",
+    "pipe_countmin_freq",
+    "pipe_quantized_ann",
+    "pipe_chunk_documents",
+    "pipe_redact_pii",
+    "pipe_contamination_overlap",
+    "pipe_repetition_filters",
+    "pipe_span_dedup",
+    "pipe_strip_spans",
+    "pipe_shard_assignment",
+    # -- (2) never officially driver-sampled (r11 judge-sim green x8) --
+    "tpcds_shape_max_channel_compose",
+    "tpcds_shape_channel_pl_report",
+    "tpcds_shape_exists_not_exists",
+    "tpcds_shape_triple_fact_stats",
+    "tpcds_shape_line_net_returns",
+    "tpcds_shape_above_avg_of_sums",
+    "tpcds_shape_disjunctive_bands",
+    "tpcds_shape_cross_nation_basket",
+    # -- (3) freshness floor: first 28 of the 49 r6-stale names --
+    "cep_match_recognize_view_run",
+    "cep_mr_error_run_until_purchase",
+    "cep_timeout_click_purchase",
+    "graph_adamic_adar",
+    "graph_dedup_clusters_minhash",
+    "graph_gsa_sssp_nations",
+    "graph_sg_min_id_nations",
+    "graph_sssp_nations",
+    "graph_summarize_sources",
+    "map_construct_explode",
+    "null_safe_comparison",
+    "over_count_distinct",
+    "pipe_boilerplate_screen",
+    "pipe_cosine_near_dup",
+    "pipe_frame_sample",
+    "pipe_ivf_full_probe",
+    "pipe_multimodal_features",
+    "pipe_resize_bmp",
+    "pipe_sample_k_per_source",
+    "pipe_token_count_by_source",
+    "skew_salted_agg",
+    "str_to_map_canonical",
+    "temporal_overlaps_pred",
+    "tpcds_shape_before_after_band",
+    "tpcds_shape_dual_rank_union",
+    "tpcds_shape_exists_either",
+    "tpcds_shape_exists_over_avg",
+    "tpcds_shape_having_count_between",
 ]
 
 
