@@ -73,19 +73,35 @@ def executed_scans_per_table(df: DataFrame) -> dict[str, int]:
 
     The DataFrame must have been EXECUTED (an action run) first, else the
     adaptive plan is not final and reuse is not yet decided.
-    """
-    import re
 
-    text = df._jdf.queryExecution().executedPlan().toString()
-    # AQE appends the pre-runtime plan under "== Initial Plan ==" — only
-    # the final section reflects what actually ran.
-    final = text.split("== Initial Plan ==", 1)[0]
+    Counts by WALKING the executed plan tree (AdaptiveSparkPlanExec ->
+    current physical plan, QueryStageExec -> materialized stage plan,
+    ReusedExchangeExec stays a leaf so a reused subtree counts once) and
+    reading each FileSourceScanExec's real root path. The previous
+    string-parse of ``executedPlan().toString()`` mis-bucketed deep paths:
+    Spark truncates node metadata at spark.sql.maxMetadataStringLength
+    (default 100 chars), eliding the table name to "..." — and the conf
+    is not reliably visible on the py4j render thread, so raising it at
+    audit time does not help.
+    """
+
+    def _walk(p, out: list) -> list:
+        cls = p.getClass().getName().rsplit(".", 1)[-1]
+        if cls == "AdaptiveSparkPlanExec":
+            return _walk(p.executedPlan(), out)
+        if cls.endswith("QueryStageExec"):
+            return _walk(p.plan(), out)
+        if cls == "FileSourceScanExec":
+            roots = p.relation().location().rootPaths()
+            if roots.size() > 0:
+                out.append(str(roots.apply(0)))
+        children = p.children()
+        for i in range(children.size()):
+            _walk(children.apply(i), out)
+        return out
+
     counts: dict[str, int] = {}
-    for line in final.splitlines():
-        if "FileScan" not in line:
-            continue
-        m = re.search(r"Location: \w+\([^)]*\)\[([^\],]*)", line)
-        path = m.group(1) if m else "?"
+    for path in _walk(df._jdf.queryExecution().executedPlan(), []):
         name = path.rstrip("/").rsplit("/", 1)[-1]
         name = name.removesuffix(".parquet") or "?"
         counts[name] = counts.get(name, 0) + 1
