@@ -411,10 +411,105 @@ def _bench_environment() -> dict:
     return env
 
 
+def _settle_wait(env: dict) -> dict:
+    """Round-11 judge task #3: don't just ANNOTATE a loaded box — wait for
+    it. The driver benches right after its correctness sweep, so the box
+    is reliably hot; a bounded poll (default 10 min, 20 s steps) until
+    BOTH load1 and load5 drop below the gate turns the annotation into an
+    avoidance. If the window never opens, run anyway and say so
+    (``settle_wait_exhausted``) so the official is still produced."""
+    if env.get("loaded") is None or not (env.get("loaded") or env.get("settling")):
+        env["settle_wait_sec"] = 0
+        return env
+    max_wait = float(os.environ.get("SPARK_GRAFT_SETTLE_MAX_SEC", "600"))
+    gate = env["load_gate"]
+    t0 = time.monotonic()
+    waited = 0.0
+    while waited < max_wait:
+        time.sleep(min(20.0, max_wait - waited))
+        waited = time.monotonic() - t0
+        try:
+            load1, load5, _ = os.getloadavg()
+        except OSError:  # pragma: no cover
+            break
+        if load1 < gate and load5 < gate:
+            break
+    try:
+        load1, load5, load15 = os.getloadavg()
+        env["load1_initial"] = env["load1_prerun"]
+        env["load5_initial"] = env["load5_prerun"]
+        env["load1_prerun"] = round(load1, 2)
+        env["load5_prerun"] = round(load5, 2)
+        env["load15_prerun"] = round(load15, 2)
+        env["loaded"] = load1 > gate
+        env["settling"] = (not env["loaded"]) and load5 > gate
+    except OSError:  # pragma: no cover
+        pass
+    env["settle_wait_sec"] = round(waited)
+    env["settle_wait_exhausted"] = bool(env["loaded"] or env["settling"])
+    return env
+
+
+def _proc_tree_cpu_sec() -> float | None:
+    """Total CPU seconds (utime+stime of every live process in THIS
+    process's descendant tree, plus reaped-child cutime/cstime) — covers
+    the Python driver, the local-mode Spark JVM, and Python UDF workers.
+    Deltas of this quantity are nearly load-invariant: wall medians move
+    ~2x with box contention (measured same-code spread 31.9-54.0 s,
+    BENCH_NOTES.md) while the work's CPU time barely moves, so officials
+    remain comparable on cpu_sec even when the env block says loaded."""
+    try:
+        tick = os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError):  # pragma: no cover - non-POSIX
+        return None
+    procs: dict[int, tuple[int, int]] = {}
+    try:
+        pid_dirs = os.listdir("/proc")
+    except OSError:  # pragma: no cover
+        return None
+    for pid_dir in pid_dirs:
+        if not pid_dir.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid_dir}/stat") as fh:
+                stat = fh.read()
+        except (OSError, ValueError):
+            continue
+        # comm may contain spaces/parens: fields resume after the last ')'
+        rest = stat.rsplit(")", 1)[-1].split()
+        try:
+            ppid = int(rest[1])
+            # fields 14-17: utime stime cutime cstime (rest starts at 3)
+            cpu = sum(int(x) for x in rest[11:15])
+        except (IndexError, ValueError):
+            continue
+        procs[int(pid_dir)] = (ppid, cpu)
+    total = 0
+    frontier = [os.getpid()]
+    seen: set[int] = set()
+    while frontier:
+        pid = frontier.pop()
+        if pid in seen or pid not in procs:
+            continue
+        seen.add(pid)
+        total += procs[pid][1]
+        frontier.extend(c for c, (pp, _) in procs.items() if pp == pid)
+    return total / tick
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     env = _bench_environment()
+    if env.get("loaded") or env.get("settling"):
+        print(
+            f"# box busy (load1={env['load1_prerun']}, "
+            f"load5={env['load5_prerun']}, gate {env['load_gate']}) — "
+            "waiting for a settle window before the official headline "
+            "(bounded; SPARK_GRAFT_SETTLE_MAX_SEC, default 600)",
+            file=sys.stderr,
+        )
+    env = _settle_wait(env)
     if env.get("loaded"):
         print(
             f"# WARNING: pre-run load1={env['load1_prerun']} exceeds gate "
@@ -460,17 +555,32 @@ def main() -> None:
     # box) poison a 2-run mean but leave the 3-run median untouched.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    cpu_samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for r in range(runs):
         for name in HEADLINE:
             fn = QUERIES[name].fn
+            c0 = _proc_tree_cpu_sec()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             dt = round(time.perf_counter() - t0, 3)
             samples[name].append(dt)
+            if c0 is not None:
+                c1 = _proc_tree_cpu_sec()
+                if c1 is not None:
+                    cpu_samples[name].append(round(c1 - c0, 3))
             print(f"# run{r + 1} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
+    }
+    # Per-query CPU time (judge task #3b): process-tree utime+stime delta
+    # around each run. Wall medians are box-sensitive (31.9-54.0 s
+    # same-code spread); cpu_sec is not — cross-round official compares
+    # should start here when the env block says loaded/settling.
+    cpu_timings = {
+        name: round(statistics.median(ts), 3)
+        for name, ts in cpu_samples.items()
+        if ts
     }
 
     result = {
@@ -480,6 +590,9 @@ def main() -> None:
         "queries": timings,
         "runs": runs,
         "query_samples": samples,
+        "cpu_queries": cpu_timings,
+        "cpu_total": round(sum(cpu_timings.values()), 3),
+        "cpu_query_samples": {k: v for k, v in cpu_samples.items() if v},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "env": env,
     }
@@ -746,6 +859,9 @@ def main() -> None:
         "queries": result["queries"],
         "runs": result["runs"],
         "sf": result["sf"],
+        # cpu_total rides the official line: the load-invariant compare
+        # number (wall medians have a 31.9-54.0 s same-code box spread).
+        "cpu_total": result["cpu_total"],
         # env rides the official line so a loaded-box run is annotated in
         # BENCH_r{N}.json itself (pinned methodology, BASELINE.md §Bench).
         "env": result["env"],

@@ -79,6 +79,41 @@ def test_bench_environment_gate():
     assert "same-code variance envelope" in text
 
 
+def test_bench_settle_wait_and_cpu_time():
+    # Round-11 VERDICT "Next round #3": bench.py must WAIT for a settle
+    # window (bounded) instead of only annotating, and record per-query
+    # process-tree CPU time (load-invariant) alongside wall medians.
+    import os
+    import time
+
+    import bench
+
+    # idle env -> no wait at all
+    env = bench._settle_wait({"loaded": False, "settling": False,
+                              "load_gate": 4.8})
+    assert env["settle_wait_sec"] == 0 and "settle_wait_exhausted" not in env
+
+    # busy env with an exhausted (tiny) window -> runs anyway, says so
+    os.environ["SPARK_GRAFT_SETTLE_MAX_SEC"] = "0"
+    try:
+        env = bench._settle_wait(
+            {"loaded": True, "settling": False, "load_gate": 0.0,
+             "load1_prerun": 9.9, "load5_prerun": 9.9}
+        )
+    finally:
+        del os.environ["SPARK_GRAFT_SETTLE_MAX_SEC"]
+    assert env["settle_wait_exhausted"] is True
+    assert env["load1_initial"] == 9.9  # original reading preserved
+
+    # CPU accounting sees our own spin (driver + any children)
+    c0 = bench._proc_tree_cpu_sec()
+    assert c0 is not None and c0 >= 0
+    t_end = time.process_time() + 0.3
+    while time.process_time() < t_end:
+        pass
+    assert bench._proc_tree_cpu_sec() - c0 >= 0.2
+
+
 def test_xref_is_current():
     # Round-10 judge task #8: a generated cross-reference (query ->
     # proving round -> PLANS row -> COVERAGE mention) asserted by a test,
