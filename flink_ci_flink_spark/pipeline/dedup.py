@@ -1139,6 +1139,7 @@ def delta_dedup(
     max_bucket_corpus: int = 1000,
     materialize_index: bool = True,
     index_dir: str | None = None,
+    index_prebuilt: bool = False,
 ) -> DataFrame:
     """Incremental shard-vs-corpus dedup: screen an INCOMING shard against
     an existing corpus without ever pairing corpus docs with each other.
@@ -1180,10 +1181,21 @@ def delta_dedup(
     does not bind at the graded SFs, so the cap-free oracle stays exact);
     the decision agg is one shuffle on the shard id.
     ``materialize_index=False`` keeps the fully-lazy single-plan form
-    (useful for plan tests). Reference scope note: the reference (Flink
+    (useful for plan tests). ``index_prebuilt=True`` (requires
+    ``index_dir``) skips the build entirely and PROBES an index the
+    caller already wrote via ``materialize_corpus_index`` — the
+    one-index/two-consumers contract (batch probe + streaming ingest
+    share one corpus pass). Reference scope note: the reference (Flink
     1.11) has no such operator; this extends the LLM-data surface.
     """
-    if materialize_index:
+    if index_prebuilt:
+        # caller already ran materialize_corpus_index at this path (the
+        # one-index/many-consumers contract: batch probe + streaming
+        # ingest share a single corpus pass) — just read it.
+        if index_dir is None:
+            raise ValueError("index_prebuilt=True requires index_dir")
+        corpus_buckets = df.sparkSession.read.parquet(index_dir)
+    elif materialize_index:
         resolved = materialize_corpus_index(
             df.filter(~is_shard),
             index_dir,

@@ -169,6 +169,14 @@ AUDIT = [
     "tpcds_shape_above_avg_of_sums",
     "tpcds_shape_disjunctive_bands",
     "tpcds_shape_cross_nation_basket",
+    # round-12 batch 11
+    "tpcds_shape_return_lag_bands",
+    "tpcds_shape_promo_scalar_ratio",
+    "tpcds_shape_null_channel_union",
+    "tpcds_shape_threeway_return_ratio",
+    "tpcds_shape_demographic_band_lookup",
+    # round-12: the caller-owned-index contract in the graded path
+    "pipe_delta_dedup_shared_index",
 ]
 
 
