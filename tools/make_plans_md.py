@@ -177,6 +177,11 @@ AUDIT = [
     "tpcds_shape_demographic_band_lookup",
     # round-12: the caller-owned-index contract in the graded path
     "pipe_delta_dedup_shared_index",
+    # round-12 batch 12
+    "tpcds_shape_intersect_prefix_gate",
+    "tpcds_shape_second_fact_band_gate",
+    "tpcds_shape_rollup_of_means",
+    "tpcds_shape_cross_dim_disjunct",
 ]
 
 
