@@ -37,8 +37,9 @@ FLAGSHIP = "tpch_q3_shipping_priority"
 # 50 exactly. Round-13 prefix, recorded now so the rotation stays
 # mechanical: the remaining 21 r6-stale names
 # (tpcds_shape_histogram_buckets .. tpch_q*, udf_cogroup,
-# udf_map_partitions) + the batch-11 shapes added this round + ~24 of
-# the 46 r7-stale names.
+# udf_map_partitions) + the 14 never-official round-12 additions
+# (batches 11-13 + pipe_delta_dedup_shared_index) + ~15 of the 46
+# r7-stale names.
 _PRIORITY = [
     # -- (1) the last 14 r4-proven names (freshness floor -> r6) --
     "flinksql_tumble",

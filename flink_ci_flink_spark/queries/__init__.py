@@ -26,6 +26,7 @@ from flink_ci_flink_spark.queries import tpcds_shapes9  # noqa: F401,E402
 from flink_ci_flink_spark.queries import tpcds_shapes10  # noqa: F401,E402
 from flink_ci_flink_spark.queries import tpcds_shapes11  # noqa: F401,E402
 from flink_ci_flink_spark.queries import tpcds_shapes12  # noqa: F401,E402
+from flink_ci_flink_spark.queries import tpcds_shapes13  # noqa: F401,E402
 from flink_ci_flink_spark.queries import misc_q  # noqa: F401,E402
 from flink_ci_flink_spark.queries import dialect_q  # noqa: F401,E402
 from flink_ci_flink_spark.queries import sketch_q  # noqa: F401,E402

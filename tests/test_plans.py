@@ -312,6 +312,9 @@ def test_executed_scans_per_table_sketch_and_compose_pins(spark):
         ("pipe_countmin_freq", "events", 2),
         ("pipe_heavy_hitters", "documents", 2),
         ("tpcds_shape_max_channel_compose", "lineitem", 3),
+        # r12 batch 13: the q30/q81 detail + per-nation threshold shares
+        # one scan->join->agg exchange via eqNullSafe downstream joins
+        ("tpcds_shape_group_avg_return_detail", "lineitem", 1),
     ):
         df = QUERIES[name].fn(spark, SF_DIR)
         df.collect()

@@ -182,6 +182,11 @@ AUDIT = [
     "tpcds_shape_second_fact_band_gate",
     "tpcds_shape_rollup_of_means",
     "tpcds_shape_cross_dim_disjunct",
+    # round-12 batch 13
+    "tpcds_shape_measure_dim_disjunct",
+    "tpcds_shape_group_avg_return_detail",
+    "tpcds_shape_geo_mismatch_brand",
+    "tpcds_shape_multi_measure_means",
 ]
 
 
