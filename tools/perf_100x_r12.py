@@ -38,14 +38,14 @@ CHAIN = [
 ]
 
 
-def run(spark, sf_dir: str) -> dict[str, float]:
+def run(spark, sf_dir: str, tag: str = "") -> dict[str, float]:
     out: dict[str, float] = {}
     for name in CHAIN:
         t0 = time.perf_counter()
         n = QUERIES[name].fn(spark, sf_dir).count()
         out[name] = time.perf_counter() - t0
         print(
-            f"# {sf_dir.split('/')[-1]:10s} {name:30s} "
+            f"# {tag}{sf_dir.split('/')[-1]:10s} {name:30s} "
             f"{out[name]:8.2f}s ({n} rows)",
             file=sys.stderr,
             flush=True,
@@ -75,6 +75,11 @@ def main() -> None:
         if not dst.exists():
             os.symlink(f"{src}/{t}.parquet", dst)
 
+    # Untimed warm-up pass: the first chain in a fresh JVM pays codegen /
+    # classloading / parquet-footer costs that a cached fixture no longer
+    # amortizes (observed: cold small-side PMI 22.5s vs 10.8s at 100x on
+    # the same settled box). Warm at sf0.1, then time both sides.
+    run(spark, src, tag="warmup ")
     load1 = round(os.getloadavg()[0], 2)
     small = run(spark, src)
     large = run(spark, big)
@@ -88,9 +93,11 @@ def main() -> None:
         "`benchscale.ensure_scaled_dir` — within-copy near-dup structure",
         "preserved, cross-copy similarity destroyed, so work grows linearly.",
         f"Rows: documents {n_docs * factor:,} (sf0.1: {n_docs:,}).",
-        f"Box: local[32]; 1-min load at rehearsal start: {load1}. One timed",
-        "run each (fresh-JVM medians are the per-round bench's job; this is",
-        "the composed-chain rehearsal).",
+        f"Box: local[32]; 1-min load at timing start: {load1}. One UNTIMED",
+        "warm-up pass of the whole chain at sf0.1 precedes timing (cold-JVM",
+        "codegen otherwise lands entirely on the small side and flatters the",
+        "ratios), then one timed run per side (fresh-JVM medians are the",
+        "per-round bench's job; this is the composed-chain rehearsal).",
         "",
         f"| chain stage | sf0.1 (s) | {factor}x (s) | scale-up | "
         f"per-{factor}x-row ratio |",
