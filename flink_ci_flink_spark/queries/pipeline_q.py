@@ -5927,7 +5927,10 @@ def streaming_curation_v5_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         langid_train_profiles,
     )
     from flink_ci_flink_spark.streaming import file_stream, stage_ordered_replay
-    from flink_ci_flink_spark.streaming.core import foreach_batch_upsert
+    from flink_ci_flink_spark.streaming.core import (
+        foreach_batch_upsert,
+        persist_static_side,
+    )
 
     t = load_tables(spark, sf_dir)
     docs = t.documents.select("doc_id", "lang", "source", "n_chars", "text")
@@ -5941,9 +5944,11 @@ def streaming_curation_v5_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in prof_rows:
         profile.setdefault(r.lang_profile, []).append(r.gram)
     pred, _hits = langid_serve_exprs(profile)
+    # static side of the stream-static probe: read once, cached across
+    # triggers, released after the stream stops
+    buckets = persist_static_side(spark.read.parquet(f"{base}/index"))
 
     def merge(batch_df, epoch_id: int) -> None:
-        buckets = batch_df.sparkSession.read.parquet(f"{base}/index")
         decisions = _delta_decide(
             _banded_signatures(batch_df, "text", "doc_id", 32, 8, 3),
             buckets,
@@ -5978,6 +5983,7 @@ def streaming_curation_v5_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.processAllAvailable()
     q.stop()
+    buckets.unpersist()
     rows = spark.read.parquet(f"{base}/store").dropDuplicates(["doc_id"])
     lang_ok = F.when(
         ~F.col("is_dup"), F.col("lang_pred") == F.col("lang")

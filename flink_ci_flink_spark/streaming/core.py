@@ -128,6 +128,42 @@ def foreach_batch_upsert(df: DataFrame, merge_fn, checkpoint: str):
     )
 
 
+def persist_static_side(df: DataFrame) -> DataFrame:
+    """Persist the STATIC side of a stream-static join (a model or index
+    artifact every micro-batch probes) spill-safe, so triggers after the
+    first hit the cached copy instead of re-scanning the parquet artifact
+    per trigger — on a cluster that re-scan is the dominant per-trigger
+    cost once the artifact outgrows the batch (a corpus LSH index is GBs;
+    a micro-batch is MBs). MEMORY_AND_DISK: an index bigger than executor
+    memory degrades to local-disk reads, never OOM. Pair with
+    `stop_and_unpersist` (or wrap the query in `UnpersistOnStop`) so the
+    cache is released with the stream that owns it."""
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+class UnpersistOnStop:
+    """StreamingQuery proxy that releases persisted static sides when the
+    stream that probes them stops. Everything else forwards to the real
+    query; ``stop()`` is idempotent (unpersist on an unpersisted frame is
+    a no-op)."""
+
+    def __init__(self, query, *static_sides: DataFrame) -> None:
+        self._query = query
+        self._static_sides = static_sides
+
+    def __getattr__(self, name: str):
+        return getattr(self._query, name)
+
+    def stop(self) -> None:
+        try:
+            self._query.stop()
+        finally:
+            for side in self._static_sides:
+                side.unpersist()
+
+
 def side_output(df: DataFrame, condition):
     """OutputTag analog (`ProcessFunction.Context#output`,
     `OutputTag.java`): split one DataFrame into (main, side) by a boolean
