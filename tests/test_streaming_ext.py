@@ -1558,3 +1558,59 @@ def test_tws_event_time_timers_sessionize(spark, events_stream_dir):  # noqa: F8
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_persist_static_side_released_on_stop(spark):
+    """The static side of a stream-static probe is read once, cached
+    across micro-batches, and released by the UnpersistOnStop proxy's
+    stop() — the contract `streaming_delta_dedup_ingest` and the
+    curation-v5 replay rely on (a per-trigger re-read of a GB-scale
+    index artifact is the cost the persist removes). Also pins the
+    proxy's forwarding (non-stop attributes reach the real query) and
+    stop() idempotence."""
+    import glob
+    import os
+    import tempfile
+
+    from flink_ci_flink_spark.streaming import file_stream
+    from flink_ci_flink_spark.streaming.core import (
+        UnpersistOnStop,
+        foreach_batch_upsert,
+        persist_static_side,
+    )
+
+    base = tempfile.mkdtemp(prefix="static_side_")
+    spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(10)], "k bigint, v string"
+    ).write.parquet(f"{base}/index")
+    for b in range(2):
+        spark.createDataFrame(
+            [(b * 5 + i,) for i in range(5)], "k bigint"
+        ).coalesce(1).write.parquet(f"{base}/stage{b}")
+        (part,) = glob.glob(f"{base}/stage{b}/part-*.parquet")
+        os.rename(part, f"{base}/{b:03d}.parquet")
+
+    static = persist_static_side(spark.read.parquet(f"{base}/index"))
+    seen: list[int] = []
+
+    def merge(batch_df, epoch_id):
+        seen.append(batch_df.join(static, "k").count())
+
+    q = UnpersistOnStop(
+        foreach_batch_upsert(
+            file_stream(
+                spark, base, "k bigint", max_files_per_trigger=1
+            ),
+            merge,
+            f"{base}/ckpt",
+        ),
+        static,
+    )
+    # non-stop attributes forward to the wrapped StreamingQuery
+    q.processAllAvailable()
+    assert q.id is not None
+    assert sorted(seen) == [5, 5]  # both micro-batches probed the side
+    assert static.is_cached  # cached while the stream runs
+    q.stop()
+    assert not static.is_cached  # released with the stream
+    q.stop()  # idempotent: second stop + unpersist is a no-op
