@@ -366,6 +366,11 @@ def ivf_centroids_fp(
     c = spread_small_scan(corpus).select(
         F.col(id_col).alias("__id"), quantize_fp(vec_col, scale).alias("__q")
     )
+    # Materialize the quantized vectors once: every Lloyd iteration (plus
+    # the seed collect) would otherwise re-read the embeddings parquet and
+    # re-run the quantize projection — iterations x corpus wasted scans at
+    # cluster scale (the localCheckpoint pattern `perceptron_train` cites).
+    c = c.localCheckpoint(eager=True)
     if n_cells is None:
         n_cells = max(8, int(c.count() ** 0.5))
     centroids = [
@@ -554,6 +559,10 @@ def pq_codebooks_fp(
             )
         ).alias("r"),
     ).select("__id", F.col("r.s").alias("s"), F.col("r.qs").alias("qs"))
+    # One materialization of the exploded subvector table: each codebook
+    # iteration otherwise re-reads the corpus (and, for quantized=False,
+    # re-quantizes it) — iterations x m x corpus wasted work at scale.
+    subrows = subrows.localCheckpoint(eager=True)
     for _ in range(iterations):
         cent_all = F.array(
             *[
@@ -913,6 +922,9 @@ def ivf_centroids(
     c = spread_small_scan(corpus).select(
         F.col(id_col).alias("__id"), _to_double(vec_col).alias("__v")
     )
+    # Materialize once: each Lloyd iteration below otherwise re-reads the
+    # embeddings parquet (same localCheckpoint pattern as ivf_centroids_fp).
+    c = c.localCheckpoint(eager=True)
     centroids = [
         list(r[0]) for r in c.orderBy("__id").limit(n_cells).select("__v").collect()
     ]
