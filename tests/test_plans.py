@@ -289,7 +289,17 @@ def test_executed_scans_per_table_single_pass_ops(spark):
     cross-branch exchange reuse has actually been decided."""
     from flink_ci_flink_spark.plans import executed_scans_per_table
 
-    for name in ("pipe_pmi_collocations", "pipe_text_features"):
+    # r12: pipe_jaccard_pairs / pipe_containment_pairs joined this list —
+    # in-bucket pair generation under the postings cap replaced the
+    # inverted-index self-join (whose executed plan ran FOUR documents
+    # scans: AQE broadcast one side, defeating exchange reuse) and the
+    # sizes branch plus its two join-backs.
+    for name in (
+        "pipe_pmi_collocations",
+        "pipe_text_features",
+        "pipe_jaccard_pairs",
+        "pipe_containment_pairs",
+    ):
         df = QUERIES[name].fn(spark, SF_DIR)
         df.collect()
         scans = executed_scans_per_table(df)
