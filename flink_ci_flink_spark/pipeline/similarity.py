@@ -27,6 +27,25 @@ def _to_double(arr) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def _lit_vec_long(v) -> Column:
+    """One integer vector as ONE Literal node (array<bigint>).
+
+    `F.array(*[F.lit(x).cast("long") ...])` builds len(v) Literal + Cast
+    nodes per vector; a model of K centroids x dim puts K*dim nodes into
+    EVERY plan that embeds it, and the analyzer/optimizer walk cost scales
+    with node count — measured 6.5s -> 1.3s for one 44x64-centroid
+    assignment query on otherwise-identical plans. A 1-D numpy array
+    crosses Py4J as a single array literal with the same element type and
+    values (int64 -> bigint, exact), so results are bit-identical."""
+    return F.lit(np.asarray(list(v), dtype=np.int64))
+
+
+def _lit_vec_double(v) -> Column:
+    """Float twin of `_lit_vec_long` (array<double>, values bit-exact —
+    float64 IS the double the old per-element `F.lit(float(x))` made)."""
+    return F.lit(np.asarray(list(v), dtype=np.float64))
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
@@ -94,7 +113,7 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int, table: int = 0) -> Column:
     """Sign-random-projection bucket id (0..2^n_planes-1) for one hash table."""
     bucket = F.lit(0)
     for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(table * 100 + p, dim)])
+        plane = _lit_vec_double(_hyperplane(table * 100 + p, dim))
         bit = F.when(dot(_to_double(vec), plane) >= 0, 1).otherwise(0)
         bucket = bucket * 2 + bit
     return bucket
@@ -388,6 +407,15 @@ def ivf_centroids_fp(
     # Corpus smaller than n_cells: unreachable cells would index past the
     # seed list in the `got.get(i, centroids[i])` refresh below.
     n_cells = min(n_cells, len(centroids))
+    # Collect (cell, pos, mx) straight off the (cell, pos) aggregate and
+    # assemble the per-cell arrays on the driver: the old second
+    # groupBy(cell) + sorted collect_list added an exchange per iteration
+    # only to reshape a model-sized result (n_cells x dim rows either
+    # way — guide §2.4). The mx expression is byte-identical, so
+    # centroids are bit-identical. (A dim-wide per-component F.sum
+    # aggregate was also tried and measured 3x SLOWER at dim=64 than the
+    # posexplode + narrow-agg shape — wide aggregate buffers lose to one
+    # hot codegen loop; recorded in OPTIMIZATION_r12.md.)
     for _ in range(iterations):
         cell = _np_cells_probes_int(centroids, 1)("__q").getField("cell")
         per_pos = c.select(cell.alias("cell"), F.posexplode("__q").alias("pos", "x"))
@@ -401,14 +429,17 @@ def ivf_centroids_fp(
                 / (F.lit(2.0) * F.col("cnt"))
             ).cast("long").alias("mx"),
         )
-        means = means_pp.groupBy("cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mx"))),
-                lambda s: s.mx,
-            ).alias("cv")
-        )
-        got = {r.cell: list(r.cv) for r in means.collect()}
-        centroids = [got.get(i, centroids[i]) for i in range(n_cells)]
+        got: dict[int, dict[int, int]] = {}
+        for r in means_pp.collect():
+            got.setdefault(r.cell, {})[r.pos] = r.mx
+        centroids = [
+            (
+                [got[i][p] for p in range(len(centroids[i]))]
+                if i in got
+                else centroids[i]
+            )
+            for i in range(n_cells)
+        ]
     return centroids, n_cells
 
 
@@ -575,7 +606,7 @@ def pq_codebooks_fp(
             *[
                 F.array(
                     *[
-                        F.array(*[F.lit(x).cast("long") for x in ev])
+                        _lit_vec_long(ev)
                         for ev in books[s]
                     ]
                 )
@@ -632,7 +663,7 @@ def _pq_recon_expr(books: list[list[list[int]]], qcol) -> Column:
     for s in range(m):
         ent_lit = F.array(
             *[
-                F.array(*[F.lit(x).cast("long") for x in ev])
+                _lit_vec_long(ev)
                 for ev in books[s]
             ]
         )
@@ -695,7 +726,7 @@ def ivfpq_ann_topk(
         corpus, n_cells, coarse_iterations, id_col, vec_col
     )
     cent_all = F.array(
-        *[F.array(*[F.lit(x).cast("long") for x in cv]) for cv in centroids]
+        *[_lit_vec_long(cv) for cv in centroids]
     )
     c = spread_small_scan(corpus).select(
         F.col(id_col), quantize_fp(vec_col).alias("__q")
@@ -734,7 +765,16 @@ def ivfpq_ann_topk(
         # pruning), exactly how a 100 TB code store is laid out. The probe
         # cells are a bounded collect (<= |queries| * nprobe literals), so
         # the re-read carries a literal cell filter Spark prunes on.
-        corp.write.mode("overwrite").partitionBy("cell").parquet(store_dir)
+        # Cluster by cell before the partitioned write: without it every
+        # scan task writes a file into every cell directory it touches
+        # (tasks x cells small files — measured ~32 files per cell at the
+        # local fixture); clustered, each cell's codes land in one task =
+        # one well-sized file per inverted list (guide §6 output sizing,
+        # the REBALANCE-before-write pattern). Codes are 8 bytes/vector,
+        # so the extra exchange is the cheapest in the whole pipeline.
+        corp.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(store_dir)
         probe_cells = sorted(
             {r.cell for r in qp.select("cell").distinct().collect()}
         )
@@ -763,7 +803,7 @@ def _ivfpq_score(
     int64 ADC against the cells' reconstructed codes, shortlist, exact
     re-rank against the full quantized vectors."""
     cent_all = F.array(
-        *[F.array(*[F.lit(x).cast("long") for x in cv]) for cv in centroids]
+        *[_lit_vec_long(cv) for cv in centroids]
     )
     qr = qp.withColumn(
         "__qres",
@@ -774,8 +814,15 @@ def _ivfpq_score(
         ),
     )
     w1 = Window.partitionBy(query_id_col).orderBy(F.asc("d2"), F.asc(id_col))
+    # Broadcast the QUERY side of both probe joins explicitly: qr is
+    # |Q| x nprobe rows and the shortlist |Q| x shortlist — genuinely
+    # broadcast-sized at any corpus scale — while the planner's estimate
+    # (post-ArrowEvalPython, post-localCheckpoint) picked the CORPUS as
+    # the build side (observed in the executed plan), which caps out the
+    # moment the code store outgrows memory. Guide §3.1: hint when you
+    # know a side is small; the corpus is never shuffled OR broadcast.
     short = (
-        qr.join(corp, "cell")
+        F.broadcast(qr).join(corp, "cell")
         .select(
             query_id_col,
             id_col,
@@ -788,7 +835,7 @@ def _ivfpq_score(
     )
     w2 = Window.partitionBy(query_id_col).orderBy(F.asc("d2"), F.asc(id_col))
     return (
-        short.join(c, id_col)
+        F.broadcast(short).join(c, id_col)
         .select(
             query_id_col,
             id_col,
@@ -856,8 +903,11 @@ def pq_trained_ann_topk(
     w2 = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.asc(id_col)
     )
+    # Broadcast the shortlist (|Q| x shortlist rows) into the re-rank
+    # join — the corpus side is neither shuffled nor broadcast (guide
+    # §3.1; the planner's post-UDF estimate picked the corpus build side).
     return (
-        short.join(c, id_col)
+        F.broadcast(short).join(c, id_col)
         .select(
             query_id_col,
             id_col,
@@ -879,7 +929,7 @@ def assign_cells_int_expr(vec: Column, centroids: list[list[int]]) -> Column:
     finds the first minimum), matching `_np_cells_probes_int`'s stable
     argsort and the oracle's (distance, cell) ROW_NUMBER order."""
     cent_lit = F.array(
-        *[F.array(*[F.lit(x).cast("long") for x in cv]) for cv in centroids]
+        *[_lit_vec_long(cv) for cv in centroids]
     )
     l2 = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
@@ -894,7 +944,7 @@ def _assign_cells(vec: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid cell index as a pure expression (argmin of squared
     L2 against the literal centroid array) — map-only, no join/shuffle;
     ties take the lowest cell index."""
-    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in centroids])
+    cent_lit = F.array(*[_lit_vec_double(cv) for cv in centroids])
     ds = F.transform(cent_lit, lambda cv: _l2sq(vec, cv))
     # coalesce to a provably-non-null value: when this expression feeds an
     # equi-join key, the inferred isnotnull(cell) constraint otherwise
@@ -974,14 +1024,22 @@ def ivf_centroids(
             )
         else:
             means_pp = per_pos.groupBy("cell", "pos").agg(F.avg("x").alias("mx"))
-        means = means_pp.groupBy("cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mx"))),
-                lambda s: s.mx,
-            ).alias("cv")
-        )
-        got = {r.cell: list(r.cv) for r in means.collect()}
-        centroids = [got.get(i, centroids[i]) for i in range(n_cells)]
+        # Collect (cell, pos, mx) directly and assemble per-cell arrays on
+        # the driver: the old groupBy(cell) + sorted collect_list added a
+        # second exchange per iteration only to reshape a model-sized
+        # result (n_cells x dim rows either way — guide §2.4). The mx
+        # values themselves are computed by the identical expression.
+        got_pp: dict[int, dict[int, float]] = {}
+        for r in means_pp.collect():
+            got_pp.setdefault(r.cell, {})[r.pos] = r.mx
+        centroids = [
+            (
+                [got_pp[i][p] for p in range(len(centroids[i]))]
+                if i in got_pp
+                else centroids[i]
+            )
+            for i in range(n_cells)
+        ]
     return centroids
 
 
@@ -1212,7 +1270,7 @@ def pq_encode(
     for s in range(m):
         entries = F.array(
             *[
-                F.array(*[F.lit(float(x)) for x in cv[s * sub : (s + 1) * sub]])
+                _lit_vec_double(cv[s * sub : (s + 1) * sub])
                 for cv in codebook
             ]
         )
@@ -1252,7 +1310,7 @@ def pq_ann_topk(
         *[
             F.array(
                 *[
-                    F.array(*[F.lit(float(x)) for x in cv[s * sub : (s + 1) * sub]])
+                    _lit_vec_double(cv[s * sub : (s + 1) * sub])
                     for cv in codebook
                 ]
             )
@@ -1374,7 +1432,14 @@ def knn_join(
             F.col(id_col), quantize_fp(vec_col).alias("__v")
         )
         cp = _np_cells_probes_int(centroids, nprobe)
+        # Materialize the assignment once: neigh and q are two consumers
+        # of the same kernel output meeting in a self-join, so without
+        # the checkpoint the corpus scan + Arrow assignment kernel
+        # execute twice, once per side (no exchange is shared — the
+        # sides repartition on different keys). One pass at any scale;
+        # same pattern as the trainer-input materialization.
         base = c.select(id_col, "__v", cp("__v").alias("__cp"))
+        base = base.localCheckpoint(eager=True)
         neigh = base.select(
             F.col(id_col).alias("neighbor_id"),
             F.col("__v").alias("__nv"),
@@ -1422,7 +1487,10 @@ def knn_join(
     )
     if vectorized:
         cp = _np_cells_probes(centroids, nprobe)
+        # One kernel pass for both self-join sides (see the fixed-point
+        # branch above).
         base = c.select(id_col, "__v", cp("__v").alias("__cp"))
+        base = base.localCheckpoint(eager=True)
         neigh = base.select(
             F.col(id_col).alias("neighbor_id"),
             F.col("__v").alias("__nv"),
@@ -1439,26 +1507,40 @@ def knn_join(
         )
     else:
         cent_lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in cv]) for cv in centroids]
+            *[_lit_vec_double(cv) for cv in centroids]
         )
         nds = F.transform(cent_lit, lambda cv: _l2sq(F.col("__v"), cv))
-        neigh = c.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col("__v").alias("__nv"),
-            _assign_cells(F.col("__v"), centroids).alias("cell"),
-            F.array_min(nds).alias("__celld"),
-        )
+        # ONE evaluation of the K x dim distance transform, shared by both
+        # self-join sides: `ranked`'s head element is exactly the old
+        # `_assign_cells` + `array_min` pair — array_sort on (d, idx)
+        # structs is lexicographic, so ranked[0] is the minimum distance
+        # with the LOWEST index on ties, the same argmin tie rule — and
+        # its first nprobe entries are the probe list. Materializing the
+        # sliced ranking once (localCheckpoint) replaces the two
+        # corpus-scan + distance-transform passes the separate neigh/q
+        # projections paid.
         ranked = F.array_sort(
             F.transform(
                 nds,
                 lambda d, i: F.struct(d.alias("d"), i.alias("idx")),
             )
         )
-        probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s.idx)
-        q = c.select(
+        base = c.select(
+            F.col(id_col),
+            "__v",
+            F.slice(ranked, 1, nprobe).alias("__pr"),
+        )
+        base = base.localCheckpoint(eager=True)
+        neigh = base.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("__v").alias("__nv"),
+            F.col("__pr")[0]["idx"].alias("cell"),
+            F.col("__pr")[0]["d"].alias("__celld"),
+        )
+        q = base.select(
             F.col(id_col).alias("query_id"),
             F.col("__v").alias("__qv"),
-            F.explode(probes).alias("cell"),
+            F.explode(F.transform("__pr", lambda s: s.idx)).alias("cell"),
         )
         cos_sim = F.round(cosine(F.col("__qv"), F.col("__nv")), 6)
     if cell_cap is not None:
@@ -1514,7 +1596,9 @@ def hard_negatives(
         F.col(id_col), F.col(label_col), quantize_fp(vec_col).alias("__v")
     )
     cp = _np_cells_probes_int(centroids, nprobe)
+    # One kernel pass for both self-join sides (see knn_join).
     base = c.select(id_col, label_col, "__v", cp("__v").alias("__cp"))
+    base = base.localCheckpoint(eager=True)
     neigh = base.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),
@@ -1584,7 +1668,7 @@ def streaming_ivfpq_ingest(
     from flink_ci_flink_spark.streaming.core import foreach_batch_upsert
 
     cent_all = F.array(
-        *[F.array(*[F.lit(x).cast("long") for x in cv]) for cv in centroids]
+        *[_lit_vec_long(cv) for cv in centroids]
     )
 
     def merge(batch_df, epoch_id: int) -> None:
@@ -1732,7 +1816,7 @@ def random_projection(
     v = _to_double(vec_col)
     outs = [
         (
-            dot(v, F.array(*[F.lit(x) for x in _hyperplane(seed + k, dim)]))
+            dot(v, _lit_vec_double(_hyperplane(seed + k, dim)))
             * F.lit(scale)
         ).alias(f"p{k}")
         for k in range(out_dim)

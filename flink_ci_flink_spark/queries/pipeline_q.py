@@ -1007,9 +1007,10 @@ def streaming_ivfpq_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = t.embeddings.select("vec_id", "embedding")
     # offline training — identical to ivfpq_ann_topk(coarse_iterations=2)
     centroids, _ = ivf_centroids_fp(emb, None, 2)
-    cent_all = F.array(
-        *[F.array(*[F.lit(x).cast("long") for x in cv]) for cv in centroids]
-    )
+    from flink_ci_flink_spark.pipeline.similarity import _lit_vec_long
+
+    # one Literal node per centroid (see similarity._lit_vec_long)
+    cent_all = F.array(*[_lit_vec_long(cv) for cv in centroids])
     c = emb.select(F.col("vec_id"), quantize_fp("embedding").alias("__q"))
     cp = _np_cells_probes_int(centroids, 1)
     resid = (
