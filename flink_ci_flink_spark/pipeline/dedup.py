@@ -446,7 +446,13 @@ def simhash(
     """SimHash signature per document (bitwise majority of token hashes).
 
     Relational formulation: explode distinct tokens → per-(doc, bit) majority
-    vote → fold bits. Scales as n_tokens × bits with ordinary shuffles."""
+    vote → fold bits. Scales as n_tokens × bits with ordinary shuffles.
+
+    (Deliberately NOT spread_small_scan'd: measured at sf0.1, spreading
+    the scan made the op 10% slower wall and +65% CPU — the word-tokenize
+    map here is cheap enough that the repartition shuffle of full text
+    plus 32-way partial-agg overhead outweighs the parallelism, unlike
+    the char-trigram paths where spreading won 2.6x.)"""
     toks = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
@@ -986,41 +992,52 @@ def simhash_band_pairs(
         ).withColumn("ms", F.slice("ms", 1, max_bucket))
     else:
         groups = groups.withColumn("tail", F.slice(F.col("ms"), 1, 0))
+    # Verify INSIDE the pair generation: the old shape materialized every
+    # in-bucket combination as a (id_a, id_b, sig_a, sig_b) struct —
+    # measured ~6.9M structs at sf0.1 (bucket skew: the hottest of the
+    # 4x256 band keys held 2,125 of 5,000 docs), with a capped hot bucket
+    # alone contributing max_bucket^2/2 structs IN ONE ARRAY ROW before
+    # the explode — then filtered by hamming after. Filtering each
+    # candidate with the same bit_count(xor) predicate BEFORE the struct
+    # is built keeps only survivors in the arrays (the xor itself is a
+    # cheap codegen'd long op), shrinking the explode input from
+    # O(bucket^2) structs to the matched set. Same pairs, same hamming
+    # values, same distinct — results identical.
+    def _ham(x, y):
+        return F.bit_count(x["sig"].bitwiseXOR(y["sig"]))
+
     combos = F.flatten(
         F.transform(
             F.col("ms"),
             lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                F.filter(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda y: _ham(x, y) <= max_hamming,
+                ),
                 lambda y: F.struct(
                     x["id"].alias("id_a"),
                     y["id"].alias("id_b"),
-                    x["sig"].alias("sig_a"),
-                    y["sig"].alias("sig_b"),
+                    _ham(x, y).cast("long").alias("hamming"),
                 ),
             ),
         )
     )
     rep = F.element_at(F.col("ms"), 1)
     rep_tail = F.transform(
-        F.col("tail"),
+        F.filter(F.col("tail"), lambda y: _ham(rep, y) <= max_hamming),
         lambda y: F.struct(
             rep["id"].alias("id_a"),
             y["id"].alias("id_b"),
-            rep["sig"].alias("sig_a"),
-            y["sig"].alias("sig_b"),
+            _ham(rep, y).cast("long").alias("hamming"),
         ),
     )
     pairs = groups.select(F.explode(F.concat(combos, rep_tail)).alias("p"))
-    ham = F.bit_count(F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b"))).cast(
-        "long"
-    )
     return (
         pairs.select(
             F.col("p.id_a").alias("id_a"),
             F.col("p.id_b").alias("id_b"),
-            ham.alias("hamming"),
+            F.col("p.hamming").alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
 

@@ -1056,7 +1056,11 @@ def langid_train_profiles(
     the public method is the n-gram profile of Cavnar & Trenkle 1994."""
     from pyspark.sql import Window
 
-    grams = df.select(
+    from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
+
+    # spread first: lower-casing + trigram windowing over every char is
+    # the CPU-hot map work, and a small parquet scans as one partition
+    grams = spread_small_scan(df).select(
         F.col(lang_col).alias("lang_profile"),
         F.explode(char_trigrams(text_col)).alias("gram"),
     )
@@ -1088,7 +1092,10 @@ def langid_predict(
     the streaming twin reuses per micro-batch."""
     from pyspark.sql import Window
 
-    grams = df.select(
+    from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
+
+    # spread the serve-side trigram transform too (see langid_train_profiles)
+    grams = spread_small_scan(df).select(
         F.col(id_col), F.explode(char_trigrams(text_col)).alias("gram")
     )
     hits = (
