@@ -86,8 +86,13 @@ def perceptron_train(
     job), weights updated on the driver (a k-integer model, the legitimate
     broadcast-sized collect). Returns ``w`` with ``len(w) == len(features)``.
     """
+    from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
+
     k = len(features)
-    feat = docs.select(
+    # spread before the regex feature extraction (the CPU-hot map work;
+    # a small parquet scans as one partition — measured ~25% on the
+    # 3-iteration train at sf0.1, weights identical)
+    feat = spread_small_scan(docs).select(
         *[f.alias(f"x{i}") for i, f in enumerate(features)],
         label.cast("long").alias("y"),
     )
@@ -125,6 +130,10 @@ def perceptron_score(
     pred) with pred = +1 iff score > 0 (ties negative, matching the
     margin <= 0 misclassification rule used in training)."""
     k = len(features)
+    # NOT spread: the score projection's output typically feeds several
+    # branches of a composite (gate + aggregate) — measured at sf0.1,
+    # spreading this scan doubled pipe_e2e_curation_v3's wall time
+    # (5.3s -> 11.0s), while spreading the train side alone is a win.
     feat = docs.select(
         F.col(id_col), *[f.alias(f"x{i}") for i, f in enumerate(features)]
     )
