@@ -587,6 +587,13 @@ def jaccard_pairs_prefix(
         - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
         + 1
     ).select(id_col, "shingle", "__df", "__pos", "n_sh")
+    # Materialize the prefix index once: the a/b candidate self-join
+    # otherwise executes the whole tokenize + shingle + three-window
+    # ranking pipeline per side (no exchange is reused across the two
+    # join inputs in the executed plan). The prefix table is the SMALL
+    # end of the index — |S| - ceil(t|S|) + 1 rows per doc — so this is
+    # the AllPairs "build the index once" step, not a corpus cache.
+    prefix = prefix.localCheckpoint(eager=True)
     a = prefix.select(
         F.col(id_col).alias("id_a"), "shingle", "__df",
         F.col("__pos").alias("__pa"), F.col("n_sh").alias("__na"),
