@@ -31,12 +31,26 @@ LAST_CC_STATS: dict = {}
 
 
 def undirect(edges: DataFrame) -> DataFrame:
-    """Add reversed edges (undirected interpretation)."""
-    rev = edges.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst"),
-        *[c for c in edges.columns if c not in ("src", "dst")],
+    """Add reversed edges (undirected interpretation).
+
+    Single-pass formulation: each input row explodes into its forward and
+    reversed twin. The union-with-self form this replaces executed the
+    edge list's upstream TWICE past the last reusable exchange — for an
+    expensive edge construction (e.g. the jaccard similarity join) that
+    was a full extra pass over the pair aggregation at any scale (the
+    same fix `containment_pairs` got for its fwd/rev union)."""
+    cols = edges.columns
+    extra = [c for c in cols if c not in ("src", "dst")]
+    fwd = F.struct(F.col("src"), F.col("dst"))
+    rev = F.struct(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.select(
+        F.explode(F.array(fwd, rev)).alias("__e"), *[F.col(c) for c in extra]
+    ).select(
+        *[
+            F.col(f"__e.{c}") if c in ("src", "dst") else F.col(c)
+            for c in cols
+        ]
     )
-    return edges.unionByName(rev)
 
 
 def _maybe_checkpoint(df: DataFrame, i: int) -> DataFrame:
@@ -68,22 +82,32 @@ def connected_components(
     LAST_CC_STATS.update({"supersteps": 0, "superstep_secs": []})
     for i in range(max_iter):
         _t0 = _time.perf_counter()
-        msgs = (
-            e.join(labels, e.src == labels.id)
-            .select(F.col("dst").alias("id"), F.col("component"))
-            .groupBy("id")
-            .agg(F.min("component").alias("nbr_min"))
+        # Self-rows union neighbor-messages into ONE aggregation: min(val)
+        # is least(old component, min over neighbors) and max(old) recovers
+        # the unique self row's previous component for the changed flag —
+        # so the superstep is one join + one groupBy (the old shape joined
+        # labels TWICE: once to send messages, once to merge them back,
+        # i.e. an extra vertex-table exchange per superstep at any scale).
+        nbr = e.join(labels, e.src == labels.id).select(
+            F.col("dst").alias("id"),
+            F.lit(None).cast(labels.schema["component"].dataType).alias("old"),
+            F.col("component").alias("val"),
         )
-        upd = F.least(
-            F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+        self_rows = labels.select(
+            "id", F.col("component").alias("old"), F.col("component").alias("val")
         )
         # carry the changed flag in-row: the convergence probe is then a
         # plain filter over the checkpointed partitions instead of a
         # labels-vs-new-labels join (one shuffle less per superstep)
-        new_labels = labels.join(msgs, "id", "left").select(
-            "id",
-            upd.alias("component"),
-            (upd != F.col("component")).alias("__changed"),
+        new_labels = (
+            self_rows.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("val").alias("component"), F.max("old").alias("old"))
+            .select(
+                "id",
+                "component",
+                (F.col("component") != F.col("old")).alias("__changed"),
+            )
         )
         new_labels = _maybe_checkpoint(new_labels, i)
         changed = new_labels.filter(F.col("__changed")).limit(1).count()

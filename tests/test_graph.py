@@ -389,3 +389,42 @@ def test_triangle_listing_and_edge_metrics_vs_bruteforce(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     z = edge_metrics(empty).collect()[0]
     assert tuple(z) == (0, 0, 0, 0)
+
+
+def test_undirect_single_pass_plan(spark, toy_graph):
+    """r12 optimization: `undirect` must be a single-branch explode, not a
+    union-with-self — the union form executed an expensive edge upstream
+    twice past the last reusable exchange (measured: the jaccard pair
+    aggregation ran once per union branch in graph_dedup_clusters)."""
+    from flink_ci_flink_spark.graph import undirect
+
+    _, edges = toy_graph
+    und = undirect(edges)
+    plan = und._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan, plan
+    # rows are unchanged vs the union formulation
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    want = sorted(map(tuple, edges.unionByName(rev).collect()))
+    assert sorted(map(tuple, und.collect())) == want
+    # extra columns ride through with their values intact
+    w = edges.withColumn("weight", F.col("src") + F.col("dst"))
+    got = sorted(map(tuple, undirect(w).collect()))
+    want_w = sorted(
+        [(s, d, x) for s, d, x in [(r.src, r.dst, r.weight) for r in w.collect()]]
+        + [(d, s, x) for s, d, x in [(r.src, r.dst, r.weight) for r in w.collect()]]
+    )
+    assert got == want_w
+
+
+def test_cc_superstep_single_join(spark, toy_graph):
+    """r12 optimization: each CC superstep is ONE join + ONE aggregation
+    (self-rows unioned with neighbor messages), not the old
+    join-aggregate-join shape that exchanged the vertex table twice per
+    superstep. Pinned via the superstep plan assembled exactly as
+    connected_components builds it."""
+    from flink_ci_flink_spark.graph import connected_components, undirect
+
+    vertices, edges = toy_graph
+    # semantics unchanged on a graph with an isolated vertex
+    got = {r.id: r.component for r in connected_components(vertices, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 20: 20}
