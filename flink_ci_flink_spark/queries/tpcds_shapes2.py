@@ -591,31 +591,34 @@ def tpcds_dual_rank_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpcds_anti_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q78 shape: activity on (part, customer) pairs that have NEVER
-    had a return — the fact LEFT ANTI joined against its own returned
-    slice on a compound key — then the 1997/1996 spend ratio per
-    surviving pair. The anti side carries only the key columns through
-    its shuffle; the year pivot is fused into one conditional aggregate
-    (q78's CTE-per-year self-join, decorrelated)."""
+    had a return, then the 1997/1996 spend ratio per surviving pair. The
+    NOT EXISTS is decorrelated all the way into the pivot aggregation
+    itself (a per-group conditional max over the return flag) — one pass
+    over the fact join instead of the earlier anti-join against a second
+    scan of the same join; the year pivot is fused into the same
+    conditional aggregate (q78's CTE-per-year self-join, decorrelated).
+    Anti-join operator coverage lives in `tpcds_shape_exists_not_exists`
+    / `tpch_q21/q22` / `window_dedup`, which keep the join form."""
     t = load_tables(spark, sf_dir)
     cents = _CENT(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     li = t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
-    returned_keys = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select(F.col("l_partkey").alias("pk"), F.col("o_custkey").alias("ck"))
-        .distinct()
-    )
     yr = F.year("o_orderdate")
-    no_ret = (
+    # The NOT EXISTS anti-join is folded into the pivot aggregation as a
+    # conditional max: a (pk, ck) group survives iff NO line in it ever
+    # carried returnflag 'R' — exactly the set the anti-join kept, but in
+    # ONE pass over the fact join (was: the lineitem x orders join built
+    # twice — once for the returned-key set, once for the anti probe —
+    # i.e. 2 scans of each fact + a distinct + an anti-join shuffle;
+    # guide §2.4 remove shuffles outright).
+    return (
         li.select(
             F.col("l_partkey").alias("pk"),
             F.col("o_custkey").alias("ck"),
             yr.alias("yr"),
             cents.alias("cents"),
+            F.col("l_returnflag"),
         )
-        .join(returned_keys, ["pk", "ck"], "left_anti")
-    )
-    return (
-        no_ret.groupBy("pk", "ck")
+        .groupBy("pk", "ck")
         .agg(
             F.sum(F.when(F.col("yr") == 1996, F.col("cents")).otherwise(0)).alias(
                 "cents_1996"
@@ -623,8 +626,15 @@ def tpcds_anti_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("yr") == 1997, F.col("cents")).otherwise(0)).alias(
                 "cents_1997"
             ),
+            F.max(
+                F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+            ).alias("__any_ret"),
         )
-        .filter((F.col("cents_1996") > 0) & (F.col("cents_1997") > 0))
+        .filter(
+            (F.col("__any_ret") == 0)
+            & (F.col("cents_1996") > 0)
+            & (F.col("cents_1997") > 0)
+        )
         .select(
             "pk",
             "ck",
