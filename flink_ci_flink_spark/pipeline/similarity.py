@@ -783,8 +783,13 @@ def ivfpq_ann_topk(
             .filter(F.col("cell").isin(probe_cells))
             .select(id_col, F.col("cell").cast("int").alias("cell"), "__rr")
         )
+    # Re-rank against the quantized vectors already materialized on the
+    # resid checkpoint (it carries __q) instead of the original `c`
+    # lineage — one fewer corpus scan + quantize projection per query
+    # execution (the re-rank values are byte-identical by construction).
     return _ivfpq_score(
-        corp, c, qp, centroids, shortlist, k, id_col, query_id_col
+        corp, resid.select(id_col, "__q"), qp, centroids, shortlist, k,
+        id_col, query_id_col,
     )
 
 
