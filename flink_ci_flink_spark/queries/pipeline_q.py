@@ -3869,6 +3869,12 @@ def pipe_e2e_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(1)
     ).otherwise(F.lit(-1))
     w = perceptron_train(t.documents, text_feature_exprs(), label, iterations=3)
+    # NOT checkpointed, deliberately (r12 negative result): the scored
+    # projection feeds four consumers, but materializing it (spread or
+    # not) measured worse at sf0.1 — warm-run CPU +25%, wall flat — than
+    # letting the duplicate single-partition regex branches execute in
+    # parallel inside one job. At 100 TB-class inputs revisit: four full
+    # corpus regex passes would dominate a narrow (id, score) checkpoint.
     scored = perceptron_score(t.documents, text_feature_exprs(), w).select(
         "doc_id", "score"
     )
@@ -4517,6 +4523,9 @@ def pipe_e2e_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(1)
     ).otherwise(F.lit(-1))
     w = perceptron_train(t.documents, text_feature_exprs(), label, iterations=3)
+    # NOT checkpointed (same r12 negative result as v3's scored
+    # projection: materializing measured worse at sf0.1 than the lazy
+    # parallel branches)
     mscored = perceptron_score(t.documents, text_feature_exprs(), w).select(
         "doc_id", F.col("score").alias("mscore")
     )
@@ -5790,11 +5799,26 @@ def pipe_e2e_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t.documents.select("doc_id", "lang", "source", "n_chars", "text")
     is_shard = F.col("source").isin("src0", "src1")
     decisions = delta_dedup(docs, is_shard, min_agree=16)
-    dup_shard = decisions.filter(F.col("verdict") == "drop").select("doc_id")
+    # Materialize the dropped-id set once: the lazy decision lineage (the
+    # shard banding + index probe join) otherwise re-executes for EVERY
+    # downstream consumer — langid_predict reads post_dedup through two
+    # branches, the gate added a third, and the accounting join a fourth
+    # (executed plan: documents:7 for this query). The dropped ids are a
+    # duplicate-shard-sized projection, the natural small end.
+    dup_shard = (
+        decisions.filter(F.col("verdict") == "drop")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
     post_dedup = docs.join(dup_shard, "doc_id", "left_anti")
     profiles = langid_train_profiles(docs.filter(~is_shard), top_k=50)
     pred = langid_predict(post_dedup, profiles)
-    gated = post_dedup.join(pred.select("doc_id", "lang_pred"), "doc_id").select(
+    # the gate needs only (id, lang): pred's ids ARE post_dedup's ids, so
+    # joining pred back to the base table's lang column avoids a third
+    # execution of the anti-join lineage (one cheap scan, no re-shingle)
+    gated = pred.select("doc_id", "lang_pred").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select(
         "doc_id", (F.col("lang_pred") == F.col("lang")).alias("lang_ok")
     )
     acct = (
