@@ -216,10 +216,18 @@ def tpcds_frequent_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row broadcast; both filters apply as semi-joins."""
     t = load_tables(spark, sf_dir)
     cents = _CENT(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # Materialize the per-customer spend aggregate once: the scalar max
+    # and the best-customer filter both consume it, and Catalyst does not
+    # reuse the aggregation exchange across the broadcast boundary — the
+    # fact join otherwise executes twice (executed scans lineitem 4 -> 3,
+    # orders 3 -> 2; the remaining three lineitem roles are semantically
+    # distinct: spend, frequency, detail). Customer-cardinality rows of
+    # (key, long) — the small end, like the trainers' model collects.
     spend = (
         t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_custkey")
         .agg(F.sum(cents).alias("spend_cents"))
+        .localCheckpoint(eager=True)
     )
     max_spend = spend.agg(F.max("spend_cents").alias("max_spend"))
     best = (

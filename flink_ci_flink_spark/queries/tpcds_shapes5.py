@@ -211,9 +211,10 @@ def tpcds_week_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar shift): per (year, ISO week) conditional-sum pivot of revenue
     into weekday columns, week w of 1997 joined to week w of 1998, keeping
     weeks whose Sunday revenue grew. Weeks 2-50 only, so ISO-week/calendar-
-    year boundary rows can't differ between engines. The pivot is one
-    partial-aggregable groupBy on ~100 (yr, wk) groups; the calendar join
-    is key-local. Ref: `TpcdsTestProgram.java:57-69` (variants 2, 59)."""
+    year boundary rows can't differ between engines. Both years pivot out
+    of ONE partial-aggregable week-keyed groupBy (presence flags replace
+    the calendar self-join — one fact pass instead of two). Ref:
+    `TpcdsTestProgram.java:57-69` (variants 2, 59)."""
     t = load_tables(spark, sf_dir)
     li = (
         t.lineitem.join(
@@ -232,30 +233,42 @@ def tpcds_week_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    def dsum(d, name):
+    # The calendar self-join is folded into ONE week-keyed pivot: the
+    # (yr, wk) aggregate was keyed 1:1 per year slice, so joining week w
+    # of 1997 to week w of 1998 equals pivoting both years' weekday sums
+    # into one row and keeping weeks present in BOTH years (presence =
+    # conditional max over the year). The two filtered aggregate branches
+    # otherwise re-executed the fact join (executed scans lineitem:2,
+    # orders:2 -> 1 each; guide §2.4).
+    def dsum(y, d, name):
         return (
-            F.sum(F.when(F.col("dow") == d, F.col("cents")).otherwise(F.lit(0)))
+            F.sum(
+                F.when(
+                    (F.col("yr") == y) & (F.col("dow") == d), F.col("cents")
+                ).otherwise(F.lit(0))
+            )
             .cast("long")
             .alias(name)
         )
 
-    wkagg = li.groupBy("yr", "wk").agg(
-        dsum(1, "sun"), dsum(2, "mon"), dsum(7, "sat")
+    def present(y, name):
+        return F.max(
+            F.when(F.col("yr") == y, F.lit(1)).otherwise(F.lit(0))
+        ).alias(name)
+
+    wk_pivot = li.groupBy("wk").agg(
+        dsum(1997, 1, "sun1"), dsum(1998, 1, "sun2"),
+        dsum(1997, 2, "mon1"), dsum(1998, 2, "mon2"),
+        dsum(1997, 7, "sat1"), dsum(1998, 7, "sat2"),
+        present(1997, "__a"), present(1998, "__b"),
     )
-    a = wkagg.filter(F.col("yr") == 1997).alias("a")
-    b = wkagg.filter(F.col("yr") == 1998).alias("b")
     return (
-        a.join(b, F.col("a.wk") == F.col("b.wk"))
-        .filter(F.col("b.sun") > F.col("a.sun"))
-        .select(
-            F.col("a.wk").alias("wk"),
-            F.col("a.sun").alias("sun1"),
-            F.col("b.sun").alias("sun2"),
-            F.col("a.mon").alias("mon1"),
-            F.col("b.mon").alias("mon2"),
-            F.col("a.sat").alias("sat1"),
-            F.col("b.sat").alias("sat2"),
+        wk_pivot.filter(
+            (F.col("__a") == 1)
+            & (F.col("__b") == 1)
+            & (F.col("sun2") > F.col("sun1"))
         )
+        .select("wk", "sun1", "sun2", "mon1", "mon2", "sat1", "sat2")
         .orderBy("wk")
     )
 
@@ -398,35 +411,53 @@ def tpcds_yoy_net_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q75 shape (year-over-year decline NET OF RETURNS): per-brand
     yearly quantity/revenue where returned lines SUBTRACT (q75's
     sales-minus-returns union folded into one signed conditional
-    aggregate), year 1997 self-joined to 1998 keeping brands whose net
-    quantity declined. One partial-aggregable groupBy on (brand, year);
-    the decline join is key-local on the small brand set. Ref:
+    aggregate), and both years pivoted out of ONE brand-keyed aggregate
+    (presence flags replace the decline self-join — one fact pass instead
+    of two) keeping brands whose net quantity declined. Ref:
     `TpcdsTestProgram.java:57-69` (variants 75, 74)."""
     t = load_tables(spark, sf_dir)
     qty = F.col("l_quantity").cast("long")
     cents = _CENT(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     sign = F.when(F.col("l_returnflag") == "R", F.lit(-1)).otherwise(F.lit(1))
-    net = (
+    # Year self-join folded into ONE brand-keyed pivot (the (brand, yr)
+    # aggregate is 1:1 per year slice, so the decline join equals pivoting
+    # both years into one row and keeping brands present in both years) —
+    # the two filtered branches otherwise re-executed the three-table fact
+    # join (executed scans lineitem/orders:2 -> 1 each; guide §2.4).
+    yr = F.year("o_orderdate")
+
+    def ysum(y, expr, name):
+        return (
+            F.sum(F.when(yr == y, expr).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(name)
+        )
+
+    def present(y, name):
+        return F.max(F.when(yr == y, F.lit(1)).otherwise(F.lit(0))).alias(name)
+
+    pivot = (
         t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(t.part, F.col("p_partkey") == F.col("l_partkey"))
-        .filter(F.year("o_orderdate").isin(1997, 1998))
-        .groupBy("p_brand", F.year("o_orderdate").cast("long").alias("yr"))
+        .filter(yr.isin(1997, 1998))
+        .groupBy("p_brand")
         .agg(
-            F.sum(sign * qty).cast("long").alias("net_qty"),
-            F.sum(sign * cents).cast("long").alias("net_cents"),
+            ysum(1997, sign * qty, "qty1"),
+            ysum(1998, sign * qty, "qty2"),
+            ysum(1997, sign * cents, "cents1"),
+            ysum(1998, sign * cents, "cents2"),
+            present(1997, "__a"),
+            present(1998, "__b"),
         )
     )
-    a = net.filter(F.col("yr") == 1997).alias("a")
-    b = net.filter(F.col("yr") == 1998).alias("b")
     return (
-        a.join(b, F.col("a.p_brand") == F.col("b.p_brand"))
-        .filter(F.col("b.net_qty") < F.col("a.net_qty"))
+        pivot.filter(
+            (F.col("__a") == 1)
+            & (F.col("__b") == 1)
+            & (F.col("qty2") < F.col("qty1"))
+        )
         .select(
-            F.col("a.p_brand").alias("brand"),
-            F.col("a.net_qty").alias("qty1"),
-            F.col("b.net_qty").alias("qty2"),
-            F.col("a.net_cents").alias("cents1"),
-            F.col("b.net_cents").alias("cents2"),
+            F.col("p_brand").alias("brand"), "qty1", "qty2", "cents1", "cents2"
         )
         .orderBy("brand")
     )

@@ -122,38 +122,34 @@ def tpcds_cumulative_channel_compare(spark: SparkSession, sf_dir: str) -> DataFr
         .orderBy("ym")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    pc = (
-        sales.filter("is_pri")
-        .groupBy("brand", "ym")
-        .agg(F.sum("cents").alias("c"))
-        .select("brand", "ym", F.sum("c").over(w_cum).alias("pcum"))
+    # Both channels pivot out of ONE (brand, month) aggregation — the two
+    # filtered branches otherwise re-executed the three-table fact join
+    # (executed scans lineitem/orders:2 -> 1 each), and the full-outer
+    # month-alignment join disappears because the pivot row set IS the
+    # union of both channels' months. The carried-forward-NULL semantics
+    # (a channel's cumulative is NULL until its first sale) are kept by
+    # guarding the running sum with a running presence max: before the
+    # first channel row the guard is 0 and the value NULL, exactly the
+    # q51 MAX-carry-forward behavior the join produced.
+    pivot = sales.groupBy("brand", "ym").agg(
+        F.sum(F.when(F.col("is_pri"), F.col("cents")).otherwise(F.lit(0))).alias(
+            "pc"
+        ),
+        F.sum(
+            F.when(~F.col("is_pri"), F.col("cents")).otherwise(F.lit(0))
+        ).alias("sc"),
+        F.max(F.when(F.col("is_pri"), 1).otherwise(0)).alias("pa"),
+        F.max(F.when(~F.col("is_pri"), 1).otherwise(0)).alias("sa"),
     )
-    sc = (
-        sales.filter("NOT is_pri")
-        .groupBy("brand", "ym")
-        .agg(F.sum("cents").alias("c"))
-        .select("brand", "ym", F.sum("c").over(w_cum).alias("scum"))
-    )
-    j = (
-        pc.alias("p")
-        .join(
-            sc.alias("s"),
-            (F.col("p.brand") == F.col("s.brand"))
-            & (F.col("p.ym") == F.col("s.ym")),
-            "full_outer",
-        )
-        .select(
-            F.coalesce(F.col("p.brand"), F.col("s.brand")).alias("brand"),
-            F.coalesce(F.col("p.ym"), F.col("s.ym")).alias("ym"),
-            F.col("p.pcum").alias("pcum"),
-            F.col("s.scum").alias("scum"),
-        )
-    )
-    filled = j.select(
+    filled = pivot.select(
         "brand",
         "ym",
-        F.max("pcum").over(w_cum).alias("cum_pri"),
-        F.max("scum").over(w_cum).alias("cum_std"),
+        F.when(
+            F.max("pa").over(w_cum) == 1, F.sum("pc").over(w_cum)
+        ).alias("cum_pri"),
+        F.when(
+            F.max("sa").over(w_cum) == 1, F.sum("sc").over(w_cum)
+        ).alias("cum_std"),
     )
     return filled.filter(F.col("cum_pri") > F.col("cum_std")).orderBy(
         "brand", "ym"
@@ -202,11 +198,11 @@ def tpcds_cumulative_channel_compare(spark: SparkSession, sf_dir: str) -> DataFr
 def tpcds_mega_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q64 shape: the mega-join — six dimension joins on one fact
     scan with nation playing TWO roles (customer's and supplier's), fused
-    per (customer, brand, year), then the fact chain self-joined across
-    consecutive years keeping (customer, brand) pairs whose average unit
-    price declined — `cents_97 * qty_96 < cents_96 * qty_97`
-    cross-multiplied so no division ever materializes. All dims broadcast;
-    the self-join shuffles once on (custkey, brand). Ref:
+    per (customer, brand, year), with both years pivoted out of ONE
+    (customer, brand) aggregate (presence flags replace the
+    consecutive-year self-join) keeping pairs whose average unit price
+    declined — `cents_97 * qty_96 < cents_96 * qty_97` cross-multiplied
+    so no division ever materializes. All dims broadcast. Ref:
     `TpcdsTestProgram.java:57-69` (variant 64)."""
     t = load_tables(spark, sf_dir)
     cn = t.nation.select(
@@ -233,37 +229,59 @@ def tpcds_mega_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").cast("long").alias("qty"),
         )
     )
-    agg = sales.groupBy("custkey", "brand", "yr").agg(
-        F.min("cust_nation").alias("cust_nation"),
-        F.min("supp_nation").alias("first_supp_nation"),
-        F.sum("cents").cast("long").alias("cents"),
-        F.sum("qty").cast("long").alias("qty"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    a, b = agg.alias("a"), agg.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.custkey") == F.col("b.custkey"))
-            & (F.col("a.brand") == F.col("b.brand"))
-            & (F.col("a.yr") == 1996)
-            & (F.col("b.yr") == 1997),
+    # The consecutive-year self-join folds into ONE (customer, brand)
+    # pivot — the (custkey, brand, yr) aggregate was 1:1 per year slice,
+    # so the join equals year-conditional aggregates plus presence flags
+    # (the two branches otherwise re-executed the whole six-join fact
+    # chain: executed scans lineitem/orders:2 -> 1 each; guide §2.4).
+    yr = F.col("yr")
+
+    def ysum(y, col, name):
+        return (
+            F.sum(F.when(yr == y, F.col(col)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(name)
         )
-        .filter(
-            F.col("b.cents") * F.col("a.qty") < F.col("a.cents") * F.col("b.qty")
+
+    def ymin(y, col, name):
+        return F.min(F.when(yr == y, F.col(col))).alias(name)
+
+    pivot = sales.groupBy("custkey", "brand").agg(
+        ymin(1996, "cust_nation", "cust_nation"),
+        ymin(1996, "supp_nation", "supp_nation_y1"),
+        ymin(1997, "supp_nation", "supp_nation_y2"),
+        ysum(1996, "cents", "cents_y1"),
+        ysum(1997, "cents", "cents_y2"),
+        ysum(1996, "qty", "qty_y1"),
+        ysum(1997, "qty", "qty_y2"),
+        F.sum(F.when(yr == 1996, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_y1"),
+        F.sum(F.when(yr == 1997, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_y2"),
+    )
+    return (
+        pivot.filter(
+            (F.col("n_y1") > 0)
+            & (F.col("n_y2") > 0)
+            & (
+                F.col("cents_y2") * F.col("qty_y1")
+                < F.col("cents_y1") * F.col("qty_y2")
+            )
         )
         .select(
-            F.col("a.custkey").alias("custkey"),
-            F.col("a.brand").alias("brand"),
-            F.col("a.cust_nation").alias("cust_nation"),
-            F.col("a.first_supp_nation").alias("supp_nation_y1"),
-            F.col("b.first_supp_nation").alias("supp_nation_y2"),
-            F.col("a.cents").alias("cents_y1"),
-            F.col("b.cents").alias("cents_y2"),
-            F.col("a.qty").alias("qty_y1"),
-            F.col("b.qty").alias("qty_y2"),
-            F.col("a.n").alias("n_y1"),
-            F.col("b.n").alias("n_y2"),
+            "custkey",
+            "brand",
+            "cust_nation",
+            "supp_nation_y1",
+            "supp_nation_y2",
+            "cents_y1",
+            "cents_y2",
+            "qty_y1",
+            "qty_y2",
+            "n_y1",
+            "n_y2",
         )
         .orderBy("custkey", "brand")
     )
@@ -300,10 +318,11 @@ def tpcds_mega_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpcds_channel_ratio_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q78 shape: per-(customer, year) cross-channel ratio that
-    RETAINS null-channel rows — the LEFT JOIN keeps customers with zero
-    standard-channel sales (an inner join silently drops exactly the
-    customers q78 exists to find), the ratio coalesces the missing side,
-    and the nullable std_qty/std_cents columns survive to the output.
+    RETAINS null-channel rows — customers with zero standard-channel sales
+    keep their row with NULLed std columns (an inner join would silently
+    drop exactly the customers q78 exists to find); both channels pivot
+    out of one aggregate with presence flags reproducing the LEFT JOIN's
+    null semantics, and the ratio coalesces the missing side.
     Ratio is one division of exact integers (correctly-rounded, so
     hash-identical across engines). Ref: `TpcdsTestProgram.java:57-69`
     (variant 78)."""
@@ -312,43 +331,49 @@ def tpcds_channel_ratio_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.orders, F.col("l_orderkey") == F.col("o_orderkey")
     )
 
-    def channel(pred):
-        return (
-            joined.filter(pred)
-            .groupBy(
-                F.col("o_custkey").alias("custkey"),
-                F.year("o_orderdate").cast("long").alias("yr"),
-            )
-            .agg(
-                F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
-                F.sum(_CENT()).cast("long").alias("cents"),
-            )
-        )
-
-    pri = channel(F.col("o_orderpriority").isin(*_PRI))
-    std = channel(~F.col("o_orderpriority").isin(*_PRI))
-    p, s = pri.alias("p"), std.alias("s")
+    # Both channels pivot out of ONE (customer, year) aggregation — the
+    # complementary-filter branches otherwise re-executed the fact join
+    # (executed scans lineitem/orders:2 -> 1 each). The LEFT JOIN's
+    # null-channel semantics are reproduced with presence flags: a row
+    # surfaces iff the priority channel exists (the left side), and the
+    # standard-channel columns are NULLed when that channel has no rows —
+    # exactly the nullable std_qty/std_cents the join emitted.
+    is_pri = F.col("o_orderpriority").isin(*_PRI)
+    qty = F.col("l_quantity").cast("long")
+    pivot = joined.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+    ).agg(
+        F.sum(F.when(is_pri, qty).otherwise(F.lit(0))).cast("long").alias("pq"),
+        F.sum(F.when(is_pri, _CENT()).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("pcents"),
+        F.sum(F.when(~is_pri, qty).otherwise(F.lit(0))).cast("long").alias("sq"),
+        F.sum(F.when(~is_pri, _CENT()).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("scents"),
+        F.max(F.when(is_pri, 1).otherwise(0)).alias("pa"),
+        F.max(F.when(~is_pri, 1).otherwise(0)).alias("sa"),
+    )
+    has_std = F.col("sa") == 1
     return (
-        p.join(
-            s,
-            (F.col("p.custkey") == F.col("s.custkey"))
-            & (F.col("p.yr") == F.col("s.yr")),
-            "left",
-        )
-        .filter(
-            F.col("s.custkey").isNull() | (F.col("p.cents") > F.col("s.cents"))
+        pivot.filter(
+            (F.col("pa") == 1)
+            & (~has_std | (F.col("pcents") > F.col("scents")))
         )
         .select(
-            F.col("p.custkey").alias("custkey"),
-            F.col("p.yr").alias("yr"),
-            F.col("p.qty").alias("pri_qty"),
-            F.col("p.cents").alias("pri_cents"),
-            F.col("s.qty").alias("std_qty"),
-            F.col("s.cents").alias("std_cents"),
+            "custkey",
+            "yr",
+            F.col("pq").alias("pri_qty"),
+            F.col("pcents").alias("pri_cents"),
+            F.when(has_std, F.col("sq")).alias("std_qty"),
+            F.when(has_std, F.col("scents")).alias("std_cents"),
             F.floor(
-                F.col("p.qty")
+                F.col("pq")
                 * 100.0
-                / F.greatest(F.coalesce(F.col("s.qty"), F.lit(0)), F.lit(1))
+                / F.greatest(
+                    F.when(has_std, F.col("sq")).otherwise(F.lit(0)), F.lit(1)
+                )
                 + 0.5
             )
             .cast("long")

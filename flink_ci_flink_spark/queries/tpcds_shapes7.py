@@ -197,30 +197,32 @@ def tpcds_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q95 shape: derived-set semi + anti over the same fact —
     orders whose lineitems shipped from >= 2 DISTINCT suppliers (the
     min(suppkey) != max(suppkey) short-circuit replaces COUNT(DISTINCT):
-    map-side combinable and exact for the >= 2 predicate), LEFT SEMI
-    joined to orders, LEFT ANTI against orders with any returned line,
-    rolled up by priority. Both the semi and anti sides reuse the
-    orderkey partitioning. Ref: `TpcdsTestProgram.java:57-69`
-    (variant 95)."""
+    map-side combinable and exact for the >= 2 predicate) and with NO
+    returned line — both per-orderkey predicates computed in ONE
+    aggregation whose survivors LEFT SEMI join to orders, rolled up by
+    priority. Ref: `TpcdsTestProgram.java:57-69` (variant 95)."""
     t = load_tables(spark, sf_dir)
-    multi = (
+    # The semi set (>= 2 distinct suppliers) and the anti set (any
+    # returned line) are BOTH per-orderkey aggregates of the same fact —
+    # folded into one aggregation whose HAVING covers both predicates
+    # (executed scans lineitem:2 -> 1; the semi+anti pair collapses to a
+    # single semi join riding the same orderkey partitioning).
+    keep = (
         t.lineitem.groupBy("l_orderkey")
         .agg(
             F.min("l_suppkey").alias("mn"),
             F.max("l_suppkey").alias("mx"),
+            F.max(
+                F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("__ret"),
         )
-        .filter(F.col("mn") != F.col("mx"))
+        .filter((F.col("mn") != F.col("mx")) & (F.col("__ret") == 0))
         .select("l_orderkey")
     )
-    returned = (
-        t.lineitem.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey")
-        .distinct()
-    )
-    base = (
-        t.orders.filter(F.year("o_orderdate") == 1996)
-        .join(multi, F.col("o_orderkey") == multi.l_orderkey, "left_semi")
-        .join(returned, F.col("o_orderkey") == returned.l_orderkey, "left_anti")
+    base = t.orders.filter(F.year("o_orderdate") == 1996).join(
+        keep, F.col("o_orderkey") == keep.l_orderkey, "left_semi"
     )
     return (
         base.groupBy(F.col("o_orderpriority").alias("priority"))

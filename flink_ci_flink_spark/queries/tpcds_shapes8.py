@@ -258,8 +258,19 @@ def tpcds_top_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             _CENT().alias("cents"),
         )
     )
+    # Pre-aggregate the fact chain ONCE to (region, nation) partials —
+    # sum is associative, so the rollup over the partials and the top-2
+    # region ranking are both exactly the originals, but the six-way fact
+    # join no longer executes once per consumer (executed scans
+    # lineitem/orders:2 -> 1 each). The partial table is region x nation
+    # rows, checkpointed so both consumers read the materialized copy.
+    base = (
+        fact.groupBy("region", "nation")
+        .agg(F.sum("cents").alias("cents"))
+        .localCheckpoint(eager=True)
+    )
     top = (
-        fact.groupBy("region")
+        base.groupBy("region")
         .agg(F.sum("cents").alias("tot"))
         .select(
             "region",
@@ -271,7 +282,7 @@ def tpcds_top_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("region")
     )
     rolled = (
-        fact.join(F.broadcast(top), "region", "left_semi")
+        base.join(F.broadcast(top), "region", "left_semi")
         .rollup("region", "nation")
         .agg(
             F.sum("cents").cast("long").alias("cents"),
