@@ -717,11 +717,20 @@ def bm25_topk(
     tf = base.groupBy(id_col, "__dl", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("__tf")
     )
+    # document frequency = one row per (doc, term) in tf, so it derives
+    # from the tf aggregate instead of a SECOND tokenize+explode+distinct
+    # pass over the corpus. The branch follows the pmi_collocations
+    # exchange-reuse contract: the (always-true) filter references the
+    # AGGREGATE OUTPUT __tf so ColumnPruning cannot drop the count from
+    # this branch's partial aggregate, and the downstream joins use
+    # null-safe equality so no inferred isnotnull(term) specializes one
+    # branch's exchange — with both in place the tf exchange is built
+    # once and reused (documents scans 3 -> 2, verified executed-plan).
     dfreq = (
-        base.select(id_col, "term")
-        .distinct()
+        tf.filter(F.col("__tf") > 0)
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__df"))
+        .withColumnRenamed("term", "__dterm")
     )
     stats = docs.select(
         F.count(F.lit(1)).cast("bigint").alias("__n"),
@@ -744,9 +753,9 @@ def bm25_topk(
         )
     )
     scored = (
-        F.broadcast(queries)
-        .join(tf, "term")
-        .join(dfreq, "term")
+        F.broadcast(queries.withColumnRenamed("term", "__qterm"))
+        .join(tf, F.col("__qterm").eqNullSafe(F.col("term")))
+        .join(dfreq, F.col("__dterm").eqNullSafe(F.col("term")))
         .crossJoin(F.broadcast(stats))
         .withColumn("__contrib", idf_scaled * tfnorm_scaled)
         .groupBy("query_id", id_col)
