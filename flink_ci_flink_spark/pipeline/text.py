@@ -485,16 +485,22 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
     )
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # df = one (doc, term) row in tf per document occurrence, so it
+    # re-aggregates tf instead of running a second tokenize+explode+
+    # distinct pass; same exchange-reuse contract as bm25_topk /
+    # pmi_collocations (aggregate-output filter + null-safe join) so the
+    # tf exchange is built once and reused by this branch.
     dfreq = (
-        terms.distinct()
+        tf.filter(F.col("tf") > 0)
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df_count"))
+        .withColumnRenamed("term", "__dterm")
     )
     n_docs = docs.select(
         F.count(F.lit(1)).cast("bigint").alias("__n_docs")
     )
     scored = (
-        tf.join(dfreq, "term")
+        tf.join(dfreq, F.col("__dterm").eqNullSafe(F.col("term")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "idf_scaled",
