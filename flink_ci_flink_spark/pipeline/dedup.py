@@ -819,30 +819,37 @@ def line_dedup(
 
     Returns (id_col, n_segments, n_kept, text).
     """
-    ex = segment_table(df, seg_tokens, text_col, id_col)
-    totals = ex.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_segments")
-    )
-    return _resolve_line_dedup(ex, totals, id_col)
+    return _resolve_line_dedup(segment_table(df, seg_tokens, text_col, id_col), id_col)
 
 
-def _resolve_line_dedup(ex: DataFrame, totals: DataFrame, id_col: str) -> DataFrame:
+def _resolve_line_dedup(ex: DataFrame, id_col: str) -> DataFrame:
     """Shared resolution stage of line dedup: keep each segment's minimal
     (doc, pos) occurrence (partial-aggregable min(struct)) and reassemble
-    per-document text in position order. ``ex`` is (id_col, pos, seg);
-    ``totals`` is (id_col, n_segments)."""
+    per-document text in position order. ``ex`` is (id_col, n_segments,
+    pos, seg) — the per-doc total rides every row (computed on the array
+    before the explode), so no doc-keyed totals aggregation or join-back
+    exists in the plan (the old shape executed the tokenize+segment pass
+    once per branch: executed documents scans 2 -> 1)."""
     firsts = (
         ex.groupBy("seg")
-        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__f"))
+        .agg(
+            # (id, pos) is unique per row, so appending n_segments to the
+            # struct never changes which occurrence wins the min
+            F.min(
+                F.struct(F.col(id_col), F.col("pos"), F.col("n_segments"))
+            ).alias("__f")
+        )
         .select(
             F.col(f"__f.{id_col}").alias(id_col),
             F.col("__f.pos").alias("pos"),
+            F.col("__f.n_segments").alias("n_segments"),
             "seg",
         )
     )
     return (
         firsts.groupBy(id_col)
         .agg(
+            F.min("n_segments").alias("n_segments"),
             F.count(F.lit(1)).cast("bigint").alias("n_kept"),
             F.array_join(
                 F.transform(
@@ -852,7 +859,6 @@ def _resolve_line_dedup(ex: DataFrame, totals: DataFrame, id_col: str) -> DataFr
                 " ",
             ).alias("text"),
         )
-        .join(totals, id_col)
         .select(id_col, "n_segments", "n_kept", "text")
     )
 
@@ -876,12 +882,24 @@ def segment_table(
             F.slice(toks, (i * seg_tokens + 1).cast("int"), seg_tokens), " "
         ),
     )
+    # posexplode_outer + null-filter, not filter(size>0) + posexplode: the
+    # explicit size filter on the derived array pushes below the spread
+    # exchange with the whole tokenize+segment expression INLINED (the
+    # same InferFiltersFromGenerate-class trap _shingle_table_with_size
+    # documents); outer-explode infers nothing, and the null row an empty
+    # array emits is dropped by seg IS NOT NULL (segs are array_join
+    # products, never null). Each row also carries the document's TOTAL
+    # segment count, computed on the array before the explode, so
+    # consumers never need a doc-keyed totals aggregation + join-back.
     return (
         spread_small_scan(df)
         .select(F.col(id_col), segs_col.alias("__segs"))
-        # sequence(0, -1) would emit a DESCENDING range — empty docs out
-        .filter(F.size("__segs") > 0)
-        .select(F.col(id_col), F.posexplode("__segs").alias("pos", "seg"))
+        .select(
+            F.col(id_col),
+            F.size("__segs").cast("bigint").alias("n_segments"),
+            F.posexplode_outer("__segs").alias("pos", "seg"),
+        )
+        .filter(F.col("seg").isNotNull())
     )
 
 
@@ -920,12 +938,9 @@ def finalize_line_dedup(spark, segs_dir: str, id_col: str = "doc_id") -> DataFra
     ex = (
         spark.read.parquet(segs_dir)
         .dropDuplicates([id_col, "pos"])
-        .select(id_col, "pos", "seg")
+        .select(id_col, "n_segments", "pos", "seg")
     )
-    totals = ex.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_segments")
-    )
-    return _resolve_line_dedup(ex, totals, id_col)
+    return _resolve_line_dedup(ex, id_col)
 
 
 def simhash_band_pairs(
