@@ -325,6 +325,22 @@ def test_executed_scans_per_table_sketch_and_compose_pins(spark):
         # r12 batch 13: the q30/q81 detail + per-nation threshold shares
         # one scan->join->agg exchange via eqNullSafe downstream joins
         ("tpcds_shape_group_avg_return_detail", "lineitem", 1),
+        # r12 continuation: year/channel self-joins folded into one-pass
+        # pivot aggregates (presence flags) — a canonicalization change
+        # cannot silently restore the second fact pass
+        ("tpcds_shape_anti_ratio", "lineitem", 1),
+        ("tpcds_shape_week_over_year", "lineitem", 1),
+        ("tpcds_shape_yoy_net_decline", "lineitem", 1),
+        ("tpcds_shape_cumulative_channel_compare", "lineitem", 1),
+        ("tpcds_shape_channel_ratio_nulls", "lineitem", 1),
+        ("tpcds_shape_multi_supplier_orders", "lineitem", 1),
+        ("tpcds_shape_mega_join_chain", "lineitem", 1),
+        # r12 continuation: line dedup totals ride the segment rows
+        ("pipe_line_dedup", "documents", 1),
+        # r12 continuation: BM25/TF-IDF df derives from the tf aggregate
+        # (3 = query-terms + corpus + stats roles; 2 = corpus + stats)
+        ("pipe_bm25_topk", "documents", 3),
+        ("pipe_tfidf_top_terms", "documents", 2),
     ):
         df = QUERIES[name].fn(spark, SF_DIR)
         df.collect()
