@@ -72,18 +72,25 @@ def cosine_topk(
 
     Ties broken by corpus id → deterministic. Output:
     (query_id, vec_id, cos_sim, rank)."""
+    # norms are per-VECTOR, not per-pair: factor them out of the scored
+    # projection so each side's sqrt(Σx²) is computed once per row instead
+    # of once per (query, corpus) pair — same expressions over the same
+    # projected attributes, so dot/(qn*cn) is bit-identical to cosine()
     q = queries.select(
         F.col(query_id_col), _to_double(vec_col).alias("__qv")
-    )
+    ).select(query_id_col, "__qv", norm(F.col("__qv")).alias("__qn"))
     from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
 
     c = spread_small_scan(corpus).select(
         F.col(id_col), _to_double(vec_col).alias("__cv")
-    )
+    ).select(id_col, "__cv", norm(F.col("__cv")).alias("__cn"))
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (

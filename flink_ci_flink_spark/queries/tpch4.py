@@ -381,41 +381,73 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers who kept orders waiting: the multi-EXISTS/NOT-EXISTS
     self-join planner path (stock q21's receipt>commit lateness becomes
-    shipdate > orderdate + 60 days). EXISTS → left_semi on (orderkey,
-    supp<>supp); NOT EXISTS → left_anti with the extra later-shipment
-    predicate — both shuffle on l_orderkey only."""
+    shipdate > orderdate + 60 days), decorrelated into ONE per-order
+    supplier summary. Per order, g(s) = max shipdate of supplier s; then
+      EXISTS(other supplier)            ⟺ n_supp > 1
+      NOT EXISTS(other shipped later)   ⟺ max{g(s): s ≠ s1} <= l1.shipdate
+    and max-excluding-one-group is the top-2 trick: top1.g if top1.s ≠ s1
+    else top2.g (tie at the top: both hold the max, so either branch reads
+    the same value). The old shape joined the FULL lineitem detail twice
+    more (semi + anti, each a detail-sized shuffle on l_orderkey); the
+    summary is one aggregate whose window + final pivot ride the same
+    l_orderkey exchange, and lineitem executes 2 scans instead of 3."""
     t = load_tables(spark, sf_dir)
     nat_supp = t.supplier.join(
         F.broadcast(t.nation.filter(F.col("n_name") == "NATION_9")),
         F.col("s_nationkey") == F.col("n_nationkey"),
     )
+    li3 = t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    # per-(order, supplier) max shipdate — the l_orderkey-only repartition
+    # lets the (ok, sk) aggregate AND the per-order top-2 pivot below ride
+    # ONE exchange (HashPartitioning(ok) satisfies both aggregates'
+    # clustered distributions)
+    g = (
+        li3.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("__g"))
+    )
+    # top-2 per order by (g, suppkey) desc: the collect_list is bounded by
+    # the order's distinct-supplier count (≤ lines per order — the same
+    # per-parent bound the span/segment tables carry on one row), so the
+    # buffer can never exceed one order's size at any corpus scale
+    per_order = (
+        g.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("__n_supp"),
+            F.slice(
+                F.reverse(F.array_sort(F.collect_list(F.struct("__g", "l_suppkey")))),
+                1,
+                2,
+            ).alias("__top2"),
+        )
+        .select(
+            "l_orderkey",
+            "__n_supp",
+            F.col("__top2")[0]["__g"].alias("__g1"),
+            F.col("__top2")[0]["l_suppkey"].alias("__s1"),
+            F.element_at("__top2", 2)["__g"].alias("__g2"),
+        )
+    )
     l1 = (
-        t.lineitem.join(
-            t.orders.filter(F.col("o_orderstatus") == "F"),
+        li3.join(
+            t.orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .join(F.broadcast(nat_supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("l_orderkey", "l_suppkey", "l_shipdate", "s_name")
     )
-    l2 = t.lineitem.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"),
-        F.col("l_shipdate").alias("d2"),
-    )
-    with_other = l1.join(
-        l2,
-        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
-        "left_semi",
-    )
-    not_latest = with_other.join(
-        l2,
-        (F.col("l_orderkey") == F.col("o2"))
-        & (F.col("l_suppkey") != F.col("s2"))
-        & (F.col("d2") > F.col("l_shipdate")),
-        "left_anti",
+    survivors = l1.join(per_order, "l_orderkey").filter(
+        (F.col("__n_supp") > 1)
+        & F.when(
+            F.col("__s1") != F.col("l_suppkey"),
+            F.col("__g1") <= F.col("l_shipdate"),
+        ).otherwise(F.col("__g2") <= F.col("l_shipdate"))
     )
     return (
-        not_latest.groupBy("s_name")
+        survivors.groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)

@@ -70,6 +70,55 @@ def test_decode_image_gates_compressed_codecs(spark):
             decode_image(None, kind=kind)
 
 
+def test_jaccard_length_filter_exact(spark):
+    """The AllPairs length filter inside pair generation never changes
+    results: a pair failing min/(na+nb-min) >= t could not pass the final
+    ratio filter (IEEE division is correctly rounded, hence monotone in
+    the intersection). Checked on a fixture with boundary-sized docs
+    (min == t*max exactly) against the filterless intersection path, on
+    both the capped in-bucket and the exact self-join code paths."""
+    from pyspark.sql import functions as F
+
+    from flink_ci_flink_spark.pipeline.dedup import (
+        _intersection_counts,
+        jaccard_pairs,
+    )
+
+    words = [f"w{i}" for i in range(16)]
+    rows = [
+        # 4 shingles vs 8 shingles sharing a 4-gram run: min = 0.5*max —
+        # the boundary the filter must NOT prune
+        (1, " ".join(words[:6])),
+        (2, " ".join(words[:10])),
+        # clear near-dup pair
+        (3, "alpha beta gamma delta epsilon"),
+        (4, "alpha beta gamma delta zeta"),
+        # shares one shingle with doc 2 but far too short: prunable
+        (5, " ".join(words[4:7]) + " unique tail here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.1, 0.5):
+        for mp in (500, None):
+            filterless = (
+                _intersection_counts(df, "text", "doc_id", 3, mp)
+                .withColumn(
+                    "__r",
+                    F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                )
+                .filter(F.col("__r") >= t)
+                .select("id_a", "id_b", F.round("__r", 6).alias("jaccard"))
+            )
+            got = sorted(
+                tuple(r)
+                for r in jaccard_pairs(
+                    df, threshold=t, max_postings=mp
+                ).collect()
+            )
+            want = sorted(tuple(r) for r in filterless.collect())
+            assert got == want, (t, mp)
+
+
 def test_jaccard_max_postings_cap(spark):
     """Hot-shingle cap: results identical when the cap exceeds the true max
     postings length; a binding cap suppresses pairs that share only the
