@@ -75,12 +75,40 @@ def connected_components(
     import time as _time
 
     e = undirect(edges.select("src", "dst")).localCheckpoint(eager=True)
-    if vertices is None:
-        vertices = e.select(F.col("src").alias("id")).distinct()
-    labels = vertices.select(F.col("id"), F.col("id").alias("component"))
     LAST_CC_STATS.clear()
     LAST_CC_STATS.update({"supersteps": 0, "superstep_secs": []})
-    for i in range(max_iter):
+    start = 0
+    if vertices is None:
+        # Fused first superstep: before any propagation every label IS the
+        # vertex id, so the neighbor message is the neighbor id itself and
+        # superstep 1 collapses to ONE aggregation over the checkpointed
+        # edges — labels(v) = min(v, min neighbor id) — with the vertex
+        # set falling out of the same groupBy. This replaces the old
+        # vertices-distinct shuffle PLUS the first superstep's edge⋈labels
+        # join (the explicit-vertices path keeps the generic first step:
+        # caller-supplied isolated vertices must surface as their own
+        # components).
+        _t0 = _time.perf_counter()
+        new_labels = e.groupBy("src").agg(F.min("dst").alias("__mn")).select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("__mn")).alias("component"),
+            (F.least(F.col("src"), F.col("__mn")) != F.col("src")).alias(
+                "__changed"
+            ),
+        )
+        new_labels = _maybe_checkpoint(new_labels, 0)
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
+        LAST_CC_STATS["supersteps"] = 1
+        LAST_CC_STATS["superstep_secs"].append(
+            round(_time.perf_counter() - _t0, 3)
+        )
+        if changed == 0:
+            return labels
+        start = 1
+    else:
+        labels = vertices.select(F.col("id"), F.col("id").alias("component"))
+    for i in range(start, max_iter):
         _t0 = _time.perf_counter()
         # Self-rows union neighbor-messages into ONE aggregation: min(val)
         # is least(old component, min over neighbors) and max(old) recovers
