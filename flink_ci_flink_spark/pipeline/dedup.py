@@ -341,9 +341,6 @@ def minhash_signatures(
     sh = shingles_from_tokens(F.col("__toks"), shingle_n)
     hashes = F.transform(sh, lambda s: token_hash(s) % MINHASH_PRIME)
 
-    def _perm(a: int, b: int):
-        return lambda h: (h * a + b) % MINHASH_PRIME
-
     # Two projection boundaries: tokens, then shingle hashes. The signature
     # references __hs num_hashes times and each shingle references __toks
     # n+1 times; inlining either recomputes tokenize/md5 per reference
@@ -353,12 +350,18 @@ def minhash_signatures(
     base = _tokenized(df, text_col, id_col, carry).select(
         F.col(id_col), hashes.alias("__hs"), *extra
     )
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("__hs"), _perm(a, b)))
-            for a, b in _coeffs(num_hashes)
-        ]
+    # One F.expr for the whole signature: the num_hashes Column-side
+    # `F.array_min(F.transform(...))` constructions cost ~6 Py4J round
+    # trips EACH (lambda plumbing) — ~0.6s of driver time per plan build,
+    # paid on every consumer construction and every streaming micro-batch
+    # replan. A single SQL string parses JVM-side in one call into the
+    # same expression tree: `(h * aL + bL) % pL` is the identical
+    # long-arithmetic Remainder chain, so signatures are bit-identical.
+    terms = ",".join(
+        f"array_min(transform(__hs, h -> (h * {a}L + {b}L) % {MINHASH_PRIME}L))"
+        for a, b in _coeffs(num_hashes)
     )
+    sig = F.expr(f"array({terms})")
     return base.select(F.col(id_col), sig.alias("signature"), *extra)
 
 
@@ -405,19 +408,16 @@ def minhash_band_table(
     band rows per micro-batch and generate pairs once at finalize."""
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    band_cols = []
-    for bi in range(bands):
-        seg = F.slice(F.col("signature"), bi * rows + 1, rows)
-        band_cols.append(
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.md5(F.concat_ws(",", F.transform(seg, lambda x: x.cast("string")))).alias(
-                    "key"
-                ),
-            )
-        )
+    # one F.expr for all band keys (see minhash_signatures: per-band Column
+    # lambdas are Py4J-round-trip-bound at plan-build time)
+    band_structs = ",".join(
+        f"struct({bi} as band, md5(concat_ws(',', "
+        f"transform(slice(signature, {bi * rows + 1}, {rows}), "
+        f"x -> cast(x as string)))) as key)"
+        for bi in range(bands)
+    )
     return sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+        F.col(id_col), F.explode(F.expr(f"array({band_structs})")).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
@@ -1449,22 +1449,19 @@ def _banded_signatures(
         shingle_n,
         carry=carry,
     )
-    band_cols = []
-    for bi in range(bands):
-        seg = F.slice(F.col("signature"), bi * rows + 1, rows)
-        band_cols.append(
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.md5(
-                    F.concat_ws(",", F.transform(seg, lambda x: x.cast("string")))
-                ).alias("key"),
-            )
-        )
+    # one F.expr for all band keys (see minhash_band_table — identical
+    # expression tree, one Py4J call instead of ~6 per band)
+    band_structs = ",".join(
+        f"struct({bi} as band, md5(concat_ws(',', "
+        f"transform(slice(signature, {bi * rows + 1}, {rows}), "
+        f"x -> cast(x as string)))) as key)"
+        for bi in range(bands)
+    )
     extra = list(carry or [])
     return sigs.select(
         F.col(id_col).alias("id"),
         "signature",
-        F.explode(F.array(*band_cols)).alias("bk"),
+        F.explode(F.expr(f"array({band_structs})")).alias("bk"),
         *extra,
     ).select(
         "id",

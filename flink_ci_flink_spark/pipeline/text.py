@@ -87,10 +87,12 @@ def quality_columns(text_col: str = "text") -> dict[str, Column]:
     }
 
 
-def quality_score(text_col: str = "text") -> Column:
+def quality_score(text_col: str = "text", _cols: dict | None = None) -> Column:
     """Composite [0,1] quality score (length band + stopword density -
-    punctuation excess). Deterministic, arithmetic-only."""
-    cols = quality_columns(text_col)
+    punctuation excess). Deterministic, arithmetic-only. ``_cols`` lets a
+    caller that already built `quality_columns` share the Column objects
+    (plan-build time: each construction is Py4J-round-trip-bound)."""
+    cols = _cols if _cols is not None else quality_columns(text_col)
     length_band = F.when(
         (cols["n_tokens"] >= 10) & (cols["n_tokens"] <= 1000), F.lit(1.0)
     ).otherwise(F.lit(0.5))
@@ -135,14 +137,19 @@ def fingerprint(text_col: str = "text") -> Column:
 
 
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the full text-analysis feature set."""
-    out = df
-    for name, col in quality_columns(text_col).items():
-        out = out.withColumn(name, col)
-    return (
-        out.withColumn("quality", quality_score(text_col))
-        .withColumn("lang_pred", lang_id(text_col))
-        .withColumn("fingerprint", fingerprint(text_col))
+    """Attach the full text-analysis feature set.
+
+    One select, shared Column objects: the ten chained withColumns built
+    `quality_columns` twice (once per column batch, once inside
+    quality_score) and re-analyzed the growing plan per column — halving
+    the Py4J construction round trips and leaving one Project node."""
+    cols = quality_columns(text_col)
+    return df.select(
+        "*",
+        *[c.alias(n) for n, c in cols.items()],
+        quality_score(text_col, _cols=cols).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
     )
 
 
