@@ -40,6 +40,24 @@ _EDGES_SQL = r"""
 """
 
 
+def _near_dup_edges_materialized(t) -> "DataFrame":
+    """The near-dup edge list, materialized ONCE per query build.
+
+    Multi-traversal graph operators (wedge joins, triangle closing, degree
+    joins) read the edge list 2-4 times; each lazy traversal would re-run
+    the full tokenize+shingle+pair similarity join (executed scans audit:
+    documents x3-x5 per query). The pairs table is threshold-filtered and
+    tiny relative to the corpus, so the eager localCheckpoint is the
+    bounded AllPairs build-the-index-once step, the same pattern
+    connected_components applies internally. Single-traversal CC queries
+    keep the lazy form (CC checkpoints the undirected edges itself)."""
+    return (
+        jaccard_pairs(t.documents, threshold=0.5)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+
+
 @query(
     "graph_dedup_clusters",
     oracle=f"""
@@ -107,9 +125,7 @@ def graph_degrees_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vertex degrees + global triangle count on the near-dup graph.
     Ref: `Graph.getDegrees:974`, `graph/library/TriangleEnumerator`."""
     t = load_tables(spark, sf_dir)
-    edges = jaccard_pairs(t.documents, threshold=0.5).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
+    edges = _near_dup_edges_materialized(t)
     deg = degrees(edges).select(
         "id", F.col("degree").cast("long").alias("degree")
     )
@@ -191,9 +207,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_ci_flink_spark.graph import adamic_adar
 
     t = load_tables(spark, sf_dir)
-    edges = jaccard_pairs(t.documents, threshold=0.5).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
+    edges = _near_dup_edges_materialized(t)
     return adamic_adar(edges).select(
         "u",
         "w",
@@ -226,9 +240,7 @@ def graph_summarize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_ci_flink_spark.graph import summarize
 
     t = load_tables(spark, sf_dir)
-    edges = jaccard_pairs(t.documents, threshold=0.5).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
+    edges = _near_dup_edges_materialized(t)
     vertices = t.documents.select(
         F.col("doc_id").alias("id"), F.col("source").alias("value")
     )
@@ -457,9 +469,7 @@ def graph_jaccard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_ci_flink_spark.graph import jaccard_index
 
     t = load_tables(spark, sf_dir)
-    edges = jaccard_pairs(t.documents, threshold=0.5).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
+    edges = _near_dup_edges_materialized(t)
     j = jaccard_index(edges)
     return j.select(
         "u",
@@ -499,9 +509,7 @@ def graph_clustering_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_ci_flink_spark.graph import clustering_coefficients
 
     t = load_tables(spark, sf_dir)
-    edges = jaccard_pairs(t.documents, threshold=0.5).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
+    edges = _near_dup_edges_materialized(t)
     cc = clustering_coefficients(edges)
     return cc.select(
         "id",
@@ -543,9 +551,7 @@ def graph_vertex_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_ci_flink_spark.graph import vertex_metrics
 
     t = load_tables(spark, sf_dir)
-    edges = jaccard_pairs(t.documents, threshold=0.5).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
+    edges = _near_dup_edges_materialized(t)
     return vertex_metrics(edges)
 
 
@@ -578,9 +584,7 @@ def graph_triadic_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_ci_flink_spark.graph import triadic_census
 
     t = load_tables(spark, sf_dir)
-    edges = jaccard_pairs(t.documents, threshold=0.5).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
+    edges = _near_dup_edges_materialized(t)
     return triadic_census(edges)
 
 
