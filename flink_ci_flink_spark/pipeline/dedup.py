@@ -350,19 +350,27 @@ def minhash_signatures(
     base = _tokenized(df, text_col, id_col, carry).select(
         F.col(id_col), hashes.alias("__hs"), *extra
     )
-    # One F.expr for the whole signature: the num_hashes Column-side
-    # `F.array_min(F.transform(...))` constructions cost ~6 Py4J round
-    # trips EACH (lambda plumbing) — ~0.6s of driver time per plan build,
-    # paid on every consumer construction and every streaming micro-batch
-    # replan. A single SQL string parses JVM-side in one call into the
-    # same expression tree: `(h * aL + bL) % pL` is the identical
-    # long-arithmetic Remainder chain, so signatures are bit-identical.
+    return base.select(
+        F.col(id_col), minhash_sig_expr(num_hashes).alias("signature"), *extra
+    )
+
+
+def minhash_sig_expr(num_hashes: int = 32, hashes_col: str = "__hs") -> Column:
+    """The MinHash signature as ONE expression over a projected
+    shingle-hash-array attribute named ``hashes_col``.
+
+    One F.expr for the whole signature: the num_hashes Column-side
+    `F.array_min(F.transform(...))` constructions cost ~6 Py4J round
+    trips EACH (lambda plumbing) — ~0.6s of driver time per plan build,
+    paid on every consumer construction and every streaming micro-batch
+    replan. A single SQL string parses JVM-side in one call into the
+    same expression tree: `(h * aL + bL) % pL` is the identical
+    long-arithmetic Remainder chain, so signatures are bit-identical."""
     terms = ",".join(
-        f"array_min(transform(__hs, h -> (h * {a}L + {b}L) % {MINHASH_PRIME}L))"
+        f"array_min(transform({hashes_col}, h -> (h * {a}L + {b}L) % {MINHASH_PRIME}L))"
         for a, b in _coeffs(num_hashes)
     )
-    sig = F.expr(f"array({terms})")
-    return base.select(F.col(id_col), sig.alias("signature"), *extra)
+    return F.expr(f"array({terms})")
 
 
 def minhash_lsh_pairs(

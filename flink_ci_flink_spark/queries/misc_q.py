@@ -442,8 +442,12 @@ def cdc_debezium_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("value")
 
-    ins = base.select(msg(null_row, row, "c", 1))
-    upd = base.filter(F.col("okey") % 3 == 0).select(
+    # all three envelope kinds in ONE pass: the union-of-filtered-branches
+    # form executed the orders scan once per branch (and to_changelog's
+    # explode multiplied that to 9 executed scans); per-row conditional
+    # array + explode emits the identical messages from a single scan
+    upd_msg = F.when(
+        F.col("okey") % 3 == 0,
         msg(
             row,
             F.struct(
@@ -451,10 +455,17 @@ def cdc_debezium_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "u",
             2,
-        )
+        ),
     )
-    dels = base.filter(F.col("okey") % 7 == 0).select(msg(row, null_row, "d", 3))
-    msgs = ins.unionByName(upd).unionByName(dels)
+    del_msg = F.when(F.col("okey") % 7 == 0, msg(row, null_row, "d", 3))
+    msgs = (
+        base.select(
+            F.explode(
+                F.array(msg(null_row, row, "c", 1), upd_msg, del_msg)
+            ).alias("value")
+        )
+        .filter(F.col("value").isNotNull())
+    )
     parsed = parse_debezium(msgs, "value", "okey bigint, status string, cents bigint")
     final = materialize(to_changelog(parsed), ["okey"])
     return final.groupBy("status").agg(

@@ -5249,38 +5249,65 @@ def pipe_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets attach to surviving pairs only, by id-key shuffles
     (`pipeline/dedup.py::minhash_signatures`, `minhash_lsh_pairs`)."""
     from flink_ci_flink_spark.pipeline.dedup import (
+        MINHASH_PRIME,
         _tokenized,
         minhash_lsh_pairs,
-        minhash_signatures,
+        minhash_sig_expr,
         shingles_from_tokens,
     )
+    from flink_ci_flink_spark.pipeline.text import token_hash
 
     t = load_tables(spark, sf_dir)
     docs = t.documents.select("doc_id", "text")
-    pairs = minhash_lsh_pairs(docs).select("id_a", "id_b")
-    sigs = minhash_signatures(docs)
-    sh = _tokenized(docs, "text", "doc_id").select(
-        "doc_id", shingles_from_tokens(F.col("__toks")).alias("s")
+    # the candidate pairs are the SMALL end (LSH-banded near-dups):
+    # checkpoint them once, then compute signature AND shingle set in ONE
+    # pass over the candidate-semi-joined corpus — the lazy form joined
+    # sigs and shingles per pair side, re-running the tokenize+md5+minhash
+    # pipeline FOUR more times (executed documents scans were 5; now 2:
+    # the band pass + the candidate feature pass, candidate-sized at scale)
+    pairs = (
+        minhash_lsh_pairs(docs)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_arr = shingles_from_tokens(F.col("__toks"))
+    feat = (
+        _tokenized(
+            docs.join(F.broadcast(cand_ids), "doc_id", "left_semi"),
+            "text",
+            "doc_id",
+        )
+        .select("doc_id", sh_arr.alias("s"))
+        .select(
+            "doc_id",
+            "s",
+            F.transform("s", lambda g: token_hash(g) % MINHASH_PRIME).alias(
+                "__hs"
+            ),
+        )
+        .select("doc_id", "s", minhash_sig_expr(32).alias("signature"))
+        .localCheckpoint(eager=True)
     )
     j = (
         pairs.join(
-            sigs.select(
-                F.col("doc_id").alias("id_a"), F.col("signature").alias("sig_a")
+            feat.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("signature").alias("sig_a"),
+                F.col("s").alias("s_a"),
             ),
             "id_a",
         )
         .join(
-            sigs.select(
-                F.col("doc_id").alias("id_b"), F.col("signature").alias("sig_b")
+            feat.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("signature").alias("sig_b"),
+                F.col("s").alias("s_b"),
             ),
-            "id_b",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a")),
-            "id_a",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b")),
             "id_b",
         )
     )

@@ -80,20 +80,34 @@ def parse_canal(df: DataFrame, value_col: str, row_schema: str) -> DataFrame:
 
 def to_changelog(parsed: DataFrame) -> DataFrame:
     """Envelope rows → RowKind changelog (the reference's mapping):
-    c/r → +I(after); u → -U(before) AND +U(after); d → -D(before)."""
-    ins = parsed.filter(F.col("op").isin("c", "r")).select(
-        F.lit("+I").alias("row_kind"), "ts_ms", F.col("after").alias("row")
+    c/r → +I(after); u → -U(before) AND +U(after); d → -D(before).
+
+    Single-pass: each envelope row explodes into its changelog entries.
+    The union-of-filtered-branches form this replaces executed the parsed
+    upstream once PER BRANCH (4 scans of the source at any scale)."""
+
+    def entry(kind: str, row):
+        return F.struct(
+            F.lit(kind).alias("row_kind"),
+            F.col("ts_ms").alias("ts_ms"),
+            row.alias("row"),
+        )
+
+    entries = (
+        F.when(
+            F.col("op").isin("c", "r"), F.array(entry("+I", F.col("after")))
+        )
+        .when(
+            F.col("op") == "u",
+            F.array(
+                entry("-U", F.col("before")), entry("+U", F.col("after"))
+            ),
+        )
+        .when(F.col("op") == "d", F.array(entry("-D", F.col("before"))))
     )
-    ub = parsed.filter(F.col("op") == "u").select(
-        F.lit("-U").alias("row_kind"), "ts_ms", F.col("before").alias("row")
+    return parsed.select(F.explode(entries).alias("__e")).select(
+        "__e.row_kind", "__e.ts_ms", "__e.row"
     )
-    ua = parsed.filter(F.col("op") == "u").select(
-        F.lit("+U").alias("row_kind"), "ts_ms", F.col("after").alias("row")
-    )
-    dl = parsed.filter(F.col("op") == "d").select(
-        F.lit("-D").alias("row_kind"), "ts_ms", F.col("before").alias("row")
-    )
-    return ins.unionByName(ub).unionByName(ua).unionByName(dl)
 
 
 def materialize(
