@@ -103,6 +103,9 @@ def bloom_semi_join(
     Result is EXACTLY the semi join; only the shuffled volume shrinks."""
     sk = small_key or on
     keys = small.select(F.col(sk).alias(on))
-    bitmap = bloom_build(keys, on, m_bits, k)
+    # materialize the bitmap once: bloom_screen broadcasts it k times, and
+    # each lazy broadcast re-executed the build's small-side scan (k+1
+    # executed scans of the small table); the bitmap is ≤ m_bits/64 rows
+    bitmap = bloom_build(keys, on, m_bits, k).localCheckpoint(eager=True)
     screened = bloom_screen(big, on, bitmap, m_bits, k)
     return screened.join(keys.distinct(), on, "left_semi")

@@ -1104,6 +1104,7 @@ def langid_predict(
     profiles: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Score docs against BROADCAST profiles: hits = |doc's distinct
     trigrams ∩ profile|; prediction = argmax hits with ties broken by the
@@ -1133,11 +1134,16 @@ def langid_predict(
         .filter(F.col("rn") == 1)
         .select(id_col, "lang_profile", "hits")
     )
+    # ``carry`` threads row metadata (e.g. the ground-truth label) through
+    # the zero-hit left join so a consumer never scans ``df`` again just
+    # to join labels back onto the predictions
+    extra = list(carry or [])
     return (
-        df.select(F.col(id_col))
+        df.select(F.col(id_col), *[F.col(c) for c in extra])
         .join(best, id_col, "left")
         .select(
             F.col(id_col),
+            *[F.col(c) for c in extra],
             F.coalesce(F.col("lang_profile"), F.lit("und")).alias("lang_pred"),
             F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
         )

@@ -5473,11 +5473,11 @@ def pipe_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 4 != 0)
     test = docs.filter(F.col("doc_id") % 4 == 0)
     prof = langid_train_profiles(train, top_k=50)
-    pred = langid_predict(test, prof)
+    # the truth label rides the predict's zero-hit join (carry) — joining
+    # test back onto pred cost a third scan of the held-out split
+    pred = langid_predict(test, prof, carry=["lang"])
     return (
-        test.select("doc_id", "lang")
-        .join(pred, "doc_id")
-        .groupBy("lang", "lang_pred")
+        pred.groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "lang_pred")
     )
