@@ -410,12 +410,17 @@ def minhash_band_table(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    carry: list[str] | None = None,
 ) -> DataFrame:
-    """(id, band, key) LSH band rows — the per-document (cross-doc-free)
-    half of minhash_lsh_pairs, exposed so a STREAMING ingest can append
-    band rows per micro-batch and generate pairs once at finalize."""
+    """(id, band, key [, carry...]) LSH band rows — the per-document
+    (cross-doc-free) half of minhash_lsh_pairs, exposed so a STREAMING
+    ingest can append band rows per micro-batch and generate pairs once
+    at finalize. ``carry`` threads row metadata through the banding (for
+    `_pairs_from_bands(carry=...)` join-back-free consumers)."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, carry=carry
+    )
     # one F.expr for all band keys (see minhash_signatures: per-band Column
     # lambdas are Py4J-round-trip-bound at plan-build time)
     band_structs = ",".join(
@@ -424,21 +429,44 @@ def minhash_band_table(
         f"x -> cast(x as string)))) as key)"
         for bi in range(bands)
     )
+    extra = list(carry or [])
     return sigs.select(
-        F.col(id_col), F.explode(F.expr(f"array({band_structs})")).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        F.col(id_col),
+        F.explode(F.expr(f"array({band_structs})")).alias("bk"),
+        *[F.col(c) for c in extra],
+    ).select(
+        id_col,
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+        *[F.col(c) for c in extra],
+    )
 
 
 def _pairs_from_bands(
-    banded: DataFrame, id_col: str = "doc_id", max_bucket: int | None = 1000
+    banded: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int | None = 1000,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     # Pairs via groupBy + in-bucket combination generation, NOT a self-join:
     # a self-join would run the whole signature pipeline twice (broadcast
     # exchange isn't reusable). One shuffle on the band key; bucket sizes are
     # bounded by LSH design (hot buckets = near-identical docs).
+    # ``carry``: per-id attribute columns that ride the bucket structs and
+    # come out as <c>_a/<c>_b on each pair — the join-back-free trick the
+    # jaccard size-carry uses (removes two id-keyed joins of the pair
+    # table per carried attribute consumer). carry=None keeps the plain
+    # id collect (byte-identical plan for existing consumers).
+    carry = list(carry or [])
+    if carry:
+        elem = F.struct(
+            F.col(id_col).alias("id"), *[F.col(c) for c in carry]
+        )
+    else:
+        elem = F.col(id_col)
     groups = (
         banded.groupBy("band", "key")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .agg(F.array_sort(F.collect_list(elem)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
     if max_bucket is not None:
@@ -455,26 +483,42 @@ def _pairs_from_bands(
         ).withColumn("ids", F.slice("ids", 1, max_bucket))
     else:
         groups = groups.withColumn("tail", F.slice(F.col("ids"), 1, 0))
+    def _pair(x, y):
+        if carry:
+            return F.struct(
+                x["id"].alias("id_a"),
+                y["id"].alias("id_b"),
+                *[x[c].alias(f"{c}_a") for c in carry],
+                *[y[c].alias(f"{c}_b") for c in carry],
+            )
+        return F.struct(x.alias("id_a"), y.alias("id_b"))
+
     combos = F.flatten(
         F.transform(
             F.col("ids"),
             lambda x, i: F.transform(
                 F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                lambda y: _pair(x, y),
             ),
         )
     )
     rep_tail = F.transform(
-        F.col("tail"),
-        lambda y: F.struct(
-            F.element_at(F.col("ids"), 1).alias("id_a"), y.alias("id_b")
-        ),
+        F.col("tail"), lambda y: _pair(F.element_at(F.col("ids"), 1), y)
     )
     pairs = groups.select(F.explode(F.concat(combos, rep_tail)).alias("p"))
+    carried = [f"{c}_{s}" for c in carry for s in ("a", "b")]
     return (
-        pairs.select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        pairs.select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            *[F.col(f"p.{cc}").alias(cc) for cc in carried],
+        )
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_bands_shared"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bands_shared"),
+            # carried attrs are constant per pair (one value per doc)
+            *[F.min(cc).alias(cc) for cc in carried],
+        )
     )
 
 

@@ -4783,25 +4783,22 @@ def pipe_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped) plus two id-keyed joins back to the tiny (doc_id, source)
     projection; least/greatest folds each pair onto one triangle cell
     regardless of which doc has the lower id."""
+    from flink_ci_flink_spark.pipeline.dedup import (
+        _pairs_from_bands,
+        minhash_band_table,
+    )
+
     t = load_tables(spark, sf_dir)
-    cand = minhash_lsh_pairs(t.documents).select("id_a", "id_b")
-    src = t.documents.select("doc_id", "source")
+    # source rides the band rows and comes out as source_a/source_b on
+    # each pair (carry) — the old shape joined the pair table back to the
+    # (doc_id, source) projection twice: two more corpus scans plus two
+    # id-keyed shuffles of the pair table at any scale
+    banded = minhash_band_table(t.documents, carry=["source"])
+    cand = _pairs_from_bands(banded, "doc_id", carry=["source"])
     return (
-        cand.join(
-            src.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
-                "source", "src_a"
-            ),
-            "id_a",
-        )
-        .join(
-            src.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
-                "source", "src_b"
-            ),
-            "id_b",
-        )
-        .groupBy(
-            F.least(F.col("src_a"), F.col("src_b")).alias("source_a"),
-            F.greatest(F.col("src_a"), F.col("src_b")).alias("source_b"),
+        cand.groupBy(
+            F.least(F.col("source_a"), F.col("source_b")).alias("source_a"),
+            F.greatest(F.col("source_a"), F.col("source_b")).alias("source_b"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy("source_a", "source_b")
