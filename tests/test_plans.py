@@ -341,6 +341,20 @@ def test_executed_scans_per_table_sketch_and_compose_pins(spark):
         # (3 = query-terms + corpus + stats roles; 2 = corpus + stats)
         ("pipe_bm25_topk", "documents", 3),
         ("pipe_tfidf_top_terms", "documents", 2),
+        # r12 opt round: q21's EXISTS/NOT-EXISTS folded to the per-order
+        # top-2 summary (2 = detail + summary roles)
+        ("tpch_q21_suppliers_who_kept_waiting", "lineitem", 2),
+        # r12 opt round: single-pass changelog synthesis + to_changelog
+        ("cdc_debezium_materialize", "orders", 1),
+        # r12 opt round: bloom bitmap checkpointed (was k+1 build scans)
+        ("join_bloom_semi", "orders", 1),
+        # r12 opt round: estimator features computed once, candidate-only
+        ("pipe_minhash_est_error", "documents", 2),
+        # r12 opt round: source carried through the banding (no join-backs)
+        ("pipe_dup_source_matrix", "documents", 1),
+        # r12 opt round: truth label rides the predict carry (4 -> 3:
+        # train + serve-grams + zero-hit-base roles)
+        ("pipe_langid_confusion", "documents", 3),
     ):
         df = QUERIES[name].fn(spark, SF_DIR)
         df.collect()
