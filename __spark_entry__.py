@@ -26,74 +26,71 @@ from flink_ci_flink_spark.queries import QUERIES  # noqa: E402
 FLAGSHIP = "tpch_q3_shipping_priority"
 
 # The driver samples a 50-query prefix of queries() for its sf0.01
-# correctness check. Round-12 prefix (the round-11 judge's #1 task):
-# (1) the final 14 names whose latest official proof is still r4 —
-# closing the r4 freshness floor for good (two of them, countmin/
-# heavy-hitters family, had their PLANS changed in r11, so a fresh
-# official row matters more than usual); (2) the 8 TPC-DS batch-9/10
-# shapes that have never appeared in an official CORRECTNESS_rN
-# artifact (the r11 judge driver-sim'd all 8 green); (3) the first 28
-# (alphabetical) of the 49 names whose latest proof is r6. 14+8+28 =
-# 50 exactly. Round-13 prefix, recorded now so the rotation stays
-# mechanical: the remaining 21 r6-stale names
-# (tpcds_shape_histogram_buckets .. tpch_q*, udf_cogroup,
-# udf_map_partitions) + the 14 never-official round-12 additions
-# (batches 11-13 + pipe_delta_dedup_shared_index) + ~15 of the 46
-# r7-stale names.
+# correctness check. Round-13 prefix — exactly the rotation the round-12
+# prefix pre-recorded (and the r12 verdict's task #2): (1) the 14 queries
+# that have NEVER appeared in an official CORRECTNESS_rN artifact (TPC-DS
+# batches 11-13 + pipe_delta_dedup_shared_index, all added in the
+# interrupted r11->r12 build continuation); (2) the remaining 21 names
+# whose latest official proof is r6 (closing the r6 freshness floor the
+# way r12 closed r4); (3) the first 15 (alphabetical) of the 46 r7-stale
+# names. 14+21+15 = 50 exactly, per XREF.md's "official proof" column at
+# the r12 artifacts. Round-14 prefix, recorded now so the rotation stays
+# mechanical: the remaining 31 r7-stale names + the first 19
+# (alphabetical) of the 49 r8-stale names.
 _PRIORITY = [
-    # -- (1) the last 14 r4-proven names (freshness floor -> r6) --
-    "flinksql_tumble",
-    "flinksql_session",
-    "flinksql_temporal_join",
-    "pipe_hll_distinct",
-    "pipe_kmv_distinct",
-    "pipe_countmin_freq",
-    "pipe_quantized_ann",
-    "pipe_chunk_documents",
-    "pipe_redact_pii",
-    "pipe_contamination_overlap",
-    "pipe_repetition_filters",
-    "pipe_span_dedup",
-    "pipe_strip_spans",
-    "pipe_shard_assignment",
-    # -- (2) never officially driver-sampled (r11 judge-sim green x8) --
-    "tpcds_shape_max_channel_compose",
-    "tpcds_shape_channel_pl_report",
-    "tpcds_shape_exists_not_exists",
-    "tpcds_shape_triple_fact_stats",
-    "tpcds_shape_line_net_returns",
-    "tpcds_shape_above_avg_of_sums",
-    "tpcds_shape_disjunctive_bands",
-    "tpcds_shape_cross_nation_basket",
-    # -- (3) freshness floor: first 28 of the 49 r6-stale names --
-    "cep_match_recognize_view_run",
-    "cep_mr_error_run_until_purchase",
-    "cep_timeout_click_purchase",
-    "graph_adamic_adar",
-    "graph_dedup_clusters_minhash",
-    "graph_gsa_sssp_nations",
-    "graph_sg_min_id_nations",
-    "graph_sssp_nations",
-    "graph_summarize_sources",
-    "map_construct_explode",
-    "null_safe_comparison",
-    "over_count_distinct",
-    "pipe_boilerplate_screen",
-    "pipe_cosine_near_dup",
-    "pipe_frame_sample",
-    "pipe_ivf_full_probe",
-    "pipe_multimodal_features",
-    "pipe_resize_bmp",
-    "pipe_sample_k_per_source",
-    "pipe_token_count_by_source",
-    "skew_salted_agg",
-    "str_to_map_canonical",
-    "temporal_overlaps_pred",
-    "tpcds_shape_before_after_band",
-    "tpcds_shape_dual_rank_union",
-    "tpcds_shape_exists_either",
-    "tpcds_shape_exists_over_avg",
-    "tpcds_shape_having_count_between",
+    # -- (1) never officially driver-sampled (r12 builder sim green) --
+    "pipe_delta_dedup_shared_index",
+    "tpcds_shape_cross_dim_disjunct",
+    "tpcds_shape_demographic_band_lookup",
+    "tpcds_shape_geo_mismatch_brand",
+    "tpcds_shape_group_avg_return_detail",
+    "tpcds_shape_intersect_prefix_gate",
+    "tpcds_shape_measure_dim_disjunct",
+    "tpcds_shape_multi_measure_means",
+    "tpcds_shape_null_channel_union",
+    "tpcds_shape_promo_scalar_ratio",
+    "tpcds_shape_return_lag_bands",
+    "tpcds_shape_rollup_of_means",
+    "tpcds_shape_second_fact_band_gate",
+    "tpcds_shape_threeway_return_ratio",
+    # -- (2) freshness floor: the last 21 r6-proven names (floor -> r7) --
+    "tpcds_shape_histogram_buckets",
+    "tpcds_shape_multi_bucket_counts",
+    "tpcds_shape_part_or_filter",
+    "tpcds_shape_quarter_share",
+    "tpcds_shape_sale_return_rebuy",
+    "tpcds_shape_scalar_ratio",
+    "tpcds_shape_threeway_intersect",
+    "tpcds_shape_topn_intersection",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_relationship",
+    "tpch_q17_small_quantity",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q22_global_sales",
+    "tpch_q4_order_priority",
+    "tpch_q8_market_share",
+    "udf_cogroup",
+    "udf_map_partitions",
+    # -- (3) freshness floor: first 15 of the 46 r7-stale names --
+    "agg_collect_listagg",
+    "agg_distinct_multi",
+    "agg_rollup_cube",
+    "agg_stats",
+    "explode_lateral_words",
+    "flinksql_hop",
+    "flinksql_temporal_fn",
+    "fn_conditional_cast",
+    "fn_hash_encode",
+    "fn_math",
+    "fn_string_regex_predicates",
+    "fn_temporal",
+    "graph_clustering_coeffs",
+    "graph_community_detection",
+    "graph_edge_metrics",
 ]
 
 
