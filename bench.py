@@ -762,6 +762,46 @@ def main() -> None:
             }
             result["skew_queries"] = skew_t
 
+            # Round-13 (r12 verdict task #1): the sf0.1 wall headline has
+            # stopped discriminating data-path work — at sf0.1 every
+            # headline query is fixed-overhead-bound (the r12 scaling
+            # block measured 8 cores BEATING 32). The sf1 twin of the
+            # FULL frozen headline set is the wall signal that still
+            # discriminates, next to cpu_total. ADDITIONS ONLY: the
+            # sf0.1 headline loop above and its official stdout line are
+            # untouched and stay the round-over-round comparable. Min of
+            # 2 runs per query, same one-sided-contention rationale as
+            # SCALE_RUNG (this rung runs late in the bench when box
+            # contention is likeliest).
+            sf1h_samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+            sf1h_cpu: dict[str, list[float]] = {n: [] for n in HEADLINE}
+            for r in range(2):
+                for name in HEADLINE:
+                    c0 = _proc_tree_cpu_sec()
+                    t0 = time.perf_counter()
+                    n = QUERIES[name].fn(spark, sf1_dir).count()
+                    dt = round(time.perf_counter() - t0, 3)
+                    sf1h_samples[name].append(dt)
+                    if c0 is not None:
+                        c1 = _proc_tree_cpu_sec()
+                        if c1 is not None:
+                            sf1h_cpu[name].append(round(c1 - c0, 3))
+                    print(
+                        f"# sf1_headline run{r + 1} {name}: {dt:.3f}s"
+                        f" ({n} rows)",
+                        file=sys.stderr,
+                    )
+            sf1h = {n: min(ts) for n, ts in sf1h_samples.items()}
+            result["sf1_headline"] = sf1h
+            result["sf1_headline_total"] = round(sum(sf1h.values()), 3)
+            result["sf1_headline_samples"] = sf1h_samples
+            sf1h_c = {n: min(ts) for n, ts in sf1h_cpu.items() if ts}
+            if sf1h_c:
+                result["sf1_headline_cpu"] = sf1h_c
+                result["sf1_headline_cpu_total"] = round(
+                    sum(sf1h_c.values()), 3
+                )
+
             # Dense rung: the prefix-filter crossover proof (VERDICT r4
             # task #4). 80% of sf0.1 docs share a 25-token boilerplate
             # sentence -> every boilerplate shingle's postings list is
@@ -866,6 +906,12 @@ def main() -> None:
         # BENCH_r{N}.json itself (pinned methodology, BASELINE.md §Bench).
         "env": result["env"],
     }
+    # sf1 headline totals ride the official line too (r12 verdict task #1:
+    # the discriminating wall signal); pure additions — every pre-existing
+    # key above is byte-identical to the r12 line.
+    for k in ("sf1_headline_total", "sf1_headline_cpu_total"):
+        if k in result:
+            headline[k] = result[k]
     line = json.dumps(headline, separators=(",", ":"))
     if len(line) > 1900:  # hard guarantee: drop per-query detail before truncating
         headline.pop("queries", None)
