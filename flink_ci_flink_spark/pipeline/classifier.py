@@ -86,6 +86,25 @@ def perceptron_train(
     job), weights updated on the driver (a k-integer model, the legitimate
     broadcast-sized collect). Returns ``w`` with ``len(w) == len(features)``.
     """
+    w, _feat = perceptron_train_feat(docs, features, label, iterations)
+    return w
+
+
+def perceptron_train_feat(
+    docs: DataFrame,
+    features: list[Column],
+    label: Column,
+    iterations: int = 3,
+) -> tuple[list[int], DataFrame]:
+    """`perceptron_train`, also returning the CHECKPOINTED integer feature
+    table (columns x0..x{k-1}, y) the training loop aggregates over.
+
+    The checkpoint is paid for training either way; a composite query that
+    additionally needs a corpus-global SCORE statistic (e.g. the v3/v4
+    corpus-average gate) can aggregate ``dot(w, x)`` over this frame for
+    the exact same integers as scoring the documents again — zero extra
+    corpus scans, no re-run of the regex feature projection (guide §2.4).
+    """
     from flink_ci_flink_spark.pipeline.dedup import spread_small_scan
 
     k = len(features)
@@ -117,7 +136,22 @@ def perceptron_train(
             ]
         ).collect()[0]
         w = [w[i] + int(sums[i] or 0) for i in range(k)]
-    return w
+    return w, feat
+
+
+def perceptron_score_stats(feat: DataFrame, weights: list[int]) -> DataFrame:
+    """Corpus score statistics (1 row: msum, mcnt) from the checkpointed
+    training feature table — integer-identical to aggregating
+    `perceptron_score(docs, ...)` (same dot, same rows), without another
+    documents scan."""
+    k = len(weights)
+    dot = sum(
+        (F.lit(int(weights[j])) * F.col(f"x{j}") for j in range(k)),
+        F.lit(0).cast("long"),
+    )
+    return feat.agg(
+        F.sum(dot).alias("msum"), F.count(F.lit(1)).alias("mcnt")
+    )
 
 
 def perceptron_score(

@@ -571,6 +571,35 @@ def decode_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(decode, PNG_FEATURE_SCHEMA)
 
 
+def synthesize_decode_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """`decode_png(synthesize_png(df))` fused into ONE mapInPandas: the
+    encode (filter + deflate) and the decode (chunk walk + inflate +
+    un-filter) run back-to-back in the same Python worker, so the binary
+    payloads never cross the JVM↔Python boundary at all (guide §4 — the
+    two stacked MapInPandas nodes each paid a full Arrow transpose +
+    transfer of every payload). Same bytes, same rows as the two-stage
+    pipeline; the standalone stages remain the public operators."""
+
+    def both(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("doc_id", "width", "height", "channels", "n_pixels", "px_sum")
+            }
+            for did in pdf[id_col].astype("int64"):
+                did = int(did)
+                w, h, ch, rows = _parse_png(_png_bytes(did), did)
+                out["doc_id"].append(did)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["n_pixels"].append(w * h)
+                out["px_sum"].append(sum(sum(r) for r in rows))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(both, PNG_FEATURE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # GIF: real animated container with LZW compression, pure stdlib
 # ---------------------------------------------------------------------------
@@ -870,6 +899,48 @@ def decode_gif_frames(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(decode, GIF_FRAME_SCHEMA)
+
+
+def synthesize_decode_gif_frames(
+    df: DataFrame, every_k: int = 1, id_col: str = "doc_id"
+) -> DataFrame:
+    """`decode_gif_frames(synthesize_gif(df), every_k)` fused into ONE
+    mapInPandas (guide §4): encode (LZW compress + container assembly)
+    and frame decode/sampling run in the same Python worker, so the GIF
+    payloads never cross the JVM↔Python boundary. Same bytes, same rows
+    as the two-stage pipeline; the standalone stages remain the public
+    operators."""
+
+    def both(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("doc_id", "frame_idx", "width", "height", "px_sum")
+            }
+            for did in pdf[id_col].astype("int64"):
+                did = int(did)
+                for (idx, _l, _t, w, h, mcs, comp, gct) in _walk_gif(
+                    _gif_bytes(did), did
+                ):
+                    if idx % every_k:
+                        continue
+                    pix = _lzw_decode(comp, mcs)
+                    if len(pix) != w * h:
+                        raise ValueError(
+                            f"doc {did} frame {idx}: {len(pix)} pixels for {w}x{h}"
+                        )
+                    s = 0
+                    for p in pix:
+                        o = 3 * p
+                        s += gct[o] + gct[o + 1] + gct[o + 2]
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["px_sum"].append(s)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(both, GIF_FRAME_SCHEMA)
 
 
 def audio_analysis(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

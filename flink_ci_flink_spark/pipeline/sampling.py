@@ -180,15 +180,30 @@ def dsir_scores(
         "__tgt",
         (token_hash(F.col("__g")) % F.lit(n_buckets)).alias("__b"),
     )
-    tgt1 = F.when(F.col("__tgt"), F.lit(1)).otherwise(F.lit(0))
-    raw1 = F.when(F.col("__tgt"), F.lit(0)).otherwise(F.lit(1))
-    model = posts.groupBy("__b").agg(
-        F.sum(tgt1).cast("long").alias("__ct"),
-        F.sum(raw1).cast("long").alias("__cr"),
+    # ONE execution of the tokenize + n-gram explode (r13): the bucket
+    # model, the global totals, and the per-doc scoring all derive from a
+    # single (id, tgt, bucket) occurrence-count aggregate — its exchange
+    # is reused across the three branches (the grouping keys each branch
+    # ignores cannot be pruned, so the subtrees stay identical and AQE
+    # shares the stage; guide §2.4). The old shape re-ran the explode per
+    # consumer. Identical integers: per-bucket/global counts are sums of
+    # the per-(doc, bucket) counts, and the score's per-occurrence sum of
+    # (lam - 1e6) groups into __c * (lam - 1e6).
+    pb = posts.groupBy(id_col, "__tgt", "__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
     )
-    tots = posts.agg(
-        F.sum(tgt1).cast("long").alias("__tt"),
-        F.sum(raw1).cast("long").alias("__tr"),
+    tgt_c = F.when(F.col("__tgt"), F.col("__c")).otherwise(F.lit(0))
+    raw_c = F.when(F.col("__tgt"), F.lit(0)).otherwise(F.col("__c"))
+    model = pb.groupBy("__b").agg(
+        F.sum(tgt_c).cast("long").alias("__ct"),
+        F.sum(raw_c).cast("long").alias("__cr"),
+    )
+    # global totals re-aggregate the ≤ n_buckets-row model (per-bucket
+    # sums partition the occurrences), not pb — a second consumer of pb
+    # would rebuild its exchange
+    tots = model.agg(
+        F.sum("__ct").cast("long").alias("__tt"),
+        F.sum("__cr").cast("long").alias("__tr"),
     )
     lam = F.floor(
         (
@@ -201,11 +216,22 @@ def dsir_scores(
     weights = model.crossJoin(F.broadcast(tots)).select(
         "__b", lam.alias("__lam")
     )
+    # the raw-docs gate references the aggregate output __c (value-neutral:
+    # counts are >= 1) so Catalyst cannot split the conjunct and push the
+    # source predicate below pb's exchange into the scan — a pushed filter
+    # makes the scoring branch's subtree differ from the model branch's
+    # and defeats the exchange reuse (the r11/r12 anti-pruning idiom the
+    # scan pins in tests/test_plans.py rely on)
+    raw_gate = F.when(F.col("__c") > 0, ~F.col("__tgt")).otherwise(F.lit(False))
     return (
-        posts.filter(~F.col("__tgt"))
+        pb.filter(raw_gate)
         .join(F.broadcast(weights), "__b")
         .groupBy(id_col)
-        .agg(F.sum(F.col("__lam") - F.lit(1000000)).cast("long").alias("score"))
+        .agg(
+            F.sum(F.col("__c") * (F.col("__lam") - F.lit(1000000)))
+            .cast("long")
+            .alias("score")
+        )
     )
 
 

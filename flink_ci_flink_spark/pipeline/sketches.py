@@ -62,11 +62,18 @@ def hll_registers(
     value_col: str | Column,
     group_cols: Sequence[str],
     b: int = 6,
+    extra_aggs: Sequence[Column] = (),
 ) -> DataFrame:
     """HyperLogLog register table: one row per (group, register) with the
     max rho observed. register = top ``b`` bits of the 60-bit hash; rho =
     1 + leading zeros of the remaining w = 60-b bits (empty remainder ->
-    w+1). Map-side combinable; ≤ 2^b rows per group survive the shuffle."""
+    w+1). Map-side combinable; ≤ 2^b rows per group survive the shuffle.
+
+    ``extra_aggs``: additional aliased aggregates folded into the same
+    (group, register) aggregation (e.g. ``F.count("*")`` over a
+    pre-distincted input — each distinct value lands in exactly one
+    register, so the per-group sum of per-register counts is the exact
+    distinct; one pass instead of a sketch pass + an exact pass)."""
     w = HASH_BITS - b
     h = token_hash(F.col(value_col) if isinstance(value_col, str) else value_col)
     # shiftright, not `/` — float division would lose low bits of a 60-bit hash
@@ -79,7 +86,7 @@ def hll_registers(
         df.select(*group_cols, reg, rem)
         .withColumn("rho", rho)
         .groupBy(*group_cols, "reg")
-        .agg(F.max("rho").alias("max_rho"))
+        .agg(F.max("rho").alias("max_rho"), *extra_aggs)
     )
 
 
@@ -206,10 +213,19 @@ def hll_merge(*register_tables: DataFrame, group_cols: Sequence[str]) -> DataFra
 
 
 def hll_estimate_from_registers(
-    regs: DataFrame, group_cols: Sequence[str], b: int = 6
+    regs: DataFrame,
+    group_cols: Sequence[str],
+    b: int = 6,
+    extra_aggs: Sequence[Column] = (),
 ) -> DataFrame:
     """Estimate from a (merged) register table — the tail of `hll_distinct`,
-    exposed so shard-merged sketches finish identically."""
+    exposed so shard-merged sketches finish identically.
+
+    ``extra_aggs``: additional aliased aggregate Columns evaluated in the
+    same per-group aggregation and carried through the output — lets a
+    caller fold a sibling exact statistic (e.g. a per-register distinct
+    count whose per-group sum is the exact distinct) into the register
+    roll-up instead of paying a second pass over the input."""
     m, q = 2**b, HASH_BITS - b + 1
     alpha = _hll_alpha(m)
     per_group = regs.groupBy(*group_cols).agg(
@@ -217,13 +233,20 @@ def hll_estimate_from_registers(
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {q} - max_rho)")).alias(
             "s_present"
         ),
+        *extra_aggs,
     )
+    carried = [
+        c
+        for c in per_group.columns
+        if c not in (*group_cols, "n_present", "s_present")
+    ]
     out = per_group.select(
         *group_cols,
         (F.lit(m) - F.col("n_present")).alias("v_zero"),
         (F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(2**q)).alias(
             "s_scaled"
         ),
+        *carried,
     )
     raw = F.lit(alpha * m * m * float(2**q)) / F.col("s_scaled")
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero"))

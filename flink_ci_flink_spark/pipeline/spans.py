@@ -159,38 +159,71 @@ def strip_duplicated_spans(
     Lee-et-al. cut policy, keep-first: the occurrence in the lowest doc_id
     survives, every other document drops its covered token positions.
 
-    Relational end-to-end: flagged windows -> covered positions (union) ->
-    anti-join token positions -> re-assemble with concat_ws over the
-    surviving tokens in order (array_sort on position, zero driver work).
+    Relational end-to-end, ONE corpus scan (r13 — the old shape scanned
+    and re-tokenized documents twice: once for the window table, once for
+    the positional token stream, then anti-joined the full stream against
+    the covered positions):
+
+    1. posexplode the tokens once; every window hash derives from the
+       SAME exploded stream via ``lead(tok, i)`` over the per-doc position
+       order (identical strings to slicing the token array);
+    2. the keep-first screen is min(doc) over the whash partition. Tail
+       positions (< w tokens left) have NULL whash; they get per-row
+       synthetic NEGATIVE partition keys so the null group never funnels
+       into one partition (the flag predicate requires a non-null whash,
+       so synthetic-key collisions are harmless);
+    3. a token is covered iff any flagged window STARTS within the
+       preceding w-1 positions — positions are dense, so the interval
+       union is ``max(flag) over rows between w-1 preceding and current``
+       on the per-doc order, replacing the w-fold explode + distinct +
+       anti-join of the old shape;
+    4. re-assemble with array_sort(collect_list) as before. The final
+       groupBy keys on the step-3 window's partition, so it adds no
+       exchange: 1 scan + 2 full-stream shuffles (was 2 scans + 3).
     """
     from pyspark.sql import Window
 
-    wt = window_table(df, text_col, id_col, w)
-    flagged = wt.withColumn(
-        "__keep_id", F.min(id_col).over(Window.partitionBy("whash"))
-    ).filter(F.col(id_col) != F.col("__keep_id"))
-    covered = flagged.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + (w - 1))).alias(
-            "tok_pos"
-        ),
-    ).distinct()
-    toked = df.select(
-        F.col(id_col), tokens(text_col).alias("__toks")
-    ).select(
-        F.col(id_col),
-        F.posexplode("__toks").alias("__p0", "tok"),
-    ).select(
-        F.col(id_col),
-        (F.col("__p0") + 1).cast("bigint").alias("tok_pos"),
-        F.col("tok"),
+    ex = (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.size("__toks").cast("bigint").alias("__n"),
+            F.posexplode("__toks").alias("__p0", "tok"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__n"),
+            (F.col("__p0") + 1).cast("bigint").alias("pos"),
+            F.col("tok"),
+        )
     )
-    kept = toked.join(covered, [id_col, "tok_pos"], "left_anti")
+    by_doc = Window.partitionBy(id_col).orderBy("pos")
+    win_toks = [F.col("tok")] + [
+        F.lead("tok", i).over(by_doc) for i in range(1, w)
+    ]
+    whash = F.when(
+        F.col("pos") <= F.col("__n") - (w - 1),
+        token_hash(F.concat_ws(" ", *win_toks)),
+    )
+    st = ex.withColumn("whash", whash)
+    # synthetic negative keys spread the null-whash tail rows; real hashes
+    # are 60-bit non-negative, so the key spaces never collide
+    pkey = F.coalesce(
+        F.col("whash"),
+        -(F.pmod(F.xxhash64(F.col(id_col), F.col("pos")), F.lit(2**61)) + 1),
+    )
+    keep_id = F.min(id_col).over(Window.partitionBy(pkey))
+    st = st.withColumn(
+        "__flag",
+        (F.col("whash").isNotNull() & (F.col(id_col) != keep_id)).cast("int"),
+    )
+    covered = F.max("__flag").over(by_doc.rowsBetween(-(w - 1), 0))
+    kept = st.withColumn("__cov", covered).filter(F.col("__cov") == 0)
     return (
         kept.groupBy(id_col)
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("tok_pos", "tok"))
+                F.collect_list(F.struct(F.col("pos").alias("tok_pos"), "tok"))
             ).alias("__pairs")
         )
         .select(

@@ -425,6 +425,7 @@ def bpe_encode_counts(
     merges: list[str],
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Apply trained BPE merge rules (see `bpe_merges`) and count resulting
     tokens per document — the APPLY side of tokenizer training: the merge
@@ -436,7 +437,12 @@ def bpe_encode_counts(
     applied sequentially so later rules can consume earlier merges' output
     symbols, exactly as in training.
 
-    Output: (id_col, n_words, n_bpe_tokens).
+    ``carry``: doc-constant columns to ride the per-doc aggregation
+    (``F.min`` — constant per doc, so exact), so a consumer that needs
+    e.g. (source, n_chars) alongside the counts doesn't pay a second
+    corpus scan + join-back (guide §2.3 carry-don't-join-back).
+
+    Output: (id_col, *carry, n_words, n_bpe_tokens).
     """
     word = F.explode(tokens(text_col)).alias("w")
     sym = F.concat(
@@ -450,10 +456,11 @@ def bpe_encode_counts(
         )
     n_sym = F.size(F.filter(F.split(F.trim(sym), " "), lambda s: s != ""))
     return (
-        docs.select(F.col(id_col), word)
-        .select(id_col, n_sym.alias("__ns"))
+        docs.select(F.col(id_col), *[F.col(c) for c in carry], word)
+        .select(id_col, *carry, n_sym.alias("__ns"))
         .groupBy(id_col)
         .agg(
+            *[F.min(c).alias(c) for c in carry],
             F.count("*").cast("long").alias("n_words"),
             F.sum("__ns").cast("long").alias("n_bpe_tokens"),
         )

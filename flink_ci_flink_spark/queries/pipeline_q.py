@@ -2407,12 +2407,14 @@ def pipe_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     Average/Paeth), pixel-sum. The oracle recomputes width/height and the
     full pixel sum from the same deterministic formulas in SQL, so the
     entire compression + filter + reconstruction path is hash-checked
-    exactly — a wrong Paeth tie-break or stride changes px_sum. Both
-    stages Arrow-batched mapInPandas, map-only, zero shuffles."""
-    from flink_ci_flink_spark.pipeline.multimodal import decode_png, synthesize_png
+    exactly — a wrong Paeth tie-break or stride changes px_sum. Fused
+    into ONE Arrow-batched mapInPandas (r13, guide §4): encode + decode
+    run back-to-back in the Python worker, so payloads never cross the
+    JVM↔Python boundary; map-only, zero shuffles."""
+    from flink_ci_flink_spark.pipeline.multimodal import synthesize_decode_png
 
     t = load_tables(spark, sf_dir)
-    return decode_png(synthesize_png(t.documents.select("doc_id")))
+    return synthesize_decode_png(t.documents.select("doc_id"))
 
 
 @query(
@@ -2455,15 +2457,16 @@ def pipe_decode_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     path) and kept frames run full LZW decompression (clear codes,
     12-bit growth, KwKwK) + palette lookup. The oracle recomputes each
     kept frame's palette-summed pixels from the deterministic formulas,
-    hash-proving the whole compress/decompress/sample path. Arrow-batched
-    mapInPandas, map-only, zero shuffles."""
+    hash-proving the whole compress/decompress/sample path. Fused into
+    ONE Arrow-batched mapInPandas (r13, guide §4): encode + decode run
+    back-to-back in the Python worker, so payloads never cross the
+    JVM↔Python boundary; map-only, zero shuffles."""
     from flink_ci_flink_spark.pipeline.multimodal import (
-        decode_gif_frames,
-        synthesize_gif,
+        synthesize_decode_gif_frames,
     )
 
     t = load_tables(spark, sf_dir)
-    return decode_gif_frames(synthesize_gif(t.documents.select("doc_id")), every_k=2)
+    return synthesize_decode_gif_frames(t.documents.select("doc_id"), every_k=2)
 
 
 # sqrt-scaled cell count for the 500-vector embeddings table (identical at
@@ -3858,7 +3861,8 @@ def pipe_e2e_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`pipeline/classifier.py`, `pipeline/dedup.py::line_dedup`)."""
     from flink_ci_flink_spark.pipeline.classifier import (
         perceptron_score,
-        perceptron_train,
+        perceptron_score_stats,
+        perceptron_train_feat,
         text_feature_exprs,
     )
     from flink_ci_flink_spark.pipeline.dedup import line_dedup
@@ -3868,19 +3872,24 @@ def pipe_e2e_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     label = F.when(
         F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(1)
     ).otherwise(F.lit(-1))
-    w = perceptron_train(t.documents, text_feature_exprs(), label, iterations=3)
-    # NOT checkpointed, deliberately (r12 negative result): the scored
-    # projection feeds four consumers, but materializing it (spread or
-    # not) measured worse at sf0.1 — warm-run CPU +25%, wall flat — than
-    # letting the duplicate single-partition regex branches execute in
-    # parallel inside one job. At 100 TB-class inputs revisit: four full
-    # corpus regex passes would dominate a narrow (id, score) checkpoint.
-    scored = perceptron_score(t.documents, text_feature_exprs(), w).select(
-        "doc_id", "score"
+    w, feat = perceptron_train_feat(
+        t.documents, text_feature_exprs(), label, iterations=3
     )
-    mstat = scored.agg(
-        F.sum("score").alias("msum"), F.count(F.lit(1)).alias("mcnt")
+    # NOT checkpointed (r12 negative result: materializing measured worse
+    # at sf0.1). Instead (r13, guide §2.4): (a) the corpus-average gate
+    # statistic aggregates dot(w, x) over the feature table the TRAINING
+    # loop already checkpointed — integer-identical, zero extra documents
+    # scans; (b) a narrow (doc_id, score) repartition puts one Exchange
+    # under the two remaining score consumers (the gate inside the dedup
+    # join and the per-source rollup), which AQE reuses — the regex
+    # feature projection executes ONCE where the old shape re-ran it per
+    # consumer.
+    scored = (
+        perceptron_score(t.documents, text_feature_exprs(), w)
+        .select("doc_id", "score")
+        .repartition("doc_id")
     )
+    mstat = perceptron_score_stats(feat, w)
     gated = (
         scored.crossJoin(F.broadcast(mstat))
         .filter(F.col("score") * F.col("mcnt") >= F.col("msum"))
@@ -3893,17 +3902,27 @@ def pipe_e2e_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     dtok = dd.select("doc_id", F.explode(tokens("text")).alias("term"))
-    from flink_ci_flink_spark.pipeline.sketches import heavy_hitters
-
-    hh = heavy_hitters(dtok, "term", k=200).select(
-        "term", F.lit(1).alias("__hh")
+    # Adaptive stopwords = terms with freq*200 >= corpus token count,
+    # derived from ONE (doc, term) count aggregate whose exchange feeds
+    # the per-term counts, the corpus total, AND the per-doc rollup
+    # (same ReusedExchange contract as bm25's tf-derived df) — the old
+    # heavy_hitters call re-executed the line-dedup + gate subtree for
+    # its summary pass, its exact recount, and the per-doc join: 3x.
+    dt = dtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("__c"))
+    tot = dt.agg(F.sum("__c").alias("__n"))
+    hh = (
+        dt.groupBy("term")
+        .agg(F.sum("__c").alias("__tc"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("__tc") * 200 >= F.col("__n"))
+        .select("term", F.lit(1).alias("__hh"))
     )
     per_doc = (
-        dtok.join(F.broadcast(hh), "term", "left")
+        dt.join(F.broadcast(hh), "term", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
-            F.sum(F.when(F.col("__hh").isNull(), 1).otherwise(0))
+            F.sum("__c").cast("bigint").alias("n_toks"),
+            F.sum(F.when(F.col("__hh").isNull(), F.col("__c")).otherwise(0))
             .cast("bigint")
             .alias("n_nonstop"),
         )
@@ -4512,7 +4531,8 @@ def pipe_e2e_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsir_scores}`)."""
     from flink_ci_flink_spark.pipeline.classifier import (
         perceptron_score,
-        perceptron_train,
+        perceptron_score_stats,
+        perceptron_train_feat,
         text_feature_exprs,
     )
     from flink_ci_flink_spark.pipeline.sampling import dsir_scores
@@ -4522,16 +4542,18 @@ def pipe_e2e_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     label = F.when(
         F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(1)
     ).otherwise(F.lit(-1))
-    w = perceptron_train(t.documents, text_feature_exprs(), label, iterations=3)
-    # NOT checkpointed (same r12 negative result as v3's scored
-    # projection: materializing measured worse at sf0.1 than the lazy
-    # parallel branches)
+    w, feat = perceptron_train_feat(
+        t.documents, text_feature_exprs(), label, iterations=3
+    )
+    # NOT checkpointed (r12 negative result) — instead the same r13 shape
+    # as v3: the corpus-average gate statistic aggregates dot(w, x) over
+    # the feature table the training loop already checkpointed
+    # (integer-identical, zero extra documents scans), so the regex
+    # feature projection executes once, for the gate's scored side only.
     mscored = perceptron_score(t.documents, text_feature_exprs(), w).select(
         "doc_id", F.col("score").alias("mscore")
     )
-    mstat = mscored.agg(
-        F.sum("mscore").alias("msum"), F.count(F.lit(1)).alias("mcnt")
-    )
+    mstat = perceptron_score_stats(feat, w)
     gated = (
         mscored.crossJoin(F.broadcast(mstat))
         .filter(F.col("mscore") * F.col("mcnt") >= F.col("msum"))
@@ -4547,8 +4569,14 @@ def pipe_e2e_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = clean.join(gated, "doc_id")
     dsir = dsir_scores(
         t.documents, F.col("source").isin("src1", "src2", "src3")
-    ).select("doc_id", F.col("score").alias("dsir_score"))
-    joined = surv.join(dsir, "doc_id")
+    ).select(F.col("doc_id").alias("__did"), F.col("score").alias("dsir_score"))
+    # eqNullSafe (doc_id is never null — identical rows): a plain equi-join
+    # INFERS isnotnull(doc_id) and pushes it into only the scoring branch
+    # of dsir's shared single-scan aggregate, splitting the subtrees and
+    # re-running the n-gram explode (the r12 InferFilters pathology class)
+    joined = surv.join(
+        dsir, F.col("doc_id").eqNullSafe(F.col("__did"))
+    ).drop("__did")
     top = joined.orderBy(
         F.col("dsir_score").desc(), F.col("doc_id").asc()
     ).limit(50)
@@ -4901,16 +4929,20 @@ def pipe_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE merges in-engine, re-encode the corpus map-only (broadcast merge
     list), roll up chars/words/BPE-tokens per source with the ratio as an
     exact integer ppm. The oracle re-derives training AND encoding. One
-    corpus scan after training; the rollup keys on the small source set
+    corpus scan after training — (source, n_chars) CARRY the encode pass's
+    per-doc aggregation instead of a second documents scan + join-back
     (`pipeline/text.py::{bpe_merges, bpe_encode_counts}`)."""
     from flink_ci_flink_spark.pipeline.text import bpe_encode_counts, bpe_merges
 
     t = load_tables(spark, sf_dir)
     merges = [r.pair for r in bpe_merges(t.documents, k=3).collect()]
-    per_doc = bpe_encode_counts(t.documents, merges)
+    per_doc = bpe_encode_counts(
+        t.documents.withColumn("__nc", F.length("text")),
+        merges,
+        carry=("source", "__nc"),
+    )
     return (
-        t.documents.select("doc_id", "source", F.length("text").alias("__nc"))
-        .join(per_doc, "doc_id")
+        per_doc
         .groupBy("source")
         .agg(
             F.sum("__nc").cast("long").alias("total_chars"),

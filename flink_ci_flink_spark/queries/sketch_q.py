@@ -16,7 +16,6 @@ from flink_ci_flink_spark.catalog import load_tables
 from flink_ci_flink_spark.pipeline.sketches import (
     countmin_estimate,
     countmin_sketch,
-    hll_distinct,
     kmv_distinct,
 )
 from flink_ci_flink_spark.pipeline.text import tokens
@@ -76,12 +75,33 @@ def pipe_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     error inspection. The register table is map-side combinable — at 100 TB
     the shuffle carries ≤ 64 rows per language, vs every distinct token for
     the exact path. Sketch state is exact BIGINT (v_zero, s_scaled), so the
-    oracle replays it bit-for-bit."""
+    oracle replays it bit-for-bit.
+
+    ONE corpus pass (r13): registers and the exact distinct fold into the
+    same aggregation chain — dedupe (lang, tok) once, then each distinct
+    token lands in exactly one register, so per-register COUNT(*) sums to
+    the exact per-language distinct while MAX(rho) builds the sketch
+    (max over the distinct set == max over the multiset; rho is a pure
+    function of the token). The old sketch-branch + countDistinct-branch
+    join re-scanned and re-tokenized documents twice."""
+    from flink_ci_flink_spark.pipeline.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
     t = load_tables(spark, sf_dir)
     toks = t.documents.select("lang", F.explode(tokens("text")).alias("tok"))
-    sk = hll_distinct(toks, "tok", ["lang"], b=6)
-    exact = toks.groupBy("lang").agg(F.countDistinct("tok").alias("exact_distinct"))
-    return sk.join(exact, "lang").select(
+    d = toks.dropDuplicates(["lang", "tok"])
+    regs = hll_registers(
+        d, "tok", ["lang"], b=6, extra_aggs=[F.count("*").alias("__n_toks")]
+    )
+    sk = hll_estimate_from_registers(
+        regs,
+        ["lang"],
+        b=6,
+        extra_aggs=[F.sum("__n_toks").cast("long").alias("exact_distinct")],
+    )
+    return sk.select(
         "lang", "v_zero", "s_scaled", "est_distinct", "exact_distinct"
     )
 

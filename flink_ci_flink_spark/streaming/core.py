@@ -72,7 +72,15 @@ def stage_ordered_replay(
 
     tmp = tempfile.mkdtemp(prefix="replay_stage_")
     w = Window.orderBy(*order_cols)
-    staged = df.withColumn("__b", F.ntile(n_batches).over(w))
+    # One execution of the upstream plan: without the checkpoint, each of
+    # the n_batches filtered writes below re-runs df AND the global ntile
+    # sort (a replay fixture built from a derived changelog paid its whole
+    # build pipeline 3x). Bounded by design — replay fixtures are
+    # micro-batch-sized; the blocks are reclaimed by the ContextCleaner
+    # when the frame goes out of scope.
+    staged = df.withColumn("__b", F.ntile(n_batches).over(w)).localCheckpoint(
+        eager=True
+    )
     for b in range(1, n_batches + 1):
         part_dir = f"{tmp}/b{b}"
         staged.filter(F.col("__b") == b).drop("__b").orderBy(
