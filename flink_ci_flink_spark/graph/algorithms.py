@@ -78,6 +78,13 @@ def connected_components(
     LAST_CC_STATS.clear()
     LAST_CC_STATS.update({"supersteps": 0, "superstep_secs": []})
     start = 0
+    if vertices is None and max_iter <= 0:
+        # r12 ADVICE: the fused first superstep below PROPAGATES once; with
+        # max_iter=0 the contract is identity labels without propagation
+        # (matching the explicit-vertices path, whose loop never runs)
+        return e.select(F.col("src").alias("id")).distinct().select(
+            "id", F.col("id").alias("component")
+        )
     if vertices is None:
         # Fused first superstep: before any propagation every label IS the
         # vertex id, so the neighbor message is the neighbor id itself and

@@ -142,8 +142,21 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     One select, shared Column objects: the ten chained withColumns built
     `quality_columns` twice (once per column batch, once inside
     quality_score) and re-analyzed the growing plan per column — halving
-    the Py4J construction round trips and leaving one Project node."""
+    the Py4J construction round trips and leaving one Project node.
+
+    Precondition (r12 ADVICE): the input must not already carry a
+    feature-named column — select('*', aliases) APPENDS where the old
+    chained withColumn REPLACED, so a collision would yield duplicate
+    column names; rejected loudly here instead."""
     cols = quality_columns(text_col)
+    clash = (set(cols) | {"quality", "lang_pred", "fingerprint"}).intersection(
+        df.columns
+    )
+    if clash:
+        raise ValueError(
+            f"with_text_features: input already has feature columns "
+            f"{sorted(clash)} — drop or rename them first"
+        )
     return df.select(
         "*",
         *[c.alias(n) for n, c in cols.items()],

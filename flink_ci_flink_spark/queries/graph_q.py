@@ -50,12 +50,36 @@ def _near_dup_edges_materialized(t) -> "DataFrame":
     tiny relative to the corpus, so the eager localCheckpoint is the
     bounded AllPairs build-the-index-once step, the same pattern
     connected_components applies internally. Single-traversal CC queries
-    keep the lazy form (CC checkpoints the undirected edges itself)."""
-    return (
+    keep the lazy form (CC checkpoints the undirected edges itself).
+
+    Small-end guard (r12 verdict #8): the checkpoint blocks are
+    MEMORY_AND_DISK (localCheckpoint's default) so a pathological
+    mass-near-duplicate corpus spills to executor-local disk rather than
+    OOM; past `_EDGE_MATERIALIZE_WARN` edges we warn loudly — at that
+    size the traversals should move to a parquet-backed staging write
+    with lineage-free re-reads instead of pinned blocks."""
+    edges = (
         jaccard_pairs(t.documents, threshold=0.5)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .localCheckpoint(eager=True)
     )
+    n = edges.count()  # cheap: reads the just-materialized blocks
+    if n > _EDGE_MATERIALIZE_WARN:
+        import warnings
+
+        warnings.warn(
+            f"_near_dup_edges_materialized: {n} edges exceed the "
+            f"{_EDGE_MATERIALIZE_WARN}-row small-end bound for pinned "
+            "localCheckpoint blocks; stage the edge list to parquet",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return edges
+
+
+#: localCheckpoint small-end bound for the materialized near-dup edge list
+#: (r12 verdict #8); ~10M (src, dst) rows ≈ 160 MB of block storage.
+_EDGE_MATERIALIZE_WARN = 10_000_000
 
 
 @query(

@@ -5307,7 +5307,12 @@ def pipe_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_arr = shingles_from_tokens(F.col("__toks"))
     feat = (
         _tokenized(
-            docs.join(F.broadcast(cand_ids), "doc_id", "left_semi"),
+            # no broadcast hint (r12 ADVICE): the candidate id set grows
+            # with corpus size/near-dup density — unbounded at 100 TB,
+            # where a forced broadcast can blow the 8 GB relation cap; a
+            # shuffled left_semi stays safe at any scale and AQE still
+            # broadcasts it when it is actually small
+            docs.join(cand_ids, "doc_id", "left_semi"),
             "text",
             "doc_id",
         )

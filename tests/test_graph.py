@@ -428,3 +428,43 @@ def test_cc_superstep_single_join(spark, toy_graph):
     # semantics unchanged on a graph with an isolated vertex
     got = {r.id: r.component for r in connected_components(vertices, edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 20: 20}
+
+
+def test_near_dup_edge_materialize_small_end_guard(spark, monkeypatch):
+    """r12 verdict #8: the eager localCheckpoint in the multi-traversal
+    edge materialization assumes a small end. The guard warns loudly past
+    the bound (exercised by shrinking it to 0) and stays silent at the
+    default; rows are identical either way."""
+    import warnings
+
+    from flink_ci_flink_spark.catalog import load_tables
+    from flink_ci_flink_spark.queries import graph_q
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # silent at the default bound
+        base = {
+            (r.src, r.dst)
+            for r in graph_q._near_dup_edges_materialized(t).collect()
+        }
+    monkeypatch.setattr(graph_q, "_EDGE_MATERIALIZE_WARN", 0)
+    with pytest.warns(RuntimeWarning, match="small-end bound"):
+        guarded = {
+            (r.src, r.dst)
+            for r in graph_q._near_dup_edges_materialized(t).collect()
+        }
+    assert guarded == base
+
+
+def test_connected_components_max_iter_zero_identity(spark):
+    """r12 ADVICE: with vertices=None and max_iter=0 the contract is
+    identity labels WITHOUT propagation (matching the explicit-vertices
+    path, whose superstep loop never runs)."""
+    from flink_ci_flink_spark.graph.algorithms import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = {
+        r.id: r.component
+        for r in connected_components(None, edges, max_iter=0).collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 3}

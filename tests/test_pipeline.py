@@ -2779,3 +2779,57 @@ def test_delta_dedup_corpus_cap_never_binds_at_graded_sfs(spark):
             "cap-free oracle would silently hash-mismatch; raise "
             "max_bucket_corpus or encode the smallest-id cap in the oracle"
         )
+
+
+def test_assign_cells_sentinel_join_key_contract(spark):
+    """r12 verdict "What's wrong #2": `_assign_cells` coalesces a null
+    argmin to -1 so the inferred isnotnull(cell) constraint folds away
+    (the InferFilters duplicate-evaluation pathology). -1 preserves the
+    old null semantics ONLY while every consumer treats cell as an
+    equi-join key (or a group discarded by bounded-index lookups): a
+    sentinel row must never match a real centroid cell, and two sentinel
+    rows must never surface as a pair. Pin that contract end-to-end."""
+    from flink_ci_flink_spark.pipeline.similarity import (
+        _assign_cells,
+        ivf_ann_topk,
+        semantic_dedup,
+    )
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    base = [(1, [0.1, 0.2]), (2, [9.9, 10.1]), (3, [0.3, 0.1])]
+    schema = "vec_id long, embedding array<double>"
+    clean = spark.createDataFrame(base, schema)
+    with_null = clean.unionByName(
+        spark.createDataFrame([(98, None), (99, None)], schema)
+    )
+
+    # the sentinel only surfaces for a null vector
+    cells = {
+        r.vec_id: r.c
+        for r in with_null.select(
+            "vec_id", _assign_cells(F.col("embedding"), cents).alias("c")
+        ).collect()
+    }
+    assert cells[98] == -1 and cells[99] == -1
+    assert all(cells[i] >= 0 for i in (1, 2, 3))
+
+    # equi-join consumer (ivf_ann_topk): -1 matches no probed cell, so the
+    # null-vector corpus rows are invisible — identical top-k
+    q = spark.createDataFrame([(7, [0.0, 0.1])], "query_id long, embedding array<double>")
+    a = sorted(
+        ivf_ann_topk(clean, q, k=2, centroids=cents).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    b = sorted(
+        ivf_ann_topk(with_null, q, k=2, centroids=cents).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    # self-join consumer (semantic_dedup): two sentinel rows share cell -1
+    # where nulls never matched, but the cosine screen drops the pair —
+    # both stay kept, and the real rows' verdicts are unchanged
+    kept_clean = {r[0]: r["kept"] for r in semantic_dedup(clean, eps=0.4, centroids=cents).collect()}
+    out_null = {r[0]: r["kept"] for r in semantic_dedup(with_null, eps=0.4, centroids=cents).collect()}
+    assert out_null[98] and out_null[99]
+    assert {k: v for k, v in out_null.items() if k in kept_clean} == kept_clean
