@@ -74,6 +74,29 @@ BMP_FEATURE_SCHEMA = (
 )
 
 
+def _iter_payloads(pdf, id_col: str, payload_fn):
+    """(doc_id, payload) pairs for a decode batch. With ``payload_fn`` the
+    payload is SYNTHESIZED executor-side in the same Python worker that
+    consumes it (guide §4: the bytes never cross the JVM↔Python boundary —
+    a stacked synthesize-mapInPandas + decode-mapInPandas pays a full
+    Arrow roundtrip of every payload); without it, read the ``payload``
+    column as before."""
+    ids = pdf[id_col].astype("int64")
+    if payload_fn is not None:
+        for did in ids:
+            did = int(did)
+            yield did, payload_fn(did)
+    else:
+        for did, payload in zip(ids, pdf["payload"]):
+            yield int(did), bytes(payload)
+
+
+def _payload_input(df: DataFrame, id_col: str, payload_fn) -> DataFrame:
+    """Prune the decode input to just the id when the payload is
+    synthesized in-worker (§4: pass only the columns the function needs)."""
+    return df.select(id_col) if payload_fn is not None else df
+
+
 def _bmp_bytes(doc_id: int) -> bytes:
     """A real 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up, rows
     padded to 4 bytes — the public Windows BMP spec, stdlib-only). Width,
@@ -136,7 +159,7 @@ def _parse_bmp(b: bytes, did: int):
 
 
 def resize_image(
-    df: DataFrame, out_w: int, out_h: int, id_col: str = "doc_id"
+    df: DataFrame, out_w: int, out_h: int, id_col: str = "doc_id", payload_fn=None
 ) -> DataFrame:
     """Nearest-neighbor resize of BMP payloads (the thumbnail/normalize step
     of an image pipeline), pure stdlib inside Arrow-batched mapInPandas.
@@ -149,8 +172,8 @@ def resize_image(
     def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "width", "height", "px_sum")}
-            for did, payload in zip(pdf[id_col].astype("int64"), pdf["payload"]):
-                w, h, rows = _parse_bmp(bytes(payload), int(did))
+            for did, payload in _iter_payloads(pdf, id_col, payload_fn):
+                w, h, rows = _parse_bmp(payload, did)
                 px_sum = 0
                 for y in range(out_h):
                     src_row = rows[y * h // out_h]
@@ -167,7 +190,7 @@ def resize_image(
                 out["px_sum"].append(px_sum)
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(
+    return _payload_input(df, id_col, payload_fn).mapInPandas(
         rs, "doc_id long, width integer, height integer, px_sum long"
     )
 
@@ -233,6 +256,44 @@ def sample_frames(
     )
 
 
+def synthesize_sample_frames(
+    df: DataFrame, n_frames: int = 6, every_k: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """`sample_frames(synthesize_bmp_animation(df, n), k)` fused into ONE
+    mapInPandas (guide §4): the concatenated-BMP 'video' payload is built
+    and walked in the same Python worker, so it never crosses the
+    JVM↔Python boundary. Same bytes, same rows; the standalone stages
+    remain the public operators."""
+    import struct
+
+    def both(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_idx", "width", "height", "px_sum")}
+            for did in pdf[id_col].astype("int64"):
+                did = int(did)
+                b = b"".join(_bmp_bytes(did + 41 * f) for f in range(n_frames))
+                pos, idx = 0, 0
+                while pos < len(b):
+                    if b[pos : pos + 2] != b"BM":
+                        raise ValueError(f"doc {did}: bad frame at byte {pos}")
+                    size = struct.unpack_from("<I", b, pos + 2)[0]
+                    if idx % every_k == 0:
+                        w, h, rows = _parse_bmp(b[pos : pos + size], did)
+                        out["doc_id"].append(did)
+                        out["frame_idx"].append(idx)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["px_sum"].append(sum(sum(r) for r in rows))
+                    pos += size
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(
+        both,
+        "doc_id long, frame_idx integer, width integer, height integer, px_sum long",
+    )
+
+
 def _wav_bytes(doc_id: int) -> bytes:
     """A real RIFF/WAVE file (PCM 16-bit mono, 8 kHz — the public WAV spec,
     stdlib-only). Sample count and every sample are deterministic functions
@@ -265,7 +326,9 @@ def synthesize_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(gen, "doc_id long, payload binary")
 
 
-def decode_audio(df: DataFrame, id_col: str = "doc_id", kind: str = "wav") -> DataFrame:
+def decode_audio(
+    df: DataFrame, id_col: str = "doc_id", kind: str = "wav", payload_fn=None
+) -> DataFrame:
     """Real audio decode over binary payloads (pure stdlib, mapInPandas).
 
     Supports PCM 16-bit WAV end-to-end: walks the RIFF chunk list (fmt /
@@ -286,8 +349,7 @@ def decode_audio(df: DataFrame, id_col: str = "doc_id", kind: str = "wav") -> Da
                 k: []
                 for k in ("doc_id", "n_samples", "sample_rate", "abs_sum", "peak")
             }
-            for did, payload in zip(pdf[id_col].astype("int64"), pdf["payload"]):
-                b = bytes(payload)
+            for did, b in _iter_payloads(pdf, id_col, payload_fn):
                 if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
                     raise ValueError(f"doc {did}: not a WAV payload")
                 pos, rate, samples = 12, None, None
@@ -312,14 +374,16 @@ def decode_audio(df: DataFrame, id_col: str = "doc_id", kind: str = "wav") -> Da
                 out["peak"].append(int(max(abs(s) for s in samples)))
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(
+    return _payload_input(df, id_col, payload_fn).mapInPandas(
         decode,
         "doc_id long, n_samples integer, sample_rate integer, "
         "abs_sum long, peak integer",
     )
 
 
-def decode_image(df: DataFrame, id_col: str = "doc_id", kind: str = "bmp") -> DataFrame:
+def decode_image(
+    df: DataFrame, id_col: str = "doc_id", kind: str = "bmp", payload_fn=None
+) -> DataFrame:
     """Real image decode over binary payloads (pure stdlib, mapInPandas).
 
     Supports uncompressed 24-bit BMP end-to-end: parses the file +
@@ -339,8 +403,7 @@ def decode_image(df: DataFrame, id_col: str = "doc_id", kind: str = "bmp") -> Da
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "width", "height", "bpp", "n_pixels", "px_sum")}
-            for did, payload in zip(pdf[id_col].astype("int64"), pdf["payload"]):
-                b = bytes(payload)
+            for did, b in _iter_payloads(pdf, id_col, payload_fn):
                 if b[:2] != b"BM":
                     raise ValueError(f"doc {did}: not a BMP payload")
                 off = struct.unpack_from("<I", b, 10)[0]
@@ -360,7 +423,7 @@ def decode_image(df: DataFrame, id_col: str = "doc_id", kind: str = "bmp") -> Da
                 out["px_sum"].append(px_sum)
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(decode, BMP_FEATURE_SCHEMA)
+    return _payload_input(df, id_col, payload_fn).mapInPandas(decode, BMP_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -987,7 +1050,46 @@ def audio_analysis(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def image_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthesize_audio_analysis(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """`audio_analysis(synthesize_wav(df))` fused into ONE mapInPandas
+    (guide §4): the RIFF/WAVE payload is built and analyzed in the same
+    Python worker, so it never crosses the JVM↔Python boundary. Same
+    bytes, same rows; the standalone stages remain the public operators."""
+    import struct
+
+    def both(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "zero_crossings", "max_frame_energy")}
+            for did in pdf[id_col].astype("int64"):
+                did = int(did)
+                b = _wav_bytes(did)
+                pos, samples = 12, None
+                while pos + 8 <= len(b):
+                    cid, sz = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+                    if cid == b"data":
+                        samples = struct.unpack_from(f"<{sz // 2}h", b, pos + 8)
+                    pos += 8 + sz + (sz & 1)
+                if samples is None:
+                    raise ValueError(f"doc {did}: missing data chunk")
+                zc = sum(
+                    1 for a, b2 in zip(samples, samples[1:]) if a * b2 < 0
+                )
+                energies = [
+                    sum(v * v for v in samples[i : i + 8])
+                    for i in range(0, len(samples), 8)
+                ]
+                out["doc_id"].append(did)
+                out["zero_crossings"].append(int(zc))
+                out["max_frame_energy"].append(int(max(energies)))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(
+        both,
+        schema=f"{id_col} long, zero_crossings long, max_frame_energy long",
+    )
+
+
+def image_stats(df: DataFrame, id_col: str = "doc_id", payload_fn=None) -> DataFrame:
     """Image screening features over REAL decoded BMP payloads — the image
     twin of :func:`audio_analysis` (the brightness/saturation gates of an
     image-curation pass): per-channel sums, the integer BT.601 luma sum
@@ -1011,8 +1113,8 @@ def image_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "max_chan",
                 )
             }
-            for did, payload in zip(pdf[id_col].astype("int64"), pdf["payload"]):
-                w, h, rows = _parse_bmp(bytes(payload), int(did))
+            for did, payload in _iter_payloads(pdf, id_col, payload_fn):
+                w, h, rows = _parse_bmp(payload, did)
                 sr = sg = sb = luma = mx = 0
                 for row in rows:
                     for x in range(w):
@@ -1037,7 +1139,7 @@ def image_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["max_chan"].append(mx)
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(
+    return _payload_input(df, id_col, payload_fn).mapInPandas(
         stats,
         "doc_id long, width long, height long, sum_r long, sum_g long,"
         " sum_b long, luma_milli long, max_chan long",

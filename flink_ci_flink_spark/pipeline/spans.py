@@ -164,9 +164,11 @@ def strip_duplicated_spans(
     the positional token stream, then anti-joined the full stream against
     the covered positions):
 
-    1. posexplode the tokens once; every window hash derives from the
-       SAME exploded stream via ``lead(tok, i)`` over the per-doc position
-       order (identical strings to slicing the token array);
+    1. posexplode the tokens once, CARRYING the token array through the
+       Generate so every window hash is computed map-only from
+       ``slice(toks, pos, w)`` in the same projection (no per-doc sort
+       just to assemble windows — a lead()-window variant measured +39%
+       CPU at sf0.1 from the extra WindowExec sort);
     2. the keep-first screen is min(doc) over the whash partition. Tail
        positions (< w tokens left) have NULL whash; they get per-row
        synthetic NEGATIVE partition keys so the null group never funnels
@@ -179,33 +181,33 @@ def strip_duplicated_spans(
        anti-join of the old shape;
     4. re-assemble with array_sort(collect_list) as before. The final
        groupBy keys on the step-3 window's partition, so it adds no
-       exchange: 1 scan + 2 full-stream shuffles (was 2 scans + 3).
+       exchange: 1 scan + 2 full-stream sort-windows (was 2 scans + 3
+       shuffles).
     """
     from pyspark.sql import Window
 
-    ex = (
+    st = (
         df.select(F.col(id_col), tokens(text_col).alias("__toks"))
         .select(
             F.col(id_col),
-            F.size("__toks").cast("bigint").alias("__n"),
+            F.col("__toks"),
             F.posexplode("__toks").alias("__p0", "tok"),
         )
         .select(
             F.col(id_col),
-            F.col("__n"),
             (F.col("__p0") + 1).cast("bigint").alias("pos"),
             F.col("tok"),
+            F.when(
+                (F.col("__p0") + 1) <= F.size("__toks") - (w - 1),
+                token_hash(
+                    F.concat_ws(
+                        " ", F.slice(F.col("__toks"), F.col("__p0") + 1, w)
+                    )
+                ),
+            ).alias("whash"),
         )
     )
     by_doc = Window.partitionBy(id_col).orderBy("pos")
-    win_toks = [F.col("tok")] + [
-        F.lead("tok", i).over(by_doc) for i in range(1, w)
-    ]
-    whash = F.when(
-        F.col("pos") <= F.col("__n") - (w - 1),
-        token_hash(F.concat_ws(" ", *win_toks)),
-    )
-    st = ex.withColumn("whash", whash)
     # synthetic negative keys spread the null-whash tail rows; real hashes
     # are 60-bit non-negative, so the key spaces never collide
     pkey = F.coalesce(

@@ -625,33 +625,43 @@ def catalog_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog column statistics — the reference's ANALYZE surface
     (`catalog/stats/CatalogColumnStatisticsDataLong/Double/String/Date
     .java`: nullCount/ndv/min/max, string max/avg length): long, double,
-    string, and timestamp columns of orders, computed in ONE scan (a
-    single aggregation row with every measure, unpivoted to per-column
-    rows) — numeric bounds integer-scaled, string lengths exact, so the
-    stats are engine-portable. The planner-facing shape a CBO consumes."""
+    string, and timestamp columns of orders, unpivoted to per-column
+    rows — numeric bounds integer-scaled, string lengths exact, so the
+    stats are engine-portable. The planner-facing shape a CBO consumes.
+
+    Two single-row aggregates cross-joined (r13): mixing the four
+    COUNT(DISTINCT) with the plain min/max/sum measures in ONE aggregate
+    makes Catalyst's multi-distinct rewrite plan an Expand(x5) feeding a
+    SORT-aggregate chain over every distinct column at once — measured
+    2.4s steady-state at sf0.1 vs 0.3s for the split (plain measures stay
+    one hash-aggregate scan; the distinct quartet plans Expand +
+    HashAggregate). Same 1-row result, same oracle."""
     t = load_tables(spark, sf_dir)
     o = t.orders
-    a = o.agg(
+    plain = o.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         (F.count(F.lit(1)) - F.count("o_orderkey")).cast("bigint").alias("k_nulls"),
-        F.countDistinct("o_orderkey").cast("bigint").alias("k_ndv"),
         F.min("o_orderkey").cast("bigint").alias("k_min"),
         F.max("o_orderkey").cast("bigint").alias("k_max"),
         (F.count(F.lit(1)) - F.count("o_totalprice")).cast("bigint").alias("p_nulls"),
-        F.countDistinct("o_totalprice").cast("bigint").alias("p_ndv"),
         F.floor(F.min("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("p_min"),
         F.floor(F.max("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("p_max"),
         (F.count(F.lit(1)) - F.count("o_orderstatus")).cast("bigint").alias("s_nulls"),
-        F.countDistinct("o_orderstatus").cast("bigint").alias("s_ndv"),
         F.sum(F.length("o_orderstatus")).cast("bigint").alias("s_total_len"),
         F.max(F.length("o_orderstatus")).cast("bigint").alias("s_max_len"),
         F.min("o_orderstatus").alias("s_min"),
         F.max("o_orderstatus").alias("s_max"),
         (F.count(F.lit(1)) - F.count("o_orderdate")).cast("bigint").alias("d_nulls"),
-        F.countDistinct("o_orderdate").cast("bigint").alias("d_ndv"),
         F.unix_timestamp(F.min("o_orderdate")).cast("bigint").alias("d_min"),
         F.unix_timestamp(F.max("o_orderdate")).cast("bigint").alias("d_max"),
     )
+    ndv = o.agg(
+        F.countDistinct("o_orderkey").cast("bigint").alias("k_ndv"),
+        F.countDistinct("o_totalprice").cast("bigint").alias("p_ndv"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("s_ndv"),
+        F.countDistinct("o_orderdate").cast("bigint").alias("d_ndv"),
+    )
+    a = plain.crossJoin(F.broadcast(ndv))
     return a.selectExpr(
         """stack(4,
           'o_orderkey', n_rows, k_nulls, k_ndv, k_min, k_max,

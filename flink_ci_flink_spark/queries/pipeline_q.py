@@ -429,10 +429,12 @@ def pipe_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     width/height and the full pixel sum from the same deterministic
     formulas in SQL, so the decoder's pixel walk is hash-checked exactly
     (a wrong stride, row order, or padding handling changes px_sum)."""
-    from flink_ci_flink_spark.pipeline.multimodal import decode_image, synthesize_bmp
+    from flink_ci_flink_spark.pipeline.multimodal import _bmp_bytes, decode_image
 
     t = load_tables(spark, sf_dir)
-    return decode_image(synthesize_bmp(t.documents.select("doc_id")))
+    return decode_image(
+        t.documents.select("doc_id"), payload_fn=_bmp_bytes
+    )
 
 
 @query(
@@ -468,10 +470,12 @@ def pipe_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel grid from the synthesis formulas in SQL — any axis swap, stride
     bug, or rounding difference in the resampler changes px_sum. Both
     stages Arrow-batched mapInPandas, map-only, zero shuffles."""
-    from flink_ci_flink_spark.pipeline.multimodal import resize_image, synthesize_bmp
+    from flink_ci_flink_spark.pipeline.multimodal import _bmp_bytes, resize_image
 
     t = load_tables(spark, sf_dir)
-    return resize_image(synthesize_bmp(t.documents.select("doc_id")), 4, 3)
+    return resize_image(
+        t.documents.select("doc_id"), 4, 3, payload_fn=_bmp_bytes
+    )
 
 
 @query(
@@ -511,14 +515,12 @@ def pipe_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum. One row fans out to 3 frame rows — map-only, zero shuffles; the
     oracle recomputes every kept frame's dims and pixel sum in SQL, so the
     container walk (frame boundaries) and per-frame decode are both
-    hash-checked exactly."""
-    from flink_ci_flink_spark.pipeline.multimodal import (
-        sample_frames,
-        synthesize_bmp_animation,
-    )
+    hash-checked exactly. Fused into ONE Arrow-batched mapInPandas (r13,
+    guide §4): the payload never crosses the JVM↔Python boundary."""
+    from flink_ci_flink_spark.pipeline.multimodal import synthesize_sample_frames
 
     t = load_tables(spark, sf_dir)
-    return sample_frames(synthesize_bmp_animation(t.documents.select("doc_id"), 6), 2)
+    return synthesize_sample_frames(t.documents.select("doc_id"), 6, 2)
 
 
 @query(
@@ -552,10 +554,12 @@ def pipe_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the sample series and its absolute-amplitude sum/peak in
     SQL, so chunk offsets, sample width, and signedness handling are all
     hash-checked exactly."""
-    from flink_ci_flink_spark.pipeline.multimodal import decode_audio, synthesize_wav
+    from flink_ci_flink_spark.pipeline.multimodal import _wav_bytes, decode_audio
 
     t = load_tables(spark, sf_dir)
-    return decode_audio(synthesize_wav(t.documents.select("doc_id")))
+    return decode_audio(
+        t.documents.select("doc_id"), payload_fn=_wav_bytes
+    )
 
 
 @query(
@@ -3713,15 +3717,16 @@ def pipe_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     stdlib RIFF walker inside Arrow-batched mapInPandas — map-only, zero
     shuffles, all-integer outputs. The oracle recomputes both features
     from the deterministic synthesized sample series, so the decode AND
-    the analysis arithmetic are hash-checked exactly
-    (`pipeline/multimodal.py::audio_analysis`)."""
+    the analysis arithmetic are hash-checked exactly. Fused into ONE
+    Arrow-batched mapInPandas (r13, guide §4): the payload never crosses
+    the JVM↔Python boundary
+    (`pipeline/multimodal.py::synthesize_audio_analysis`)."""
     from flink_ci_flink_spark.pipeline.multimodal import (
-        audio_analysis,
-        synthesize_wav,
+        synthesize_audio_analysis,
     )
 
     t = load_tables(spark, sf_dir)
-    return audio_analysis(synthesize_wav(t.documents.select("doc_id")))
+    return synthesize_audio_analysis(t.documents.select("doc_id"))
 
 
 def _perceptron_label_sql() -> str:
@@ -4871,12 +4876,14 @@ def pipe_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     padding) and the stats arithmetic are hash-checked exactly
     (`pipeline/multimodal.py::image_stats`)."""
     from flink_ci_flink_spark.pipeline.multimodal import (
+        _bmp_bytes,
         image_stats,
-        synthesize_bmp,
     )
 
     t = load_tables(spark, sf_dir)
-    return image_stats(synthesize_bmp(t.documents.select("doc_id")))
+    return image_stats(
+        t.documents.select("doc_id"), payload_fn=_bmp_bytes
+    )
 
 
 def _tokenizer_fertility_oracle(k: int = 3) -> str:

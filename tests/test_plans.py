@@ -355,6 +355,22 @@ def test_executed_scans_per_table_sketch_and_compose_pins(spark):
         # r12 opt round: truth label rides the predict carry (4 -> 3:
         # train + serve-grams + zero-hit-base roles)
         ("pipe_langid_confusion", "documents", 3),
+        # r13 opt round: registers + exact distinct fold into one pass
+        ("pipe_hll_distinct", "documents", 1),
+        # r13: (source, n_chars) carried through the BPE encode agg
+        # (2 = train + encode roles)
+        ("pipe_tokenizer_fertility", "documents", 2),
+        # r13: single posexplode feeds window hashes, keep-first screen,
+        # and the interval-union coverage
+        ("pipe_strip_spans", "documents", 1),
+        # r13: dsir bucket model/totals/scoring share one (id, tgt, b)
+        # count aggregate (anti-pushdown gate + totals-from-model)
+        ("pipe_dsir_select", "documents", 1),
+        # r13: corpus-average gate from the training feature checkpoint +
+        # shared (doc, term) stopword aggregate (3 = dedup + score +
+        # source-rollup roles); v4: 3 = gopher + score + dsir roles
+        ("pipe_e2e_curation_v3", "documents", 3),
+        ("pipe_e2e_curation_v4", "documents", 3),
     ):
         df = QUERIES[name].fn(spark, SF_DIR)
         df.collect()
