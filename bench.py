@@ -773,34 +773,41 @@ def main() -> None:
             # 2 runs per query, same one-sided-contention rationale as
             # SCALE_RUNG (this rung runs late in the bench when box
             # contention is likeliest).
-            sf1h_samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
-            sf1h_cpu: dict[str, list[float]] = {n: [] for n in HEADLINE}
-            for r in range(2):
-                for name in HEADLINE:
-                    c0 = _proc_tree_cpu_sec()
-                    t0 = time.perf_counter()
-                    n = QUERIES[name].fn(spark, sf1_dir).count()
-                    dt = round(time.perf_counter() - t0, 3)
-                    sf1h_samples[name].append(dt)
-                    if c0 is not None:
-                        c1 = _proc_tree_cpu_sec()
-                        if c1 is not None:
-                            sf1h_cpu[name].append(round(c1 - c0, 3))
-                    print(
-                        f"# sf1_headline run{r + 1} {name}: {dt:.3f}s"
-                        f" ({n} rows)",
-                        file=sys.stderr,
+            # Own try/except: this rung runs 44 sf1-scale executions of
+            # queries the dense-rung/cc-note artifacts below never depend
+            # on — a failure here must record sf1_headline_error, never
+            # take the pre-existing artifacts down with it.
+            try:
+                sf1h_samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+                sf1h_cpu: dict[str, list[float]] = {n: [] for n in HEADLINE}
+                for r in range(2):
+                    for name in HEADLINE:
+                        c0 = _proc_tree_cpu_sec()
+                        t0 = time.perf_counter()
+                        n = QUERIES[name].fn(spark, sf1_dir).count()
+                        dt = round(time.perf_counter() - t0, 3)
+                        sf1h_samples[name].append(dt)
+                        if c0 is not None:
+                            c1 = _proc_tree_cpu_sec()
+                            if c1 is not None:
+                                sf1h_cpu[name].append(round(c1 - c0, 3))
+                        print(
+                            f"# sf1_headline run{r + 1} {name}: {dt:.3f}s"
+                            f" ({n} rows)",
+                            file=sys.stderr,
+                        )
+                sf1h = {n: min(ts) for n, ts in sf1h_samples.items()}
+                result["sf1_headline"] = sf1h
+                result["sf1_headline_total"] = round(sum(sf1h.values()), 3)
+                result["sf1_headline_samples"] = sf1h_samples
+                sf1h_c = {n: min(ts) for n, ts in sf1h_cpu.items() if ts}
+                if sf1h_c:
+                    result["sf1_headline_cpu"] = sf1h_c
+                    result["sf1_headline_cpu_total"] = round(
+                        sum(sf1h_c.values()), 3
                     )
-            sf1h = {n: min(ts) for n, ts in sf1h_samples.items()}
-            result["sf1_headline"] = sf1h
-            result["sf1_headline_total"] = round(sum(sf1h.values()), 3)
-            result["sf1_headline_samples"] = sf1h_samples
-            sf1h_c = {n: min(ts) for n, ts in sf1h_cpu.items() if ts}
-            if sf1h_c:
-                result["sf1_headline_cpu"] = sf1h_c
-                result["sf1_headline_cpu_total"] = round(
-                    sum(sf1h_c.values()), 3
-                )
+            except Exception as ex:  # pragma: no cover - defensive guard
+                result["sf1_headline_error"] = f"{type(ex).__name__}: {ex}"[:300]
 
             # Dense rung: the prefix-filter crossover proof (VERDICT r4
             # task #4). 80% of sf0.1 docs share a 25-token boilerplate

@@ -221,7 +221,7 @@ def synthesize_bmp_animation(
 
 
 def sample_frames(
-    df: DataFrame, every_k: int = 2, id_col: str = "doc_id"
+    df: DataFrame, every_k: int = 2, id_col: str = "doc_id", payload_fn=None
 ) -> DataFrame:
     """Frame sampling over concatenated-BMP payloads: walk the container by
     each frame's declared file size (header offset 2), keep every k-th
@@ -233,8 +233,8 @@ def sample_frames(
     def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "frame_idx", "width", "height", "px_sum")}
-            for did, payload in zip(pdf[id_col].astype("int64"), pdf["payload"]):
-                b, pos, idx = bytes(payload), 0, 0
+            for did, b in _iter_payloads(pdf, id_col, payload_fn):
+                pos, idx = 0, 0
                 while pos < len(b):
                     if b[pos : pos + 2] != b"BM":
                         raise ValueError(f"doc {did}: bad frame at byte {pos}")
@@ -250,7 +250,7 @@ def sample_frames(
                     idx += 1
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(
+    return _payload_input(df, id_col, payload_fn).mapInPandas(
         fs,
         "doc_id long, frame_idx integer, width integer, height integer, px_sum long",
     )
@@ -262,35 +262,14 @@ def synthesize_sample_frames(
     """`sample_frames(synthesize_bmp_animation(df, n), k)` fused into ONE
     mapInPandas (guide §4): the concatenated-BMP 'video' payload is built
     and walked in the same Python worker, so it never crosses the
-    JVM↔Python boundary. Same bytes, same rows; the standalone stages
-    remain the public operators."""
-    import struct
+    JVM↔Python boundary. Thin delegation: the container walk lives once,
+    in `sample_frames`."""
 
-    def both(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in ("doc_id", "frame_idx", "width", "height", "px_sum")}
-            for did in pdf[id_col].astype("int64"):
-                did = int(did)
-                b = b"".join(_bmp_bytes(did + 41 * f) for f in range(n_frames))
-                pos, idx = 0, 0
-                while pos < len(b):
-                    if b[pos : pos + 2] != b"BM":
-                        raise ValueError(f"doc {did}: bad frame at byte {pos}")
-                    size = struct.unpack_from("<I", b, pos + 2)[0]
-                    if idx % every_k == 0:
-                        w, h, rows = _parse_bmp(b[pos : pos + size], did)
-                        out["doc_id"].append(did)
-                        out["frame_idx"].append(idx)
-                        out["width"].append(w)
-                        out["height"].append(h)
-                        out["px_sum"].append(sum(sum(r) for r in rows))
-                    pos += size
-                    idx += 1
-            yield pd.DataFrame(out)
+    def video_bytes(did: int) -> bytes:
+        return b"".join(_bmp_bytes(did + 41 * f) for f in range(n_frames))
 
-    return df.select(id_col).mapInPandas(
-        both,
-        "doc_id long, frame_idx integer, width integer, height integer, px_sum long",
+    return sample_frames(
+        df, every_k=every_k, id_col=id_col, payload_fn=video_bytes
     )
 
 
@@ -605,7 +584,7 @@ def synthesize_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(gen, "doc_id long, payload binary")
 
 
-def decode_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def decode_png(df: DataFrame, id_col: str = "doc_id", payload_fn=None) -> DataFrame:
     """Real compressed-image decode over binary payloads (pure stdlib,
     mapInPandas): chunk walk, CRC'd structure, zlib inflate, and scanline
     un-filtering for all five PNG filter types — 8-bit gray/RGB/RGBA,
@@ -621,37 +600,8 @@ def decode_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 k: []
                 for k in ("doc_id", "width", "height", "channels", "n_pixels", "px_sum")
             }
-            for did, payload in zip(pdf[id_col].astype("int64"), pdf["payload"]):
-                w, h, ch, rows = _parse_png(bytes(payload), int(did))
-                out["doc_id"].append(int(did))
-                out["width"].append(w)
-                out["height"].append(h)
-                out["channels"].append(ch)
-                out["n_pixels"].append(w * h)
-                out["px_sum"].append(sum(sum(r) for r in rows))
-            yield pd.DataFrame(out)
-
-    return df.mapInPandas(decode, PNG_FEATURE_SCHEMA)
-
-
-def synthesize_decode_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """`decode_png(synthesize_png(df))` fused into ONE mapInPandas: the
-    encode (filter + deflate) and the decode (chunk walk + inflate +
-    un-filter) run back-to-back in the same Python worker, so the binary
-    payloads never cross the JVM↔Python boundary at all (guide §4 — the
-    two stacked MapInPandas nodes each paid a full Arrow transpose +
-    transfer of every payload). Same bytes, same rows as the two-stage
-    pipeline; the standalone stages remain the public operators."""
-
-    def both(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {
-                k: []
-                for k in ("doc_id", "width", "height", "channels", "n_pixels", "px_sum")
-            }
-            for did in pdf[id_col].astype("int64"):
-                did = int(did)
-                w, h, ch, rows = _parse_png(_png_bytes(did), did)
+            for did, payload in _iter_payloads(pdf, id_col, payload_fn):
+                w, h, ch, rows = _parse_png(payload, did)
                 out["doc_id"].append(did)
                 out["width"].append(w)
                 out["height"].append(h)
@@ -660,7 +610,18 @@ def synthesize_decode_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["px_sum"].append(sum(sum(r) for r in rows))
             yield pd.DataFrame(out)
 
-    return df.select(id_col).mapInPandas(both, PNG_FEATURE_SCHEMA)
+    return _payload_input(df, id_col, payload_fn).mapInPandas(decode, PNG_FEATURE_SCHEMA)
+
+
+def synthesize_decode_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """`decode_png(synthesize_png(df))` fused into ONE mapInPandas: the
+    encode (filter + deflate) and the decode (chunk walk + inflate +
+    un-filter) run back-to-back in the same Python worker, so the binary
+    payloads never cross the JVM↔Python boundary at all (guide §4 — the
+    two stacked MapInPandas nodes each paid a full Arrow transpose +
+    transfer of every payload). Thin delegation: the decode loop lives
+    once, in `decode_png`."""
+    return decode_png(df, id_col=id_col, payload_fn=_png_bytes)
 
 
 # ---------------------------------------------------------------------------
@@ -922,7 +883,7 @@ def synthesize_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def decode_gif_frames(
-    df: DataFrame, every_k: int = 1, id_col: str = "doc_id"
+    df: DataFrame, every_k: int = 1, id_col: str = "doc_id", payload_fn=None
 ) -> DataFrame:
     """Real animated-GIF frame decode + sampling over binary payloads
     (pure stdlib, mapInPandas): container walk, variable-width LZW
@@ -939,51 +900,9 @@ def decode_gif_frames(
                 k: []
                 for k in ("doc_id", "frame_idx", "width", "height", "px_sum")
             }
-            for did, payload in zip(pdf[id_col].astype("int64"), pdf["payload"]):
+            for did, payload in _iter_payloads(pdf, id_col, payload_fn):
                 for (idx, _l, _t, w, h, mcs, comp, gct) in _walk_gif(
-                    bytes(payload), int(did)
-                ):
-                    if idx % every_k:
-                        continue
-                    pix = _lzw_decode(comp, mcs)
-                    if len(pix) != w * h:
-                        raise ValueError(
-                            f"doc {did} frame {idx}: {len(pix)} pixels for {w}x{h}"
-                        )
-                    s = 0
-                    for p in pix:
-                        o = 3 * p
-                        s += gct[o] + gct[o + 1] + gct[o + 2]
-                    out["doc_id"].append(int(did))
-                    out["frame_idx"].append(idx)
-                    out["width"].append(w)
-                    out["height"].append(h)
-                    out["px_sum"].append(s)
-            yield pd.DataFrame(out)
-
-    return df.mapInPandas(decode, GIF_FRAME_SCHEMA)
-
-
-def synthesize_decode_gif_frames(
-    df: DataFrame, every_k: int = 1, id_col: str = "doc_id"
-) -> DataFrame:
-    """`decode_gif_frames(synthesize_gif(df), every_k)` fused into ONE
-    mapInPandas (guide §4): encode (LZW compress + container assembly)
-    and frame decode/sampling run in the same Python worker, so the GIF
-    payloads never cross the JVM↔Python boundary. Same bytes, same rows
-    as the two-stage pipeline; the standalone stages remain the public
-    operators."""
-
-    def both(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {
-                k: []
-                for k in ("doc_id", "frame_idx", "width", "height", "px_sum")
-            }
-            for did in pdf[id_col].astype("int64"):
-                did = int(did)
-                for (idx, _l, _t, w, h, mcs, comp, gct) in _walk_gif(
-                    _gif_bytes(did), did
+                    payload, did
                 ):
                     if idx % every_k:
                         continue
@@ -1003,10 +922,23 @@ def synthesize_decode_gif_frames(
                     out["px_sum"].append(s)
             yield pd.DataFrame(out)
 
-    return df.select(id_col).mapInPandas(both, GIF_FRAME_SCHEMA)
+    return _payload_input(df, id_col, payload_fn).mapInPandas(decode, GIF_FRAME_SCHEMA)
 
 
-def audio_analysis(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthesize_decode_gif_frames(
+    df: DataFrame, every_k: int = 1, id_col: str = "doc_id"
+) -> DataFrame:
+    """`decode_gif_frames(synthesize_gif(df), every_k)` fused into ONE
+    mapInPandas (guide §4): encode (LZW compress + container assembly)
+    and frame decode/sampling run in the same Python worker, so the GIF
+    payloads never cross the JVM↔Python boundary. Thin delegation: the
+    walk/decode loop lives once, in `decode_gif_frames`."""
+    return decode_gif_frames(
+        df, every_k=every_k, id_col=id_col, payload_fn=_gif_bytes
+    )
+
+
+def audio_analysis(df: DataFrame, id_col: str = "doc_id", payload_fn=None) -> DataFrame:
     """Audio ANALYSIS features over decoded PCM16 WAV payloads (pure
     stdlib, Arrow-batched mapInPandas, map-only): zero-crossing count
     (adjacent sample sign products < 0 — the classic voiced/unvoiced and
@@ -1020,8 +952,7 @@ def audio_analysis(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "zero_crossings", "max_frame_energy")}
-            for did, payload in zip(pdf[id_col].astype("int64"), pdf["payload"]):
-                b = bytes(payload)
+            for did, b in _iter_payloads(pdf, id_col, payload_fn):
                 if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
                     raise ValueError(f"doc {did}: not a WAV payload")
                 pos, samples = 12, None
@@ -1044,7 +975,12 @@ def audio_analysis(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["max_frame_energy"].append(int(max(energies)))
             yield pd.DataFrame(out)
 
-    return df.select(id_col, "payload").mapInPandas(
+    inp = (
+        df.select(id_col)
+        if payload_fn is not None
+        else df.select(id_col, "payload")
+    )
+    return inp.mapInPandas(
         analyze,
         schema=f"{id_col} long, zero_crossings long, max_frame_energy long",
     )
@@ -1053,40 +989,9 @@ def audio_analysis(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def synthesize_audio_analysis(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """`audio_analysis(synthesize_wav(df))` fused into ONE mapInPandas
     (guide §4): the RIFF/WAVE payload is built and analyzed in the same
-    Python worker, so it never crosses the JVM↔Python boundary. Same
-    bytes, same rows; the standalone stages remain the public operators."""
-    import struct
-
-    def both(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in ("doc_id", "zero_crossings", "max_frame_energy")}
-            for did in pdf[id_col].astype("int64"):
-                did = int(did)
-                b = _wav_bytes(did)
-                pos, samples = 12, None
-                while pos + 8 <= len(b):
-                    cid, sz = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
-                    if cid == b"data":
-                        samples = struct.unpack_from(f"<{sz // 2}h", b, pos + 8)
-                    pos += 8 + sz + (sz & 1)
-                if samples is None:
-                    raise ValueError(f"doc {did}: missing data chunk")
-                zc = sum(
-                    1 for a, b2 in zip(samples, samples[1:]) if a * b2 < 0
-                )
-                energies = [
-                    sum(v * v for v in samples[i : i + 8])
-                    for i in range(0, len(samples), 8)
-                ]
-                out["doc_id"].append(did)
-                out["zero_crossings"].append(int(zc))
-                out["max_frame_energy"].append(int(max(energies)))
-            yield pd.DataFrame(out)
-
-    return df.select(id_col).mapInPandas(
-        both,
-        schema=f"{id_col} long, zero_crossings long, max_frame_energy long",
-    )
+    Python worker, so it never crosses the JVM↔Python boundary. Thin
+    delegation: the chunk walk lives once, in `audio_analysis`."""
+    return audio_analysis(df, id_col=id_col, payload_fn=_wav_bytes)
 
 
 def image_stats(df: DataFrame, id_col: str = "doc_id", payload_fn=None) -> DataFrame:

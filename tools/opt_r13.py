@@ -1,4 +1,4 @@
-"""Round-12 optimization harness: per-query timing + plan capture.
+"""Round-13 optimization harness: per-query timing + plan capture.
 
 Usage:
   python tools/opt_r13.py time  [--runs N] [--action count|noop] name [name ...]
@@ -13,7 +13,7 @@ materialization of every column via the noop sink (guide §1.4) instead of
 the bench's count() action — use it to isolate computation cost from the
 count-path plan pruning.
 
-Plan capture writes `plans/r12/<name>_<tag>.txt` with explain("formatted").
+Plan capture writes `plans/r13/<name>_<tag>.txt` with explain("formatted").
 """
 
 from __future__ import annotations
@@ -32,30 +32,7 @@ from flink_ci_flink_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-HEADLINE = [
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "window_tumble",
-    "window_session_native",
-    "over_frames",
-    "asof_join_events",
-    "topn_per_group",
-    "pipe_exact_dedup",
-    "pipe_minhash_lsh",
-    "pipe_text_features",
-    "pipe_cosine_topk",
-    "tpch_q9_product_profit",
-    "cep_click_click_purchase",
-    "graph_dedup_clusters",
-    "tpch_q21_suppliers_who_kept_waiting",
-    "tpcds_shape_rank_over_rollup",
-    "cep_click_no_purchase",
-    "tpcds_shape_moving_dev",
-    "tpcds_shape_anti_ratio",
-]
+from bench import HEADLINE  # noqa: E402 - one source of truth for the frozen set
 
 
 def _warm(spark) -> None:
